@@ -1,0 +1,92 @@
+"""nlbin-style adaptive binarization in pure numpy.
+
+Reimplements the semantics of the reference's non-linear binarizer
+(/root/reference/kraken/binarization.py:44-127): normalize -> local
+background estimation -> flatten -> text-region percentile rescale ->
+threshold. Differences (deliberate, for 100 TB-scale linearity; the container
+also has no scipy):
+
+  * background estimation uses a grid-percentile + bilinear upsample
+    (filters.grid_percentile_background) instead of zoom + sliding
+    percentile_filter — same estimator class, O(n) vs O(n*w^2);
+  * gaussian blurs are 3-pass box cascades (O(n), <3% kernel error).
+
+Bitonal inputs skip the whole pipeline, like the reference
+(/root/reference/kraken/binarization.py:75-77, lib/util.py:57-71).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .filters import (
+    binary_dilation_sep,
+    gaussian_filter,
+    grid_percentile_background,
+    percentile_nearest,
+)
+
+
+def is_bitonal(img: np.ndarray) -> bool:
+    """True if the image contains at most two distinct values
+    (cf. /root/reference/kraken/lib/util.py:57-71)."""
+    v = np.unique(img[::16, ::16])
+    if len(v) > 2:
+        return False
+    return len(np.unique(img)) <= 2
+
+
+def nlbin(
+    img: np.ndarray,
+    threshold: float = 0.5,
+    tile: int = 32,
+    perc: float = 80.0,
+    escale: float = 1.0,
+    low: float = 5.0,
+    high: float = 90.0,
+) -> np.ndarray:
+    """Binarize a HxW uint8 grayscale page. Returns uint8 ink mask (1=ink).
+
+    Parameter names mirror the reference CLI surface
+    (/root/reference/kraken/kraken.py:436-465).
+    """
+    if img.ndim != 2:
+        raise ValueError("nlbin expects grayscale HxW")
+    if img.size == 0:
+        raise ValueError("empty image")
+    if is_bitonal(img):
+        return (img < 128).astype(np.uint8)
+    image = img.astype(np.float32) / 255.0
+    if float(image.max()) == float(image.min()):
+        raise ValueError("flat image cannot be binarized")
+
+    # local background and flattening
+    bg = grid_percentile_background(img, tile=tile, perc=perc) / 255.0
+    flat = np.clip(image - bg + 1.0, 0.0, 1.0)
+
+    # estimate lo/hi from high-variance (text) regions only; the estimate is
+    # statistical, so it runs on a 4x-decimated copy (16x less work — the
+    # reference does the analogous thing by zooming before its percentile
+    # filters, binarization.py:78-82)
+    if escale > 0:
+        dec = 4
+        sub = flat[::dec, ::dec]
+        sigma = escale * 10.0 / dec
+        v = sub - gaussian_filter(sub, sigma)
+        v = np.sqrt(np.maximum(gaussian_filter(v * v, sigma), 0.0))
+        vmax = float(v.max())
+        mask = v > 0.3 * vmax if vmax > 0 else np.ones_like(v, dtype=bool)
+        k = max(1, int(escale * 50) // dec)
+        mask = binary_dilation_sep(mask, k, 1)
+        mask = binary_dilation_sep(mask, 1, k)
+        est = sub[mask]
+        if est.size == 0:
+            est = sub.ravel()
+    else:
+        est = flat[::4, ::4].ravel()
+    lo = float(percentile_nearest(est, low))
+    hi = float(percentile_nearest(est, high))
+    if hi <= lo:
+        hi = lo + 1e-6
+    norm = np.clip((flat - lo) / (hi - lo), 0.0, 1.0)
+    return (norm < threshold).astype(np.uint8)

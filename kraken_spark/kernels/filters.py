@@ -1,0 +1,149 @@
+"""Separable O(n) image filters in pure numpy.
+
+Stand-ins for the scipy.ndimage primitives the reference leans on
+(gaussian_filter, percentile_filter, maximum_filter, zoom — e.g.
+/root/reference/kraken/binarization.py:44-127, /root/reference/kraken/lib/
+morph.py:51-81). scipy is not available in this container, and at 100 TB
+scale per-page kernel cost dominates, so these are deliberately linear-time:
+box-filter cascades for gaussian smoothing, cumsum-based box sums, grid
+percentiles with bilinear upsampling for local background estimation, and
+stride-tricks moving max/min for dilation/erosion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def box_filter_1d(a: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Mean filter of width k along axis, edge-replicated, O(n)."""
+    if k <= 1:
+        return a.astype(np.float32, copy=False)
+    a = np.moveaxis(a.astype(np.float32, copy=False), axis, -1)
+    left = k // 2
+    right = k - 1 - left
+    pad = np.concatenate(
+        [np.repeat(a[..., :1], left, axis=-1), a, np.repeat(a[..., -1:], right, axis=-1)],
+        axis=-1,
+    )
+    c = np.cumsum(pad, axis=-1, dtype=np.float32)
+    out = np.empty_like(a)
+    out[..., 0] = c[..., k - 1]
+    out[..., 1:] = c[..., k:] - c[..., : c.shape[-1] - k]
+    out /= k
+    return np.moveaxis(out.astype(np.float32), -1, axis)
+
+
+def gaussian_filter(a: np.ndarray, sigma: float) -> np.ndarray:
+    """Approximate gaussian blur: 3 passes of a box filter per axis.
+
+    Box width chosen so the cascade variance matches sigma^2 (standard
+    Wells'86 approximation; error < 3% vs a true gaussian).
+    """
+    if sigma <= 0:
+        return a.astype(np.float32, copy=False)
+    k = max(1, int(round(np.sqrt(sigma * sigma * 12.0 / 3.0 + 1.0))))
+    if k % 2 == 0:
+        k += 1
+    out = a
+    for axis in (0, 1):
+        for _ in range(3):
+            out = box_filter_1d(out, k, axis)
+    return out
+
+
+def moving_max_1d(a: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Moving maximum of width k along axis (edge-replicated), via the
+    van Herk/Gil-Werman two-scan algorithm — O(n) independent of k."""
+    if k <= 1:
+        return a
+    a = np.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    left = k // 2
+    right = k - 1 - left
+    pad = np.concatenate(
+        [np.repeat(a[..., :1], left, axis=-1), a, np.repeat(a[..., -1:], right, axis=-1)],
+        axis=-1,
+    )
+    m = pad.shape[-1]
+    nblocks = -(-m // k)
+    padded = np.concatenate(
+        [pad, np.repeat(pad[..., -1:], nblocks * k - m, axis=-1)], axis=-1
+    )
+    blocks = padded.reshape(*padded.shape[:-1], nblocks, k)
+    fwd = np.maximum.accumulate(blocks, axis=-1).reshape(*padded.shape[:-1], -1)
+    bwd = np.flip(
+        np.maximum.accumulate(np.flip(blocks, axis=-1), axis=-1), axis=-1
+    ).reshape(*padded.shape[:-1], -1)
+    idx = np.arange(n)
+    out = np.maximum(bwd[..., idx], fwd[..., idx + k - 1])
+    return np.moveaxis(out, -1, axis)
+
+
+def moving_min_1d(a: np.ndarray, k: int, axis: int) -> np.ndarray:
+    return -moving_max_1d(-a, k, axis)
+
+
+def binary_dilation_sep(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Binary dilation with a kh x kw ones structuring element (separable)."""
+    m = mask.astype(np.uint8)
+    if kh > 1:
+        m = moving_max_1d(m, kh, 0)
+    if kw > 1:
+        m = moving_max_1d(m, kw, 1)
+    return m.astype(bool)
+
+
+def binary_erosion_sep(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    m = mask.astype(np.uint8)
+    if kh > 1:
+        m = moving_min_1d(m, kh, 0)
+    if kw > 1:
+        m = moving_min_1d(m, kw, 1)
+    return m.astype(bool)
+
+
+def percentile_nearest(a: np.ndarray, q: float, axis: int = -1) -> np.ndarray:
+    """Nearest-rank percentile via np.partition — O(n) selection instead of
+    the full sort np.percentile performs; rank semantics differ from linear
+    interpolation by at most one sample, irrelevant for background/contrast
+    estimation."""
+    n = a.shape[axis]
+    k = min(n - 1, max(0, int(round(q / 100.0 * (n - 1)))))
+    return np.take(np.partition(a, k, axis=axis), k, axis=axis).astype(np.float32)
+
+
+def grid_percentile_background(
+    img: np.ndarray, tile: int = 32, perc: float = 80.0
+) -> np.ndarray:
+    """Local background map: per-tile percentile, bilinearly upsampled.
+
+    Linear-time replacement for the reference's zoom + sliding
+    percentile_filter background estimator
+    (/root/reference/kraken/binarization.py:78-88) — same estimator class
+    (local high percentile ~= page background), O(n) instead of O(n*w^2).
+    """
+    h, w = img.shape
+    gh, gw = -(-h // tile), -(-w // tile)
+    ph, pw = gh * tile, gw * tile
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")  # stays uint8
+    tiles = padded.reshape(gh, tile, gw, tile).transpose(0, 2, 1, 3).reshape(gh, gw, -1)
+    grid = percentile_nearest(tiles, perc, axis=2)
+    # separable bilinear upsample from tile centers back to full resolution
+    def _axis_interp(g: np.ndarray, n_out: int, n_grid: int, axis: int) -> np.ndarray:
+        coords = np.clip(
+            (np.arange(n_out, dtype=np.float32) - 0.5 * tile + 0.5) / tile,
+            0.0,
+            n_grid - 1.0,
+        )
+        i0 = np.minimum(coords.astype(np.int64), max(n_grid - 2, 0))
+        f = (coords - i0).astype(np.float32)
+        a = np.take(g, i0, axis=axis)
+        b = np.take(g, np.minimum(i0 + 1, n_grid - 1), axis=axis)
+        shape = [1, 1]
+        shape[axis] = n_out
+        f = f.reshape(shape)
+        return a * (1.0 - f) + b * f
+
+    out = _axis_interp(grid, h, gh, 0)
+    return _axis_interp(out, w, gw, 1).astype(np.float32)

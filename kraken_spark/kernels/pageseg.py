@@ -1,0 +1,202 @@
+"""Page segmentation: ink mask -> columns, text lines, regions, reading order.
+
+Model-free segmenter in the spirit of the reference's legacy morphological
+path (/root/reference/kraken/pageseg.py:307-454): connected-component page
+guards and scale stats, whitespace column-separator detection
+(cf. compute_colseps_conv /root/reference/kraken/pageseg.py:137-166),
+projection-based line finding (the gradient/seed machinery of
+/root/reference/kraken/pageseg.py:209-267 collapses to row-projection runs
+for horizontal text), and the pairwise partial-order + topsort reading order
+(/root/reference/kraken/lib/segmentation.py:85-174).
+
+Output mirrors the reference's Segmentation container
+(/root/reference/kraken/containers.py:251-354): lines carry id, bbox,
+baseline polyline, boundary polygon, region membership; regions carry id and
+boundary; lines are emitted in reading order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .order import polygonal_reading_order, reading_order
+
+MAX_CC_DENSITY = 1.0 / 900.0  # CC-count admission guard (pageseg.py:382-391)
+
+
+def det_id(url: str, stage: str, idx: int) -> str:
+    """Deterministic element id — replaces the reference's uuid4
+    (/root/reference/kraken/blla.py:362; SURVEY.md §7.5)."""
+    return "id_" + hashlib.sha1(f"{url}:{stage}:{idx}".encode()).hexdigest()[:12]
+
+
+def _runs(profile: np.ndarray, min_gap: int = 1) -> list[tuple[int, int]]:
+    """Maximal runs of positive values; gaps < min_gap are bridged."""
+    on = profile > 0
+    if not on.any():
+        return []
+    d = np.diff(np.concatenate([[0], on.astype(np.int8), [0]]))
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]
+    runs = list(zip(starts, ends))
+    if min_gap > 1:
+        merged = [runs[0]]
+        for s, e in runs[1:]:
+            if s - merged[-1][1] < min_gap:
+                merged[-1] = (merged[-1][0], e)
+            else:
+                merged.append((s, e))
+        runs = merged
+    return [(int(s), int(e)) for s, e in runs]
+
+
+def find_columns(ink: np.ndarray, min_gutter: int = 64) -> list[tuple[int, int]]:
+    """Split the text block into column x-ranges at zero-ink vertical strips
+    wider than min_gutter (single-space gaps are at most 50 px by the corpus
+    geometry contract, so they can never split a column)."""
+    proj = ink.sum(axis=0)
+    cols = np.nonzero(proj)[0]
+    if len(cols) == 0:
+        return []
+    x0, x1 = int(cols[0]), int(cols[-1]) + 1
+    gaps = _runs((proj[x0:x1] == 0).astype(np.int8))
+    cuts = [g for g in gaps if g[1] - g[0] >= min_gutter]
+    bounds = [x0]
+    for g in cuts:
+        bounds.extend([x0 + g[0], x0 + g[1]])
+    bounds.append(x1)
+    return [(bounds[i], bounds[i + 1]) for i in range(0, len(bounds), 2)]
+
+
+def segment(
+    ink: np.ndarray,
+    url: str = "",
+    text_direction: str = "horizontal-lr",
+    min_gutter: int = 64,
+    min_line_height: int = 4,
+    min_line_width: int = 4,
+) -> dict:
+    """Segment a binarized page. Returns a Segmentation-like dict:
+
+    {type:'baselines', text_direction, script_detection: False,
+     lines: [{id, bbox, baseline, boundary, region_ids, rank}],
+     regions: [{id, region_type, boundary, rank}], guard_tripped: bool}
+    """
+    h, w = ink.shape
+    rl = text_direction.endswith("rl")
+    empty = {
+        "type": "baselines",
+        "text_direction": text_direction,
+        "script_detection": False,
+        "lines": [],
+        "regions": [],
+        "guard_tripped": False,
+    }
+    if ink.sum() == 0:
+        return empty
+
+    # admission guard, cf. pageseg.py:382-391 (CCs > area/900 => reject).
+    # Full CC labeling costs ~80 ms/page, so the guard uses a vectorized
+    # proxy: the number of "top runs" (horizontal ink runs with no ink
+    # directly above). Exact for the pathological noise/dither inputs the
+    # guard defends against (1 top per speck), within ~2x for real glyphs.
+    d = np.diff(np.pad(ink, ((0, 0), (1, 1))).astype(np.int8), axis=1)
+    rs, cs = np.where(d == 1)
+    _, ce = np.where(d == -1)
+    csum = np.pad(np.cumsum(ink, axis=1, dtype=np.int32), ((0, 0), (1, 0)))
+    above = rs > 0
+    prev = np.maximum(rs - 1, 0)
+    touched = (csum[prev, ce] - csum[prev, cs]) > 0
+    n_tops = int((~(touched & above)).sum())
+    if n_tops > 2 * h * w * MAX_CC_DENSITY:
+        out = dict(empty)
+        out["guard_tripped"] = True
+        return out
+
+    col_ranges = find_columns(ink, min_gutter=min_gutter)
+    # enumerate columns in reading direction so downstream topsort ties
+    # resolve to the correct column order (kraken flips left_of for rl)
+    enum_ranges = list(enumerate(col_ranges))
+    if rl:
+        enum_ranges = enum_ranges[::-1]
+
+    lines: list[dict] = []
+    regions: list[dict] = []
+    line_region_idx: list[int] = []
+    for out_ri, (ci, (cx0, cx1)) in enumerate(enum_ranges):
+        band = ink[:, cx0:cx1]
+        yproj = band.sum(axis=1)
+        col_lines = []
+        for (ly0, ly1) in _runs(yproj, min_gap=3):
+            if ly1 - ly0 < min_line_height:
+                continue
+            xs = np.nonzero(band[ly0:ly1].any(axis=0))[0]
+            if len(xs) == 0:
+                continue
+            lx0, lx1 = cx0 + int(xs[0]), cx0 + int(xs[-1]) + 1
+            if lx1 - lx0 < min_line_width:
+                continue
+            yb = int(ly1) - 1
+            col_lines.append(
+                {
+                    "bbox": [lx0, int(ly0), lx1, int(ly1)],
+                    "baseline": [[lx0, yb], [lx1 - 1, yb]],
+                    "boundary": [
+                        [lx0, int(ly0)],
+                        [lx1, int(ly0)],
+                        [lx1, int(ly1)],
+                        [lx0, int(ly1)],
+                    ],
+                }
+            )
+        if not col_lines:
+            continue
+        rx0 = min(l["bbox"][0] for l in col_lines)
+        ry0 = min(l["bbox"][1] for l in col_lines)
+        rx1 = max(l["bbox"][2] for l in col_lines)
+        ry1 = max(l["bbox"][3] for l in col_lines)
+        region_idx = len(regions)
+        regions.append(
+            {
+                "id": det_id(url, "region", region_idx),
+                "region_type": "column" if len(col_ranges) > 1 else "text",
+                "boundary": [[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1]],
+                "rank": out_ri,
+            }
+        )
+        for l in col_lines:
+            lines.append(l)
+            line_region_idx.append(region_idx)
+
+    if not lines:
+        return empty
+
+    # reading order: region-grouped splice (polygonal_reading_order semantics)
+    region_bboxes = [
+        (r["boundary"][0][0], r["boundary"][0][1], r["boundary"][2][0], r["boundary"][2][1])
+        for r in regions
+    ]
+    line_bboxes = [tuple(l["bbox"]) for l in lines]
+    if len(regions) > 1:
+        perm = polygonal_reading_order(line_bboxes, line_region_idx, region_bboxes, rl=rl)
+    else:
+        perm = reading_order(line_bboxes, rl=rl)
+
+    ordered = []
+    for rank, li in enumerate(perm):
+        l = dict(lines[li])
+        l["id"] = det_id(url, "line", rank)
+        l["rank"] = rank
+        l["region_ids"] = [regions[line_region_idx[li]]["id"]]
+        ordered.append(l)
+
+    return {
+        "type": "baselines",
+        "text_direction": text_direction,
+        "script_detection": False,
+        "lines": ordered,
+        "regions": regions,
+        "guard_tripped": False,
+    }

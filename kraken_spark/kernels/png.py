@@ -1,0 +1,133 @@
+"""Minimal PNG encode/decode in numpy + stdlib zlib.
+
+The container image has no PIL/imageio, so the engine carries its own codec
+for the ``html BINARY`` page-image payloads (the reference opens images via
+PIL, /root/reference/kraken/lib/util.py:23-32; we only need 8-bit grayscale
+and RGB, which covers the synthetic Common-Crawl-style corpus).
+
+Supported: bit depth 8, color types 0 (grayscale) and 2 (RGB), all five
+standard scanline filters on decode, filter 0 on encode. Not supported (by
+design): interlacing, palettes, 16-bit.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a HxW (grayscale) or HxWx3 (RGB) uint8 array as PNG bytes."""
+    if img.dtype != np.uint8:
+        raise ValueError(f"expected uint8 image, got {img.dtype}")
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = img.reshape(h, w * channels)
+    # filter byte 0 (None) prepended to every scanline
+    scanlines = np.empty((h, 1 + w * channels), dtype=np.uint8)
+    scanlines[:, 0] = 0
+    scanlines[:, 1:] = raw
+    idat = zlib.compress(scanlines.tobytes(), 6)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filters. data is (h, 1+stride) uint8."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(data[y, 0])
+        row = data[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            out[y] = row.astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[y] = ((row + prev) & 0xFF).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    val = row[x] + a
+                elif ftype == 3:
+                    val = row[x] + ((a + b) >> 1)
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    val = row[x] + pred
+                cur[x] = val & 0xFF
+            out[y] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to a HxW (gray) or HxWx3 (RGB) uint8 array."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    color_type = bit_depth = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG: depth={bit_depth} color={color_type} "
+                    f"interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    channels = 1 if color_type == 0 else 3
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    rows = raw.reshape(h, 1 + stride)
+    out = _unfilter(rows, h, stride, channels)
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, 3)
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """RGB->luma (ITU-R 601), passthrough for already-gray images."""
+    if img.ndim == 2:
+        return img
+    return (
+        img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    ).astype(np.uint8)

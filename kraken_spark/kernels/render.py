@@ -1,0 +1,177 @@
+"""Deterministic synthetic page renderer (the FIXTURES.md §1 contract).
+
+Produces Common-Crawl-style `documents` rows: a rendered page image (PNG in
+the ``html`` column), the ground-truth extracted text (lines joined with \\n
+in reading order — the byte-identical target, cf. the reference's text sink
+/root/reference/kraken/kraken.py:261), plus golden line/region geometry for
+segmentation tests.
+
+Pages have a noisy gradient background so the nlbin binarizer has real work
+to do (cf. /root/reference/kraken/binarization.py:44-127), 1- or 2-column
+layouts to exercise column-separator detection and region reading order
+(/root/reference/kraken/pageseg.py:137-199,
+/root/reference/kraken/lib/segmentation.py:845-903), RTL pages to exercise
+BiDi (/root/reference/kraken/lib/bidi/__init__.py), and a ~1% fraction of
+oversized pages to exercise skew handling.
+
+All randomness flows from numpy PCG64 seeded per-document, so generation is
+reproducible and parallelizable (each doc is independent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .glyphs import (
+    ALPHABET,
+    ARABIC_CPS,
+    CELL_W,
+    GLYPH_H,
+    GLYPH_W,
+    LINE_PITCH,
+    glyph_ink,
+)
+
+MARGIN = 64
+GUTTER = 96  # 2-column gutter; must exceed the 64 px separator threshold
+PAGE_SIZE = (1200, 1600)  # (W, H)
+OVERSIZE = (2400, 3200)
+
+# language-specific character pools (single shared procedural font)
+_EN_POOL = [ord(c) for c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,;:!?'-"]
+_FR_POOL = [ord(c) for c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,;:!?'-()"]
+_AR_POOL = list(ARABIC_CPS)
+_POOLS = {"en": _EN_POOL, "fr": _FR_POOL, "ar": _AR_POOL}
+LANGS = ("en", "fr", "ar")
+
+
+def doc_rng(seed: int, doc_idx: int) -> np.random.Generator:
+    return np.random.Generator(np.random.PCG64([seed, doc_idx]))
+
+
+def _make_line_text(rng: np.random.Generator, pool: list[int], max_cells: int) -> str:
+    """Random words (2-8 chars) joined by single spaces, <= max_cells cells."""
+    words: list[str] = []
+    used = 0
+    while True:
+        wlen = int(rng.integers(2, 9))
+        need = wlen if not words else wlen + 1
+        if used + need > max_cells:
+            break
+        words.append("".join(chr(pool[int(rng.integers(0, len(pool)))]) for _ in range(wlen)))
+        used += need
+        if len(words) >= 12:
+            break
+    if not words:  # always emit at least one word
+        words.append("".join(chr(pool[int(rng.integers(0, len(pool)))]) for _ in range(2)))
+    return " ".join(words)
+
+
+def render_document(seed: int, doc_idx: int) -> dict:
+    """Render one synthetic document; returns image + ground truth.
+
+    Returns dict with keys: img (HxW uint8), text (GT, reading order),
+    lang, base_dir ('L'|'R'), lines (list of dicts with keys text, visual,
+    bbox [x0,y0,x1,y1], baseline [[x,y],[x,y]], col, rank), regions
+    (list of dicts id/boundary/rank), ink (HxW uint8 golden ink mask).
+    """
+    rng = doc_rng(seed, doc_idx)
+    lang = LANGS[doc_idx % len(LANGS)]
+    base_dir = "R" if lang == "ar" else "L"
+    pool = _POOLS[lang]
+    oversized = rng.random() < 0.01
+    w, h = OVERSIZE if oversized else PAGE_SIZE
+    ncols = 2 if (not oversized and rng.random() < 0.35) else 1
+
+    usable_w = w - 2 * MARGIN
+    if ncols == 2:
+        col_w = (usable_w - GUTTER) // 2
+        col_x0 = [MARGIN, MARGIN + col_w + GUTTER]
+    else:
+        col_w = usable_w
+        col_x0 = [MARGIN]
+    max_cells = (col_w - GLYPH_W) // CELL_W + 1
+    max_lines = (h - 2 * MARGIN) // LINE_PITCH
+    lo, hi = (60, min(200, max_lines)) if oversized else (8, min(25, max_lines))
+
+    ink = np.zeros((h, w), dtype=np.uint8)
+    lines: list[dict] = []
+    for col in range(ncols):
+        n_lines = int(rng.integers(lo, hi + 1))
+        for li in range(n_lines):
+            text = _make_line_text(rng, pool, max_cells)
+            # visual order: pure-RTL lines are drawn right-to-left
+            visual = text[::-1] if base_dir == "R" else text
+            x0 = col_x0[col]
+            y0 = MARGIN + li * LINE_PITCH
+            for k, ch in enumerate(visual):
+                if ch == " ":
+                    continue
+                gx = x0 + k * CELL_W
+                ink[y0 : y0 + GLYPH_H, gx : gx + GLYPH_W] |= glyph_ink(ord(ch))
+            ncells = len(visual)
+            bbox = [x0, y0, x0 + CELL_W * (ncells - 1) + GLYPH_W, y0 + GLYPH_H]
+            yb = y0 + GLYPH_H - 1
+            lines.append(
+                {
+                    "text": text,
+                    "visual": visual,
+                    "bbox": bbox,
+                    "baseline": [[bbox[0], yb], [bbox[2] - 1, yb]],
+                    "col": col,
+                    "line_in_col": li,
+                }
+            )
+
+    # reading order: columns left->right for LTR, right->left for RTL pages;
+    # top-to-bottom within a column (matches polygonal_reading_order semantics,
+    # /root/reference/kraken/lib/segmentation.py:845-903)
+    col_order = list(range(ncols)) if base_dir == "L" else list(range(ncols))[::-1]
+    ordered: list[dict] = []
+    for c in col_order:
+        ordered.extend(
+            sorted((l for l in lines if l["col"] == c), key=lambda l: l["line_in_col"])
+        )
+    for rank, l in enumerate(ordered):
+        l["rank"] = rank
+
+    regions = []
+    for ri, c in enumerate(col_order):
+        cl = [l for l in lines if l["col"] == c]
+        if not cl:
+            continue
+        x0 = min(l["bbox"][0] for l in cl)
+        y0 = min(l["bbox"][1] for l in cl)
+        x1 = max(l["bbox"][2] for l in cl)
+        y1 = max(l["bbox"][3] for l in cl)
+        regions.append(
+            {
+                "col": c,
+                "rank": ri,
+                "boundary": [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+            }
+        )
+
+    # background: horizontal+vertical luminance gradient + gaussian noise
+    gy = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
+    gx = np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :]
+    bg = 205.0 + 45.0 * gx - 35.0 * gy  # 170..250
+    noise = rng.normal(0.0, 6.0, size=(h, w)).astype(np.float32)
+    page = bg + noise
+    ink_noise = rng.normal(0.0, 8.0, size=(h, w)).astype(np.float32)
+    ink_val = 35.0 + ink_noise
+    page = np.where(ink.astype(bool), ink_val, page)
+    img = np.clip(page, 0, 255).astype(np.uint8)
+
+    text_gt = "\n".join(l["text"] for l in ordered)
+    return {
+        "img": img,
+        "ink": ink,
+        "text": text_gt,
+        "lang": lang,
+        "base_dir": base_dir,
+        "ncols": ncols,
+        "oversized": bool(oversized),
+        "lines": ordered,
+        "regions": regions,
+    }

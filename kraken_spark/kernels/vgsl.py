@@ -1,0 +1,257 @@
+"""VGSL (Variable-size Graph Specification Language) networks in numpy.
+
+Forward-only reimplementation of the reference's VGSL model machinery
+(/root/reference/kraken/lib/vgsl/model.py:109-243 parser,
+/root/reference/kraken/lib/vgsl/layers.py layer impls): a spec string like
+
+    [1,48,0,1 Cr3,3,32 Mp2,2 Lbx64 O1c57]
+
+defines input (batch, height, width, channels) followed by layers. Supported
+blocks (the inference-relevant subset):
+
+  C(r|l|s|t|m)<y>,<x>,<d>[,<sy>,<sx>]  conv, activation, kernel y,x, depth d,
+                                        optional stride (kraken extension) —
+                                        VALID padding when strided, SAME else
+  Mp<y>,<x>                             max pooling
+  Lbx<n> / Lfx<n>                       (bi)directional LSTM over width
+  Gn<g>                                 group norm
+  Do<p>                                 dropout (identity at inference)
+  S<d>(...)                             squeeze height into channels
+  O1c<n>                                per-timestep linear + softmax (CTC head)
+
+Data layout is (C, H, W) float32 per line image; the output of a full model
+is (T, classes) softmax activations fed to the CTC greedy decoder.
+
+Weights live in a plain dict name->ndarray and serialize via np.savez +
+json metadata (the engine's analog of the reference's safetensors loaders,
+/root/reference/kraken/models/loaders.py).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+
+import numpy as np
+
+_ACT = {
+    "r": lambda x: np.maximum(x, 0.0),
+    "l": lambda x: x,
+    "s": lambda x: 1.0 / (1.0 + np.exp(-x)),
+    "t": np.tanh,
+    "m": lambda x: _softmax(x, axis=0),
+}
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: tuple[int, int], pad: str) -> np.ndarray:
+    """x: (C,H,W); w: (O,C,kh,kw); returns (O,H',W'). im2col + tensordot."""
+    c, h, wid = x.shape
+    o, _, kh, kw = w.shape
+    sh, sw = stride
+    if pad == "same":
+        ph, pw = kh // 2, kw // 2
+        x = np.pad(x, ((0, 0), (ph, ph), (pw, pw)))
+        h, wid = x.shape[1], x.shape[2]
+    if h < kh or wid < kw:
+        return np.zeros((o, 0, 0), dtype=np.float32)
+    win = np.lib.stride_tricks.sliding_window_view(x, (kh, kw), axis=(1, 2))
+    win = win[:, ::sh, ::sw]  # (C, H', W', kh, kw)
+    out = np.tensordot(w, win, axes=([1, 2, 3], [0, 3, 4]))  # (O, H', W')
+    return (out + b[:, None, None]).astype(np.float32)
+
+
+def _maxpool(x: np.ndarray, ky: int, kx: int) -> np.ndarray:
+    c, h, w = x.shape
+    h2, w2 = h // ky, w // kx
+    if h2 == 0 or w2 == 0:
+        return x[:, :0, :0]
+    return x[:, : h2 * ky, : w2 * kx].reshape(c, h2, ky, w2, kx).max(axis=(2, 4))
+
+
+def _lstm_dir(seq: np.ndarray, wih: np.ndarray, whh: np.ndarray, bias: np.ndarray) -> np.ndarray:
+    """seq: (T, F); gates packed [i,f,g,o]; returns (T, H)."""
+    t, _ = seq.shape
+    hid = whh.shape[1]
+    hs = np.zeros((t, hid), dtype=np.float32)
+    h = np.zeros(hid, dtype=np.float32)
+    cst = np.zeros(hid, dtype=np.float32)
+    pre_all = seq @ wih.T + bias  # (T, 4H)
+    for k in range(t):
+        pre = pre_all[k] + h @ whh.T
+        i = 1.0 / (1.0 + np.exp(-pre[:hid]))
+        f = 1.0 / (1.0 + np.exp(-pre[hid : 2 * hid]))
+        g = np.tanh(pre[2 * hid : 3 * hid])
+        og = 1.0 / (1.0 + np.exp(-pre[3 * hid :]))
+        cst = f * cst + i * g
+        h = og * np.tanh(cst)
+        hs[k] = h
+    return hs
+
+
+_LAYER_RE = re.compile(
+    r"(?P<conv>C(?P<cact>[rlstm])(?P<cargs>[\d,]+))"
+    r"|(?P<pool>Mp(?P<pargs>[\d,]+))"
+    r"|(?P<lstm>L(?P<ldir>[bf])x(?P<lhid>\d+))"
+    r"|(?P<gn>Gn(?P<gng>\d+))"
+    r"|(?P<do>Do[\d.,]*)"
+    r"|(?P<sq>S\d.*)"
+    r"|(?P<out>O1(?P<oact>[cs])(?P<on>\d+))"
+)
+
+
+class VGSLModel:
+    """Parsed VGSL spec + weights; forward() maps line image -> softmax grid."""
+
+    def __init__(self, spec: str, weights: dict[str, np.ndarray] | None = None, codec: dict | None = None):
+        spec = spec.strip()
+        if not (spec.startswith("[") and spec.endswith("]")):
+            raise ValueError(f"spec must be bracketed: {spec!r}")
+        blocks = spec[1:-1].split()
+        m = re.match(r"(\d+),(\d+),(\d+),(\d+)", blocks[0])
+        if not m:
+            raise ValueError(f"bad input block {blocks[0]!r}")
+        self.batch, self.height, self.width, self.channels = map(int, m.groups())
+        self.spec = spec
+        self.layers: list[dict] = []
+        for i, blk in enumerate(blocks[1:]):
+            lm = _LAYER_RE.fullmatch(blk)
+            if not lm:
+                raise ValueError(f"unparseable VGSL block {blk!r}")
+            if lm.group("conv"):
+                args = [int(a) for a in lm.group("cargs").split(",")]
+                ky, kx, d = args[0], args[1], args[2]
+                stride = (args[3], args[4]) if len(args) >= 5 else (1, 1)
+                pad = "valid" if stride != (1, 1) else "same"
+                self.layers.append(
+                    {"kind": "conv", "name": f"conv{i}", "act": lm.group("cact"),
+                     "k": (ky, kx), "d": d, "stride": stride, "pad": pad}
+                )
+            elif lm.group("pool"):
+                ky, kx = [int(a) for a in lm.group("pargs").split(",")][:2]
+                self.layers.append({"kind": "pool", "k": (ky, kx)})
+            elif lm.group("lstm"):
+                self.layers.append(
+                    {"kind": "lstm", "name": f"lstm{i}",
+                     "bidi": lm.group("ldir") == "b", "hidden": int(lm.group("lhid"))}
+                )
+            elif lm.group("gn"):
+                self.layers.append({"kind": "gn", "name": f"gn{i}", "groups": int(lm.group("gng"))})
+            elif lm.group("do"):
+                self.layers.append({"kind": "identity"})
+            elif lm.group("sq"):
+                self.layers.append({"kind": "squeeze"})
+            elif lm.group("out"):
+                self.layers.append(
+                    {"kind": "out", "name": f"out{i}", "classes": int(lm.group("on")),
+                     "softmax": lm.group("oact") == "c"}
+                )
+        self.weights: dict[str, np.ndarray] = weights or {}
+        self.codec = codec or {}
+
+    # -- initialization -----------------------------------------------------
+    def init_random(self, seed: int = 42) -> "VGSLModel":
+        """Deterministic random weights (shape-test / smoke use)."""
+        rng = np.random.Generator(np.random.PCG64(seed))
+        c, h = self.channels, self.height
+        for layer in self.layers:
+            if layer["kind"] == "conv":
+                ky, kx = layer["k"]
+                self.weights[layer["name"] + ".w"] = rng.normal(
+                    0, 0.1, (layer["d"], c, ky, kx)
+                ).astype(np.float32)
+                self.weights[layer["name"] + ".b"] = np.zeros(layer["d"], np.float32)
+                c = layer["d"]
+                if layer["pad"] == "valid":
+                    h = (h - ky) // layer["stride"][0] + 1
+            elif layer["kind"] == "pool":
+                h //= layer["k"][0]
+            elif layer["kind"] == "squeeze":
+                c, h = c * h, 1
+            elif layer["kind"] == "lstm":
+                hid = layer["hidden"]
+                feat = c * h  # LSTM consumes the flattened feature column
+                for d in (["fwd", "bwd"] if layer["bidi"] else ["fwd"]):
+                    self.weights[f"{layer['name']}.{d}.wih"] = rng.normal(0, 0.1, (4 * hid, feat)).astype(np.float32)
+                    self.weights[f"{layer['name']}.{d}.whh"] = rng.normal(0, 0.1, (4 * hid, hid)).astype(np.float32)
+                    self.weights[f"{layer['name']}.{d}.b"] = np.zeros(4 * hid, np.float32)
+                c, h = hid * (2 if layer["bidi"] else 1), 1
+            elif layer["kind"] == "gn":
+                self.weights[layer["name"] + ".g"] = np.ones(c, np.float32)
+                self.weights[layer["name"] + ".b"] = np.zeros(c, np.float32)
+            elif layer["kind"] == "out":
+                self.weights[layer["name"] + ".w"] = rng.normal(0, 0.1, (layer["classes"], c * h)).astype(np.float32)
+                self.weights[layer["name"] + ".b"] = np.zeros(layer["classes"], np.float32)
+        return self
+
+    # -- inference ----------------------------------------------------------
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        """x: (C,H,W) or (H,W) float32 -> (T, classes) activations."""
+        if x.ndim == 2:
+            x = x[None]
+        x = x.astype(np.float32, copy=False)
+        for layer in self.layers:
+            kind = layer["kind"]
+            if kind == "conv":
+                x = _conv2d(
+                    x,
+                    self.weights[layer["name"] + ".w"],
+                    self.weights[layer["name"] + ".b"],
+                    layer["stride"],
+                    layer["pad"],
+                )
+                x = _ACT[layer["act"]](x)
+            elif kind == "pool":
+                x = _maxpool(x, *layer["k"])
+            elif kind == "squeeze":
+                c, h, w = x.shape
+                x = x.reshape(c * h, 1, w)
+            elif kind == "gn":
+                g = layer["groups"]
+                c = x.shape[0]
+                xs = x.reshape(g, c // g, *x.shape[1:])
+                mu = xs.mean(axis=(1, 2, 3), keepdims=True)
+                sd = xs.std(axis=(1, 2, 3), keepdims=True) + 1e-5
+                x = ((xs - mu) / sd).reshape(c, *x.shape[1:])
+                x = x * self.weights[layer["name"] + ".g"][:, None, None] + self.weights[layer["name"] + ".b"][:, None, None]
+            elif kind == "lstm":
+                c, h, w = x.shape
+                seq = x.reshape(c * h, w).T  # (T, F)
+                n = layer["name"]
+                fwd = _lstm_dir(seq, self.weights[f"{n}.fwd.wih"], self.weights[f"{n}.fwd.whh"], self.weights[f"{n}.fwd.b"])
+                if layer["bidi"]:
+                    bwd = _lstm_dir(seq[::-1], self.weights[f"{n}.bwd.wih"], self.weights[f"{n}.bwd.whh"], self.weights[f"{n}.bwd.b"])[::-1]
+                    out = np.concatenate([fwd, bwd], axis=1)
+                else:
+                    out = fwd
+                x = out.T[:, None, :]  # (F', 1, T)
+            elif kind == "out":
+                c, h, w = x.shape
+                seq = x.reshape(c * h, w).T  # (T, F)
+                logits = seq @ self.weights[layer["name"] + ".w"].T + self.weights[layer["name"] + ".b"]
+                return _softmax(logits, axis=1) if layer["softmax"] else logits
+            elif kind == "identity":
+                pass
+        # no explicit output layer: return (T, C) of the last feature map
+        c, h, w = x.shape
+        return x.reshape(c * h, w).T
+
+    # -- serialization ------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        meta = {"spec": self.spec, "codec": self.codec}
+        np.savez(buf, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **self.weights)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "VGSLModel":
+        with np.load(io.BytesIO(data)) as npz:
+            meta = json.loads(bytes(npz["__meta__"]).decode())
+            weights = {k: npz[k] for k in npz.files if k != "__meta__"}
+        return cls(meta["spec"], weights=weights, codec=meta.get("codec", {}))

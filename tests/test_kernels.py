@@ -1,0 +1,282 @@
+"""Kernel unit tests — mirror the reference's test strategy (SURVEY.md §5):
+golden/e2e assertions on deterministic fixtures plus behavior tests for each
+operator family (binarization, segmentation, reading order, codec, CTC,
+BiDi, VGSL shapes, PNG round-trip)."""
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels import binarize, lineextract, morph, pageseg, png, render
+from kraken_spark.kernels.bidi import display_to_logical
+from kraken_spark.kernels.codec import Codec, CodecError
+from kraken_spark.kernels.ctc import greedy_decoder
+from kraken_spark.kernels.glyphs import ALPHABET, glyph_ink, templates
+from kraken_spark.kernels.order import is_in_region, reading_order, topsort
+from kraken_spark.kernels.recognizer import build_recognizer, recognize_line, recognize_page
+from kraken_spark.kernels.vgsl import VGSLModel
+
+
+# ---------------------------------------------------------------- png
+def test_png_roundtrip_gray():
+    rng = np.random.Generator(np.random.PCG64(7))
+    img = rng.integers(0, 256, (37, 61), dtype=np.uint8)
+    assert (png.decode_png(png.encode_png(img)) == img).all()
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.Generator(np.random.PCG64(8))
+    img = rng.integers(0, 256, (16, 9, 3), dtype=np.uint8)
+    out = png.decode_png(png.encode_png(img))
+    assert out.shape == (16, 9, 3) and (out == img).all()
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        png.decode_png(b"not a png at all")
+
+
+# ---------------------------------------------------------------- glyphs
+def test_glyph_templates_distinct_and_cell_aligned():
+    bank = templates()
+    # all templates pairwise distinct => integer argmax margin >= 2
+    flat = bank.reshape(bank.shape[0], -1)
+    gram = flat @ flat.T
+    self_score = flat.shape[1]
+    assert (np.diag(gram) == self_score).all()
+    off = gram - np.diag(np.diag(gram))
+    assert off.max() <= self_score - 2
+    # every glyph has the top/left registration bars => cell-aligned ink bbox
+    for cp in ALPHABET:
+        ink = glyph_ink(cp)
+        assert ink[0].any() and ink[:, 0].any()
+        assert ink.shape == (14, 14)
+
+
+# ---------------------------------------------------------------- binarize
+def test_nlbin_is_bitonal_and_exact_on_fixture():
+    d = render.render_document(42, 0)
+    mask = binarize.nlbin(d["img"])
+    assert set(np.unique(mask)) <= {0, 1}
+    assert (mask == d["ink"]).all()
+
+
+def test_nlbin_bitonal_passthrough():
+    img = np.full((64, 64), 255, np.uint8)
+    img[10:20, 10:20] = 0
+    mask = binarize.nlbin(img)
+    assert (mask == (img < 128)).all()
+
+
+def test_nlbin_rejects_empty():
+    with pytest.raises(ValueError):
+        binarize.nlbin(np.zeros((0, 0), np.uint8))
+
+
+# ---------------------------------------------------------------- morph
+def test_label_and_find_objects():
+    m = np.zeros((10, 10), np.uint8)
+    m[1:3, 1:3] = 1
+    m[6:9, 5:10] = 1
+    labels, n = morph.label(m)
+    assert n == 2
+    boxes = morph.find_objects(labels, n)
+    assert (1, 1, 3, 3) in boxes and (6, 5, 9, 10) in boxes
+
+
+def test_label_diagonal_not_connected():
+    m = np.eye(5, dtype=np.uint8)
+    _, n = morph.label(m)
+    assert n == 5  # 4-connectivity
+
+
+# ---------------------------------------------------------------- pageseg
+def test_segment_empty_page():
+    seg = pageseg.segment(np.zeros((100, 100), np.uint8))
+    assert seg["lines"] == [] and not seg["guard_tripped"]
+
+
+def test_segment_noise_guard():
+    rng = np.random.Generator(np.random.PCG64(1))
+    noise = (rng.random((400, 400)) < 0.3).astype(np.uint8)
+    seg = pageseg.segment(noise)
+    assert seg["guard_tripped"] and seg["lines"] == []
+
+
+def test_segment_recovers_golden_lines():
+    d = render.render_document(42, 1)  # 2-column page
+    seg = pageseg.segment(d["ink"], url="u")
+    assert len(seg["lines"]) == len(d["lines"])
+    for got, want in zip(seg["lines"], d["lines"]):
+        assert got["bbox"] == want["bbox"]
+        assert got["baseline"] == want["baseline"]
+    assert len(seg["regions"]) == d["ncols"]
+    # deterministic ids, not uuids
+    assert seg["lines"][0]["id"] == pageseg.det_id("u", "line", 0)
+
+
+# ---------------------------------------------------------------- order
+def test_reading_order_stacked():
+    boxes = [(0, 40, 100, 50), (0, 0, 100, 10), (0, 20, 100, 30)]
+    assert reading_order(boxes) == [1, 2, 0]
+
+
+def test_reading_order_two_columns_with_separator():
+    left = [(0, 0, 40, 10), (0, 20, 40, 30)]
+    right = [(60, 0, 100, 10), (60, 20, 100, 30)]
+    sep = [(45, 0, 55, 30)]
+    got = reading_order(left + right, separators=sep)
+    assert got == [0, 1, 2, 3]
+    # like the reference (lib/segmentation.py:104-117), a separator suppresses
+    # the cross-column edge: column precedence comes from emission order, so a
+    # right-column-first input (how the segmenter emits rl pages) is preserved
+    got_rl = reading_order(right + left, separators=sep, rl=True)
+    assert got_rl == [0, 1, 2, 3]
+    # without a separator, rl flips horizontal precedence outright
+    assert reading_order([left[0], right[0]], rl=True) == [1, 0]
+
+
+def test_topsort_handles_total_order():
+    order = np.triu(np.ones((4, 4), np.uint8), 1)
+    assert topsort(order) == [0, 1, 2, 3]
+
+
+def test_is_in_region():
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10]]
+    assert is_in_region((5, 5), sq)
+    assert not is_in_region((15, 5), sq)
+
+
+# ---------------------------------------------------------------- codec/ctc
+def test_codec_prefix_free_validation():
+    with pytest.raises(CodecError):
+        Codec({"a": [1], "b": [1, 2]})
+
+
+def test_codec_encode_decode_multilabel():
+    c = Codec({"a": [1], "ch": [2, 3], "x": [4]})
+    assert c.encode("achx") == [1, 2, 3, 4]
+    decoded = c.decode([(1, 0, 0, 0.9), (2, 1, 1, 0.8), (3, 2, 2, 0.6), (4, 3, 3, 1.0)])
+    assert [d[0] for d in decoded] == ["a", "ch", "x"]
+    ch = decoded[1]
+    assert ch[1] == 1 and ch[2] == 2 and abs(ch[3] - 0.7) < 1e-6
+
+
+def test_codec_merge():
+    a = Codec("abc")
+    b = Codec("bcd")
+    merged, _ = a.merge(b)
+    assert set(merged.c2l) == {"a", "b", "c", "d"}
+
+
+def test_ctc_greedy_collapses_and_drops_blanks():
+    probs = np.array(
+        [[0.1, 0.9, 0.0], [0.1, 0.8, 0.1], [0.9, 0.05, 0.05], [0.1, 0.1, 0.8]]
+    )
+    out = greedy_decoder(probs)
+    assert [(o[0], o[1], o[2]) for o in out] == [(1, 0, 1), (2, 3, 3)]
+    assert abs(out[0][3] - 0.9) < 1e-9
+
+
+# ---------------------------------------------------------------- bidi
+def test_bidi_pure_rtl_reverses():
+    visual = "با"  # displayed left-to-right glyph order
+    logical, perm = display_to_logical(visual, "R")
+    assert logical == visual[::-1] and perm == [1, 0]
+
+
+def test_bidi_ltr_unchanged():
+    logical, perm = display_to_logical("abc", "L")
+    assert logical == "abc" and perm == [0, 1, 2]
+
+
+def test_bidi_rtl_with_spaces():
+    visual = "با جح"
+    logical, _ = display_to_logical(visual, "R")
+    assert logical == visual[::-1]
+
+
+# ---------------------------------------------------------------- vgsl
+def test_vgsl_parse_and_shapes():
+    m = VGSLModel("[1,16,0,1 Cr3,3,8 Mp2,2 Lbx10 O1c5]").init_random(0)
+    out = m.forward(np.zeros((1, 16, 64), np.float32))
+    assert out.shape[1] == 5
+    assert np.allclose(out.sum(axis=1), 1.0, atol=1e-5)  # softmax rows
+
+
+def test_vgsl_serialization_roundtrip():
+    m = VGSLModel("[1,16,0,1 Cr3,3,4 O1c3]").init_random(1)
+    m2 = VGSLModel.from_bytes(m.to_bytes())
+    x = np.ones((1, 16, 32), np.float32)
+    assert np.allclose(m.forward(x), m2.forward(x))
+    assert m2.spec == m.spec
+
+
+def test_vgsl_rejects_bad_spec():
+    with pytest.raises(ValueError):
+        VGSLModel("[1,16,0,1 Zz3]")
+    with pytest.raises(ValueError):
+        VGSLModel("no brackets")
+
+
+# ---------------------------------------------------------------- recognizer
+def test_recognize_line_golden():
+    model = build_recognizer()
+    codec = Codec(model.codec)
+    d = render.render_document(42, 3)
+    seg = pageseg.segment(d["ink"], url="u")
+    line = seg["lines"][0]
+    strip, _ = lineextract.extract_line(d["ink"], line)
+    rec = recognize_line(model, codec, strip)
+    want = d["lines"][0]["text"]
+    assert rec["prediction"] == want
+    assert len(rec["cuts"]) == len(want) == len(rec["confidences"])
+
+
+def test_recognize_empty_strip_is_empty_record():
+    model = build_recognizer()
+    codec = Codec(model.codec)
+    rec = recognize_line(model, codec, np.zeros((0, 0), np.uint8))
+    assert rec["prediction"] == "" and rec["cuts"] == []
+
+
+def test_recognize_page_matches_per_line():
+    model = build_recognizer()
+    codec = Codec(model.codec)
+    d = render.render_document(42, 2)  # RTL page
+    seg = pageseg.segment(d["ink"], url="u", text_direction="horizontal-rl")
+    strips = [lineextract.extract_line(d["ink"], l)[0] for l in seg["lines"]]
+    batched = recognize_page(model, codec, strips, base_dir="R")
+    for s, b in zip(strips, batched):
+        assert recognize_line(model, codec, s, base_dir="R")["prediction"] == b["prediction"]
+    assert "\n".join(r["prediction"] for r in batched) == d["text"]
+
+
+def test_rtl_bidi_on_off_differ():
+    # the reference asserts bidi on/off produce different output for RTL
+    # (tests/test_tasks.py:254-264)
+    model = build_recognizer()
+    codec = Codec(model.codec)
+    d = render.render_document(42, 2)
+    seg = pageseg.segment(d["ink"], url="u", text_direction="horizontal-rl")
+    strip, _ = lineextract.extract_line(d["ink"], seg["lines"][0])
+    on = recognize_line(model, codec, strip, base_dir="R", bidi_reordering=True)
+    off = recognize_line(model, codec, strip, base_dir="R", bidi_reordering=False)
+    assert on["prediction"] == off["prediction"][::-1]
+    assert on["prediction"] != off["prediction"]
+
+
+# ---------------------------------------------------------------- e2e golden
+@pytest.mark.parametrize("doc_idx", range(6))
+def test_end_to_end_byte_identical(doc_idx):
+    """Full chain from PNG bytes to text — byte-identical to ground truth
+    (the BASELINE.json invariant)."""
+    model = build_recognizer()
+    codec = Codec(model.codec)
+    d = render.render_document(42, doc_idx)
+    img = png.decode_png(png.encode_png(d["img"]))
+    mask = binarize.nlbin(img)
+    td = "horizontal-rl" if d["base_dir"] == "R" else "horizontal-lr"
+    seg = pageseg.segment(mask, url=f"u{doc_idx}", text_direction=td)
+    strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
+    recs = recognize_page(model, codec, strips, base_dir=d["base_dir"])
+    assert "\n".join(r["prediction"] for r in recs) == d["text"]
