@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship fused extraction over the deterministic synthetic
+                Common-Crawl-style corpus (BASELINE.json input_hint shape).
+queries()     — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query; the
+                extraction-pipeline queries (x_*) are non-SQL-expressible
+                (image decode + segmentation + CTC recognition) and get the
+                rows-only check.
 """
 
 from __future__ import annotations
@@ -15,24 +17,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: fused binarize->segment->order->recognize extraction
+    over a 24-doc synthetic corpus; returns (url, lang, n_lines, cer, text)."""
+    import pyspark.sql.functions as F
+
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import plan_extraction
+
+    docs = generate_corpus_df(spark, 24)
+    ext = plan_extraction(docs, num_partitions=8)
+    return ext.select("url", "lang", "n_lines", F.round("cer", 6).alias("cer"), "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kraken_spark.functions.dedup import QUERIES as DEDUP
+    from kraken_spark.functions.similarity import QUERIES as SIM
+    from kraken_spark.functions.text import QUERIES as TEXT
+    from kraken_spark.operators.extraction import QUERIES as EXTRACT
+    from kraken_spark.operators.relational import QUERIES as REL
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for catalog in (REL, TEXT, DEDUP, SIM, EXTRACT):
+        for name, (fn, _sql) in catalog.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kraken_spark.functions.dedup import QUERIES as DEDUP
+    from kraken_spark.functions.similarity import QUERIES as SIM
+    from kraken_spark.functions.text import QUERIES as TEXT
+    from kraken_spark.operators.extraction import QUERIES as EXTRACT
+    from kraken_spark.operators.relational import QUERIES as REL
+
+    out: dict[str, str] = {}
+    for catalog in (REL, TEXT, DEDUP, SIM, EXTRACT):
+        for name, (_fn, sql) in catalog.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,102 @@
+"""Extraction-pipeline queries for the driver contract (rows-only checks).
+
+These exercise the fused Arrow-UDF extraction (decode -> nlbin -> segment ->
+reading order -> recognize -> BiDi) — not SQL-expressible, so no oracle_sql;
+byte-identity vs ground truth is asserted in tests/test_pipeline_spark.py
+and reported through the `cer` column (0.0 everywhere on the corpus).
+
+The synthetic corpus is generated deterministically per the FIXTURES.md
+contract; `sf_dir` selects only the document count so the driver's sf=0.01
+run stays fast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ..corpus import generate_corpus_df
+from ..pipeline import extracted_text, metrics_table, plan_extraction
+
+_N_DOCS = {"sf0.001": 12, "sf0.01": 48, "sf0.1": 240}
+
+
+def _n_docs(sf_dir: str) -> int:
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return _N_DOCS.get(tail, 48)
+
+
+def _extraction(spark: SparkSession, sf_dir: str):
+    docs = generate_corpus_df(spark, _n_docs(sf_dir))
+    return plan_extraction(docs, num_partitions=spark.sparkContext.defaultParallelism)
+
+
+def x_extract_text(spark, sf):
+    """Flagship: byte-identical extracted text per url."""
+    return extracted_text(_extraction(spark, sf)).orderBy("url")
+
+
+def x_extract_lines(spark, sf):
+    """Normalized line table: one row per recognized line with geometry."""
+    ext = _extraction(spark, sf)
+    return (
+        ext.select("url", F.explode("lines").alias("l"))
+        .select(
+            "url",
+            F.col("l.rank").alias("line_idx"),
+            F.col("l.id").alias("line_id"),
+            F.col("l.bbox").alias("bbox"),
+            F.col("l.baseline").alias("baseline"),
+            F.col("l.prediction").alias("prediction"),
+            F.col("l.display_order").alias("display_order"),
+        )
+        .orderBy("url", "line_idx")
+    )
+
+
+def x_extract_regions(spark, sf):
+    """Region table + line counts per region (equi-join on region id)."""
+    ext = _extraction(spark, sf)
+    regions = ext.select("url", F.explode("regions").alias("r")).select(
+        "url", F.col("r.id").alias("region_id"), F.col("r.region_type").alias("region_type"), F.col("r.rank").alias("region_rank")
+    )
+    line_regions = (
+        ext.select("url", F.explode("lines").alias("l"))
+        .select("url", F.explode("l.region_ids").alias("region_id"))
+        .groupBy("url", "region_id")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    return regions.join(line_regions, ["url", "region_id"], "left").orderBy(
+        "url", "region_rank"
+    )
+
+
+def x_extract_cer_report(spark, sf):
+    """Accuracy rollup by language — mean/max CER and totals (must be 0)."""
+    ext = _extraction(spark, sf)
+    return (
+        ext.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.round(F.avg("cer"), 9).alias("mean_cer"),
+            F.round(F.max("cer"), 9).alias("max_cer"),
+            F.sum(F.col("guard_tripped").cast("int")).alias("n_guard_tripped"),
+        )
+        .orderBy("lang")
+    )
+
+
+def x_extract_metrics(spark, sf):
+    """Per-partition lineage/metrics table (north-rule lineage requirement)."""
+    ext = _extraction(spark, sf)
+    return metrics_table(ext, run_id="driver").drop("wall_ms").orderBy("partition_id")
+
+
+QUERIES = {
+    "x_extract_text": (x_extract_text, None),
+    "x_extract_lines": (x_extract_lines, None),
+    "x_extract_regions": (x_extract_regions, None),
+    "x_extract_cer_report": (x_extract_cer_report, None),
+    "x_extract_metrics": (x_extract_metrics, None),
+}

@@ -1,0 +1,96 @@
+"""DataFrame graph: scan -> weight-aware salted repartition -> fused
+extraction -> outputs (+ metrics, + checkpoint/resume) — SURVEY.md §4.3.
+
+The job is map-only per url: zero shuffles between stages except the single
+explicit repartition that balances page weight across tasks (the make-or-
+break for the >=0.8 N->4N scaling target; SURVEY.md §7.5). Relational
+post-processing (text aggregation, metrics rollup) stays in native Spark
+expressions so Catalyst keeps it in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .schema import EXTRACTION_DDL
+from .stages import extract_map_in_arrow
+
+# pages larger than this many PNG bytes are treated as heavy (oversized
+# 2400x3200 pages are ~4x a standard page)
+HEAVY_BYTES = 1 << 21
+
+
+def plan_extraction(documents: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Build the (lazy) extraction DataFrame over a documents table.
+
+    Weight-aware salting: normal pages hash-salt uniformly over N buckets;
+    heavy pages get their own bucket space so one 16x-area page never
+    queues behind a full normal bucket (AQE handles join skew, not UDF
+    compute skew — this is the custom part, SURVEY.md §4.2).
+    """
+    spark = documents.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 4
+    cols = [c for c in ("url", "warc_ts", "html", "text", "lang") if c in documents.columns]
+    df = documents.select(*cols)
+    weight = F.octet_length(F.col("html"))
+    salt = F.when(
+        weight > F.lit(HEAVY_BYTES),
+        F.lit(n) + F.pmod(F.xxhash64("url"), F.lit(max(n // 4, 1))),
+    ).otherwise(F.pmod(F.xxhash64("url"), F.lit(n)))
+    df = df.repartition(n + max(n // 4, 1), salt.alias("salt"))
+    return df.mapInArrow(extract_map_in_arrow, schema=EXTRACTION_DDL)
+
+
+def extracted_text(extractions: DataFrame) -> DataFrame:
+    """(url, text) projection — byte-identical text per url. Shown here in
+    native expressions as well (the codegen path of SURVEY.md §2.1 text
+    sink): concat_ws over the nested line predictions equals the stage's
+    pre-joined text column."""
+    return extractions.select(
+        "url",
+        F.concat_ws("\n", F.transform("lines", lambda l: l.prediction)).alias("text"),
+    )
+
+
+def metrics_table(extractions: DataFrame, run_id: str, stage: str = "extract") -> DataFrame:
+    """Per-partition lineage/metrics rows (north rule; SURVEY.md §7.4)."""
+    return extractions.groupBy("partition_id").agg(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_px").alias("n_px"),
+        F.avg("cer").alias("mean_cer"),
+        F.sum("wall_ms").alias("wall_ms"),
+    ).select("run_id", "stage", "partition_id", "n_docs", "n_lines", "n_px", "mean_cer", "wall_ms")
+
+
+def run_extraction(
+    documents: DataFrame,
+    out_path: str | None = None,
+    metrics_path: str | None = None,
+    run_id: str = "run0",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Execute extraction; optionally persist results + metrics as parquet
+    (the sandbox stand-in for Iceberg snapshot commits)."""
+    ext = plan_extraction(documents, num_partitions)
+    if out_path:
+        ext.write.mode("append").parquet(out_path)
+        spark = documents.sparkSession
+        ext = spark.read.parquet(out_path)
+        if metrics_path:
+            metrics_table(ext, run_id).write.mode("append").parquet(metrics_path)
+    return ext
+
+
+def remaining_documents(documents: DataFrame, out_path: str) -> DataFrame:
+    """Checkpoint/resume: anti-join the committed output on url
+    (idempotent per-url writes; SURVEY.md §7.4). Returns docs still to do."""
+    spark = documents.sparkSession
+    try:
+        done = spark.read.parquet(out_path).select("url")
+    except Exception:
+        return documents
+    return documents.join(done, "url", "left_anti")

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests / bench / driver entry all
+run the same configuration. Numpy BLAS threads are pinned to 1 per Python
+worker (the reference caps BLAS pools per stage, /root/reference/kraken/
+kraken.py:304,421) so Spark task parallelism is the only parallelism —
+required for a clean N vs 4N scaling measurement.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_PIN_ENV = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+
+
+def get_spark(
+    app: str = "kraken_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(32, cores)
+    for k, v in _PIN_ENV.items():
+        os.environ.setdefault(k, v)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        # AQE: runtime coalescing + skew-join splitting at cluster scale
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transport for pandas/Arrow UDFs — the no-per-row-Python rule
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # page payloads are ~100 KB-1 MB; keep scan partitions ~32 MB so a
+        # task holds a few hundred pages, not gigabytes
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.python.worker.faulthandler.enabled", "true")
+    )
+    for k, v in _PIN_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    return builder.getOrCreate()

@@ -1,0 +1,144 @@
+"""Arrow-batched stage functions — the only place kernels meet Spark rows.
+
+One fused per-partition function (SURVEY.md §3.4's plan): for each Arrow
+batch of documents, decode -> binarize -> segment -> reading order ->
+extract -> recognize -> BiDi, emitting one extraction row per document with
+nested line/region structs plus per-row timing/CER metrics. This is the
+Spark-native analog of the reference's per-page stage chain
+(/root/reference/kraken/kraken.py:407-433) with the multiprocess line pool
+(/root/reference/kraken/lib/vgsl/model.py:501-516) replaced by partition
+parallelism.
+
+Model bootstrap happens once per Python worker (module-level singleton), the
+analog of the reference's prepare_for_inference
+(/root/reference/kraken/lib/vgsl/model.py:491-525).
+
+Within a batch, pages are processed largest-first so a straggler page starts
+early (size-bucketed batching, north-rule skew requirement); across
+partitions, skew is handled by the pipeline's weight-aware salting.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from .schema import EXTRACTION_ARROW
+
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _get_model():
+    """Per-worker model singleton (executor-local cache)."""
+    if "model" not in _MODEL_CACHE:
+        from .kernels.codec import Codec
+        from .kernels.recognizer import build_recognizer
+
+        model = build_recognizer()
+        _MODEL_CACHE["model"] = model
+        _MODEL_CACHE["codec"] = Codec(model.codec)
+    return _MODEL_CACHE["model"], _MODEL_CACHE["codec"]
+
+
+def extract_document(
+    html: bytes, url: str, lang: str, gt_text: str | None = None
+) -> dict:
+    """Pure-Python single-document extraction (kernel chain); used by the
+    Arrow stage below and directly unit-testable."""
+    from .kernels import binarize, lineextract, pageseg, png
+    from .kernels.metrics import cer as cer_fn
+    from .kernels.recognizer import recognize_page
+
+    model, codec = _get_model()
+    t0 = time.perf_counter()
+    base_dir = "R" if lang == "ar" else "L"
+    text_direction = "horizontal-rl" if base_dir == "R" else "horizontal-lr"
+    out = {
+        "url": url,
+        "lang": lang,
+        "base_dir": base_dir,
+        "text": "",
+        "n_lines": 0,
+        "n_regions": 0,
+        "guard_tripped": False,
+        "lines": [],
+        "regions": [],
+        "cer": None,
+        "n_px": 0,
+    }
+    try:
+        img = png.decode_png(html)
+        img = png.to_grayscale(img)
+        out["n_px"] = int(img.size)
+        mask = binarize.nlbin(img)
+        seg = pageseg.segment(mask, url=url, text_direction=text_direction)
+        out["guard_tripped"] = seg["guard_tripped"]
+        strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
+        records = recognize_page(model, codec, strips, base_dir=base_dir)
+        lines = []
+        for l, r in zip(seg["lines"], records):
+            x0 = l["bbox"][0]
+            lines.append(
+                {
+                    "id": l["id"],
+                    "rank": l["rank"],
+                    "bbox": l["bbox"],
+                    "baseline": l["baseline"],
+                    "boundary": l["boundary"],
+                    "region_ids": l["region_ids"],
+                    "prediction": r["prediction"],
+                    "cuts": [[c[0] + x0, c[1] + x0] for c in r["cuts"]],
+                    "confidences": r["confidences"],
+                    "display_order": r["display_order"],
+                }
+            )
+        out["lines"] = lines
+        out["regions"] = [
+            {
+                "id": rg["id"],
+                "region_type": rg["region_type"],
+                "boundary": rg["boundary"],
+                "rank": rg["rank"],
+            }
+            for rg in seg["regions"]
+        ]
+        out["n_lines"] = len(lines)
+        out["n_regions"] = len(out["regions"])
+        out["text"] = "\n".join(l["prediction"] for l in lines)
+        if gt_text is not None:
+            out["cer"] = float(cer_fn(gt_text, out["text"]))
+    except Exception:
+        # failed page -> empty extraction, flagged; mirrors the reference's
+        # empty-record-on-failure semantics (rpred.py:202-223)
+        out["guard_tripped"] = True
+        out["cer"] = 1.0 if gt_text else None
+    out["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+    return out
+
+
+def extract_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow stage body: documents batches -> extraction batches."""
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
+    except Exception:  # pragma: no cover - outside Spark
+        pid = -1
+    for batch in batches:
+        names = batch.schema.names
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        gts = batch.column("text").to_pylist() if "text" in names else [None] * len(urls)
+        # largest-first within the batch (size-bucketed straggler mitigation)
+        order = sorted(range(len(urls)), key=lambda i: -(len(htmls[i] or b"")))
+        rows = [None] * len(urls)
+        for i in order:
+            rows[i] = extract_document(htmls[i], urls[i], langs[i], gts[i])
+        for r in rows:
+            r["partition_id"] = pid
+        yield pa.RecordBatch.from_pylist(rows, schema=EXTRACTION_ARROW)
