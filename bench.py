@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra modes (used to produce the scaling-efficiency evidence in BASELINE.md,
+since the sandbox has no real cluster — north rule's N vs 4N criterion):
+
+    python bench.py --extract-only N_DOCS   # extraction throughput at
+                                            # local[$SPARK_GRAFT_CPUS]
+    python bench.py --scaling               # run extraction at N and 4N
+                                            # cores in fresh JVMs, print
+                                            # throughputs + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline queries: the flagship extraction pipeline plus representative
+# relational / text-pipeline / dedup / similarity operators (SURVEY.md §2.8
+# and the training-data-pipeline set). Names match __spark_entry__.queries().
+HEADLINE = [
+    "x_extract_text",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "window_topk_per_group",
+    "events_sessionize",
+    "text_quality_score",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
+]
+
+
+def _sf_number(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _force(df) -> None:
+    """Fully execute a plan without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_headline() -> None:
+    import __spark_entry__ as entry
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    # warm up the JVM + Python workers once (not counted)
+    _force(qs["q1_pricing_summary"](spark, SF_DIR))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_number(SF_DIR),
+            }
+        )
+    )
+
+
+def run_extract_only(n_docs: int) -> None:
+    """Timed fused extraction over a pre-materialized synthetic corpus."""
+    from kraken_spark.corpus import ensure_corpus
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="bench-extract", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus_path = os.environ.get(
+        "SPARK_GRAFT_CORPUS", f"/tmp/kraken_spark_corpus_{n_docs}"
+    )
+    docs = ensure_corpus(spark, n_docs, corpus_path)
+    _force(docs.limit(8))  # warm workers + parquet footer cache
+    t0 = time.perf_counter()
+    _force(plan_extraction(docs, num_partitions=CPUS * 2))
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "mode": "extract-only",
+                "cores": CPUS,
+                "docs": n_docs,
+                "sec": round(dt, 3),
+                "docs_per_sec": round(n_docs / dt, 3),
+            }
+        )
+    )
+
+
+def run_scaling(n_docs: int = 2048, n_small: int = 8) -> None:
+    """North-rule N vs 4N evidence: same job, same input, two parallelism
+    levels, each in a fresh JVM so local[N] is honored."""
+    corpus = f"/tmp/kraken_spark_corpus_{n_docs}"
+    results = {}
+    for cores in (n_small, n_small * 4):
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cores),
+            SPARK_GRAFT_CORPUS=corpus,
+        )
+        out = subprocess.run(
+            [sys.executable, __file__, "--extract-only", str(n_docs)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    thr_n = results[n_small]["docs_per_sec"]
+    thr_4n = results[n_small * 4]["docs_per_sec"]
+    print(
+        json.dumps(
+            {
+                "mode": "scaling",
+                "docs": n_docs,
+                "n_cores": n_small,
+                "thr_n": thr_n,
+                "sec_n": results[n_small]["sec"],
+                "4n_cores": n_small * 4,
+                "thr_4n": thr_4n,
+                "sec_4n": results[n_small * 4]["sec"],
+                "efficiency": round(thr_4n / thr_n / 4.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--extract-only" in sys.argv:
+        run_extract_only(int(sys.argv[sys.argv.index("--extract-only") + 1]))
+    elif "--scaling" in sys.argv:
+        i = sys.argv.index("--scaling")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 2048
+        run_scaling(n)
+    else:
+        run_headline()
