@@ -22,8 +22,10 @@ import numpy as np
 from .filters import (
     binary_dilation_sep,
     gaussian_filter,
-    grid_percentile_background,
+    grid_percentile,
     percentile_nearest,
+    threshold_against_background,
+    upsample_bilinear,
 )
 
 
@@ -56,21 +58,27 @@ def nlbin(
         raise ValueError("empty image")
     if is_bitonal(img):
         return (img < 128).astype(np.uint8)
-    image = img.astype(np.float32) / 255.0
-    if float(image.max()) == float(image.min()):
+    if int(img.max()) == int(img.min()):
         raise ValueError("flat image cannot be binarized")
 
-    # local background and flattening
-    bg = grid_percentile_background(img, tile=tile, perc=perc) / 255.0
-    flat = np.clip(image - bg + 1.0, 0.0, 1.0)
+    # local background estimate as a coarse tile grid (0..255 units); the
+    # full-resolution map is never materialized (threshold kernel below)
+    grid = grid_percentile(img, tile=tile, perc=perc)
 
-    # estimate lo/hi from high-variance (text) regions only; the estimate is
-    # statistical, so it runs on a 4x-decimated copy (16x less work — the
-    # reference does the analogous thing by zooming before its percentile
-    # filters, binarization.py:78-82)
+    # estimate lo/hi contrast bounds from high-variance (text) regions on a
+    # 4x-decimated flattened copy (16x less work — the reference does the
+    # analogous thing by zooming before its percentile filters,
+    # binarization.py:78-82). flat = clip(img/255 - bg/255 + 1, 0, 1) is only
+    # ever materialized at the decimated size.
+    dec = 4
+    h, w = img.shape
+    bg_dec = upsample_bilinear(grid, -(-h // dec), -(-w // dec), tile, stride=dec)
+    sub = np.clip(
+        img[::dec, ::dec].astype(np.float32) / 255.0 - bg_dec / 255.0 + 1.0,
+        0.0,
+        1.0,
+    )
     if escale > 0:
-        dec = 4
-        sub = flat[::dec, ::dec]
         sigma = escale * 10.0 / dec
         v = sub - gaussian_filter(sub, sigma)
         v = np.sqrt(np.maximum(gaussian_filter(v * v, sigma), 0.0))
@@ -83,10 +91,14 @@ def nlbin(
         if est.size == 0:
             est = sub.ravel()
     else:
-        est = flat[::4, ::4].ravel()
+        est = sub.ravel()
     lo = float(percentile_nearest(est, low))
     hi = float(percentile_nearest(est, high))
     if hi <= lo:
         hi = lo + 1e-6
-    norm = np.clip((flat - lo) / (hi - lo), 0.0, 1.0)
-    return (norm < threshold).astype(np.uint8)
+    # fused flatten+rescale+threshold: clip((flat - lo)/(hi - lo)) < t
+    # <=> img/255 - bg/255 + 1 < lo + t*(hi - lo)   (clips cannot flip the
+    # inequality since 0 < t < 1 bounds both clip ranges)
+    # <=> img < bg + 255*(lo + t*(hi - lo) - 1)  — one chunked full-res pass
+    c = 255.0 * (lo + threshold * (hi - lo) - 1.0)
+    return threshold_against_background(img, grid, tile, c)

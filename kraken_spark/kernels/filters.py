@@ -113,10 +113,8 @@ def percentile_nearest(a: np.ndarray, q: float, axis: int = -1) -> np.ndarray:
     return np.take(np.partition(a, k, axis=axis), k, axis=axis).astype(np.float32)
 
 
-def grid_percentile_background(
-    img: np.ndarray, tile: int = 32, perc: float = 80.0
-) -> np.ndarray:
-    """Local background map: per-tile percentile, bilinearly upsampled.
+def grid_percentile(img: np.ndarray, tile: int = 32, perc: float = 80.0) -> np.ndarray:
+    """Per-tile percentile grid (gh, gw) float32, in the input's value units.
 
     Linear-time replacement for the reference's zoom + sliding
     percentile_filter background estimator
@@ -128,22 +126,73 @@ def grid_percentile_background(
     ph, pw = gh * tile, gw * tile
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")  # stays uint8
     tiles = padded.reshape(gh, tile, gw, tile).transpose(0, 2, 1, 3).reshape(gh, gw, -1)
-    grid = percentile_nearest(tiles, perc, axis=2)
-    # separable bilinear upsample from tile centers back to full resolution
-    def _axis_interp(g: np.ndarray, n_out: int, n_grid: int, axis: int) -> np.ndarray:
-        coords = np.clip(
-            (np.arange(n_out, dtype=np.float32) - 0.5 * tile + 0.5) / tile,
-            0.0,
-            n_grid - 1.0,
-        )
-        i0 = np.minimum(coords.astype(np.int64), max(n_grid - 2, 0))
-        f = (coords - i0).astype(np.float32)
-        a = np.take(g, i0, axis=axis)
-        b = np.take(g, np.minimum(i0 + 1, n_grid - 1), axis=axis)
-        shape = [1, 1]
-        shape[axis] = n_out
-        f = f.reshape(shape)
-        return a * (1.0 - f) + b * f
+    return percentile_nearest(tiles, perc, axis=2)
 
-    out = _axis_interp(grid, h, gh, 0)
-    return _axis_interp(out, w, gw, 1).astype(np.float32)
+
+def _interp_coords(n_out: int, n_grid: int, tile: int, stride: int = 1) -> np.ndarray:
+    """Fractional grid coordinates of output samples 0, stride, 2*stride, ...
+    relative to tile centers."""
+    return np.clip(
+        (np.arange(n_out, dtype=np.float32) * stride - 0.5 * tile + 0.5) / tile,
+        0.0,
+        n_grid - 1.0,
+    )
+
+
+def _axis_interp(g: np.ndarray, coords: np.ndarray, axis: int) -> np.ndarray:
+    """Linear interpolation of g at fractional coords along axis."""
+    n_grid = g.shape[axis]
+    i0 = np.minimum(coords.astype(np.int64), max(n_grid - 2, 0))
+    f = (coords - i0).astype(np.float32)
+    a = np.take(g, i0, axis=axis)
+    b = np.take(g, np.minimum(i0 + 1, n_grid - 1), axis=axis)
+    shape = [1] * g.ndim
+    shape[axis] = len(coords)
+    f = f.reshape(shape)
+    return a * (1.0 - f) + b * f
+
+
+def upsample_bilinear(
+    grid: np.ndarray, h: int, w: int, tile: int, stride: int = 1
+) -> np.ndarray:
+    """Bilinear upsample of a tile-center grid to an (h, w) map (float32).
+    With stride=k, evaluates at rows/cols 0, k, 2k, ... (a decimated map)."""
+    gh, gw = grid.shape
+    out = _axis_interp(grid, _interp_coords(h, gh, tile, stride), 0)
+    return _axis_interp(out, _interp_coords(w, gw, tile, stride), 1).astype(np.float32)
+
+
+def grid_percentile_background(
+    img: np.ndarray, tile: int = 32, perc: float = 80.0
+) -> np.ndarray:
+    """Local background map at full resolution (grid_percentile ∘ upsample)."""
+    h, w = img.shape
+    return upsample_bilinear(grid_percentile(img, tile, perc), h, w, tile)
+
+
+def threshold_against_background(
+    img: np.ndarray, grid: np.ndarray, tile: int, c: float
+) -> np.ndarray:
+    """mask = img < bilinear_upsample(grid) + c, computed in row chunks so the
+    interpolated background stays cache-resident — the full-resolution float32
+    background map is never materialized (the dominant DRAM cost of a naive
+    nlbin at 32-way partition concurrency is exactly that map)."""
+    h, w = img.shape
+    gh, gw = grid.shape
+    # x-axis interpolation once: (gh, w) float32, ~h/tile rows — tiny
+    gx = _axis_interp(grid, _interp_coords(w, gw, tile), 1)
+    ycoords = _interp_coords(h, gh, tile)
+    i0 = np.minimum(ycoords.astype(np.int64), max(gh - 2, 0))
+    fy = (ycoords - i0).astype(np.float32)
+    out = np.empty((h, w), dtype=bool)
+    step = 64
+    cf = np.float32(c)
+    for y in range(0, h, step):
+        ye = min(y + step, h)
+        a = gx[i0[y:ye]]
+        b = gx[np.minimum(i0[y:ye] + 1, gh - 1)]
+        f = fy[y:ye][:, None]
+        bg = a + (b - a) * f
+        bg += cf
+        np.less(img[y:ye], bg, out=out[y:ye])
+    return out.view(np.uint8)

@@ -94,22 +94,22 @@ def segment(
         "regions": [],
         "guard_tripped": False,
     }
-    if ink.sum() == 0:
+    if not ink.any():
         return empty
 
     # admission guard, cf. pageseg.py:382-391 (CCs > area/900 => reject).
     # Full CC labeling costs ~80 ms/page, so the guard uses a vectorized
-    # proxy: the number of "top runs" (horizontal ink runs with no ink
-    # directly above). Exact for the pathological noise/dither inputs the
-    # guard defends against (1 top per speck), within ~2x for real glyphs.
-    d = np.diff(np.pad(ink, ((0, 0), (1, 1))).astype(np.int8), axis=1)
-    rs, cs = np.where(d == 1)
-    _, ce = np.where(d == -1)
-    csum = np.pad(np.cumsum(ink, axis=1, dtype=np.int32), ((0, 0), (1, 0)))
-    above = rs > 0
-    prev = np.maximum(rs - 1, 0)
-    touched = (csum[prev, ce] - csum[prev, cs]) > 0
-    n_tops = int((~(touched & above)).sum())
+    # proxy: "isolated run starts" — horizontal run starts with no ink in
+    # the 2 cells directly above them. Pathological noise/dither pages
+    # (what the guard defends against) score ~1 per speck; coherent glyphs
+    # score far below the density cap. Pure uint8/bool passes, no labeling.
+    b = ink.astype(bool, copy=False)
+    starts = b.copy()
+    starts[:, 1:] &= ~b[:, :-1]
+    isolated = starts.copy()
+    isolated[1:] &= ~b[:-1]  # ink directly above
+    isolated[1:, 1:] &= ~b[:-1, :-1]  # ink above-left (run continues)
+    n_tops = int(np.count_nonzero(isolated))
     if n_tops > 2 * h * w * MAX_CC_DENSITY:
         out = dict(empty)
         out["guard_tripped"] = True

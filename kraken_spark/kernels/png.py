@@ -6,8 +6,8 @@ PIL, /root/reference/kraken/lib/util.py:23-32; we only need 8-bit grayscale
 and RGB, which covers the synthetic Common-Crawl-style corpus).
 
 Supported: bit depth 8, color types 0 (grayscale) and 2 (RGB), all five
-standard scanline filters on decode, filter 0 on encode. Not supported (by
-design): interlacing, palettes, 16-bit.
+standard scanline filters on decode, filters 0+2 (Up) on encode. Not
+supported (by design): interlacing, palettes, 16-bit.
 """
 
 from __future__ import annotations
@@ -42,10 +42,15 @@ def encode_png(img: np.ndarray) -> bytes:
     h, w = img.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = img.reshape(h, w * channels)
-    # filter byte 0 (None) prepended to every scanline
+    # filter 2 (Up) on every scanline but the first: vertical deltas make
+    # smooth page backgrounds highly compressible, and decode stays a cheap
+    # vectorized per-row add (the ftype==2 branch of _unfilter)
     scanlines = np.empty((h, 1 + w * channels), dtype=np.uint8)
-    scanlines[:, 0] = 0
-    scanlines[:, 1:] = raw
+    scanlines[0, 0] = 0
+    scanlines[0, 1:] = raw[0]
+    if h > 1:
+        scanlines[1:, 0] = 2
+        scanlines[1:, 1:] = raw[1:] - raw[:-1]  # uint8 wraparound == mod 256
     idat = zlib.compress(scanlines.tobytes(), 6)
     return (
         _SIGNATURE
@@ -57,6 +62,10 @@ def encode_png(img: np.ndarray) -> bytes:
 
 def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo per-scanline filters. data is (h, 1+stride) uint8."""
+    ftypes = data[:, 0]
+    if h > 0 and ftypes[0] == 0 and (ftypes[1:] == 2).all():
+        # our encoder's layout (None, Up, Up, ...): mod-256 column cumsum
+        return np.cumsum(data[:, 1:], axis=0, dtype=np.uint8)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = int(data[y, 0])

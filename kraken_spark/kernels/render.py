@@ -34,6 +34,7 @@ from .glyphs import (
 
 MARGIN = 64
 GUTTER = 96  # 2-column gutter; must exceed the 64 px separator threshold
+SPECKLE_DIVISOR = 2000  # ~0.05% of pixels get dust dots (0 disables)
 PAGE_SIZE = (1200, 1600)  # (W, H)
 OVERSIZE = (2400, 3200)
 
@@ -47,6 +48,26 @@ LANGS = ("en", "fr", "ar")
 
 def doc_rng(seed: int, doc_idx: int) -> np.random.Generator:
     return np.random.Generator(np.random.PCG64([seed, doc_idx]))
+
+
+def _smooth_noise(
+    rng: np.random.Generator, h: int, w: int, cell: int = 16, std: float = 7.0
+) -> np.ndarray:
+    """Low-frequency gaussian field: sampled on a coarse grid (one sample per
+    ``cell`` px), bilinearly upsampled to (h, w)."""
+    gh, gw = h // cell + 2, w // cell + 2
+    g = rng.normal(0.0, std, size=(gh, gw)).astype(np.float32)
+    yi = np.linspace(0.0, gh - 1.001, h, dtype=np.float32)
+    xi = np.linspace(0.0, gw - 1.001, w, dtype=np.float32)
+    y0 = yi.astype(np.int32)
+    x0 = xi.astype(np.int32)
+    fy = (yi - y0)[:, None]
+    fx = (xi - x0)[None, :]
+    g00 = g[y0][:, x0]
+    g01 = g[y0][:, x0 + 1]
+    g10 = g[y0 + 1][:, x0]
+    g11 = g[y0 + 1][:, x0 + 1]
+    return g00 * (1 - fy) * (1 - fx) + g01 * (1 - fy) * fx + g10 * fy * (1 - fx) + g11 * fy * fx
 
 
 def _make_line_text(rng: np.random.Generator, pool: list[int], max_cells: int) -> str:
@@ -152,15 +173,30 @@ def render_document(seed: int, doc_idx: int) -> dict:
             }
         )
 
-    # background: horizontal+vertical luminance gradient + gaussian noise
+    # background: horizontal+vertical luminance gradient + spatially
+    # correlated noise (low-frequency field, bilinearly upsampled) + sparse
+    # speckle. Correlated noise matches scanned-page statistics — real pages
+    # compress 5-10x with PNG filters, and per-pixel iid noise would make the
+    # html payload incompressible, distorting transport-dominated benchmarks.
     gy = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
     gx = np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :]
     bg = 205.0 + 45.0 * gx - 35.0 * gy  # 170..250
-    noise = rng.normal(0.0, 6.0, size=(h, w)).astype(np.float32)
+    noise = _smooth_noise(rng, h, w, cell=16, std=7.0)
     page = bg + noise
-    ink_noise = rng.normal(0.0, 8.0, size=(h, w)).astype(np.float32)
-    ink_val = 35.0 + ink_noise
+    ink_val = 35.0 + 1.3 * noise
     page = np.where(ink.astype(bool), ink_val, page)
+    # speckle: sparse light-grey dust dots in the background band. Kept
+    # strictly above the binarization threshold so they perturb nlbin's
+    # background estimate without surviving into the bitonal mask (the
+    # legacy bbox segmenter has no despeckle stage, matching the
+    # reference's clean-page assumption, /root/reference/kraken/pageseg.py).
+    n_speck = max(1, (h * w) // SPECKLE_DIVISOR) if SPECKLE_DIVISOR else 0
+    if n_speck:
+        sy = rng.integers(0, h, n_speck)
+        sx = rng.integers(0, w, n_speck)
+        delta = rng.uniform(-35.0, 35.0, n_speck).astype(np.float32)
+        keep = ~ink[sy, sx].astype(bool)  # never on glyph ink
+        page[sy[keep], sx[keep]] += delta[keep]
     img = np.clip(page, 0, 255).astype(np.uint8)
 
     text_gt = "\n".join(l["text"] for l in ordered)

@@ -19,6 +19,15 @@ _PIN_ENV = {
     "MKL_NUM_THREADS": "1",
     "VECLIB_MAXIMUM_THREADS": "1",
     "NUMEXPR_NUM_THREADS": "1",
+    # glibc malloc: numpy image temporaries (>128 KB) default to
+    # mmap-per-allocation; at 32 concurrent Python workers the resulting
+    # mmap/munmap + page-fault + TLB-shootdown storm puts the machine at
+    # 60-70% *system* CPU and inverts scaling. Raising the thresholds keeps
+    # buffers in the arena for reuse (measured: 8->32 cores goes from
+    # negative scaling to ~linear on the extraction job).
+    "MALLOC_MMAP_THRESHOLD_": "134217728",
+    "MALLOC_TRIM_THRESHOLD_": "134217728",
+    "MALLOC_ARENA_MAX": "2",
 }
 
 
@@ -35,6 +44,7 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         # AQE: runtime coalescing + skew-join splitting at cluster scale
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -47,7 +57,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
-        .config("spark.python.worker.faulthandler.enabled", "true")
+        # NOTE: spark.python.worker.faulthandler.enabled forces a fresh
+        # Python worker per task (no reuse) — each task then pays full
+        # numpy/pyarrow import + model bootstrap, and the concurrent
+        # fork/exec/mmap storm drives the machine to ~70% system CPU.
+        # Keep it off; workers must be long-lived for per-executor model
+        # caching to mean anything.
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in _PIN_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
