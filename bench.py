@@ -100,7 +100,13 @@ def run_extract_only(n_docs: int) -> None:
         "SPARK_GRAFT_CORPUS", f"/tmp/kraken_spark_corpus_{n_docs}"
     )
     docs = ensure_corpus(spark, n_docs, corpus_path)
-    _force(docs.limit(8))  # warm workers + parquet footer cache
+    # Warm-up (uncounted): run the full pipeline over a small slice spread
+    # across 4x cores partitions so EVERY python worker pays numpy/model
+    # import and the JVM JITs the scan/shuffle path before timing starts —
+    # at production scale this startup cost amortizes to zero, so excluding
+    # it measures steady-state throughput.
+    warm = docs.limit(min(n_docs, CPUS * 8))
+    _force(plan_extraction(warm, num_partitions=CPUS * 4))
     t0 = time.perf_counter()
     _force(plan_extraction(docs, num_partitions=CPUS * 2))
     dt = time.perf_counter() - t0
@@ -117,7 +123,7 @@ def run_extract_only(n_docs: int) -> None:
     )
 
 
-def run_scaling(n_docs: int = 2048, n_small: int = 2, repeats: int = 3) -> None:
+def run_scaling(n_docs: int = 6144, n_small: int = 2, repeats: int = 2) -> None:
     """North-rule N vs 4N evidence: same job, same input, two parallelism
     levels, each in a fresh JVM so local[N] is honored.
 
@@ -173,7 +179,7 @@ if __name__ == "__main__":
         run_extract_only(int(sys.argv[sys.argv.index("--extract-only") + 1]))
     elif "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
-        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 2048
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 6144
         run_scaling(n)
     else:
         run_headline()

@@ -1,0 +1,333 @@
+"""Serialization sinks: extraction rows -> ALTO 4 / PageXML / hOCR / JSON.
+
+Re-expresses the reference's Jinja2 template serializer
+(/root/reference/kraken/serialization.py:80-269 and
+/root/reference/kraken/templates/{alto,pagexml,hocr}) as pure string
+builders over the engine's extraction row dicts. Determinism fixes vs the
+reference (SURVEY.md §7.5): element ids are already deterministic
+(pageseg.det_id replaces uuid4, cf. /root/reference/kraken/blla.py:362) and
+the processing timestamp is pinned via the `created` parameter instead of
+datetime.now() (/root/reference/kraken/serialization.py:124).
+
+Word geometry follows the reference's whitespace-split word segmentation
+(/root/reference/kraken/serialization.py:205): a word's extent is the union
+of its member character cuts; WC/GC confidences are means over member
+characters (cf. templates/alto String/Glyph WC/GC attributes).
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape, quoteattr
+
+PINNED_CREATED = "2026-01-01T00:00:00"
+
+
+def _row_get(row, key, default=None):
+    v = row.get(key) if isinstance(row, dict) else getattr(row, key, None)
+    return default if v is None else v
+
+
+def _line_fields(line: dict) -> dict:
+    bbox = list(_row_get(line, "bbox", [0, 0, 0, 0]))
+    cuts = [list(c) for c in _row_get(line, "cuts", [])]
+    confs = list(_row_get(line, "confidences", []))
+    return {
+        "id": _row_get(line, "id", ""),
+        "bbox": bbox,
+        "baseline": [list(p) for p in _row_get(line, "baseline", [])],
+        "boundary": [list(p) for p in _row_get(line, "boundary", [])],
+        "prediction": _row_get(line, "prediction", "") or "",
+        "cuts": cuts,
+        "confidences": confs,
+        "region_ids": list(_row_get(line, "region_ids", [])),
+    }
+
+
+def words_of(line: dict) -> list[dict]:
+    """Whitespace word split with per-word geometry from character cuts
+    (the reference's word segmentation, serialization.py:205)."""
+    f = _line_fields(line) if "prediction" not in line else line
+    text = f["prediction"]
+    cuts, confs, bbox = f["cuts"], f["confidences"], f["bbox"]
+    words = []
+    i = 0
+    n = len(text)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        j = i
+        while j < n and not text[j].isspace():
+            j += 1
+        have_geom = len(cuts) >= j and len(confs) >= j
+        if have_geom:
+            x0 = min(c[0] for c in cuts[i:j])
+            x1 = max(c[1] for c in cuts[i:j])
+            wc = sum(confs[i:j]) / (j - i)
+        else:
+            x0, x1, wc = bbox[0], bbox[2], 0.0
+        words.append(
+            {
+                "text": text[i:j],
+                "bbox": [int(x0), bbox[1], int(x1), bbox[3]],
+                "conf": float(wc),
+                "start": i,
+                "end": j,
+            }
+        )
+        i = j
+    return words
+
+
+def _points(pts: list[list[int]]) -> str:
+    return " ".join(f"{int(x)},{int(y)}" for x, y in pts)
+
+
+def _wh(bbox: list[int]) -> tuple[int, int, int, int]:
+    x0, y0, x1, y1 = (int(v) for v in bbox)
+    return x0, y0, max(x1 - x0, 0), max(y1 - y0, 0)
+
+
+def _group_lines_by_region(row) -> list[tuple[dict | None, list[dict]]]:
+    """Regions in rank order, each with its member lines in reading order;
+    lines without a region go to a trailing None group (the reference's
+    free-line splice, /root/reference/kraken/serialization.py:148-173)."""
+    regions = [dict(
+        id=_row_get(r, "id", ""),
+        region_type=_row_get(r, "region_type", "text"),
+        boundary=[list(p) for p in _row_get(r, "boundary", [])],
+        rank=int(_row_get(r, "rank", 0)),
+    ) for r in (_row_get(row, "regions", []) or [])]
+    regions.sort(key=lambda r: r["rank"])
+    lines = [_line_fields(l) for l in (_row_get(row, "lines", []) or [])]
+    by_region: dict[str, list[dict]] = {r["id"]: [] for r in regions}
+    free: list[dict] = []
+    for l in lines:
+        rid = l["region_ids"][0] if l["region_ids"] else None
+        if rid in by_region:
+            by_region[rid].append(l)
+        else:
+            free.append(l)
+    out: list[tuple[dict | None, list[dict]]] = [(r, by_region[r["id"]]) for r in regions]
+    if free:
+        out.append((None, free))
+    return out
+
+
+def to_alto(row, created: str = PINNED_CREATED) -> str:
+    """ALTO 4.2 document (cf. /root/reference/kraken/templates/alto)."""
+    url = _row_get(row, "url", "")
+    w, h = int(_row_get(row, "width", 0)), int(_row_get(row, "height", 0))
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<alto xmlns="http://www.loc.gov/standards/alto/ns-v4#" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+        'xsi:schemaLocation="http://www.loc.gov/standards/alto/ns-v4# '
+        'http://www.loc.gov/standards/alto/v4/alto-4-2.xsd">\n'
+        "\t<Description>\n\t\t<MeasurementUnit>pixel</MeasurementUnit>\n"
+        "\t\t<sourceImageInformation>\n"
+        f"\t\t\t<fileName>{escape(url)}</fileName>\n"
+        "\t\t</sourceImageInformation>\n"
+        '\t\t<Processing ID="OCR_1">\n'
+        f"\t\t\t<processingDateTime>{escape(created)}</processingDateTime>\n"
+        "\t\t\t<processingSoftware>\n"
+        "\t\t\t\t<softwareName>kraken_spark</softwareName>\n"
+        "\t\t\t</processingSoftware>\n"
+        "\t\t</Processing>\n"
+        "\t</Description>\n"
+        "\t<Layout>\n"
+        f'\t\t<Page WIDTH="{w}" HEIGHT="{h}" PHYSICAL_IMG_NR="0" ID="page_0">\n'
+        "\t\t\t<PrintSpace "
+        f'HPOS="0" VPOS="0" WIDTH="{w}" HEIGHT="{h}">\n'
+    ]
+    for region, lines in _group_lines_by_region(row):
+        rid = region["id"] if region else "region_free"
+        if region and region["boundary"]:
+            rx, ry, rw, rh = _wh(
+                [
+                    min(p[0] for p in region["boundary"]),
+                    min(p[1] for p in region["boundary"]),
+                    max(p[0] for p in region["boundary"]),
+                    max(p[1] for p in region["boundary"]),
+                ]
+            )
+        else:
+            rx = ry = 0
+            rw, rh = w, h
+        parts.append(
+            f'\t\t\t\t<TextBlock ID={quoteattr(rid)} HPOS="{rx}" VPOS="{ry}" '
+            f'WIDTH="{rw}" HEIGHT="{rh}">\n'
+        )
+        for l in lines:
+            x, y, lw, lh = _wh(l["bbox"])
+            bl = " ".join(f"{int(px)},{int(py)}" for px, py in l["baseline"])
+            parts.append(
+                f'\t\t\t\t\t<TextLine ID={quoteattr(l["id"])} HPOS="{x}" VPOS="{y}" '
+                f'WIDTH="{lw}" HEIGHT="{lh}" BASELINE={quoteattr(bl)}>\n'
+            )
+            ws = words_of(l)
+            for k, wd in enumerate(ws):
+                wx, wy, ww, wh2 = _wh(wd["bbox"])
+                parts.append(
+                    f'\t\t\t\t\t\t<String CONTENT={quoteattr(wd["text"])} '
+                    f'HPOS="{wx}" VPOS="{wy}" WIDTH="{ww}" HEIGHT="{wh2}" '
+                    f'WC="{wd["conf"]:.4f}"/>\n'
+                )
+                if k < len(ws) - 1:
+                    gap_x = wx + ww
+                    parts.append(f'\t\t\t\t\t\t<SP HPOS="{gap_x}" VPOS="{wy}"/>\n')
+            parts.append("\t\t\t\t\t</TextLine>\n")
+        parts.append("\t\t\t\t</TextBlock>\n")
+    parts.append("\t\t\t</PrintSpace>\n\t\t</Page>\n\t</Layout>\n</alto>\n")
+    return "".join(parts)
+
+
+def to_pagexml(row, created: str = PINNED_CREATED) -> str:
+    """PageXML 2019-07-15 document (cf. /root/reference/kraken/templates/pagexml)."""
+    url = _row_get(row, "url", "")
+    w, h = int(_row_get(row, "width", 0)), int(_row_get(row, "height", 0))
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+        'xsi:schemaLocation="http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15 '
+        'http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15/pagecontent.xsd">\n'
+        "\t<Metadata>\n\t\t<Creator>kraken_spark</Creator>\n"
+        f"\t\t<Created>{escape(created)}</Created>\n"
+        f"\t\t<LastChange>{escape(created)}</LastChange>\n\t</Metadata>\n"
+        f"\t<Page imageFilename={quoteattr(url)} imageWidth=\"{w}\" imageHeight=\"{h}\">\n"
+    ]
+    for region, lines in _group_lines_by_region(row):
+        rid = region["id"] if region else "region_free"
+        boundary = (
+            region["boundary"]
+            if region and region["boundary"]
+            else [[0, 0], [w, 0], [w, h], [0, h]]
+        )
+        rtype = region["region_type"] if region else "text"
+        parts.append(
+            f"\t\t<TextRegion id={quoteattr(rid)} custom={quoteattr('structure {type:' + rtype + ';}')}>\n"
+            f"\t\t\t<Coords points={quoteattr(_points(boundary))}/>\n"
+        )
+        for l in lines:
+            boundary_pts = l["boundary"] or [
+                [l["bbox"][0], l["bbox"][1]],
+                [l["bbox"][2], l["bbox"][1]],
+                [l["bbox"][2], l["bbox"][3]],
+                [l["bbox"][0], l["bbox"][3]],
+            ]
+            mean_conf = (
+                sum(l["confidences"]) / len(l["confidences"]) if l["confidences"] else 0.0
+            )
+            parts.append(
+                f"\t\t\t<TextLine id={quoteattr(l['id'])}>\n"
+                f"\t\t\t\t<Coords points={quoteattr(_points(boundary_pts))}/>\n"
+                f"\t\t\t\t<Baseline points={quoteattr(_points(l['baseline']))}/>\n"
+                f'\t\t\t\t<TextEquiv conf="{mean_conf:.4f}">'
+                f"<Unicode>{escape(l['prediction'])}</Unicode></TextEquiv>\n"
+                "\t\t\t</TextLine>\n"
+            )
+        region_text = "\n".join(l["prediction"] for l in lines)
+        parts.append(
+            f"\t\t\t<TextEquiv><Unicode>{escape(region_text)}</Unicode></TextEquiv>\n"
+            "\t\t</TextRegion>\n"
+        )
+    parts.append("\t</Page>\n</PcGts>\n")
+    return "".join(parts)
+
+
+def to_hocr(row, created: str = PINNED_CREATED) -> str:
+    """hOCR 1.1 document (cf. /root/reference/kraken/templates/hocr)."""
+    url = _row_get(row, "url", "")
+    w, h = int(_row_get(row, "width", 0)), int(_row_get(row, "height", 0))
+    parts = [
+        "<!DOCTYPE html>\n"
+        '<html xmlns="http://www.w3.org/1999/xhtml">\n<head>\n'
+        '\t<meta charset="utf-8"/>\n'
+        f"\t<title>{escape(url)}</title>\n"
+        '\t<meta name="ocr-system" content="kraken_spark"/>\n'
+        '\t<meta name="ocr-capabilities" content="ocr_page ocr_carea ocr_line ocrx_word"/>\n'
+        "</head>\n<body>\n"
+        f"\t<div class=\"ocr_page\" id=\"page_0\" "
+        f"title={quoteattr(f'bbox 0 0 {w} {h}; image {url}')}>\n"
+    ]
+    for region, lines in _group_lines_by_region(row):
+        rid = region["id"] if region else "region_free"
+        if region and region["boundary"]:
+            bx0 = min(p[0] for p in region["boundary"])
+            by0 = min(p[1] for p in region["boundary"])
+            bx1 = max(p[0] for p in region["boundary"])
+            by1 = max(p[1] for p in region["boundary"])
+        else:
+            bx0 = by0 = 0
+            bx1, by1 = w, h
+        parts.append(
+            f"\t\t<div class=\"ocr_carea\" id={quoteattr(rid)} "
+            f"title={quoteattr(f'bbox {bx0} {by0} {bx1} {by1}')}>\n"
+        )
+        for l in lines:
+            x0, y0, x1, y1 = (int(v) for v in l["bbox"])
+            bl = "; baseline " + " ".join(
+                f"{int(px)},{int(py)}" for px, py in l["baseline"]
+            ) if l["baseline"] else ""
+            parts.append(
+                f"\t\t\t<span class=\"ocr_line\" id={quoteattr(l['id'])} "
+                f"title={quoteattr(f'bbox {x0} {y0} {x1} {y1}{bl}')}>"
+            )
+            spans = []
+            for wd in words_of(l):
+                wx0, wy0, wx1, wy1 = (int(v) for v in wd["bbox"])
+                wtitle = f"bbox {wx0} {wy0} {wx1} {wy1}; x_conf {wd['conf']:.4f}"
+                spans.append(
+                    f"<span class=\"ocrx_word\" title={quoteattr(wtitle)}>"
+                    f"{escape(wd['text'])}</span>"
+                )
+            parts.append(" ".join(spans))
+            parts.append("</span>\n")
+        parts.append("\t\t</div>\n")
+    parts.append("\t</div>\n</body>\n</html>\n")
+    return "".join(parts)
+
+
+def to_json(row) -> str:
+    """JSON Segmentation round-trip form (cf. the reference's
+    dataclasses.asdict JSON I/O, /root/reference/kraken/kraken.py:179-181)."""
+    import json
+
+    seg = {
+        "type": "baselines",
+        "imagename": _row_get(row, "url", ""),
+        "text_direction": "horizontal-rl"
+        if _row_get(row, "base_dir", "L") == "R"
+        else "horizontal-lr",
+        "script_detection": False,
+        "lines": [_line_fields(l) for l in (_row_get(row, "lines", []) or [])],
+        "regions": [
+            {
+                "id": _row_get(r, "id", ""),
+                "region_type": _row_get(r, "region_type", "text"),
+                "boundary": [list(p) for p in _row_get(r, "boundary", [])],
+                "rank": int(_row_get(r, "rank", 0)),
+            }
+            for r in (_row_get(row, "regions", []) or [])
+        ],
+    }
+    return json.dumps(seg, ensure_ascii=False, sort_keys=True)
+
+
+SERIALIZERS = {
+    "alto": to_alto,
+    "pagexml": to_pagexml,
+    "hocr": to_hocr,
+    "json": lambda row, created=PINNED_CREATED: to_json(row),
+}
+
+
+def serialize(row, fmt: str, created: str = PINNED_CREATED) -> str:
+    """Dispatch like the reference's serialize(..., template=fmt)
+    (/root/reference/kraken/serialization.py:80-113)."""
+    try:
+        fn = SERIALIZERS[fmt]
+    except KeyError:
+        raise ValueError(f"unknown serialization format {fmt!r}") from None
+    return fn(row, created=created)

@@ -1,0 +1,128 @@
+"""Serialization / XML-ingest queries for the driver contract.
+
+Spark side of kernels/serialize.py + kernels/xmlparse.py: the extraction
+DataFrame's nested line/region structs are rendered to ALTO/PageXML/hOCR
+strings inside an Arrow-batched UDF (the reference's serialize() sink,
+/root/reference/kraken/serialization.py:80-269), and XML pages are parsed
+back into segmentation rows (the reference's XML input path,
+/root/reference/kraken/kraken.py:200-207 via lib/xml). The round-trip query
+re-parses our own serializer output and checks text/baseline equality —
+mirroring the reference's serialize->XMLPage round-trip test
+(/root/reference/tests/test_serialization.py roundtrip).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .extraction import _extraction
+
+_SER_DDL = "url string, fmt string, n_bytes int, document string"
+
+
+def _serialize_map(fmt: str):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels.serialize import serialize
+
+        for batch in batches:
+            rows = batch.to_pylist()
+            out = []
+            for r in rows:
+                doc = serialize(r, fmt)
+                out.append(
+                    {
+                        "url": r["url"],
+                        "fmt": fmt,
+                        "n_bytes": len(doc.encode("utf-8")),
+                        "document": doc,
+                    }
+                )
+            yield pa.RecordBatch.from_pylist(
+                out,
+                schema=pa.schema(
+                    [
+                        pa.field("url", pa.string()),
+                        pa.field("fmt", pa.string()),
+                        pa.field("n_bytes", pa.int32()),
+                        pa.field("document", pa.string()),
+                    ]
+                ),
+            )
+
+    return fn
+
+
+def serialize_extractions(ext: DataFrame, fmt: str) -> DataFrame:
+    return ext.mapInArrow(_serialize_map(fmt), schema=_SER_DDL)
+
+
+def _mk_serialize_query(fmt: str):
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        ext = _extraction(spark, sf)
+        return serialize_extractions(ext, fmt).orderBy("url")
+
+    return q
+
+
+def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
+    """extraction -> ALTO+PageXML serialize -> re-parse -> equality flags.
+
+    Self-validating: text_match and baseline_match must be true for every
+    (url, fmt) — the driver's rows-only check records the row count, and
+    tests assert the flags (test_serialization.py roundtrip pattern)."""
+
+    def roundtrip(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels.serialize import serialize
+        from ..kernels.xmlparse import parse_segmentation
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("fmt", pa.string()),
+                pa.field("n_lines", pa.int32()),
+                pa.field("text_match", pa.bool_()),
+                pa.field("baseline_match", pa.bool_()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                for fmt in ("alto", "pagexml"):
+                    doc = serialize(r, fmt)
+                    seg = parse_segmentation(doc.encode("utf-8"))
+                    orig_lines = r["lines"] or []
+                    got_lines = seg["lines"]
+                    text_match = [l["text"] for l in got_lines] == [
+                        l["prediction"] for l in orig_lines
+                    ]
+                    bl_match = [l["baseline"] for l in got_lines] == [
+                        [list(p) for p in l["baseline"]] for l in orig_lines
+                    ]
+                    out.append(
+                        {
+                            "url": r["url"],
+                            "fmt": fmt,
+                            "n_lines": len(got_lines),
+                            "text_match": text_match,
+                            "baseline_match": bl_match,
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    ext = _extraction(spark, sf)
+    return ext.mapInArrow(
+        roundtrip,
+        schema="url string, fmt string, n_lines int, text_match boolean, baseline_match boolean",
+    ).orderBy("url", "fmt")
+
+
+QUERIES = {
+    "x_serialize_alto": (_mk_serialize_query("alto"), None),
+    "x_serialize_pagexml": (_mk_serialize_query("pagexml"), None),
+    "x_serialize_hocr": (_mk_serialize_query("hocr"), None),
+    "x_roundtrip_xml": (x_roundtrip_xml, None),
+}

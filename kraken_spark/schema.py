@@ -60,6 +60,8 @@ EXTRACTION_ARROW = pa.schema(
         pa.field("cer", pa.float64()),
         pa.field("wall_ms", pa.float64()),
         pa.field("n_px", pa.int64()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
         pa.field("partition_id", pa.int32()),
     ]
 )
@@ -73,7 +75,8 @@ EXTRACTION_DDL = (
     "confidences:array<float>, display_order:boolean>>, "
     "regions array<struct<id:string, region_type:string, "
     "boundary:array<array<int>>, rank:int>>, "
-    "cer double, wall_ms double, n_px bigint, partition_id int"
+    "cer double, wall_ms double, n_px bigint, width int, height int, "
+    "partition_id int"
 )
 
 # per-partition lineage/metrics rows (north rule: per-partition lineage +

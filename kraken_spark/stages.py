@@ -68,11 +68,14 @@ def extract_document(
         "regions": [],
         "cer": None,
         "n_px": 0,
+        "width": 0,
+        "height": 0,
     }
     try:
         img = png.decode_png(html)
         img = png.to_grayscale(img)
         out["n_px"] = int(img.size)
+        out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
         mask = binarize.nlbin(img)
         seg = pageseg.segment(mask, url=url, text_direction=text_direction)
         out["guard_tripped"] = seg["guard_tripped"]

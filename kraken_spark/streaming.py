@@ -1,0 +1,67 @@
+"""Structured Streaming wrapper over the batch extraction stages.
+
+The reference has no streaming semantics (SURVEY.md §2.9) — this is the
+optional foreachBatch wrapper noted in SURVEY.md §7.6: new document files
+appearing under an input directory are picked up by a file-source stream and
+run through the SAME plan_extraction stage graph, with exactly-once sink
+semantics provided by the checkpoint + idempotent per-url parquet appends
+(the batch pipeline's resume story, pipeline.remaining_documents, stays the
+recovery path if the checkpoint is lost).
+
+At production scale this is the Iceberg streaming-ingest pattern: the
+micro-batch boundary is the snapshot commit boundary, so lineage/metrics
+rows are appended per micro-batch exactly as per batch run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pipeline import metrics_table, plan_extraction
+from .schema import DOCUMENTS_DDL
+
+
+def stream_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    metrics_path: str | None = None,
+    run_id: str = "stream0",
+    num_partitions: int | None = None,
+    available_now: bool = True,
+):
+    """Start a file-source stream: parquet documents dir -> extraction parquet.
+
+    With available_now=True the stream drains everything present and stops
+    (the batch-backfill trigger); otherwise it keeps running per default
+    micro-batch trigger. Returns the StreamingQuery.
+    """
+
+    docs = (
+        spark.readStream.schema(DOCUMENTS_DDL)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ext = plan_extraction(batch_df, num_partitions=num_partitions)
+        # persist so metrics aggregation doesn't recompute the extraction
+        ext = ext.persist()
+        try:
+            ext.write.mode("append").parquet(output_path)
+            if metrics_path:
+                metrics_table(ext, run_id=f"{run_id}_b{batch_id}").write.mode(
+                    "append"
+                ).parquet(metrics_path)
+        finally:
+            ext.unpersist()
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,162 @@
+"""Spark-level end-to-end tests: fused extraction, guards, resume,
+serialization round-trip, streaming wrapper.
+
+Mirrors the reference's golden e2e strategy (SURVEY.md §5:
+tests/test_rpred.py byte-identical predictions, test_serialization.py
+serialize->parse round-trip) on the deterministic synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from kraken_spark.corpus import generate_corpus_df  # noqa: E402
+from kraken_spark.pipeline import (  # noqa: E402
+    extracted_text,
+    metrics_table,
+    plan_extraction,
+    remaining_documents,
+    run_extraction,
+)
+from kraken_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="tests", cores=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def ext_rows(spark):
+    docs = generate_corpus_df(spark, 9)
+    return plan_extraction(docs, num_partitions=4).collect()
+
+
+def test_extraction_byte_identical(spark, ext_rows):
+    """CER == 0 and text == ground truth for every synthetic page
+    (the north rule's byte-identical-text-per-url invariant)."""
+    docs = {r.url: r.text for r in generate_corpus_df(spark, 9).collect()}
+    assert len(ext_rows) == 9
+    for r in ext_rows:
+        assert r.cer == 0.0
+        assert r.text == docs[r.url]
+        assert not r.guard_tripped
+        assert r.n_lines == len(r.lines) > 0
+        assert r.width > 0 and r.height > 0
+
+
+def test_extracted_text_projection_matches(spark):
+    docs = generate_corpus_df(spark, 6)
+    ext = plan_extraction(docs, num_partitions=2)
+    both = ext.select("url", F.col("text").alias("stage_text")).join(
+        extracted_text(ext), "url"
+    )
+    assert all(r.stage_text == r.text for r in both.collect())
+
+
+def test_garbage_html_trips_guard(spark):
+    bad = spark.createDataFrame(
+        [("u1", bytearray(b"not a png"), "x", "en"), ("u2", bytearray(b""), "", "fr")],
+        "url string, html binary, text string, lang string",
+    )
+    rows = plan_extraction(bad, num_partitions=2).collect()
+    assert len(rows) == 2
+    assert all(r.guard_tripped and r.n_lines == 0 for r in rows)
+
+
+def test_metrics_table_lineage(spark):
+    docs = generate_corpus_df(spark, 6)
+    ext = plan_extraction(docs, num_partitions=3)
+    m = metrics_table(ext, run_id="t").collect()
+    assert sum(r.n_docs for r in m) == 6
+    assert all(r.run_id == "t" and r.stage == "extract" for r in m)
+    assert all(r.mean_cer == 0.0 for r in m)
+
+
+def test_checkpoint_resume_anti_join(spark):
+    tmp = tempfile.mkdtemp(prefix="ks_resume_")
+    try:
+        docs = generate_corpus_df(spark, 8)
+        first = docs.limit(5)
+        run_extraction(first, out_path=f"{tmp}/out", metrics_path=f"{tmp}/metrics")
+        remaining = remaining_documents(docs, f"{tmp}/out")
+        assert remaining.count() == 3
+        run_extraction(remaining, out_path=f"{tmp}/out")
+        done = spark.read.parquet(f"{tmp}/out")
+        assert done.select("url").distinct().count() == 8
+        # idempotent: nothing left
+        assert remaining_documents(docs, f"{tmp}/out").count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_serialization_roundtrip_spark(spark):
+    from kraken_spark.operators.serialization import x_roundtrip_xml
+
+    rows = x_roundtrip_xml(spark, "sf0.001").collect()
+    assert rows
+    assert all(r.text_match and r.baseline_match for r in rows)
+    assert {r.fmt for r in rows} == {"alto", "pagexml"}
+
+
+def test_serializers_produce_valid_xml(ext_rows):
+    import xml.etree.ElementTree as ET
+
+    from kraken_spark.kernels.serialize import serialize
+
+    r = ext_rows[0].asDict(recursive=True)
+    for fmt in ("alto", "pagexml", "hocr"):
+        doc = serialize(r, fmt)
+        root = ET.fromstring(doc.encode("utf-8"))
+        assert root is not None
+        # deterministic output: same row -> identical bytes
+        assert serialize(r, fmt) == doc
+    seg = __import__("json").loads(serialize(r, "json"))
+    assert len(seg["lines"]) == r["n_lines"]
+
+
+def test_streaming_extraction_available_now(spark):
+    from kraken_spark.streaming import stream_extraction
+
+    tmp = tempfile.mkdtemp(prefix="ks_stream_")
+    try:
+        docs = generate_corpus_df(spark, 6)
+        docs.write.mode("overwrite").parquet(f"{tmp}/in")
+        q = stream_extraction(
+            spark,
+            f"{tmp}/in",
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            metrics_path=f"{tmp}/metrics",
+            num_partitions=2,
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == 6
+        assert out.filter(F.col("cer") != 0.0).count() == 0
+        # restart with same checkpoint: no reprocessing (exactly-once)
+        q2 = stream_extraction(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", num_partitions=2
+        )
+        q2.awaitTermination(300)
+        assert spark.read.parquet(f"{tmp}/out").count() == 6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_xmlparse_rejects_garbage():
+    from kraken_spark.kernels.xmlparse import parse_segmentation
+
+    with pytest.raises(ValueError):
+        parse_segmentation(b"<html><body>no</body></html>")
+    with pytest.raises((ValueError, Exception)):
+        parse_segmentation(b"not xml at all")
