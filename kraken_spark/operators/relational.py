@@ -503,6 +503,154 @@ ORDER BY event_id
 """
 
 
+def agg_cube(spark, sf):
+    """CUBE aggregation + grouping_id (SURVEY.md §2.8 grouped aggregation;
+    extends agg_rollup to the full lattice)."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+       l_returnflag, l_linestatus
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def range_theta_join(spark, sf):
+    """Equi + range (theta) join: lineitems whose quantity falls within
+    +-2 of their part's size — the relational form of the reference's
+    midpoint-in-polygon spatial predicate (SURVEY.md §2.8 theta/spatial
+    join, /root/reference/kraken/lib/segmentation.py:906-922)."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    joined = l.join(
+        F.broadcast(p),
+        (l.l_partkey == p.p_partkey)
+        & (l.l_quantity >= p.p_size - 2)
+        & (l.l_quantity <= p.p_size + 2),
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            # integer-cent quantization: cross-engine float-sum order safe
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+RANGE_THETA_SQL = """
+SELECT p_brand, COUNT(*) AS n,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+ AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def pivot_event_types(spark, sf):
+    """Pivot: per user-bucket event-type counts as columns (conditional
+    aggregation in the oracle — semantically identical)."""
+    e = t(spark, sf, "events")
+    return (
+        e.withColumn("bucket", F.pmod("user_id", F.lit(10)).cast("int"))
+        .groupBy("bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("bucket")
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS INT) AS bucket,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
+def corr_stats(spark, sf):
+    """Numeric aggregate battery: corr / stddev / variance per event type
+    (rounded — cross-engine float reduction order differs)."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_vu"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CORR_STATS_SQL = """
+SELECT event_type,
+       ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+       ROUND(STDDEV_SAMP(value), 6) AS sd_value,
+       ROUND(VAR_SAMP(value), 6) AS var_value,
+       ROUND(AVG(value), 6) AS mean_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def spearman_footrule(spark, sf):
+    """Reading-order evaluation metric: mean |rank_by_ts - rank_by_value|
+    per user (the Spearman footrule the reference tracks for neural RO,
+    /root/reference/kraken/lib/ro/model.py:63-64) over the events table."""
+    e = t(spark, sf, "events")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    ranked = e.select(
+        "user_id",
+        F.row_number().over(w_ts).alias("r_ts"),
+        F.row_number().over(w_val).alias("r_val"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.avg(F.abs(F.col("r_ts") - F.col("r_val"))).alias("footrule")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("footrule"), 6).alias("mean_footrule"),
+        F.round(F.max("footrule"), 6).alias("max_footrule"),
+    )
+
+
+FOOTRULE_SQL = """
+WITH ranked AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r_ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS r_val
+  FROM events
+), per_user AS (
+  SELECT user_id, AVG(ABS(r_ts - r_val)) AS footrule FROM ranked GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users, ROUND(AVG(footrule), 6) AS mean_footrule,
+       ROUND(MAX(footrule), 6) AS max_footrule
+FROM per_user
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -525,4 +673,9 @@ QUERIES = {
     "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
     "events_tumbling_window": (events_tumbling_window, EVENTS_TUMBLING_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
+    "agg_cube": (agg_cube, AGG_CUBE_SQL),
+    "range_theta_join": (range_theta_join, RANGE_THETA_SQL),
+    "pivot_event_types": (pivot_event_types, PIVOT_SQL),
+    "corr_stats": (corr_stats, CORR_STATS_SQL),
+    "spearman_footrule": (spearman_footrule, FOOTRULE_SQL),
 }
