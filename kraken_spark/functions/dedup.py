@@ -113,29 +113,47 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Affine permutation family h_i(x) = (a_i*x + b_i) mod P over the base
+# 32-bit shingle hash. P is the smallest prime > 2^32; a_i < 2^20, so
+# a_i*x + b_i < 2^52 — exact in BIGINT in both engines (no overflow, no
+# wraparound divergence). Each shingle is md5-hashed ONCE; the 16
+# permutations are plain column arithmetic (vs 16x md5 + a 16x row
+# explode, which made minhash the most expensive headline query).
+_P = 4294967311
+_PERM_AB = [((40503 * (i + 1)) | 1, 75321 * i + 12345) for i in range(N_PERM)]
+
+
 def dedup_minhash_lsh(spark, sf):
     """MinHash (16 perms) + LSH banding (4 bands x 4): candidate pairs from
-    band-bucket collisions, verified with exact signature agreement ratio."""
+    band-bucket collisions, verified with exact signature agreement ratio.
+
+    Plan shape (the 100 TB path): shingle explode -> ONE groupBy(doc) with
+    16 min() aggregates (map-side partial agg; no per-perm row blowup) ->
+    band explode (4 rows/doc) -> bucket self-join -> pairwise agreement on
+    the wide signature rows."""
     sh = _shingles(spark, sf)
-    perms = sh.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {N_PERM - 1})")).alias("perm"),
-        "shingle",
+    h0 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    sig = sh.select("doc_id", h0.alias("h0")).groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h0") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_PERM_AB)
+        ]
     )
-    hashed = perms.withColumn(
-        "h",
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint"),
-    )
-    sig = hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
-    bands = (
-        sig.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws("=", "perm", "minhash"))))).alias("band_key"))
-    )
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{k * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)],
+                )
+            ).alias("band_key"),
+        )
+        for k in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -148,38 +166,54 @@ def dedup_minhash_lsh(spark, sf):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    siga = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("ma"))
-    sigb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mb"))
+    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)])
+    agreement = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_PERM)
+    ) / F.lit(float(N_PERM))
     return (
         cand.join(siga, "doc_a")
-        .join(sigb, ["doc_b", "perm"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.avg((F.col("ma") == F.col("mb")).cast("double")), 6).alias("sig_agreement"))
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", F.round(agreement, 6).alias("sig_agreement"))
         .orderBy("doc_a", "doc_b")
     )
 
 
+_SIG_COLS_SQL = ",\n         ".join(
+    f"MIN((h0 * {a} + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(_PERM_AB)
+)
+_BAND_ROWS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {k} AS band, md5({key}) AS band_key FROM sig".format(
+        k=k,
+        key
+        =" || ',' || ".join(f"m{k * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)),
+    )
+    for k in range(N_BANDS)
+)
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+)
+
 DEDUP_MINHASH_SQL = f"""
 WITH {_SHINGLES_CTE},
 hashed AS (
-  SELECT doc_id, perm,
-         CAST(('0x' || substr(md5(perm || ':' || shingle), 1, 8)) AS BIGINT) AS h
-  FROM shingles, LATERAL unnest(generate_series(0, {N_PERM - 1})) AS p(perm)),
-sig AS (SELECT doc_id, perm, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
-bands AS (
-  SELECT doc_id, CAST(perm // {ROWS_PER_BAND} AS INT) AS band,
-         md5(string_agg(perm || '=' || minhash, ',' ORDER BY perm || '=' || minhash)) AS band_key
-  FROM sig GROUP BY 1, 2),
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0
+  FROM shingles),
+sig AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM hashed GROUP BY doc_id),
+bands AS ({_BAND_ROWS_SQL}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
-       ROUND(AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS sig_agreement
+       ROUND(({_AGREE_SQL}) / {float(N_PERM)}, 6) AS sig_agreement
 FROM cand
 JOIN sig sa ON sa.doc_id = doc_a
-JOIN sig sb ON sb.doc_id = doc_b AND sb.perm = sa.perm
-GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+JOIN sig sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
 """
 
 
