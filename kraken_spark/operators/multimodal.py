@@ -1,0 +1,257 @@
+"""Multimodal / alignment queries over the binary page-image column.
+
+The training-data-pipeline operators a 100 TB corpus needs beyond the
+reference's own surface (task brief): treating the `html BINARY` column as
+an opaque image payload with typed metadata and running decode /
+feature-extract / resize inside Arrow-batched UDFs. Unlike the stubbed
+decode the brief allows, this engine ships a real pure-numpy PNG codec, so
+the whole chain is real and tested:
+
+- x_doc_embeddings: 64-dim tile-intensity embedding per page (8x8 block
+  means) -> the embedding column feeding ANN/cosine queries.
+- x_thumbnails: block-mean resize to 64x64 + PNG re-encode (the
+  "resize/frame-sample" plumbing: schema, batching, binary-out UDF).
+- x_phash_dedup: 64-bit perceptual dHash over the decoded page ->
+  exact-collision clustering (image near-dup dedup, the visual analog of
+  functions/dedup.py).
+- x_forced_align: CTC trellis alignment of the recognized text back onto
+  each line (kernels/align.py; /root/reference/kraken/align.py:42-85),
+  reporting cut agreement with recognition — 1.0 everywhere on the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..corpus import generate_corpus_df
+from .extraction import _n_docs
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return generate_corpus_df(spark, _n_docs(sf))
+
+
+def block_mean_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resize via integral image — exact block means for any
+    size ratio, O(n), pure numpy."""
+    h, w = img.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img, axis=0, dtype=np.float64), axis=1)
+    ys = np.linspace(0, h, out_h + 1).round().astype(np.int64)
+    xs = np.linspace(0, w, out_w + 1).round().astype(np.int64)
+    a = ii[ys[:-1]][:, xs[:-1]]
+    b = ii[ys[:-1]][:, xs[1:]]
+    c = ii[ys[1:]][:, xs[:-1]]
+    d = ii[ys[1:]][:, xs[1:]]
+    areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return ((d - b - c + a) / np.maximum(areas, 1)).astype(np.float32)
+
+
+def page_embedding(img: np.ndarray, grid: int = 8) -> np.ndarray:
+    """Normalized tile-intensity embedding (grid x grid block means,
+    zero-mean, unit-norm)."""
+    e = block_mean_resize(img, grid, grid).ravel() / 255.0
+    e = e - e.mean()
+    n = float(np.linalg.norm(e))
+    return (e / n if n > 0 else e).astype(np.float32)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: 8x9 block means, bit = left<right."""
+    g = block_mean_resize(img, 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 63)  # signed 64-bit for BIGINT columns
+
+
+def x_doc_embeddings(spark, sf):
+    """Decode page -> 64-dim embedding column (array<float>)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import png
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("lang", pa.string()),
+                pa.field("embedding", pa.list_(pa.float32())),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                img = png.to_grayscale(png.decode_png(r["html"]))
+                out.append(
+                    {
+                        "url": r["url"],
+                        "lang": r["lang"],
+                        "embedding": page_embedding(img).tolist(),
+                    }
+                )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return (
+        _docs(spark, sf)
+        .mapInArrow(fn, schema="url string, lang string, embedding array<float>")
+        .orderBy("url")
+    )
+
+
+def x_thumbnails(spark, sf):
+    """Decode -> 64x64 block-mean thumbnail -> PNG re-encode (binary out)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import png
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("src_w", pa.int32()),
+                pa.field("src_h", pa.int32()),
+                pa.field("thumb", pa.binary()),
+                pa.field("thumb_bytes", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                img = png.to_grayscale(png.decode_png(r["html"]))
+                th = np.clip(block_mean_resize(img, 64, 64), 0, 255).astype(np.uint8)
+                tb = png.encode_png(th)
+                out.append(
+                    {
+                        "url": r["url"],
+                        "src_w": img.shape[1],
+                        "src_h": img.shape[0],
+                        "thumb": tb,
+                        "thumb_bytes": len(tb),
+                    }
+                )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return (
+        _docs(spark, sf)
+        .mapInArrow(
+            fn,
+            schema="url string, src_w int, src_h int, thumb binary, thumb_bytes int",
+        )
+        .orderBy("url")
+    )
+
+
+def x_phash_dedup(spark, sf):
+    """Perceptual-hash clustering: dHash per page, group by hash value."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import png
+
+        schema = pa.schema(
+            [pa.field("url", pa.string()), pa.field("phash", pa.int64())]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                img = png.to_grayscale(png.decode_png(r["html"]))
+                out.append({"url": r["url"], "phash": dhash64(img)})
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    hashed = _docs(spark, sf).mapInArrow(fn, schema="url string, phash bigint")
+    return (
+        hashed.groupBy("phash")
+        .agg(F.count("*").alias("n_docs"), F.min("url").alias("rep"))
+        .groupBy("n_docs")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("n_docs")
+    )
+
+
+def x_forced_align(spark, sf):
+    """Recognize each page, then force-align the recognized text back onto
+    every line; report per-url alignment coverage and cut agreement
+    (1.0/1.0 on the corpus — asserted in tests)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import binarize, lineextract, pageseg, png
+        from ..kernels.align import forced_align
+        from ..stages import _get_model
+
+        model, codec = _get_model()
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("n_lines", pa.int32()),
+                pa.field("n_aligned", pa.int32()),
+                pa.field("cut_agreement", pa.float64()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                url = r["url"]
+                try:
+                    img = png.to_grayscale(png.decode_png(r["html"]))
+                    mask = binarize.nlbin(img)
+                    seg = pageseg.segment(mask, url=url)
+                    from ..kernels.recognizer import recognize_line
+
+                    n_lines = len(seg["lines"])
+                    n_aligned = 0
+                    agree = 0
+                    total = 0
+                    for l in seg["lines"]:
+                        strip, _ = lineextract.extract_line(mask, l)
+                        rec = recognize_line(
+                            model, codec, strip, base_dir="L", bidi_reordering=False
+                        )
+                        if not rec["prediction"]:
+                            continue
+                        ali = forced_align(model, codec, strip, rec["prediction"])
+                        if ali is None:
+                            continue
+                        n_aligned += 1
+                        total += len(rec["cuts"])
+                        agree += sum(
+                            1 for a, b in zip(ali["cuts"], rec["cuts"]) if a == b
+                        )
+                    out.append(
+                        {
+                            "url": url,
+                            "n_lines": n_lines,
+                            "n_aligned": n_aligned,
+                            "cut_agreement": agree / total if total else None,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            "url": url,
+                            "n_lines": 0,
+                            "n_aligned": 0,
+                            "cut_agreement": None,
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return (
+        _docs(spark, sf)
+        .mapInArrow(
+            fn,
+            schema="url string, n_lines int, n_aligned int, cut_agreement double",
+        )
+        .orderBy("url")
+    )
+
+
+QUERIES = {
+    "x_doc_embeddings": (x_doc_embeddings, None),
+    "x_thumbnails": (x_thumbnails, None),
+    "x_phash_dedup": (x_phash_dedup, None),
+    "x_forced_align": (x_forced_align, None),
+}
