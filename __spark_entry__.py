@@ -35,11 +35,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kraken_spark.functions.text import QUERIES as TEXT
     from kraken_spark.operators.extraction import QUERIES as EXTRACT
     from kraken_spark.operators.relational import QUERIES as REL
+    from kraken_spark.operators.advanced import QUERIES as ADV
     from kraken_spark.operators.multimodal import QUERIES as MM
     from kraken_spark.operators.serialization import QUERIES as SER
 
     out: dict[str, Callable] = {}
-    for catalog in (REL, TEXT, DEDUP, SIM, EXTRACT, SER, MM):
+    for catalog in (REL, TEXT, DEDUP, SIM, EXTRACT, SER, MM, ADV):
         for name, (fn, _sql) in catalog.items():
             out[name] = fn
     return out
@@ -51,11 +52,12 @@ def oracle_sql() -> dict[str, str]:
     from kraken_spark.functions.text import QUERIES as TEXT
     from kraken_spark.operators.extraction import QUERIES as EXTRACT
     from kraken_spark.operators.relational import QUERIES as REL
+    from kraken_spark.operators.advanced import QUERIES as ADV
     from kraken_spark.operators.multimodal import QUERIES as MM
     from kraken_spark.operators.serialization import QUERIES as SER
 
     out: dict[str, str] = {}
-    for catalog in (REL, TEXT, DEDUP, SIM, EXTRACT, SER, MM):
+    for catalog in (REL, TEXT, DEDUP, SIM, EXTRACT, SER, MM, ADV):
         for name, (_fn, sql) in catalog.items():
             if sql is not None:
                 out[name] = sql

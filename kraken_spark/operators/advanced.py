@@ -1,0 +1,296 @@
+"""Advanced parity operators: multi-model tag dispatch, neural reading
+order, multi-source segmentation merge, multi-page (PDF-style) ingestion.
+
+Each query is the Spark face of a SURVEY.md §2 row:
+- x_multimodel_dispatch: per-tag model routing with ignore-tags and default
+  fallback (mm_rpred, /root/reference/kraken/rpred.py:57-341,
+  _resolve_type_to_model :373-391).
+- x_neural_reading_order: pairwise-MLP + greedy decode alternative line
+  order with Spearman footrule vs the heuristic order
+  (/root/reference/kraken/lib/segmentation.py:963-1049).
+- x_merge_segmentations: union of two segmenter outputs over the same page
+  (/root/reference/kraken/tasks/segmentation.py:136-201).
+- x_pdf_pages: multi-page blob -> per-page extraction rows
+  (/root/reference/kraken/kraken.py:363-405; rasterizer stubbed, container
+  format real — sources/pdf.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ..corpus import generate_corpus_df
+from .extraction import _n_docs
+
+
+def _docs(spark: SparkSession, sf: str):
+    return generate_corpus_df(spark, _n_docs(sf))
+
+
+def x_multimodel_dispatch(spark, sf):
+    """Route each line to a model by its page-language tag: 'ar' -> the RTL
+    model, 'en' -> the Latin model, 'fr' in tags_ignore (lines skipped, like
+    the reference's tags_ignore, rpred.py:190-193); unknown tags fall back
+    to the default model. Emits per-url routing + correctness."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import binarize, lineextract, pageseg, png
+        from ..kernels.codec import Codec
+        from ..kernels.recognizer import build_recognizer, recognize_page
+
+        # per-tag model registry; separately constructed instances so the
+        # routing is observable (mm_rpred's dict-of-models)
+        registry = {
+            "ar": ("rtl_model", build_recognizer()),
+            "en": ("latin_model", build_recognizer()),
+            "default": ("default_model", build_recognizer()),
+        }
+        tags_ignore = {"fr"}
+        codecs = {k: Codec(m.codec) for k, (_, m) in registry.items()}
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("lang", pa.string()),
+                pa.field("model_used", pa.string()),
+                pa.field("n_lines", pa.int32()),
+                pa.field("n_recognized", pa.int32()),
+                pa.field("text_exact", pa.bool_()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                url, lang, gt = r["url"], r["lang"], r["text"]
+                try:
+                    if lang in tags_ignore:
+                        out.append(
+                            {
+                                "url": url,
+                                "lang": lang,
+                                "model_used": "ignored",
+                                "n_lines": 0,
+                                "n_recognized": 0,
+                                "text_exact": None,
+                            }
+                        )
+                        continue
+                    key = lang if lang in registry else "default"
+                    name, model = registry[key]
+                    codec = codecs[key]
+                    img = png.to_grayscale(png.decode_png(r["html"]))
+                    mask = binarize.nlbin(img)
+                    base_dir = "R" if lang == "ar" else "L"
+                    seg = pageseg.segment(
+                        mask,
+                        url=url,
+                        text_direction="horizontal-rl" if base_dir == "R" else "horizontal-lr",
+                    )
+                    strips = [
+                        lineextract.extract_line(mask, l)[0] for l in seg["lines"]
+                    ]
+                    recs = recognize_page(model, codec, strips, base_dir=base_dir)
+                    text = "\n".join(rec["prediction"] for rec in recs)
+                    out.append(
+                        {
+                            "url": url,
+                            "lang": lang,
+                            "model_used": name,
+                            "n_lines": len(seg["lines"]),
+                            "n_recognized": sum(1 for rec in recs if rec["prediction"]),
+                            "text_exact": text == gt,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            "url": url,
+                            "lang": lang,
+                            "model_used": "error",
+                            "n_lines": 0,
+                            "n_recognized": 0,
+                            "text_exact": False,
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return (
+        _docs(spark, sf)
+        .mapInArrow(
+            fn,
+            schema="url string, lang string, model_used string, n_lines int, "
+            "n_recognized int, text_exact boolean",
+        )
+        .orderBy("url")
+    )
+
+
+def x_neural_reading_order(spark, sf):
+    """Alternative neural line order per page + footrule distance vs the
+    heuristic order (0.0 on single-column pages where both realize strict
+    top-to-bottom; the reference emits these as line_orders alternatives)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import binarize, pageseg, png
+        from ..kernels.ro import neural_reading_order, spearman_footrule
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("n_lines", pa.int32()),
+                pa.field("n_regions", pa.int32()),
+                pa.field("footrule_vs_heuristic", pa.float64()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                try:
+                    img = png.to_grayscale(png.decode_png(r["html"]))
+                    mask = binarize.nlbin(img)
+                    seg = pageseg.segment(mask, url=r["url"])
+                    boxes = [tuple(l["bbox"]) for l in seg["lines"]]
+                    order = neural_reading_order(
+                        boxes, w=img.shape[1], h=img.shape[0]
+                    )
+                    fr = spearman_footrule(order, list(range(len(boxes))))
+                    out.append(
+                        {
+                            "url": r["url"],
+                            "n_lines": len(boxes),
+                            "n_regions": len(seg["regions"]),
+                            "footrule_vs_heuristic": fr,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            "url": r["url"],
+                            "n_lines": 0,
+                            "n_regions": 0,
+                            "footrule_vs_heuristic": None,
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return (
+        _docs(spark, sf)
+        .mapInArrow(
+            fn,
+            schema="url string, n_lines int, n_regions int, footrule_vs_heuristic double",
+        )
+        .orderBy("url")
+    )
+
+
+def x_merge_segmentations(spark, sf):
+    """Split each page's segmentation into two halves (simulating two
+    segmenters with partial coverage), merge, and verify the union restores
+    the original line set and reading order exactly."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import binarize, pageseg, png
+        from ..kernels.merge import merge_segmentations
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("n_lines", pa.int32()),
+                pa.field("order_restored", pa.bool_()),
+                pa.field("regions_restored", pa.bool_()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                try:
+                    img = png.to_grayscale(png.decode_png(r["html"]))
+                    mask = binarize.nlbin(img)
+                    rl = r["lang"] == "ar"
+                    seg = pageseg.segment(
+                        mask,
+                        url=r["url"],
+                        text_direction="horizontal-rl" if rl else "horizontal-lr",
+                    )
+                    a = dict(seg, lines=seg["lines"][0::2])
+                    b = dict(seg, lines=seg["lines"][1::2])
+                    merged = merge_segmentations([a, b], rl=rl)
+                    order_ok = [l["id"] for l in merged["lines"]] == [
+                        l["id"] for l in seg["lines"]
+                    ]
+                    regions_ok = {rg["id"] for rg in merged["regions"]} == {
+                        rg["id"] for rg in seg["regions"]
+                    }
+                    out.append(
+                        {
+                            "url": r["url"],
+                            "n_lines": len(merged["lines"]),
+                            "order_restored": order_ok,
+                            "regions_restored": regions_ok,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            "url": r["url"],
+                            "n_lines": 0,
+                            "order_restored": False,
+                            "regions_restored": False,
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return (
+        _docs(spark, sf)
+        .mapInArrow(
+            fn,
+            schema="url string, n_lines int, order_restored boolean, regions_restored boolean",
+        )
+        .orderBy("url")
+    )
+
+
+def x_pdf_pages(spark, sf):
+    """Bundle consecutive corpus pages into 3-page MPGZ blobs, explode back
+    into page rows, and run full extraction — the multi-page ingestion path
+    with per-page urls (url#pN)."""
+    from ..pipeline import plan_extraction
+    from ..sources.pdf import explode_pages, pack_multipage
+
+    def bundle(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [pa.field("url", pa.string()), pa.field("html", pa.binary())]
+        )
+        for batch in batches:
+            rows = batch.to_pylist()
+            out = []
+            for k in range(0, len(rows), 3):
+                grp = rows[k : k + 3]
+                out.append(
+                    {
+                        "url": grp[0]["url"].rsplit("/", 1)[0] + f"/bundle-{k}",
+                        "html": pack_multipage([g["html"] for g in grp]),
+                    }
+                )
+            if out:
+                yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    docs = _docs(spark, sf)
+    bundles = docs.mapInArrow(bundle, schema="url string, html binary")
+    pages = explode_pages(bundles)
+    ext = plan_extraction(
+        pages.select("url", "html", "text", "lang"),
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return ext.select("url", "n_lines", "guard_tripped").orderBy("url")
+
+
+QUERIES = {
+    "x_multimodel_dispatch": (x_multimodel_dispatch, None),
+    "x_neural_reading_order": (x_neural_reading_order, None),
+    "x_merge_segmentations": (x_merge_segmentations, None),
+    "x_pdf_pages": (x_pdf_pages, None),
+}

@@ -1,0 +1,109 @@
+"""Dewarp, neural RO, segmentation merge, multi-page source, model dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels import binarize, pageseg, png, render
+from kraken_spark.kernels.lineest import dewarp, estimate_centerline
+from kraken_spark.kernels.merge import merge_segmentations
+from kraken_spark.kernels.ro import (
+    build_order_mlp,
+    greedy_order_decode,
+    neural_reading_order,
+    spearman_footrule,
+)
+from kraken_spark.sources.pdf import pack_multipage, unpack_pages
+
+
+# ------------------------------------------------------------------ lineest
+def _sine_warped_strip(amp: int = 6) -> tuple[np.ndarray, np.ndarray]:
+    """A straight 2-blob line and its sine-warped version."""
+    h, w = 40, 200
+    straight = np.zeros((h, w), np.uint8)
+    straight[16:24, :] = 1
+    warped = np.zeros((h, w), np.uint8)
+    for x in range(w):
+        off = int(round(amp * np.sin(2 * np.pi * x / w)))
+        warped[16 + off : 24 + off, x] = 1
+    return straight, warped
+
+
+def test_centerline_tracks_sine():
+    _, warped = _sine_warped_strip()
+    c = estimate_centerline(warped, smooth=2.0)
+    assert c.shape == (200,)
+    assert c[50] > c[150]  # sine: positive offset first half, negative second
+
+
+def test_dewarp_straightens():
+    straight, warped = _sine_warped_strip()
+    dw = dewarp(warped, target_height=40)
+    # after dewarping, per-column ink centers should be nearly constant
+    ys = np.arange(40, dtype=np.float32)[:, None]
+    colsum = dw.sum(axis=0)
+    centers = (dw.astype(np.float32) * ys).sum(axis=0) / np.maximum(colsum, 1)
+    spread = float(centers[colsum > 0].std())
+    # raw warped spread is ~amp/sqrt(2) ≈ 4.2; dewarped must collapse
+    assert spread < 1.5
+    assert dewarp(np.zeros((0, 0), np.uint8)).shape == (48, 0)
+
+
+# ----------------------------------------------------------------- neural RO
+def test_neural_ro_matches_topdown():
+    boxes = [(10, 50, 100, 60), (10, 10, 100, 20), (10, 30, 100, 40)]
+    assert neural_reading_order(boxes, w=120, h=80) == [1, 2, 0]
+
+
+def test_neural_ro_lr_tiebreak():
+    boxes = [(200, 10, 300, 20), (10, 10, 100, 20)]
+    assert neural_reading_order(boxes, w=320, h=40) == [1, 0]
+
+
+def test_neural_ro_agrees_with_heuristic_on_single_column():
+    d = render.render_document(42, 0)  # single-column en page
+    img = png.to_grayscale(d["img"])
+    seg = pageseg.segment(binarize.nlbin(img), url="u")
+    boxes = [tuple(l["bbox"]) for l in seg["lines"]]
+    order = neural_reading_order(boxes, w=img.shape[1], h=img.shape[0])
+    assert spearman_footrule(order, list(range(len(boxes)))) == 0.0
+
+
+def test_greedy_decode_from_explicit_matrix():
+    P = np.array([[0.5, 0.9, 0.9], [0.1, 0.5, 0.2], [0.1, 0.8, 0.5]])
+    assert greedy_order_decode(P) == [0, 2, 1]
+    assert greedy_order_decode(np.zeros((0, 0))) == []
+    mlp = build_order_mlp()
+    assert mlp.pair_probs(np.zeros((1, 8), np.float32)).shape == (1, 1)
+
+
+# -------------------------------------------------------------------- merge
+def test_merge_restores_split_segmentation():
+    d = render.render_document(42, 1)  # 2-column page
+    img = png.to_grayscale(d["img"])
+    seg = pageseg.segment(binarize.nlbin(img), url="u")
+    a = dict(seg, lines=seg["lines"][0::2])
+    b = dict(seg, lines=seg["lines"][1::2])
+    merged = merge_segmentations([a, b])
+    assert [l["id"] for l in merged["lines"]] == [l["id"] for l in seg["lines"]]
+    assert {r["id"] for r in merged["regions"]} == {r["id"] for r in seg["regions"]}
+    # region re-attachment: every line keeps a region
+    assert all(l["region_ids"] for l in merged["lines"])
+
+
+def test_merge_rejects_mixed_types():
+    with pytest.raises(ValueError):
+        merge_segmentations([{"type": "baselines", "lines": [], "regions": []},
+                             {"type": "bbox", "lines": [], "regions": []}])
+    assert merge_segmentations([])["lines"] == []
+
+
+# ---------------------------------------------------------------- multipage
+def test_multipage_roundtrip_and_pdf_stub():
+    pages = [b"page-one-bytes", b"page-two", b""]
+    blob = pack_multipage(pages)
+    assert unpack_pages(blob) == pages
+    with pytest.raises(NotImplementedError):
+        unpack_pages(b"%PDF-1.7 fake")
+    assert unpack_pages(b"plain png bytes") == [b"plain png bytes"]
