@@ -72,6 +72,11 @@ def extract_document(
         "height": 0,
     }
     try:
+        if html[:1] in (b"<", b"\xef") or html[:5].lstrip()[:1] == b"<":
+            # XML payload (ALTO/PageXML): pre-segmented input path — parse
+            # lines/regions/text directly, no OCR (the reference's -f xml
+            # input, /root/reference/kraken/kraken.py:200-207; SURVEY §3.4)
+            return _extract_from_xml(html, out, gt_text, t0)
         img = png.decode_png(html)
         img = png.to_grayscale(img)
         out["n_px"] = int(img.size)
@@ -118,6 +123,50 @@ def extract_document(
         # empty-record-on-failure semantics (rpred.py:202-223)
         out["guard_tripped"] = True
         out["cer"] = 1.0 if gt_text else None
+    out["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+    return out
+
+
+def _extract_from_xml(html: bytes, out: dict, gt_text: str | None, t0: float) -> dict:
+    """Pre-segmented XML input: lines carry text already; geometry and
+    reading order come from the document."""
+    from .kernels.metrics import cer as cer_fn
+    from .kernels.xmlparse import parse_segmentation
+
+    seg = parse_segmentation(html)
+    out["width"], out["height"] = int(seg["width"]), int(seg["height"])
+    out["n_px"] = out["width"] * out["height"]
+    lines = []
+    for l in seg["lines"]:
+        lines.append(
+            {
+                "id": l["id"],
+                "rank": l["rank"],
+                "bbox": l["bbox"],
+                "baseline": l["baseline"],
+                "boundary": l["boundary"],
+                "region_ids": l["region_ids"],
+                "prediction": l["text"],
+                "cuts": [],
+                "confidences": [],
+                "display_order": False,
+            }
+        )
+    out["lines"] = lines
+    out["regions"] = [
+        {
+            "id": r["id"],
+            "region_type": r["region_type"],
+            "boundary": r["boundary"],
+            "rank": r["rank"],
+        }
+        for r in seg["regions"]
+    ]
+    out["n_lines"] = len(lines)
+    out["n_regions"] = len(out["regions"])
+    out["text"] = "\n".join(l["prediction"] for l in lines)
+    if gt_text is not None:
+        out["cer"] = float(cer_fn(gt_text, out["text"]))
     out["wall_ms"] = (time.perf_counter() - t0) * 1000.0
     return out
 

@@ -153,6 +153,29 @@ def test_streaming_extraction_available_now(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_xml_payload_extraction_path(spark):
+    """documents whose html column holds ALTO/PageXML bytes take the
+    pre-segmented input path (no OCR) and still yield byte-identical text."""
+    from kraken_spark.kernels.serialize import serialize
+    from kraken_spark.operators.extraction import _extraction
+
+    ext_rows = _extraction(spark, "sf0.001").collect()
+    xml_docs = [
+        (r.url, bytearray(serialize(r.asDict(recursive=True), fmt).encode("utf-8")), r.text, r.lang)
+        for r, fmt in zip(ext_rows, ["alto", "pagexml"] * len(ext_rows))
+    ]
+    df = spark.createDataFrame(
+        xml_docs, "url string, html binary, text string, lang string"
+    )
+    out = {r.url: r for r in plan_extraction(df, num_partitions=2).collect()}
+    assert len(out) == len(ext_rows)
+    for r in ext_rows:
+        o = out[r.url]
+        assert not o.guard_tripped
+        assert o.cer == 0.0 and o.text == r.text
+        assert o.n_lines == r.n_lines and o.width == r.width
+
+
 def test_xmlparse_rejects_garbage():
     from kraken_spark.kernels.xmlparse import parse_segmentation
 
