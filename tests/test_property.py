@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis) for the invariant-heavy kernels.
+
+The reference's suite is golden-fixture-only (SURVEY.md §5); these add the
+randomized coverage it lacks: codec round-trips, PNG codec bijectivity,
+BiDi permutation validity, reading-order totality, filter/percentile
+equivalences against the naive definitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kraken_spark.kernels import png
+from kraken_spark.kernels.codec import Codec
+from kraken_spark.kernels.ctc import greedy_decoder
+from kraken_spark.kernels.filters import (
+    box_filter_1d,
+    moving_max_1d,
+    percentile_nearest,
+)
+from kraken_spark.kernels.glyphs import ALPHABET
+from kraken_spark.kernels.order import reading_order, topsort
+from kraken_spark.kernels.ro import neural_reading_order
+
+CODEC = Codec({chr(cp): [i + 1] for i, cp in enumerate(ALPHABET)})
+ALPHA_TEXT = st.text(alphabet=[chr(cp) for cp in ALPHABET], min_size=0, max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ALPHA_TEXT)
+def test_codec_encode_decode_roundtrip(s):
+    labels = CODEC.encode(s)
+    decoded = CODEC.decode([(l, i, i + 1, 1.0) for i, l in enumerate(labels)])
+    assert "".join(ch for ch, *_ in decoded) == s
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_random(h, w, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert (png.decode_png(png.encode_png(img)) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=50),
+)
+def test_greedy_decoder_no_blanks_no_repeats(labels):
+    # build logits realizing the frame-label sequence exactly
+    T = len(labels)
+    logits = np.full((T, 7), -10.0, dtype=np.float32)
+    logits[np.arange(T), labels] = 10.0
+    out = greedy_decoder(logits)
+    seq = [l for l, *_ in out]
+    assert 0 not in seq  # blanks dropped
+    for a, b, in zip(seq, seq[1:]):
+        pass  # repeats ARE allowed post-collapse if separated by blank
+    # collapse definition: no two adjacent equal labels without a blank gap
+    collapsed = []
+    prev = None
+    for l in labels:
+        if l != prev:
+            collapsed.append(l)
+            prev = l
+    assert seq == [l for l in collapsed if l != 0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 500), st.integers(0, 500),
+            st.integers(1, 80), st.integers(1, 20),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.booleans(),
+)
+def test_reading_order_is_permutation(raw, rl):
+    boxes = [(x, y, x + w, y + h) for x, y, w, h in raw]
+    perm = reading_order(boxes, rl=rl)
+    assert sorted(perm) == list(range(len(boxes)))
+    nperm = neural_reading_order(boxes, w=600, h=540)
+    assert sorted(nperm) == list(range(len(boxes)))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=9), st.integers(min_value=0, max_value=2**32 - 1))
+def test_topsort_of_total_order(n, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    perm = rng.permutation(n)
+    order = np.zeros((n, n), dtype=np.int64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            order[perm[i], perm[j]] = 1
+    assert list(topsort(order)) == [int(p) for p in perm]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=15),
+)
+def test_moving_max_matches_naive(vals, k):
+    a = np.array([vals], dtype=np.uint8)
+    got = moving_max_1d(a, k, axis=1)[0]
+    n = len(vals)
+    left, right = k // 2, k - 1 - k // 2
+    padded = [vals[0]] * left + vals + [vals[-1]] * right
+    naive = [max(padded[i : i + k]) for i in range(n)]
+    assert got.tolist() == naive
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=1, max_size=80),
+    st.floats(min_value=0.0, max_value=100.0),
+)
+def test_percentile_nearest_is_order_statistic(vals, q):
+    a = np.array(vals, dtype=np.float32)
+    v = float(percentile_nearest(a, q))
+    assert v in set(a.tolist())  # nearest-rank always returns a sample
+    k = min(len(vals) - 1, max(0, int(round(q / 100.0 * (len(vals) - 1)))))
+    assert v == float(np.sort(a)[k])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0, max_value=255, allow_nan=False), min_size=2, max_size=50),
+    st.integers(min_value=1, max_value=9),
+)
+def test_box_filter_preserves_constant(vals, k):
+    c = float(np.float32(vals[0]))
+    a = np.full((1, len(vals)), c, dtype=np.float32)
+    out = box_filter_1d(a, k, axis=1)
+    assert np.allclose(out, c, atol=1e-3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ALPHA_TEXT)
+def test_bidi_display_logical_involution(s):
+    from kraken_spark.kernels.bidi import display_to_logical
+
+    logical, perm = display_to_logical(s, "R")
+    assert sorted(perm) == list(range(len(s)))
+    assert "".join(s[i] for i in perm) == logical
