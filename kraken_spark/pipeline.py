@@ -16,29 +16,37 @@ from pyspark.sql import DataFrame
 from .schema import EXTRACTION_DDL
 from .stages import extract_map_in_arrow
 
-# pages larger than this many PNG bytes are treated as heavy (oversized
-# 2400x3200 pages are ~4x a standard page)
-HEAVY_BYTES = 1 << 21
+# pages larger than this many PNG bytes are treated as heavy: ~3x the
+# median synthetic page (~333 KB); the 4x-area oversized pages (~1.6 MB)
+# land firmly above it. Page compute is ~linear in pixels ~ linear in
+# compressed bytes for fixed content statistics, so payload size is the
+# weight proxy (SURVEY.md §7.5 skew risk).
+HEAVY_BYTES = 1 << 20
+
+
+def weight_salt(n: int):
+    """Weight-aware salt column: normal pages hash uniformly over n buckets,
+    heavy pages over a dedicated n//4 bucket space above them, so one
+    16x-area page never queues behind a full normal bucket (AQE handles
+    join skew, not UDF compute skew — this is the custom part, SURVEY.md
+    §4.2). Returns (salt_col, total_buckets)."""
+    n_heavy = max(n // 4, 1)
+    weight = F.octet_length(F.col("html"))
+    salt = F.when(
+        weight > F.lit(HEAVY_BYTES),
+        F.lit(n) + F.pmod(F.xxhash64("url"), F.lit(n_heavy)),
+    ).otherwise(F.pmod(F.xxhash64("url"), F.lit(n)))
+    return salt, n + n_heavy
 
 
 def plan_extraction(documents: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Build the (lazy) extraction DataFrame over a documents table.
-
-    Weight-aware salting: normal pages hash-salt uniformly over N buckets;
-    heavy pages get their own bucket space so one 16x-area page never
-    queues behind a full normal bucket (AQE handles join skew, not UDF
-    compute skew — this is the custom part, SURVEY.md §4.2).
-    """
+    """Build the (lazy) extraction DataFrame over a documents table."""
     spark = documents.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 4
     cols = [c for c in ("url", "warc_ts", "html", "text", "lang") if c in documents.columns]
     df = documents.select(*cols)
-    weight = F.octet_length(F.col("html"))
-    salt = F.when(
-        weight > F.lit(HEAVY_BYTES),
-        F.lit(n) + F.pmod(F.xxhash64("url"), F.lit(max(n // 4, 1))),
-    ).otherwise(F.pmod(F.xxhash64("url"), F.lit(n)))
-    df = df.repartition(n + max(n // 4, 1), salt.alias("salt"))
+    salt, total = weight_salt(n)
+    df = df.repartition(total, salt.alias("salt"))
     return df.mapInArrow(extract_map_in_arrow, schema=EXTRACTION_DDL)
 
 

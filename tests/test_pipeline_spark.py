@@ -153,6 +153,27 @@ def test_streaming_extraction_available_now(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_weight_salt_separates_heavy_pages(spark):
+    """Heavy pages (> HEAVY_BYTES payload) must salt into the dedicated
+    bucket space [n, n + n//4); normal pages into [0, n)."""
+    from kraken_spark.pipeline import HEAVY_BYTES, weight_salt
+
+    docs = spark.createDataFrame(
+        [("u_heavy", bytearray(b"x" * (HEAVY_BYTES + 1))), ("u_small", bytearray(b"y" * 100))],
+        "url string, html binary",
+    )
+    salt, total = weight_salt(8)
+    rows = {r.url: r.salt for r in docs.select("url", salt.alias("salt")).collect()}
+    assert total == 10
+    assert 8 <= rows["u_heavy"] < 10
+    assert 0 <= rows["u_small"] < 8
+    # the synthetic oversized pages actually cross the threshold
+    from kraken_spark.kernels import png, render
+
+    d = render.render_document(42, 77)  # known oversized doc
+    assert d["oversized"] and len(png.encode_png(d["img"])) > HEAVY_BYTES
+
+
 def test_xml_payload_extraction_path(spark):
     """documents whose html column holds ALTO/PageXML bytes take the
     pre-segmented input path (no OCR) and still yield byte-identical text."""
