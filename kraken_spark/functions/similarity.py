@@ -116,35 +116,59 @@ FROM s GROUP BY label ORDER BY label
 """
 
 
-def _lsh_buckets(e):
-    """Deterministic random-hyperplane signatures: plane j component d has
-    sign from md5(j:d) — reproducible without any RNG state."""
-    sig_parts = []
-    for j in range(N_PLANES):
-        dot = F.expr(
-            f"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-                  (v, d) -> CAST(v AS DOUBLE) * (CASE WHEN substr(md5(concat('{j}', ':', d)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)),
-                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
-        )
-        sig_parts.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**j))
-    bucket = sig_parts[0]
-    for p in sig_parts[1:]:
-        bucket = bucket + p
-    return e.withColumn("bucket", bucket)
+N_TABLES = 8
+PLANES_PER_TABLE = 3
+
+
+def _lsh_tables(e):
+    """Deterministic random-hyperplane signatures with OR-amplification:
+    N_TABLES hash tables of PLANES_PER_TABLE planes each (one row per
+    (vector, table) after the explode). Plane j's component d has sign from
+    md5(j:d) — reproducible without any RNG state.
+
+    Sizing: this corpus's true top-5 neighbors sit at cos ~0.32 (theta ~71
+    deg), so per-plane agreement is only ~0.6 — a single wide signature has
+    ~0.6^8 = 2% recall. 8 tables x 3 planes gives 1-(1-0.6^3)^8 ~ 0.86
+    expected recall; the flip side is weak pruning (each table's bucket
+    holds ~N/8), which is intrinsic to hyperplane LSH at mid similarity —
+    the IVF variant below prunes better on this data."""
+    tables = []
+    for ti in range(N_TABLES):
+        sig_parts = []
+        for k in range(PLANES_PER_TABLE):
+            j = ti * PLANES_PER_TABLE + k
+            dot = F.expr(
+                f"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+                      (v, d) -> CAST(v AS DOUBLE) * (CASE WHEN substr(md5(concat('{j}', ':', d)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)),
+                      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+            )
+            sig_parts.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**k))
+        bucket = sig_parts[0]
+        for p in sig_parts[1:]:
+            bucket = bucket + p
+        tables.append(F.struct(F.lit(ti).alias("tbl"), bucket.alias("bucket")))
+    return e.select(
+        "*", F.explode(F.array(*tables)).alias("tb")
+    ).select("*", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")).drop("tb")
 
 
 def ann_lsh_cosine(spark, sf):
-    """ANN via hyperplane-LSH bucket join, exact rerank inside buckets.
+    """ANN via multi-table hyperplane-LSH bucket join, exact rerank over
+    the union of candidates from all tables.
 
     No oracle SQL (float sign boundaries aren't bit-stable across engines);
-    recall vs brute force is asserted in tests/test_similarity.py.
+    recall vs brute force is asserted in tests/test_similarity_recall.py.
     """
-    e = _lsh_buckets(t(spark, sf))
+    e = _lsh_tables(t(spark, sf))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "tbl", F.col("bucket").alias("qb")
     )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), F.col("bucket").alias("cb"))
-    pairs = q.join(c, (F.col("qb") == F.col("cb")) & (F.col("q_id") != F.col("c_id")))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "tbl", F.col("bucket").alias("cb"))
+    pairs = (
+        q.join(c, (q.tbl == c.tbl) & (F.col("qb") == F.col("cb")) & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "q_emb", "c_id", "c_emb")
+        .dropDuplicates(["q_id", "c_id"])
+    )
     cos = F.expr(
         _DOT.format(a="q_emb", b="c_emb")
         + " / ("
@@ -165,8 +189,69 @@ def ann_lsh_cosine(spark, sf):
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ann_ivf_cosine(spark, sf):
+    """ANN via an IVF coarse quantizer: every vector is assigned to its
+    nearest of N_CENTROIDS centroid vectors (broadcast hash join — the
+    centroid table is tiny), queries probe their N_PROBE nearest lists, and
+    candidates are exactly reranked inside the probed lists. Candidate set
+    shrinks from N to ~N*nprobe/C — the scale path beside the LSH variant.
+
+    Centroids here are the first N_CENTROIDS vectors (a deterministic
+    coarse quantizer); production would train them with k-means, which
+    changes only the centroid table, not the plan. Rows-only driver check;
+    recall vs brute force asserted in tests/test_similarity_recall.py.
+    """
+    e = t(spark, sf).select(
+        "vec_id", "label", F.expr(_QUANT).alias("vq")
+    ).withColumn("n2", F.expr(_IDOT.format(a="vq", b="vq")))
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("vq").alias("cent_emb"), F.col("n2").alias("centn2")
+    )
+    from pyspark.sql import Window
+
+    sim = F.expr(_IDOT.format(a="vq", b="cent_emb")) / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("centn2").cast("double"))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn("cs", sim)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cent_id")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "vq", "n2", "cent_id")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= N_PROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("vq").alias("q_emb"), F.col("n2").alias("qn2"), "cent_id")
+    )
+    cand = probes.join(
+        assigned.select(
+            F.col("vec_id").alias("c_id"), F.col("vq").alias("c_emb"), F.col("n2").alias("cn2"), "cent_id"
+        ),
+        "cent_id",
+    ).filter(F.col("q_id") != F.col("c_id"))
+    cos = F.expr(_IDOT.format(a="q_emb", b="c_emb")) / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "c_id")
+    return (
+        cand.withColumn("cos_r", F.round(cos, 6))
+        .dropDuplicates(["q_id", "c_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "cos_r", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
 QUERIES = {
     "knn_cosine_bruteforce": (knn_cosine_bruteforce, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
     "ann_lsh_cosine": (ann_lsh_cosine, None),
+    "ann_ivf_cosine": (ann_ivf_cosine, None),
 }
