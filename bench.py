@@ -67,7 +67,12 @@ def run_headline() -> None:
     spark = get_spark(app="bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    # warm up the JVM + Python workers once (not counted)
+    # warm up (not counted): JVM + python workers, and materialize the
+    # synthetic corpus parquet the extraction-family queries scan (input
+    # table construction is not part of any query under test)
+    from kraken_spark.corpus import corpus_for
+
+    corpus_for(spark, SF_DIR).count()
     _force(qs["q1_pricing_summary"](spark, SF_DIR))
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -68,6 +68,24 @@ def generate_corpus_df(spark, n_docs: int, seed: int = DEFAULT_SEED, partitions:
     )
 
 
+SF_DOCS = {"sf0.001": 12, "sf0.01": 48, "sf0.1": 240}
+
+
+def docs_for_sf(sf_dir: str) -> int:
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return SF_DOCS.get(tail, 48)
+
+
+def corpus_for(spark, sf_dir: str, seed: int = DEFAULT_SEED):
+    """Cached synthetic corpus for a driver sf dir: materialized once as
+    parquet under /tmp, then read back — extraction-family queries scan the
+    same table instead of re-rendering pages per query (and exercise the
+    real parquet-scan input path, column pruning included)."""
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = docs_for_sf(sf_dir)
+    return ensure_corpus(spark, n, f"/tmp/kraken_spark_corpus_{tail}_{seed}_{n}", seed)
+
+
 def ensure_corpus(spark, n_docs: int, path: str, seed: int = DEFAULT_SEED):
     """Materialize the corpus parquet at `path` if absent; returns a DataFrame.
 

@@ -17,16 +17,30 @@ def t(spark: SparkSession, sf_dir: str, name: str = "documents"):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# BPE-ish pre-tokenizer regex (the GPT-2 pattern's engine-portable core):
+# letter runs | digit runs | single non-alphanumeric symbols — counts
+# subword-sized units, the scale proxy for "tokens" in corpus budgeting
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
 def text_token_stats(spark, sf):
-    """Whitespace tokenization + per-language corpus stats."""
+    """Token counting: whitespace words + a BPE-ish regex unit count,
+    per-language corpus stats."""
     d = t(spark, sf)
     toks = F.size(F.split(F.trim("text"), r"\s+"))
+    bpe = F.expr(f"regexp_count(text, '{_BPE_RE}')")
     return (
-        d.select("lang", toks.alias("n_tokens"), F.length("text").alias("n_chars2"))
+        d.select(
+            "lang",
+            toks.alias("n_tokens"),
+            bpe.alias("n_bpe"),
+            F.length("text").alias("n_chars2"),
+        )
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_units"),
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
             F.round(F.avg(F.col("n_chars2") / F.col("n_tokens")), 6).alias("avg_token_len"),
         )
@@ -34,12 +48,14 @@ def text_token_stats(spark, sf):
     )
 
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = f"""
 WITH toks AS (
   SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
          length(text) AS n_chars2
   FROM documents)
 SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       SUM(n_bpe) AS total_bpe_units,
        ROUND(AVG(n_tokens), 6) AS avg_tokens,
        ROUND(AVG(CAST(n_chars2 AS DOUBLE) / n_tokens), 6) AS avg_token_len
 FROM toks GROUP BY lang ORDER BY lang

@@ -23,12 +23,11 @@ import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from ..corpus import generate_corpus_df
-from .extraction import _n_docs
+from ..corpus import corpus_for
 
 
 def _docs(spark: SparkSession, sf: str):
-    return generate_corpus_df(spark, _n_docs(sf))
+    return corpus_for(spark, sf)
 
 
 def x_multimodel_dispatch(spark, sf):

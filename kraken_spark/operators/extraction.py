@@ -15,19 +15,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from ..corpus import generate_corpus_df
+from ..corpus import corpus_for, docs_for_sf
 from ..pipeline import extracted_text, metrics_table, plan_extraction
-
-_N_DOCS = {"sf0.001": 12, "sf0.01": 48, "sf0.1": 240}
 
 
 def _n_docs(sf_dir: str) -> int:
-    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return _N_DOCS.get(tail, 48)
+    return docs_for_sf(sf_dir)
 
 
 def _extraction(spark: SparkSession, sf_dir: str):
-    docs = generate_corpus_df(spark, _n_docs(sf_dir))
+    docs = corpus_for(spark, sf_dir)
     return plan_extraction(docs, num_partitions=spark.sparkContext.defaultParallelism)
 
 

@@ -28,12 +28,11 @@ import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..corpus import generate_corpus_df
-from .extraction import _n_docs
+from ..corpus import corpus_for
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return generate_corpus_df(spark, _n_docs(sf))
+    return corpus_for(spark, sf)
 
 
 def block_mean_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
