@@ -10,6 +10,10 @@ Shingles are character 7-grams; at 100 TB scale the shingle explode is the
 dominant shuffle, which is why minhash_lsh reduces each document to a
 16-value signature (4 bands x 4 rows) before any pairwise work — the
 band-bucket join replaces the quadratic candidate generation.
+
+md5 is chosen ONLY for oracle parity (the one hash both engines share);
+a production deployment swaps the base shingle hash to xxhash64 (Spark
+built-in, ~10x cheaper) without touching the plan shape.
 """
 
 from __future__ import annotations
@@ -26,21 +30,29 @@ def t(spark: SparkSession, sf_dir: str, name: str = "documents"):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _shingles(spark, sf):
-    """distinct (doc_id, shingle) pairs — char 7-grams."""
+def _shingles(spark, sf, distinct: bool = True):
+    """(doc_id, shingle) char-7-gram pairs; distinct unless the consumer is
+    duplicate-insensitive (min-hash is: min() over duplicates is identical,
+    so the minhash path skips a full 5M-row distinct shuffle)."""
     d = t(spark, sf)
-    return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(text) - 6, 1)), i -> substr(text, i, 7))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 6, 1)), i -> substr(text, i, 7))"
+            )
+        ).alias("shingle"),
     )
+    return sh.distinct() if distinct else sh
 
+
+_SHINGLES_ALL_CTE = """
+shingles AS (
+  SELECT doc_id, s AS shingle
+  FROM documents,
+       LATERAL unnest(list_transform(generate_series(1, greatest(length(text) - 6, 1)),
+                                     i -> substr(text, i, 7))) AS u(s))
+"""
 
 _SHINGLES_CTE = """
 shingles AS (
@@ -131,7 +143,7 @@ def dedup_minhash_lsh(spark, sf):
     16 min() aggregates (map-side partial agg; no per-perm row blowup) ->
     band explode (4 rows/doc) -> bucket self-join -> pairwise agreement on
     the wide signature rows."""
-    sh = _shingles(spark, sf)
+    sh = _shingles(spark, sf, distinct=False)
     h0 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     sig = sh.select("doc_id", h0.alias("h0")).groupBy("doc_id").agg(
         *[
@@ -195,7 +207,7 @@ _AGREE_SQL = " + ".join(
 )
 
 DEDUP_MINHASH_SQL = f"""
-WITH {_SHINGLES_CTE},
+WITH {_SHINGLES_ALL_CTE},
 hashed AS (
   SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0
   FROM shingles),
