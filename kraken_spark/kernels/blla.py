@@ -1,0 +1,317 @@
+"""BLLA-style neural segmentation: heatmap forward -> vectorize ->
+polygonize -> scale back.
+
+Reimplements the stage structure of the reference's neural baseline
+segmenter (/root/reference/kraken/blla.py:59-508,
+/root/reference/kraken/lib/vgsl/spred.py:161-287):
+
+1. forward a VGSL conv net over a DOWNSCALED page, producing per-class
+   heatmaps (baseline, region) — `compute_segmentation_map`
+   (blla.py:59-141); the engine's net is CONSTRUCTED, not trained (the
+   reference's blla.mlmodel is an LFS stub in this snapshot, SURVEY §7.5):
+   a bottom-edge detector for the baseline class and a local-density box
+   kernel for the region class, built as ordinary VGSL conv weights.
+2. vectorize the baseline heatmap into polylines — `vectorize_lines`
+   (lib/segmentation.py:316-419); connected components of the thresholded
+   map -> per-column center fit -> Douglas-Peucker simplification
+   (the skeleton/MCP machinery collapses for 1-px-thin responses).
+3. vectorize the region heatmap into boundary polygons —
+   `vectorize_regions` (lib/segmentation.py:422-449).
+4. polygonize each baseline into a bounding envelope against the ink
+   mask — the role of `calculate_polygonal_environment`
+   (lib/segmentation.py:747-842); per-line failure yields None and the
+   line is dropped, matching the reference's failure semantics.
+5. scale coordinates back to page space — `scale_polygonal_lines`
+   (lib/segmentation.py:1069-1084).
+
+Output is the same Segmentation dict shape as pageseg.segment, so the
+recognition stage is segmenter-agnostic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .filters import binary_dilation_sep, binary_erosion_sep
+from .morph import find_objects, label
+from .order import is_in_region, polygonal_reading_order, reading_order
+from .pageseg import det_id
+from .vgsl import VGSLModel
+
+SEG_SPEC = "[1,0,0,1 Cs7,7,2]"
+DOWNSCALE = 2
+
+
+def build_segmenter() -> VGSLModel:
+    """Constructed 2-class heatmap net over the VGSL machinery; input is
+    the {0,1} ink mask.
+
+    Class 0 (baseline): ink-band bottom detector — positive weight on the
+    center row and the 3 rows above it, a 4x penalty on the 3 rows below.
+    Glyph strokes are sparse (~35% coverage inside the band), so the
+    detector integrates ink COUNT above vs below rather than edge polarity;
+    it fires on the last band row (and the row just under it), never inside
+    the band (the penalty dominates) nor between lines (no ink above).
+
+    Class 1 (region): 7x7 ink density above ~9% of the window."""
+    model = VGSLModel(SEG_SPEC)
+    w = np.zeros((2, 1, 7, 7), dtype=np.float32)
+    w[0, 0, 0:4, :] = 1.0   # center row + 3 above
+    w[0, 0, 4:7, :] = -4.0  # 3 rows below
+    b = np.zeros(2, dtype=np.float32)
+    b[0] = -6.0  # fire when >= ~6 uncontested ink px above
+    w[1, 0, :, :] = 1.0
+    b[1] = -4.5  # fire when >= ~5 ink px in the window
+    model.weights["conv0.w"] = w
+    model.weights["conv0.b"] = b
+    return model
+
+
+def compute_segmentation_map(mask: np.ndarray, model: VGSLModel) -> np.ndarray:
+    """Downscale the ink mask (max-pool keeps thin ink), forward, return
+    (2, H/2, W/2) sigmoid heatmaps (blla.py:59-141 analog)."""
+    h, w = mask.shape
+    h2, w2 = h // DOWNSCALE, w // DOWNSCALE
+    small = (
+        mask[: h2 * DOWNSCALE, : w2 * DOWNSCALE]
+        .reshape(h2, DOWNSCALE, w2, DOWNSCALE)
+        .max(axis=(1, 3))
+    )
+    x = small.astype(np.float32)[None]  # {0,1} ink coding
+    # forward() returns (T, C) for output-less specs via reshape; we need the
+    # raw (C, H', W') map, so run the conv layer directly
+    layer = model.layers[0]
+    from .vgsl import _ACT, _conv2d
+
+    act = _conv2d(x, model.weights["conv0.w"], model.weights["conv0.b"], (1, 1), "same")
+    return _ACT["s"](act)
+
+
+def approximate_polygon(points: np.ndarray, tolerance: float = 3.0) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (the role of scikit-image's
+    approximate_polygon in vectorize_lines, lib/segmentation.py:391)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        a, c = pts[i0], pts[i1]
+        ac = c - a
+        seg_len = np.hypot(*ac)
+        mid = pts[i0 + 1 : i1]
+        if seg_len == 0:
+            d = np.hypot(*(mid - a).T)
+        else:
+            d = np.abs(np.cross(ac, mid - a)) / seg_len
+        j = int(np.argmax(d))
+        if d[j] > tolerance:
+            k = i0 + 1 + j
+            keep[k] = True
+            stack.extend([(i0, k), (k, i1)])
+    return pts[keep]
+
+
+# x-closing width: bridges intra-line gaps (inter-glyph 9 px, inter-word
+# ~25 px at DOWNSCALE=2) without bridging the 2-column gutter (48 px) —
+# the role of the reference's MCP endpoint joining (lib/segmentation.py:
+# 353-381), realized morphologically for the thin-response regime
+GAP_BRIDGE_X = 31
+REGION_CLOSE_Y = 9
+
+
+def vectorize_lines(bl_map: np.ndarray, threshold: float = 0.5, min_len: int = 20) -> list[list[list[int]]]:
+    """Thresholded baseline heatmap -> simplified polylines
+    (vectorize_lines, lib/segmentation.py:316-419). Coordinates are in
+    heatmap space; the caller scales back."""
+    hot = bl_map > threshold
+    # closing along x: fill gaps, preserve extents
+    hot = binary_erosion_sep(binary_dilation_sep(hot, 1, GAP_BRIDGE_X), 1, GAP_BRIDGE_X)
+    labels, n = label(hot)
+    out = []
+    for li, (y0, x0, y1, x1) in enumerate(find_objects(labels, n), start=1):
+        if x1 - x0 < min_len:
+            continue
+        sub = labels[y0:y1, x0:x1] == li
+        ys, xs = np.nonzero(sub)
+        # per-column center fit
+        order = np.argsort(xs, kind="stable")
+        xs, ys = xs[order], ys[order]
+        ux, starts = np.unique(xs, return_index=True)
+        sums = np.add.reduceat(ys.astype(np.float64), starts)
+        counts = np.diff(np.append(starts, len(ys)))
+        cy = sums / counts
+        pts = np.stack([ux + x0, cy + y0], axis=1)
+        simp = approximate_polygon(pts, tolerance=3.0)
+        out.append([[int(round(px)), int(round(py))] for px, py in simp])
+    return out
+
+
+def suppress_phantom_baselines(
+    baselines: list[list[list[int]]], y_radius: int = 6
+) -> list[list[list[int]]]:
+    """Drop a baseline when a LONGER baseline overlaps >=80% of its x-range
+    within y_radius rows — sparse stroke patterns can fire the band-bottom
+    detector mid-band, producing a short phantom above the true baseline
+    (the analog of the reference's suppression of sub-threshold duplicate
+    responses in vectorize_lines)."""
+    spans = []
+    for bl in baselines:
+        xs = [p[0] for p in bl]
+        ys = [p[1] for p in bl]
+        spans.append((min(xs), max(xs), sum(ys) / len(ys)))
+    keep = []
+    for i, (x0, x1, y) in enumerate(spans):
+        li = x1 - x0
+        phantom = False
+        for j, (u0, u1, v) in enumerate(spans):
+            if j == i or (u1 - u0) <= li:
+                continue
+            if abs(v - y) <= y_radius:
+                overlap = min(x1, u1) - max(x0, u0)
+                if overlap >= 0.8 * max(li, 1):
+                    phantom = True
+                    break
+        if not phantom:
+            keep.append(baselines[i])
+    return keep
+
+
+def vectorize_regions(rg_map: np.ndarray, threshold: float = 0.5) -> list[list[list[int]]]:
+    """Thresholded region heatmap -> boundary polygons (rectangular hulls
+    per connected component — vectorize_regions, lib/segmentation.py:422-449;
+    the reference Moore-traces + simplifies, which for the box-kernel
+    response converges to the same hull)."""
+    hot = rg_map > threshold
+    hot = binary_erosion_sep(
+        binary_dilation_sep(hot, REGION_CLOSE_Y, GAP_BRIDGE_X),
+        REGION_CLOSE_Y,
+        GAP_BRIDGE_X,
+    )
+    labels, n = label(hot)
+    out = []
+    for (y0, x0, y1, x1) in find_objects(labels, n):
+        out.append([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    return out
+
+
+def polygonize_line(
+    baseline: list[list[int]], mask: np.ndarray, max_height: int = 18, x_pad: int = 6
+) -> list[list[int]] | None:
+    """Ink-exact bounding envelope for a baseline — the role of
+    calculate_polygonal_environment (lib/segmentation.py:747-842). The
+    heatmap baseline is only DOWNSCALE-accurate; the envelope re-snaps to
+    the true ink extents inside the baseline's band so downstream line
+    strips are pixel-exact (the recognizer's frames are cell-aligned).
+    Returns None on failure (line dropped, reference failure semantics)."""
+    if len(baseline) < 2:
+        return None
+    xs = [p[0] for p in baseline]
+    ys = [p[1] for p in baseline]
+    h, w = mask.shape
+    yb = max(ys)
+    gx0 = max(min(xs) - x_pad, 0)
+    gx1 = min(max(xs) + 1 + x_pad, w)
+    gy0 = max(yb - max_height, 0)
+    gy1 = min(yb + 3, h)
+    band = mask[gy0:gy1, gx0:gx1]
+    rows = np.nonzero(band.any(axis=1))[0]
+    cols = np.nonzero(band.any(axis=0))[0]
+    if len(rows) == 0 or len(cols) == 0:
+        return None
+    top, bot = gy0 + int(rows[0]), gy0 + int(rows[-1]) + 1
+    x0, x1 = gx0 + int(cols[0]), gx0 + int(cols[-1]) + 1
+    return [[x0, top], [x1, top], [x1, bot], [x0, bot]]
+
+
+def scale_polygonal_lines(lines: list[list[list[int]]], scale: float) -> list[list[list[int]]]:
+    """Coordinate scale-back (scale_polygonal_lines,
+    lib/segmentation.py:1069-1084)."""
+    return [[[int(round(x * scale)), int(round(y * scale))] for x, y in pl] for pl in lines]
+
+
+def segment_blla(
+    mask: np.ndarray,
+    url: str = "",
+    text_direction: str = "horizontal-lr",
+    model: VGSLModel | None = None,
+) -> dict:
+    """Full neural path: heatmaps -> vectorize -> scale back -> polygonize
+    -> region assignment -> reading order. Same output contract as
+    pageseg.segment."""
+    model = model or build_segmenter()
+    rl = text_direction.endswith("rl")
+    heat = compute_segmentation_map(mask, model)
+    baselines = scale_polygonal_lines(
+        suppress_phantom_baselines(vectorize_lines(heat[0])), DOWNSCALE
+    )
+    region_polys = scale_polygonal_lines(vectorize_regions(heat[1]), DOWNSCALE)
+
+    lines = []
+    for bl in baselines:
+        boundary = polygonize_line(bl, mask)
+        if boundary is None:
+            continue
+        xs = [p[0] for p in boundary]
+        ys = [p[1] for p in boundary]
+        lines.append(
+            {
+                "bbox": [min(xs), min(ys), max(xs), max(ys)],
+                "baseline": [bl[0], bl[-1]] if len(bl) == 2 else bl,
+                "boundary": boundary,
+            }
+        )
+    regions = [
+        {
+            "id": det_id(url, "blla_region", i),
+            "region_type": "text",
+            "boundary": poly,
+            "rank": i,
+        }
+        for i, poly in enumerate(region_polys)
+    ]
+    # region order in reading direction (left->right, rl flips)
+    regions.sort(key=lambda r: r["boundary"][0][0] * (-1 if rl else 1))
+    for i, r in enumerate(regions):
+        r["rank"] = i
+
+    line_region_idx = []
+    for l in lines:
+        bl = l["baseline"]
+        mx = sum(p[0] for p in bl) / len(bl)
+        my = sum(p[1] for p in bl) / len(bl)
+        idx = next(
+            (i for i, r in enumerate(regions) if is_in_region((mx, my), r["boundary"])),
+            0,
+        )
+        line_region_idx.append(idx)
+
+    line_bboxes = [tuple(l["bbox"]) for l in lines]
+    if len(regions) > 1:
+        region_bboxes = [
+            (r["boundary"][0][0], r["boundary"][0][1], r["boundary"][2][0], r["boundary"][2][1])
+            for r in regions
+        ]
+        perm = polygonal_reading_order(line_bboxes, line_region_idx, region_bboxes, rl=rl)
+    else:
+        perm = reading_order(line_bboxes, rl=rl)
+    ordered = []
+    for rank, li in enumerate(perm):
+        l = dict(lines[li])
+        l["id"] = det_id(url, "blla_line", rank)
+        l["rank"] = rank
+        l["region_ids"] = [regions[line_region_idx[li]]["id"]] if regions else []
+        ordered.append(l)
+    return {
+        "type": "baselines",
+        "text_direction": text_direction,
+        "script_detection": False,
+        "lines": ordered,
+        "regions": regions,
+        "guard_tripped": False,
+    }

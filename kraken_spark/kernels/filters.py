@@ -81,6 +81,10 @@ def moving_max_1d(a: np.ndarray, k: int, axis: int) -> np.ndarray:
 
 
 def moving_min_1d(a: np.ndarray, k: int, axis: int) -> np.ndarray:
+    # negation on unsigned dtypes wraps (uint8 -1 == 255), which would turn
+    # the min into a max — promote to a signed type first
+    if a.dtype == np.bool_ or a.dtype.kind == "u":
+        a = a.astype(np.int16 if a.dtype.itemsize <= 1 else np.int64)
     return -moving_max_1d(-a, k, axis)
 
 

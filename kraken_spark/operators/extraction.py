@@ -90,8 +90,25 @@ def x_extract_metrics(spark, sf):
     return metrics_table(ext, run_id="driver").drop("wall_ms").orderBy("partition_id")
 
 
+def x_extract_blla(spark, sf):
+    """Flagship extraction through the NEURAL segmentation path
+    (kernels/blla.py: heatmap forward -> vectorize -> polygonize -> scale
+    back; SURVEY §2.3) — per-url text + CER (0.0 everywhere, asserted in
+    tests/test_pipeline_spark.py)."""
+    docs = corpus_for(spark, sf)
+    ext = plan_extraction(
+        docs,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        segmenter="blla",
+    )
+    return ext.select(
+        "url", "lang", "n_lines", "n_regions", F.round("cer", 9).alias("cer"), "text"
+    ).orderBy("url")
+
+
 QUERIES = {
     "x_extract_text": (x_extract_text, None),
+    "x_extract_blla": (x_extract_blla, None),
     "x_extract_lines": (x_extract_lines, None),
     "x_extract_regions": (x_extract_regions, None),
     "x_extract_cer_report": (x_extract_cer_report, None),

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .schema import EXTRACTION_DDL
-from .stages import extract_map_in_arrow
+from .stages import make_extract_map
 
 # pages larger than this many PNG bytes are treated as heavy: ~3x the
 # median synthetic page (~333 KB); the 4x-area oversized pages (~1.6 MB)
@@ -39,7 +39,11 @@ def weight_salt(n: int):
     return salt, n + n_heavy
 
 
-def plan_extraction(documents: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def plan_extraction(
+    documents: DataFrame,
+    num_partitions: int | None = None,
+    segmenter: str = "pageseg",
+) -> DataFrame:
     """Build the (lazy) extraction DataFrame over a documents table."""
     spark = documents.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 4
@@ -47,7 +51,7 @@ def plan_extraction(documents: DataFrame, num_partitions: int | None = None) -> 
     df = documents.select(*cols)
     salt, total = weight_salt(n)
     df = df.repartition(total, salt.alias("salt"))
-    return df.mapInArrow(extract_map_in_arrow, schema=EXTRACTION_DDL)
+    return df.mapInArrow(make_extract_map(segmenter), schema=EXTRACTION_DDL)
 
 
 def extracted_text(extractions: DataFrame) -> DataFrame:

@@ -44,10 +44,15 @@ def _get_model():
 
 
 def extract_document(
-    html: bytes, url: str, lang: str, gt_text: str | None = None
+    html: bytes, url: str, lang: str, gt_text: str | None = None,
+    segmenter: str = "pageseg",
 ) -> dict:
     """Pure-Python single-document extraction (kernel chain); used by the
-    Arrow stage below and directly unit-testable."""
+    Arrow stage below and directly unit-testable.
+
+    segmenter: 'pageseg' (model-free morphological path, §2.4) or 'blla'
+    (neural heatmap path, kernels/blla.py, §2.3) — both emit the same
+    Segmentation contract, so the rest of the chain is shared."""
     from .kernels import binarize, lineextract, pageseg, png
     from .kernels.metrics import cer as cer_fn
     from .kernels.recognizer import recognize_page
@@ -82,7 +87,12 @@ def extract_document(
         out["n_px"] = int(img.size)
         out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
         mask = binarize.nlbin(img)
-        seg = pageseg.segment(mask, url=url, text_direction=text_direction)
+        if segmenter == "blla":
+            from .kernels import blla
+
+            seg = blla.segment_blla(mask, url=url, text_direction=text_direction)
+        else:
+            seg = pageseg.segment(mask, url=url, text_direction=text_direction)
         out["guard_tripped"] = seg["guard_tripped"]
         strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
         records = recognize_page(model, codec, strips, base_dir=base_dir)
@@ -171,26 +181,34 @@ def _extract_from_xml(html: bytes, out: dict, gt_text: str | None, t0: float) ->
     return out
 
 
-def extract_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """mapInArrow stage body: documents batches -> extraction batches."""
-    try:
-        from pyspark import TaskContext
+def make_extract_map(segmenter: str = "pageseg"):
+    """mapInArrow stage body factory: documents batches -> extraction
+    batches, with the segmentation path chosen at plan time."""
 
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx else -1
-    except Exception:  # pragma: no cover - outside Spark
-        pid = -1
-    for batch in batches:
-        names = batch.schema.names
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        gts = batch.column("text").to_pylist() if "text" in names else [None] * len(urls)
-        # largest-first within the batch (size-bucketed straggler mitigation)
-        order = sorted(range(len(urls)), key=lambda i: -(len(htmls[i] or b"")))
-        rows = [None] * len(urls)
-        for i in order:
-            rows[i] = extract_document(htmls[i], urls[i], langs[i], gts[i])
-        for r in rows:
-            r["partition_id"] = pid
-        yield pa.RecordBatch.from_pylist(rows, schema=EXTRACTION_ARROW)
+    def extract_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx else -1
+        except Exception:  # pragma: no cover - outside Spark
+            pid = -1
+        for batch in batches:
+            names = batch.schema.names
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            gts = batch.column("text").to_pylist() if "text" in names else [None] * len(urls)
+            # largest-first within the batch (size-bucketed straggler mitigation)
+            order = sorted(range(len(urls)), key=lambda i: -(len(htmls[i] or b"")))
+            rows = [None] * len(urls)
+            for i in order:
+                rows[i] = extract_document(htmls[i], urls[i], langs[i], gts[i], segmenter)
+            for r in rows:
+                r["partition_id"] = pid
+            yield pa.RecordBatch.from_pylist(rows, schema=EXTRACTION_ARROW)
+
+    return extract_map
+
+
+extract_map_in_arrow = make_extract_map("pageseg")

@@ -153,6 +153,17 @@ def test_streaming_extraction_available_now(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_blla_extraction_byte_identical(spark):
+    """Neural segmentation path end-to-end: CER 0 / exact text per url."""
+    docs = generate_corpus_df(spark, 6)
+    gt = {r.url: r.text for r in docs.collect()}
+    rows = plan_extraction(docs, num_partitions=2, segmenter="blla").collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.cer == 0.0 and r.text == gt[r.url]
+        assert r.n_lines > 0 and r.n_regions > 0
+
+
 def test_weight_salt_separates_heavy_pages(spark):
     """Heavy pages (> HEAVY_BYTES payload) must salt into the dedicated
     bucket space [n, n + n//4); normal pages into [0, n)."""
