@@ -287,8 +287,84 @@ def x_pdf_pages(spark, sf):
     return ext.select("url", "n_lines", "guard_tripped").orderBy("url")
 
 
+def x_seg_quality(spark, sf):
+    """Baseline-detection P/R/F1 of BOTH segmentation paths against the
+    renderer's golden baselines (kernels/seg_metrics.py; the reference's
+    segmentation quality metrics, lib/segmentation_metrics.py:97-214).
+    Golden geometry is re-derived deterministically from the url's doc
+    index, so no side-channel ground-truth table is needed."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import binarize, blla, pageseg, png, render
+        from ..kernels.seg_metrics import baseline_prf
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("segmenter", pa.string()),
+                pa.field("n_detected", pa.int32()),
+                pa.field("n_golden", pa.int32()),
+                pa.field("precision", pa.float64()),
+                pa.field("recall", pa.float64()),
+                pa.field("f1", pa.float64()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                url = r["url"]
+                try:
+                    doc_idx = int(url.rsplit("-", 1)[-1])
+                    gold = [
+                        l["baseline"] for l in render.render_document(42, doc_idx)["lines"]
+                    ]
+                    mask = binarize.nlbin(png.to_grayscale(png.decode_png(r["html"])))
+                    for name, seg_fn in (
+                        ("pageseg", pageseg.segment),
+                        ("blla", blla.segment_blla),
+                    ):
+                        seg = seg_fn(mask, url=url)
+                        det = [l["baseline"] for l in seg["lines"]]
+                        m = baseline_prf(det, gold)
+                        out.append(
+                            {
+                                "url": url,
+                                "segmenter": name,
+                                "n_detected": m["n_detected"],
+                                "n_golden": m["n_golden"],
+                                "precision": round(m["precision"], 6),
+                                "recall": round(m["recall"], 6),
+                                "f1": round(m["f1"], 6),
+                            }
+                        )
+                except Exception:
+                    out.append(
+                        {
+                            "url": url,
+                            "segmenter": "error",
+                            "n_detected": 0,
+                            "n_golden": 0,
+                            "precision": 0.0,
+                            "recall": 0.0,
+                            "f1": 0.0,
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return (
+        _docs(spark, sf)
+        .mapInArrow(
+            fn,
+            schema="url string, segmenter string, n_detected int, n_golden int, "
+            "precision double, recall double, f1 double",
+        )
+        .orderBy("url", "segmenter")
+    )
+
+
 QUERIES = {
     "x_multimodel_dispatch": (x_multimodel_dispatch, None),
+    "x_seg_quality": (x_seg_quality, None),
     "x_neural_reading_order": (x_neural_reading_order, None),
     "x_merge_segmentations": (x_merge_segmentations, None),
     "x_pdf_pages": (x_pdf_pages, None),

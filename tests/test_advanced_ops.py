@@ -99,6 +99,29 @@ def test_merge_rejects_mixed_types():
     assert merge_segmentations([])["lines"] == []
 
 
+# -------------------------------------------------------------- seg metrics
+def test_baseline_prf_exact_and_partial():
+    from kraken_spark.kernels.seg_metrics import baseline_prf
+
+    g = [[[0, 10], [100, 10]], [[0, 40], [100, 40]]]
+    # perfect
+    m = baseline_prf(g, g)
+    assert (m["precision"], m["recall"], m["f1"]) == (1.0, 1.0, 1.0)
+    # one miss, one spurious
+    det = [[[0, 11], [100, 11]], [[0, 200], [100, 200]]]
+    m = baseline_prf(det, g)
+    assert m["n_matched"] == 1 and m["precision"] == 0.5 and m["recall"] == 0.5
+    # tolerance boundary: dy=9 > 8 -> no match
+    m = baseline_prf([[[0, 19], [100, 19]]], [g[0]])
+    assert m["n_matched"] == 0
+    # x-overlap below 50% of the shorter -> no match
+    m = baseline_prf([[[80, 10], [180, 10]]], [[[0, 10], [100, 10]]])
+    assert m["n_matched"] == 0
+    # empty cases
+    assert baseline_prf([], [])["f1"] == 2 * 1 * 1 / 2
+    assert baseline_prf([], [g[0]])["recall"] == 0.0
+
+
 # ---------------------------------------------------------------- multipage
 def test_multipage_roundtrip_and_pdf_stub():
     pages = [b"page-one-bytes", b"page-two", b""]
