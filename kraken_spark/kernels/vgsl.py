@@ -13,7 +13,10 @@ blocks (the inference-relevant subset):
                                         optional stride (kraken extension) —
                                         VALID padding when strided, SAME else
   Mp<y>,<x>                             max pooling
-  Lbx<n> / Lfx<n>                       (bi)directional LSTM over width
+  L(f|r|b)(x|y)[s]<n>                   LSTM: forward/reversed/bidi over
+                                        width or height, optional 's'
+                                        summarizing (keep final state only)
+  G(f|r|b)(x|y)[s]<n>                   GRU, same grammar
   Gn<g>                                 group norm
   Do<p>                                 dropout (identity at inference)
   S<d>(...)                             squeeze height into channels
@@ -95,10 +98,27 @@ def _lstm_dir(seq: np.ndarray, wih: np.ndarray, whh: np.ndarray, bias: np.ndarra
     return hs
 
 
+def _gru_dir(seq: np.ndarray, wih: np.ndarray, whh: np.ndarray, bih: np.ndarray, bhh: np.ndarray) -> np.ndarray:
+    """GRU over (T, F); gates packed [r, z, n] (torch convention)."""
+    t, _ = seq.shape
+    hid = whh.shape[1]
+    hs = np.zeros((t, hid), dtype=np.float32)
+    h = np.zeros(hid, dtype=np.float32)
+    pre_ih = seq @ wih.T + bih  # (T, 3H)
+    for k in range(t):
+        ph = h @ whh.T + bhh
+        r = 1.0 / (1.0 + np.exp(-(pre_ih[k, :hid] + ph[:hid])))
+        z = 1.0 / (1.0 + np.exp(-(pre_ih[k, hid : 2 * hid] + ph[hid : 2 * hid])))
+        n = np.tanh(pre_ih[k, 2 * hid :] + r * ph[2 * hid :])
+        h = (1.0 - z) * n + z * h
+        hs[k] = h
+    return hs
+
+
 _LAYER_RE = re.compile(
     r"(?P<conv>C(?P<cact>[rlstm])(?P<cargs>[\d,]+))"
     r"|(?P<pool>Mp(?P<pargs>[\d,]+))"
-    r"|(?P<lstm>L(?P<ldir>[bf])x(?P<lhid>\d+))"
+    r"|(?P<rnn>(?P<rkind>[LG])(?P<ldir>[fbr])(?P<ldim>[xy])(?P<lsum>s?)(?P<lhid>\d+))"
     r"|(?P<gn>Gn(?P<gng>\d+))"
     r"|(?P<do>Do[\d.,]*)"
     r"|(?P<sq>S\d.*)"
@@ -136,10 +156,15 @@ class VGSLModel:
             elif lm.group("pool"):
                 ky, kx = [int(a) for a in lm.group("pargs").split(",")][:2]
                 self.layers.append({"kind": "pool", "k": (ky, kx)})
-            elif lm.group("lstm"):
+            elif lm.group("rnn"):
                 self.layers.append(
                     {"kind": "lstm", "name": f"lstm{i}",
-                     "bidi": lm.group("ldir") == "b", "hidden": int(lm.group("lhid"))}
+                     "cell": "gru" if lm.group("rkind") == "G" else "lstm",
+                     "dir": lm.group("ldir"),
+                     "bidi": lm.group("ldir") == "b",
+                     "dim": lm.group("ldim"),
+                     "summarize": lm.group("lsum") == "s",
+                     "hidden": int(lm.group("lhid"))}
                 )
             elif lm.group("gn"):
                 self.layers.append({"kind": "gn", "name": f"gn{i}", "groups": int(lm.group("gng"))})
@@ -176,12 +201,20 @@ class VGSLModel:
                 c, h = c * h, 1
             elif layer["kind"] == "lstm":
                 hid = layer["hidden"]
-                feat = c * h  # LSTM consumes the flattened feature column
+                feat = c  # per-row/column batching: features are channels
+                ngates = 3 if layer.get("cell") == "gru" else 4
                 for d in (["fwd", "bwd"] if layer["bidi"] else ["fwd"]):
-                    self.weights[f"{layer['name']}.{d}.wih"] = rng.normal(0, 0.1, (4 * hid, feat)).astype(np.float32)
-                    self.weights[f"{layer['name']}.{d}.whh"] = rng.normal(0, 0.1, (4 * hid, hid)).astype(np.float32)
-                    self.weights[f"{layer['name']}.{d}.b"] = np.zeros(4 * hid, np.float32)
-                c, h = hid * (2 if layer["bidi"] else 1), 1
+                    self.weights[f"{layer['name']}.{d}.wih"] = rng.normal(0, 0.1, (ngates * hid, feat)).astype(np.float32)
+                    self.weights[f"{layer['name']}.{d}.whh"] = rng.normal(0, 0.1, (ngates * hid, hid)).astype(np.float32)
+                    if layer.get("cell") == "gru":
+                        self.weights[f"{layer['name']}.{d}.bih"] = np.zeros(ngates * hid, np.float32)
+                        self.weights[f"{layer['name']}.{d}.bhh"] = np.zeros(ngates * hid, np.float32)
+                    else:
+                        self.weights[f"{layer['name']}.{d}.b"] = np.zeros(ngates * hid, np.float32)
+                c = hid * (2 if layer["bidi"] else 1)
+                if layer.get("summarize"):
+                    h = h if layer.get("dim") == "x" else 1
+                # non-summarizing RNNs keep both spatial dims
             elif layer["kind"] == "gn":
                 self.weights[layer["name"] + ".g"] = np.ones(c, np.float32)
                 self.weights[layer["name"] + ".b"] = np.zeros(c, np.float32)
@@ -221,16 +254,7 @@ class VGSLModel:
                 x = ((xs - mu) / sd).reshape(c, *x.shape[1:])
                 x = x * self.weights[layer["name"] + ".g"][:, None, None] + self.weights[layer["name"] + ".b"][:, None, None]
             elif kind == "lstm":
-                c, h, w = x.shape
-                seq = x.reshape(c * h, w).T  # (T, F)
-                n = layer["name"]
-                fwd = _lstm_dir(seq, self.weights[f"{n}.fwd.wih"], self.weights[f"{n}.fwd.whh"], self.weights[f"{n}.fwd.b"])
-                if layer["bidi"]:
-                    bwd = _lstm_dir(seq[::-1], self.weights[f"{n}.bwd.wih"], self.weights[f"{n}.bwd.whh"], self.weights[f"{n}.bwd.b"])[::-1]
-                    out = np.concatenate([fwd, bwd], axis=1)
-                else:
-                    out = fwd
-                x = out.T[:, None, :]  # (F', 1, T)
+                x = self._run_rnn(x, layer)
             elif kind == "out":
                 c, h, w = x.shape
                 seq = x.reshape(c * h, w).T  # (T, F)
@@ -241,6 +265,54 @@ class VGSLModel:
         # no explicit output layer: return (T, C) of the last feature map
         c, h, w = x.shape
         return x.reshape(c * h, w).T
+
+    def _run_rnn(self, x: np.ndarray, layer: dict) -> np.ndarray:
+        """RNN block per the reference's TransposedSummarizingRNN semantics
+        (/root/reference/kraken/lib/vgsl/layers.py:462+): sequence along the
+        chosen dim (x=W, y=H), the other spatial dim is batch, features = C;
+        'r' runs reversed, 's' keeps only the final state (seq dim -> 1)."""
+        n = layer["name"]
+        cell = layer.get("cell", "lstm")
+        over_y = layer.get("dim", "x") == "y"
+        if over_y:
+            x = x.transpose(0, 2, 1)  # (C, W=batch, H=seq)
+        c, batch, t = x.shape
+        seqs = x.transpose(1, 2, 0)  # (B, T, C)
+        dirs = ["fwd", "bwd"] if layer["bidi"] else ["fwd"]
+        outs = []
+        for bi in range(batch):
+            per_dir = []
+            for d in dirs:
+                seq = seqs[bi]
+                rev = d == "bwd" or (d == "fwd" and layer.get("dir") == "r")
+                if rev:
+                    seq = seq[::-1]
+                if cell == "gru":
+                    hs = _gru_dir(
+                        seq,
+                        self.weights[f"{n}.{d}.wih"],
+                        self.weights[f"{n}.{d}.whh"],
+                        self.weights[f"{n}.{d}.bih"],
+                        self.weights[f"{n}.{d}.bhh"],
+                    )
+                else:
+                    hs = _lstm_dir(
+                        seq,
+                        self.weights[f"{n}.{d}.wih"],
+                        self.weights[f"{n}.{d}.whh"],
+                        self.weights[f"{n}.{d}.b"],
+                    )
+                if layer.get("summarize"):
+                    hs = hs[-1:]
+                elif rev:
+                    hs = hs[::-1]
+                per_dir.append(hs)
+            outs.append(np.concatenate(per_dir, axis=1))  # (T', H'*dirs)
+        out = np.stack(outs, axis=0)  # (B, T', F')
+        out = out.transpose(2, 0, 1)  # (F', B, T')
+        if over_y:
+            out = out.transpose(0, 2, 1)  # back to (F', H', W)
+        return np.ascontiguousarray(out)
 
     # -- serialization ------------------------------------------------------
     def to_bytes(self) -> bytes:

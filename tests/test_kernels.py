@@ -203,6 +203,27 @@ def test_vgsl_parse_and_shapes():
     assert np.allclose(out.sum(axis=1), 1.0, atol=1e-5)  # softmax rows
 
 
+def test_vgsl_rnn_grammar_variants():
+    x = np.zeros((1, 8, 20), np.float32)
+    # GRU bidi over width: channels double, spatial dims preserved
+    m = VGSLModel("[1,8,0,1 Cr3,3,4 Gbx6]").init_random(0)
+    out = m.forward(x)  # (T, C) flatten of (12, 8, 20)
+    assert out.shape == (20, 12 * 8)
+    # summarizing reverse LSTM over height: H collapses to 1
+    m = VGSLModel("[1,8,0,1 Lrys7]").init_random(0)
+    out = m.forward(x)
+    assert out.shape == (20, 7)
+    # summarizing forward LSTM over width: W collapses to 1
+    m = VGSLModel("[1,8,0,1 Lfxs5]").init_random(0)
+    out = m.forward(x)
+    assert out.shape == (1, 5 * 8)
+    # reversed == forward on a reversed sequence (weight-equality check)
+    mf = VGSLModel("[1,1,0,1 Lfx3]").init_random(3)
+    mr = VGSLModel("[1,1,0,1 Lrx3]", weights=dict(mf.weights))
+    seq = np.arange(10, dtype=np.float32).reshape(1, 1, 10)
+    assert np.allclose(mf.forward(seq[:, :, ::-1].copy())[::-1], mr.forward(seq), atol=1e-6)
+
+
 def test_vgsl_serialization_roundtrip():
     m = VGSLModel("[1,16,0,1 Cr3,3,4 O1c3]").init_random(1)
     m2 = VGSLModel.from_bytes(m.to_bytes())
