@@ -122,8 +122,44 @@ _LAYER_RE = re.compile(
     r"|(?P<gn>Gn(?P<gng>\d+))"
     r"|(?P<do>Do[\d.,]*)"
     r"|(?P<sq>S\d.*)"
+    r"|(?P<ident>I)"
     r"|(?P<out>O1(?P<oact>[cs])(?P<on>\d+))"
 )
+
+
+def _tokenize_groups(tokens: list[str]) -> list:
+    """Group space-separated spec tokens into a tree: '(' ... ')' parallel
+    blocks (outputs summed — the reference's Addition residual,
+    lib/vgsl/model.py:876-902, layers.py:188-241) and '[' ... ']' series
+    blocks (model.py:847-874). Returns a list of str | ('par'|'ser', sub)."""
+    out: list = []
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        if tok and tok[0] in "([":
+            close = ")" if tok[0] == "(" else "]"
+            kind = "par" if tok[0] == "(" else "ser"
+            depth = 0
+            group: list[str] = []
+            j = i
+            while j < len(tokens):
+                t = tokens[j]
+                depth += t.count(tok[0]) - t.count(close)
+                group.append(t)
+                if depth == 0:
+                    break
+                j += 1
+            if depth != 0:
+                raise ValueError("unbalanced brackets in VGSL spec")
+            group[0] = group[0][1:]
+            group[-1] = group[-1][:-1]
+            inner = [g for g in group if g]
+            out.append((kind, _tokenize_groups(inner)))
+            i = j + 1
+        else:
+            out.append(tok)
+            i += 1
+    return out
 
 
 class VGSLModel:
@@ -139,89 +175,117 @@ class VGSLModel:
             raise ValueError(f"bad input block {blocks[0]!r}")
         self.batch, self.height, self.width, self.channels = map(int, m.groups())
         self.spec = spec
-        self.layers: list[dict] = []
-        for i, blk in enumerate(blocks[1:]):
-            lm = _LAYER_RE.fullmatch(blk)
-            if not lm:
-                raise ValueError(f"unparseable VGSL block {blk!r}")
-            if lm.group("conv"):
-                args = [int(a) for a in lm.group("cargs").split(",")]
-                ky, kx, d = args[0], args[1], args[2]
-                stride = (args[3], args[4]) if len(args) >= 5 else (1, 1)
-                pad = "valid" if stride != (1, 1) else "same"
-                self.layers.append(
-                    {"kind": "conv", "name": f"conv{i}", "act": lm.group("cact"),
-                     "k": (ky, kx), "d": d, "stride": stride, "pad": pad}
-                )
-            elif lm.group("pool"):
-                ky, kx = [int(a) for a in lm.group("pargs").split(",")][:2]
-                self.layers.append({"kind": "pool", "k": (ky, kx)})
-            elif lm.group("rnn"):
-                self.layers.append(
-                    {"kind": "lstm", "name": f"lstm{i}",
-                     "cell": "gru" if lm.group("rkind") == "G" else "lstm",
-                     "dir": lm.group("ldir"),
-                     "bidi": lm.group("ldir") == "b",
-                     "dim": lm.group("ldim"),
-                     "summarize": lm.group("lsum") == "s",
-                     "hidden": int(lm.group("lhid"))}
-                )
-            elif lm.group("gn"):
-                self.layers.append({"kind": "gn", "name": f"gn{i}", "groups": int(lm.group("gng"))})
-            elif lm.group("do"):
-                self.layers.append({"kind": "identity"})
-            elif lm.group("sq"):
-                self.layers.append({"kind": "squeeze"})
-            elif lm.group("out"):
-                self.layers.append(
-                    {"kind": "out", "name": f"out{i}", "classes": int(lm.group("on")),
-                     "softmax": lm.group("oact") == "c"}
-                )
+        self.layers: list[dict] = []  # flat list (introspection / weights)
+        self._counter = 0
+        self.tree = self._build_nodes(_tokenize_groups(blocks[1:]))
         self.weights: dict[str, np.ndarray] = weights or {}
         self.codec = codec or {}
+
+    def _build_nodes(self, groups: list) -> list:
+        nodes = []
+        for g in groups:
+            if isinstance(g, tuple):
+                kind, sub = g
+                nodes.append(
+                    {"kind": "parallel" if kind == "par" else "series",
+                     "children": self._build_nodes(sub)}
+                )
+            else:
+                layer = self._parse_layer(g)
+                self.layers.append(layer)
+                nodes.append(layer)
+        return nodes
+
+    def _parse_layer(self, blk: str) -> dict:
+        i = self._counter
+        self._counter += 1
+        lm = _LAYER_RE.fullmatch(blk)
+        if not lm:
+            raise ValueError(f"unparseable VGSL block {blk!r}")
+        if lm.group("conv"):
+            args = [int(a) for a in lm.group("cargs").split(",")]
+            ky, kx, d = args[0], args[1], args[2]
+            stride = (args[3], args[4]) if len(args) >= 5 else (1, 1)
+            pad = "valid" if stride != (1, 1) else "same"
+            return {"kind": "conv", "name": f"conv{i}", "act": lm.group("cact"),
+                    "k": (ky, kx), "d": d, "stride": stride, "pad": pad}
+        if lm.group("pool"):
+            ky, kx = [int(a) for a in lm.group("pargs").split(",")][:2]
+            return {"kind": "pool", "k": (ky, kx)}
+        if lm.group("rnn"):
+            return {"kind": "lstm", "name": f"lstm{i}",
+                    "cell": "gru" if lm.group("rkind") == "G" else "lstm",
+                    "dir": lm.group("ldir"),
+                    "bidi": lm.group("ldir") == "b",
+                    "dim": lm.group("ldim"),
+                    "summarize": lm.group("lsum") == "s",
+                    "hidden": int(lm.group("lhid"))}
+        if lm.group("gn"):
+            return {"kind": "gn", "name": f"gn{i}", "groups": int(lm.group("gng"))}
+        if lm.group("do") or lm.group("ident"):
+            return {"kind": "identity"}
+        if lm.group("sq"):
+            return {"kind": "squeeze"}
+        return {"kind": "out", "name": f"out{i}", "classes": int(lm.group("on")),
+                "softmax": lm.group("oact") == "c"}
 
     # -- initialization -----------------------------------------------------
     def init_random(self, seed: int = 42) -> "VGSLModel":
         """Deterministic random weights (shape-test / smoke use)."""
         rng = np.random.Generator(np.random.PCG64(seed))
-        c, h = self.channels, self.height
-        for layer in self.layers:
-            if layer["kind"] == "conv":
-                ky, kx = layer["k"]
-                self.weights[layer["name"] + ".w"] = rng.normal(
-                    0, 0.1, (layer["d"], c, ky, kx)
-                ).astype(np.float32)
-                self.weights[layer["name"] + ".b"] = np.zeros(layer["d"], np.float32)
-                c = layer["d"]
-                if layer["pad"] == "valid":
-                    h = (h - ky) // layer["stride"][0] + 1
-            elif layer["kind"] == "pool":
-                h //= layer["k"][0]
-            elif layer["kind"] == "squeeze":
-                c, h = c * h, 1
-            elif layer["kind"] == "lstm":
-                hid = layer["hidden"]
-                feat = c  # per-row/column batching: features are channels
-                ngates = 3 if layer.get("cell") == "gru" else 4
-                for d in (["fwd", "bwd"] if layer["bidi"] else ["fwd"]):
-                    self.weights[f"{layer['name']}.{d}.wih"] = rng.normal(0, 0.1, (ngates * hid, feat)).astype(np.float32)
-                    self.weights[f"{layer['name']}.{d}.whh"] = rng.normal(0, 0.1, (ngates * hid, hid)).astype(np.float32)
-                    if layer.get("cell") == "gru":
-                        self.weights[f"{layer['name']}.{d}.bih"] = np.zeros(ngates * hid, np.float32)
-                        self.weights[f"{layer['name']}.{d}.bhh"] = np.zeros(ngates * hid, np.float32)
-                    else:
-                        self.weights[f"{layer['name']}.{d}.b"] = np.zeros(ngates * hid, np.float32)
-                c = hid * (2 if layer["bidi"] else 1)
-                if layer.get("summarize"):
-                    h = h if layer.get("dim") == "x" else 1
-                # non-summarizing RNNs keep both spatial dims
-            elif layer["kind"] == "gn":
-                self.weights[layer["name"] + ".g"] = np.ones(c, np.float32)
-                self.weights[layer["name"] + ".b"] = np.zeros(c, np.float32)
-            elif layer["kind"] == "out":
-                self.weights[layer["name"] + ".w"] = rng.normal(0, 0.1, (layer["classes"], c * h)).astype(np.float32)
-                self.weights[layer["name"] + ".b"] = np.zeros(layer["classes"], np.float32)
+        self._init_nodes(self.tree, self.channels, self.height, rng)
         return self
+
+    def _init_nodes(self, nodes: list, c: int, h: int, rng) -> tuple[int, int]:
+        for node in nodes:
+            kind = node["kind"]
+            if kind == "series":
+                c, h = self._init_nodes(node["children"], c, h, rng)
+            elif kind == "parallel":
+                shapes = [self._init_nodes([ch], c, h, rng) for ch in node["children"]]
+                if len(set(shapes)) > 1:
+                    raise ValueError(f"parallel branches disagree on shape: {shapes}")
+                c, h = shapes[0]
+            else:
+                c, h = self._init_layer(node, c, h, rng)
+        return c, h
+
+    def _init_layer(self, layer: dict, c: int, h: int, rng) -> tuple[int, int]:
+        if layer["kind"] == "conv":
+            ky, kx = layer["k"]
+            self.weights[layer["name"] + ".w"] = rng.normal(
+                0, 0.1, (layer["d"], c, ky, kx)
+            ).astype(np.float32)
+            self.weights[layer["name"] + ".b"] = np.zeros(layer["d"], np.float32)
+            c = layer["d"]
+            if layer["pad"] == "valid":
+                h = (h - ky) // layer["stride"][0] + 1
+        elif layer["kind"] == "pool":
+            h //= layer["k"][0]
+        elif layer["kind"] == "squeeze":
+            c, h = c * h, 1
+        elif layer["kind"] == "lstm":
+            hid = layer["hidden"]
+            feat = c  # per-row/column batching: features are channels
+            ngates = 3 if layer.get("cell") == "gru" else 4
+            for d in (["fwd", "bwd"] if layer["bidi"] else ["fwd"]):
+                self.weights[f"{layer['name']}.{d}.wih"] = rng.normal(0, 0.1, (ngates * hid, feat)).astype(np.float32)
+                self.weights[f"{layer['name']}.{d}.whh"] = rng.normal(0, 0.1, (ngates * hid, hid)).astype(np.float32)
+                if layer.get("cell") == "gru":
+                    self.weights[f"{layer['name']}.{d}.bih"] = np.zeros(ngates * hid, np.float32)
+                    self.weights[f"{layer['name']}.{d}.bhh"] = np.zeros(ngates * hid, np.float32)
+                else:
+                    self.weights[f"{layer['name']}.{d}.b"] = np.zeros(ngates * hid, np.float32)
+            c = hid * (2 if layer["bidi"] else 1)
+            if layer.get("summarize") and layer.get("dim") == "y":
+                h = 1
+        elif layer["kind"] == "gn":
+            self.weights[layer["name"] + ".g"] = np.ones(c, np.float32)
+            self.weights[layer["name"] + ".b"] = np.zeros(c, np.float32)
+        elif layer["kind"] == "out":
+            self.weights[layer["name"] + ".w"] = rng.normal(0, 0.1, (layer["classes"], c * h)).astype(np.float32)
+            self.weights[layer["name"] + ".b"] = np.zeros(layer["classes"], np.float32)
+        return c, h
 
     # -- inference ----------------------------------------------------------
     def forward(self, x: np.ndarray) -> np.ndarray:
@@ -229,42 +293,66 @@ class VGSLModel:
         if x.ndim == 2:
             x = x[None]
         x = x.astype(np.float32, copy=False)
-        for layer in self.layers:
-            kind = layer["kind"]
-            if kind == "conv":
-                x = _conv2d(
-                    x,
-                    self.weights[layer["name"] + ".w"],
-                    self.weights[layer["name"] + ".b"],
-                    layer["stride"],
-                    layer["pad"],
-                )
-                x = _ACT[layer["act"]](x)
-            elif kind == "pool":
-                x = _maxpool(x, *layer["k"])
-            elif kind == "squeeze":
-                c, h, w = x.shape
-                x = x.reshape(c * h, 1, w)
-            elif kind == "gn":
-                g = layer["groups"]
-                c = x.shape[0]
-                xs = x.reshape(g, c // g, *x.shape[1:])
-                mu = xs.mean(axis=(1, 2, 3), keepdims=True)
-                sd = xs.std(axis=(1, 2, 3), keepdims=True) + 1e-5
-                x = ((xs - mu) / sd).reshape(c, *x.shape[1:])
-                x = x * self.weights[layer["name"] + ".g"][:, None, None] + self.weights[layer["name"] + ".b"][:, None, None]
-            elif kind == "lstm":
-                x = self._run_rnn(x, layer)
-            elif kind == "out":
-                c, h, w = x.shape
-                seq = x.reshape(c * h, w).T  # (T, F)
-                logits = seq @ self.weights[layer["name"] + ".w"].T + self.weights[layer["name"] + ".b"]
-                return _softmax(logits, axis=1) if layer["softmax"] else logits
-            elif kind == "identity":
-                pass
+        out = self._forward_nodes(x, self.tree)
+        if isinstance(out, tuple):  # terminal output layer result
+            return out[1]
         # no explicit output layer: return (T, C) of the last feature map
-        c, h, w = x.shape
-        return x.reshape(c * h, w).T
+        c, h, w = out.shape
+        return out.reshape(c * h, w).T
+
+    def _forward_nodes(self, x: np.ndarray, nodes: list):
+        for node in nodes:
+            kind = node["kind"]
+            if kind == "series":
+                x = self._forward_nodes(x, node["children"])
+                if isinstance(x, tuple):
+                    return x
+            elif kind == "parallel":
+                acc = None
+                for child in node["children"]:
+                    y = self._forward_nodes(x, [child])
+                    if isinstance(y, tuple):
+                        raise ValueError("output layer inside parallel block")
+                    acc = y if acc is None else acc + y
+                x = acc
+            else:
+                x = self._forward_layer(x, node)
+                if isinstance(x, tuple):
+                    return x
+        return x
+
+    def _forward_layer(self, x: np.ndarray, layer: dict):
+        kind = layer["kind"]
+        if kind == "conv":
+            x = _conv2d(
+                x,
+                self.weights[layer["name"] + ".w"],
+                self.weights[layer["name"] + ".b"],
+                layer["stride"],
+                layer["pad"],
+            )
+            return _ACT[layer["act"]](x)
+        if kind == "pool":
+            return _maxpool(x, *layer["k"])
+        if kind == "squeeze":
+            c, h, w = x.shape
+            return x.reshape(c * h, 1, w)
+        if kind == "gn":
+            g = layer["groups"]
+            c = x.shape[0]
+            xs = x.reshape(g, c // g, *x.shape[1:])
+            mu = xs.mean(axis=(1, 2, 3), keepdims=True)
+            sd = xs.std(axis=(1, 2, 3), keepdims=True) + 1e-5
+            x = ((xs - mu) / sd).reshape(c, *x.shape[1:])
+            return x * self.weights[layer["name"] + ".g"][:, None, None] + self.weights[layer["name"] + ".b"][:, None, None]
+        if kind == "lstm":
+            return self._run_rnn(x, layer)
+        if kind == "out":
+            c, h, w = x.shape
+            seq = x.reshape(c * h, w).T  # (T, F)
+            logits = seq @ self.weights[layer["name"] + ".w"].T + self.weights[layer["name"] + ".b"]
+            return ("out", _softmax(logits, axis=1) if layer["softmax"] else logits)
+        return x  # identity
 
     def _run_rnn(self, x: np.ndarray, layer: dict) -> np.ndarray:
         """RNN block per the reference's TransposedSummarizingRNN semantics

@@ -224,6 +224,23 @@ def test_vgsl_rnn_grammar_variants():
     assert np.allclose(mf.forward(seq[:, :, ::-1].copy())[::-1], mr.forward(seq), atol=1e-6)
 
 
+def test_vgsl_parallel_residual_blocks():
+    # residual: identity + conv series, outputs summed (Addition layer)
+    m = VGSLModel("[1,8,0,1 Cr3,3,4 (I [Cr3,3,4 Cr3,3,4]) O1c5]").init_random(0)
+    out = m.forward(np.zeros((1, 8, 24), np.float32))
+    assert out.shape == (24, 5)
+    # (I I) doubles the input: verifies the sum semantics
+    m1 = VGSLModel("[1,8,0,1 Cr3,3,4 (I I)]").init_random(0)
+    m2 = VGSLModel("[1,8,0,1 Cr3,3,4]", weights=dict(m1.weights))
+    x = np.ones((1, 8, 16), np.float32)
+    assert np.allclose(m1.forward(x), 2 * m2.forward(x))
+    # branches must agree on output shape
+    with pytest.raises(ValueError):
+        VGSLModel("[1,8,0,1 (Cr3,3,4 Cr3,3,8)]").init_random(0)
+    with pytest.raises(ValueError):
+        VGSLModel("[1,8,0,1 (Cr3,3,4 Cr3,3,4]")  # unbalanced
+
+
 def test_vgsl_serialization_roundtrip():
     m = VGSLModel("[1,16,0,1 Cr3,3,4 O1c3]").init_random(1)
     m2 = VGSLModel.from_bytes(m.to_bytes())

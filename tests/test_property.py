@@ -145,6 +145,22 @@ def test_box_filter_preserves_constant(vals, k):
 
 
 @settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_extract_document_never_crashes_on_garbage(payload):
+    """The extraction stage must degrade to guard_tripped rows on ANY
+    byte payload (the 100 TB corpus contains arbitrary junk)."""
+    from kraken_spark.stages import extract_document
+
+    out = extract_document(bytes(payload), "u", "en", "gt")
+    assert out["url"] == "u"
+    assert isinstance(out["guard_tripped"], bool)
+    assert out["n_lines"] == len(out["lines"])
+    # valid-PNG-signature-but-corrupt payloads must also be caught
+    out = extract_document(b"\x89PNG\r\n\x1a\n" + bytes(payload), "u", "en", None)
+    assert out["guard_tripped"] or out["n_lines"] >= 0
+
+
+@settings(max_examples=40, deadline=None)
 @given(ALPHA_TEXT)
 def test_bidi_display_logical_involution(s):
     from kraken_spark.kernels.bidi import display_to_logical
