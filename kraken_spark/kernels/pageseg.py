@@ -70,6 +70,25 @@ def find_columns(ink: np.ndarray, min_gutter: int = 64) -> list[tuple[int, int]]
     return [(bounds[i], bounds[i + 1]) for i in range(0, len(bounds), 2)]
 
 
+def rotate_points(pts: list[list[int]], k: int, h: int, w: int) -> list[list[int]]:
+    """Map (x, y) points from a np.rot90(img, k)-rotated frame back to the
+    original image frame (the reference's rotate_lines coordinate-unrotate,
+    /root/reference/kraken/pageseg.py:292-304). (h, w) is the ORIGINAL
+    image shape."""
+    k %= 4
+    out = []
+    for x, y in pts:
+        if k == 0:
+            out.append([x, y])
+        elif k == 1:  # rot90 CCW: rotated[y, x] == orig[x, w-1-y]... inverse:
+            out.append([w - 1 - y, x])
+        elif k == 2:
+            out.append([w - 1 - x, h - 1 - y])
+        else:  # k == 3 (CW)
+            out.append([y, h - 1 - x])
+    return out
+
+
 def segment(
     ink: np.ndarray,
     url: str = "",
@@ -86,6 +105,32 @@ def segment(
     """
     h, w = ink.shape
     rl = text_direction.endswith("rl")
+    if text_direction.startswith("vertical"):
+        # vertical text: rotate the page 90° CCW so lines run horizontally,
+        # segment, then un-rotate every coordinate (the reference's rotated
+        # segmentation + rotate_lines, pageseg.py:307-454, 292-304)
+        seg = segment(
+            np.ascontiguousarray(np.rot90(ink, k=1)),
+            url=url,
+            text_direction="horizontal-" + ("rl" if rl else "lr"),
+            min_gutter=min_gutter,
+            min_line_height=min_line_height,
+            min_line_width=min_line_width,
+        )
+        for l in seg["lines"]:
+            pts = rotate_points(
+                [[l["bbox"][0], l["bbox"][1]], [l["bbox"][2] - 1, l["bbox"][3] - 1]],
+                1, h, w,
+            )
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            l["bbox"] = [min(xs), min(ys), max(xs) + 1, max(ys) + 1]
+            l["baseline"] = rotate_points(l["baseline"], 1, h, w)
+            l["boundary"] = rotate_points(l["boundary"], 1, h, w)
+        for r in seg["regions"]:
+            r["boundary"] = rotate_points(r["boundary"], 1, h, w)
+        seg["text_direction"] = text_direction
+        return seg
     empty = {
         "type": "baselines",
         "text_direction": text_direction,

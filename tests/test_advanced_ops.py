@@ -99,6 +99,33 @@ def test_merge_rejects_mixed_types():
     assert merge_segmentations([])["lines"] == []
 
 
+# ------------------------------------------------------------ vertical text
+def test_vertical_text_segmentation():
+    """Rotating a page 90° CW and segmenting with vertical-* recovers the
+    same lines with rotated geometry; recognition on re-rotated strips
+    still reads the text exactly."""
+    from kraken_spark.kernels.codec import Codec
+    from kraken_spark.kernels.recognizer import build_recognizer, recognize_page
+
+    d = render.render_document(42, 0)  # en, 1-col
+    mask = binarize.nlbin(png.to_grayscale(d["img"]))
+    vmask = np.ascontiguousarray(np.rot90(mask, k=3))  # CW: lines now vertical
+    seg = pageseg.segment(vmask, url="u", text_direction="vertical-lr")
+    assert len(seg["lines"]) == len(d["lines"])
+    # detected lines are vertical: taller than wide
+    got0 = seg["lines"][0]["bbox"]
+    assert (got0[3] - got0[1]) > (got0[2] - got0[0])
+    # strips: crop from the vertical page, rotate back, recognize
+    model = build_recognizer()
+    codec = Codec(model.codec)
+    strips = []
+    for l in seg["lines"]:
+        bx0, by0, bx1, by1 = l["bbox"]
+        strips.append(np.ascontiguousarray(np.rot90(vmask[by0:by1, bx0:bx1], k=1)))
+    recs = recognize_page(model, codec, strips, base_dir="L")
+    assert "\n".join(r["prediction"] for r in recs) == d["text"]
+
+
 # -------------------------------------------------------------- seg metrics
 def test_baseline_prf_exact_and_partial():
     from kraken_spark.kernels.seg_metrics import baseline_prf
