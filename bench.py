@@ -80,6 +80,8 @@ def run_headline() -> None:
         _force(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+    from kraken_spark.corpus import docs_for_sf
+
     print(
         json.dumps(
             {
@@ -88,6 +90,12 @@ def run_headline() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_number(SF_DIR),
+                # BASELINE.json's docs/sec metric, from the flagship
+                # extraction query (sustained large-batch figures and the
+                # N->4N scaling evidence live in BASELINE.md)
+                "extraction_docs_per_sec": round(
+                    docs_for_sf(SF_DIR) / timings["x_extract_text"], 3
+                ),
             }
         )
     )
