@@ -15,6 +15,7 @@ rows are appended per micro-batch exactly as per batch run.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import metrics_table, plan_extraction
@@ -61,6 +62,51 @@ def stream_extraction(
         docs.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ingest_stats(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+    available_now: bool = True,
+):
+    """Watermarked event-time ingest statistics: tumbling-window doc/byte
+    counts per language keyed on the crawl timestamp (warc_ts), with late
+    data beyond the watermark dropped by the engine.
+
+    The reference has no streaming semantics (SURVEY §2.9); this is the
+    standard Structured Streaming monitoring companion to the extraction
+    stream — at production scale it runs against the Iceberg documents
+    table's ingest feed. Results land in an in-memory table named
+    'ingest_stats' (queryable via spark.sql while the stream runs).
+    """
+    docs = spark.readStream.schema(DOCUMENTS_DDL).parquet(input_path)
+    agg = (
+        docs.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("html")).alias("n_bytes"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "lang",
+            "n_docs",
+            "n_bytes",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_stats")
+        .option("checkpointLocation", checkpoint_path)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -215,3 +215,24 @@ def test_xmlparse_rejects_garbage():
         parse_segmentation(b"<html><body>no</body></html>")
     with pytest.raises((ValueError, Exception)):
         parse_segmentation(b"not xml at all")
+
+
+def test_streaming_watermarked_ingest_stats(spark):
+    from kraken_spark.streaming import stream_ingest_stats
+
+    tmp = tempfile.mkdtemp(prefix="ks_wm_")
+    try:
+        docs = generate_corpus_df(spark, 8)
+        docs.write.mode("overwrite").parquet(f"{tmp}/in")
+        q = stream_ingest_stats(
+            spark, f"{tmp}/in", f"{tmp}/ckpt", watermark="1 second", window="2 seconds"
+        )
+        q.awaitTermination(300)
+        out = spark.sql("select * from ingest_stats").collect()
+        # corpus timestamps advance 1 s/doc -> multiple closed 2 s windows;
+        # append mode emits only watermark-closed windows
+        assert sum(r.n_docs for r in out) >= 6
+        assert {r.lang for r in out} <= {"en", "fr", "ar"}
+        assert all(r.n_bytes > 0 and r.win_end > r.win_start for r in out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
