@@ -111,3 +111,52 @@ def stream_ingest_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Custom stateful streaming operator: exact-dedup keeping only the
+    FIRST occurrence of each content hash across all micro-batches
+    (applyInPandasWithState; per-key GroupState survives restarts via the
+    checkpoint). The streaming analog of functions/dedup.dedup_exact for a
+    continuously ingesting corpus — state size is one row per distinct
+    content hash, partitioned by the hash.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    docs = spark.readStream.schema(DOCUMENTS_DDL).parquet(input_path)
+    keyed = docs.select(F.md5("text").alias("h"), "url", "warc_ts")
+
+    def first_seen(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            (count,) = state.get
+            state.update((count + len(rows),))
+            return iter([])  # all duplicates
+        rows = rows.sort_values(["warc_ts", "url"]).head(1)
+        state.update((len(rows),))
+        return iter([rows[["h", "url"]]])
+
+    out = keyed.groupBy("h").applyInPandasWithState(
+        first_seen,
+        outputStructType="h string, url string",
+        stateStructType="count long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

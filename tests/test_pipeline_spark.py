@@ -236,3 +236,24 @@ def test_streaming_watermarked_ingest_stats(spark):
         assert all(r.n_bytes > 0 and r.win_end > r.win_start for r in out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_stateful_first_seen_dedup(spark):
+    from kraken_spark.streaming import stream_dedup_first_seen
+
+    tmp = tempfile.mkdtemp(prefix="ks_state_")
+    try:
+        docs = generate_corpus_df(spark, 6).cache()
+        # duplicate 3 of the 6 under new urls (same text -> same hash)
+        dupes = docs.limit(3).withColumn(
+            "url", F.concat(F.col("url"), F.lit("#dup"))
+        ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+        docs.unionByName(dupes).write.mode("overwrite").parquet(f"{tmp}/in")
+        q = stream_dedup_first_seen(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+        q.awaitTermination(300)
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == 6  # one row per distinct content hash
+        assert out.filter(F.col("url").endswith("#dup")).count() == 0  # earliest kept
+        docs.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
