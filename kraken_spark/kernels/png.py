@@ -97,6 +97,15 @@ def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def read_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR without decompressing the image —
+    lets callers enforce admission caps before paying decode cost."""
+    if data[:8] != _SIGNATURE or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG (bad signature)")
+    w, h = struct.unpack(">II", data[16:24])
+    return int(w), int(h)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to a HxW (gray) or HxWx3 (RGB) uint8 array."""
     if data[:8] != _SIGNATURE:

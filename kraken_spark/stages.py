@@ -30,14 +30,31 @@ from .schema import EXTRACTION_ARROW
 
 _MODEL_CACHE: dict[str, object] = {}
 
+# admission control: the reference caps pages at 20000x20000 px
+# (/root/reference/kraken/kraken.py:62); checked against the PNG header
+# BEFORE decompression so a hostile payload can't balloon memory
+MAX_PAGE_PX = 20000 * 20000
+
 
 def _get_model():
-    """Per-worker model singleton (executor-local cache)."""
+    """Per-worker model singleton (executor-local cache). If
+    KRAKEN_SPARK_MODEL_PATH is set (shipped via spark-submit --files /
+    SparkFiles), the serialized VGSLModel is loaded from that file instead
+    of being constructed — the reference's load-once-per-executor pattern
+    (prepare_for_inference, /root/reference/kraken/lib/vgsl/model.py:491-525)."""
     if "model" not in _MODEL_CACHE:
+        import os
+
         from .kernels.codec import Codec
         from .kernels.recognizer import build_recognizer
+        from .kernels.vgsl import VGSLModel
 
-        model = build_recognizer()
+        path = os.environ.get("KRAKEN_SPARK_MODEL_PATH")
+        if path:
+            with open(path, "rb") as f:
+                model = VGSLModel.from_bytes(f.read())
+        else:
+            model = build_recognizer()
         _MODEL_CACHE["model"] = model
         _MODEL_CACHE["codec"] = Codec(model.codec)
     return _MODEL_CACHE["model"], _MODEL_CACHE["codec"]
@@ -82,6 +99,9 @@ def extract_document(
             # lines/regions/text directly, no OCR (the reference's -f xml
             # input, /root/reference/kraken/kraken.py:200-207; SURVEY §3.4)
             return _extract_from_xml(html, out, gt_text, t0)
+        w0, h0 = png.read_dimensions(html)
+        if w0 * h0 > MAX_PAGE_PX:
+            raise ValueError(f"page exceeds admission cap: {w0}x{h0}")
         img = png.decode_png(html)
         img = png.to_grayscale(img)
         out["n_px"] = int(img.size)

@@ -149,6 +149,48 @@ def test_baseline_prf_exact_and_partial():
     assert baseline_prf([], [g[0]])["recall"] == 0.0
 
 
+# ------------------------------------------------------- admission + models
+def test_page_admission_cap_before_decode():
+    """A PNG header claiming >20000x20000 px must trip the guard without
+    decompressing the payload (reference cap, kraken/kraken.py:62)."""
+    import struct
+    import zlib
+
+    from kraken_spark.stages import extract_document
+
+    ihdr = struct.pack(">IIBBBBB", 25000, 25000, 8, 0, 0, 0, 0)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    huge = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b"")
+    )
+    out = extract_document(huge, "u", "en", None)
+    assert out["guard_tripped"] and out["n_lines"] == 0
+
+
+def test_model_loading_from_file(tmp_path, monkeypatch):
+    """KRAKEN_SPARK_MODEL_PATH: serialized model loaded once per worker."""
+    from kraken_spark import stages
+    from kraken_spark.kernels.recognizer import build_recognizer
+
+    p = tmp_path / "model.npz"
+    p.write_bytes(build_recognizer().to_bytes())
+    monkeypatch.setenv("KRAKEN_SPARK_MODEL_PATH", str(p))
+    stages._MODEL_CACHE.clear()
+    try:
+        d = render.render_document(42, 0)
+        out = stages.extract_document(png.encode_png(d["img"]), "u", d["lang"], d["text"])
+        assert out["cer"] == 0.0
+    finally:
+        stages._MODEL_CACHE.clear()
+
+
 # ---------------------------------------------------------------- multipage
 def test_multipage_roundtrip_and_pdf_stub():
     pages = [b"page-one-bytes", b"page-two", b""]
