@@ -257,3 +257,35 @@ def test_streaming_stateful_first_seen_dedup(spark):
         docs.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring join key pre-co-locates the data:
+    the physical plan for the join contains NO Exchange on either side —
+    the shuffle-minimization pattern the 100 TB pipeline uses for repeated
+    lineitem/orders-shaped joins (bucket(url) in the Iceberg spec)."""
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    # disable auto-broadcast so the planner must use the bucketed layout
+    # (at real scale neither side broadcasts; here the test tables are tiny)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        n = joined.count()
+        assert n == l.count()  # every lineitem has its order
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
