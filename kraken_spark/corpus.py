@@ -20,15 +20,16 @@ BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)  # pinned clock (FIXTURES.md
 DEFAULT_SEED = 42
 
 
-def _render_rows(seed: int, indices: list[int]) -> pa.RecordBatch:
+def _render_rows(seed: int, indices: list[int], curved: bool = False) -> pa.RecordBatch:
     # kernels imported lazily so Spark workers pay import cost once
     from .kernels import png, render
 
     urls, ts, html, text, lang = [], [], [], [], []
     base_us = int(BASE_TS.timestamp() * 1_000_000)
+    kind = "curved" if curved else "page"
     for i in indices:
-        d = render.render_document(seed, i)
-        urls.append(f"https://example.org/{d['lang']}/page-{i:08d}")
+        d = (render.render_curved_document if curved else render.render_document)(seed, i)
+        urls.append(f"https://example.org/{d['lang']}/{kind}-{i:08d}")
         ts.append(base_us + i * 1_000_000)
         html.append(png.encode_png(d["img"]))
         text.append(d["text"])
@@ -50,7 +51,7 @@ def generate_corpus_table(n_docs: int, seed: int = DEFAULT_SEED) -> pa.Table:
     return pa.Table.from_batches([_render_rows(seed, list(range(n_docs)))])
 
 
-def generate_corpus_df(spark, n_docs: int, seed: int = DEFAULT_SEED, partitions: int | None = None):
+def generate_corpus_df(spark, n_docs: int, seed: int = DEFAULT_SEED, partitions: int | None = None, curved: bool = False):
     """Distributed generation: one task per slice of doc indices."""
     partitions = partitions or min(n_docs, spark.sparkContext.defaultParallelism * 2)
 
@@ -59,7 +60,7 @@ def generate_corpus_df(spark, n_docs: int, seed: int = DEFAULT_SEED, partitions:
             ids = b.column("id").to_pylist()
             # render in small chunks to bound batch memory (~100 KB/page PNG)
             for k in range(0, len(ids), 32):
-                yield _render_rows(seed, ids[k : k + 32])
+                yield _render_rows(seed, ids[k : k + 32], curved)
 
     return (
         spark.range(n_docs)

@@ -56,10 +56,14 @@ def build_segmenter() -> VGSLModel:
     Class 1 (region): 7x7 ink density above ~9% of the window."""
     model = VGSLModel(SEG_SPEC)
     w = np.zeros((2, 1, 7, 7), dtype=np.float32)
-    w[0, 0, 0:4, :] = 1.0   # center row + 3 above
-    w[0, 0, 4:7, :] = -4.0  # 3 rows below
+    # baseline detector restricted to the 3 CENTER columns: on curved lines
+    # a wide window mixes neighboring glyphs at different vertical offsets
+    # (their ink lands "below" the center cell and vetoes the response);
+    # within +/-1 column the local offset change is < 1 px
+    w[0, 0, 0:4, 2:5] = 1.0   # center row + 3 above
+    w[0, 0, 4:7, 2:5] = -4.0  # 3 rows below
     b = np.zeros(2, dtype=np.float32)
-    b[0] = -6.0  # fire when >= ~6 uncontested ink px above
+    b[0] = -2.5  # fire when >= ~3 uncontested ink px above
     w[1, 0, :, :] = 1.0
     b[1] = -4.5  # fire when >= ~5 ink px in the window
     model.weights["conv0.w"] = w
@@ -132,6 +136,8 @@ def vectorize_lines(bl_map: np.ndarray, threshold: float = 0.5, min_len: int = 2
     hot = bl_map > threshold
     # closing along x: fill gaps, preserve extents
     hot = binary_erosion_sep(binary_dilation_sep(hot, 1, GAP_BRIDGE_X), 1, GAP_BRIDGE_X)
+    # small vertical dilation so gently sloped responses stay connected
+    hot = binary_dilation_sep(hot, 3, 1)
     labels, n = label(hot)
     out = []
     for li, (y0, x0, y1, x1) in enumerate(find_objects(labels, n), start=1):
@@ -139,27 +145,94 @@ def vectorize_lines(bl_map: np.ndarray, threshold: float = 0.5, min_len: int = 2
             continue
         sub = labels[y0:y1, x0:x1] == li
         ys, xs = np.nonzero(sub)
-        # per-column center fit
+        # per-column BOTTOM fit: the baseline is the lowest response of its
+        # band, so taking the column maximum ignores mid-band phantom rows
+        # that connected into the component (sparse strokes can fire the
+        # detector above the true baseline)
         order = np.argsort(xs, kind="stable")
         xs, ys = xs[order], ys[order]
         ux, starts = np.unique(xs, return_index=True)
-        sums = np.add.reduceat(ys.astype(np.float64), starts)
-        counts = np.diff(np.append(starts, len(ys)))
-        cy = sums / counts
+        cy = np.maximum.reduceat(ys, starts).astype(np.float64)
         pts = np.stack([ux + x0, cy + y0], axis=1)
         simp = approximate_polygon(pts, tolerance=3.0)
         out.append([[int(round(px)), int(round(py))] for px, py in simp])
     return out
 
 
-def suppress_phantom_baselines(
-    baselines: list[list[list[int]]], y_radius: int = 6
+def _facing_anchor(frag: list[list[int]], from_end: bool, radius: int = 20) -> float:
+    """Robust y-anchor at a fragment's facing end: the MAXIMUM y (lowest
+    point) among points within `radius` px of the end. Detector artifacts
+    only ever deviate UPWARD from the true baseline (the baseline is the
+    lowest response of its band), so max-y is outlier-immune."""
+    x_face = frag[-1][0] if from_end else frag[0][0]
+    ys = [y for x, y in frag if abs(x - x_face) <= radius]
+    return float(max(ys))
+
+
+def join_baseline_fragments(
+    baselines: list[list[list[int]]],
+    max_gap_x: int = 30,
+    max_dy: float = 6.0,
+    ink_small: np.ndarray | None = None,
+    max_gap_far: int = 60,
 ) -> list[list[list[int]]]:
-    """Drop a baseline when a LONGER baseline overlaps >=80% of its x-range
-    within y_radius rows — sparse stroke patterns can fire the band-bottom
-    detector mid-band, producing a short phantom above the true baseline
-    (the analog of the reference's suppression of sub-threshold duplicate
-    responses in vectorize_lines)."""
+    """Join polyline fragments across x-gaps when their facing-end anchors
+    agree vertically — the explicit polyline-level analog of the
+    reference's minimum-cost-path endpoint joining (LineMCP,
+    lib/segmentation.py:293-313,353-381). Anchors are max-y over the facing
+    40 px (see _facing_anchor), so upward detector outliers at fragment
+    tips cannot block a join, while mid-band phantom fragments (entirely
+    5+ px above the true baseline) still fail the dy test."""
+    frags = [sorted(([int(x), int(y)] for x, y in bl), key=lambda p: p[0]) for bl in baselines]
+    frags.sort(key=lambda f: f[0][0])
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(frags)):
+            for j in range(len(frags)):
+                if i == j:
+                    continue
+                a, b = frags[i], frags[j]
+                if a[-1][0] <= b[0][0]:  # a ends before b starts
+                    gap = b[0][0] - a[-1][0]
+                    limit = max_gap_far if ink_small is not None else max_gap_x
+                    if not (0 <= gap <= limit):
+                        continue
+                    ya = _facing_anchor(a, True)
+                    yb = _facing_anchor(b, False)
+                    dy = abs(ya - yb)
+                    if gap > max_gap_x:
+                        # far joins (runs of glyphs that never touch the
+                        # baseline leave long response gaps) need ink
+                        # EVIDENCE in the gap band; a column gutter has
+                        # none, so columns can never merge
+                        ymid = int((ya + yb) / 2)
+                        box = ink_small[
+                            max(ymid - 8, 0) : ymid + 2, a[-1][0] : b[0][0]
+                        ]
+                        if box.size == 0 or box.sum() < 0.1 * box.shape[1]:
+                            continue
+                    if dy <= max_dy:
+                        frags[i] = a + b
+                        del frags[j]
+                        merged = True
+                        break
+            if merged:
+                break
+    return frags
+
+
+def suppress_phantom_baselines(
+    baselines: list[list[list[int]]], y_radius: int = 7
+) -> list[list[list[int]]]:
+    """Drop a baseline when ANOTHER baseline covers >=80% of its x-range
+    no more than y_radius rows BELOW it: sparse stroke patterns fire the
+    band-bottom detector mid-band, and the true baseline is by definition
+    the lowest response of its band, so the upper of two stacked
+    overlapping baselines is the phantom (the analog of the reference's
+    suppression of duplicate sub-threshold responses in vectorize_lines).
+    y_radius (heatmap px) stays below the inter-line pitch so a real line
+    can never suppress its neighbor."""
     spans = []
     for bl in baselines:
         xs = [p[0] for p in bl]
@@ -170,9 +243,9 @@ def suppress_phantom_baselines(
         li = x1 - x0
         phantom = False
         for j, (u0, u1, v) in enumerate(spans):
-            if j == i or (u1 - u0) <= li:
+            if j == i:
                 continue
-            if abs(v - y) <= y_radius:
+            if 0.0 < v - y <= y_radius:  # j sits BELOW i within the band
                 overlap = min(x1, u1) - max(x0, u0)
                 if overlap >= 0.8 * max(li, 1):
                     phantom = True
@@ -215,6 +288,9 @@ def polygonize_line(
     ys = [p[1] for p in baseline]
     h, w = mask.shape
     yb = max(ys)
+    # curved baselines: the band spans the glyph height PLUS the baseline's
+    # own vertical excursion — widen the search window accordingly
+    max_height = max_height + (max(ys) - min(ys))
     gx0 = max(min(xs) - x_pad, 0)
     gx1 = min(max(xs) + 1 + x_pad, w)
     gy0 = max(yb - max_height, 0)
@@ -247,8 +323,19 @@ def segment_blla(
     model = model or build_segmenter()
     rl = text_direction.endswith("rl")
     heat = compute_segmentation_map(mask, model)
+    # vectorize with a tiny length floor so curved-line fragments survive
+    # until the join pass; the real minimum applies post-join
+    h2, w2 = mask.shape[0] // DOWNSCALE, mask.shape[1] // DOWNSCALE
+    ink_small = (
+        mask[: h2 * DOWNSCALE, : w2 * DOWNSCALE]
+        .reshape(h2, DOWNSCALE, w2, DOWNSCALE)
+        .max(axis=(1, 3))
+    )
+    raw = vectorize_lines(heat[0], min_len=8)
+    joined = join_baseline_fragments(raw, ink_small=ink_small)
+    joined = [bl for bl in joined if bl[-1][0] - bl[0][0] >= 20]
     baselines = scale_polygonal_lines(
-        suppress_phantom_baselines(vectorize_lines(heat[0])), DOWNSCALE
+        suppress_phantom_baselines(joined), DOWNSCALE
     )
     region_polys = scale_polygonal_lines(vectorize_regions(heat[1]), DOWNSCALE)
 

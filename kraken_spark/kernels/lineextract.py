@@ -72,3 +72,55 @@ def _is_rect(boundary: list[list[int]], bbox: list[int]) -> bool:
     xs = {p[0] for p in boundary}
     ys = {p[1] for p in boundary}
     return xs == {bbox[0], bbox[2]} and ys == {bbox[1], bbox[3]}
+
+
+def extract_line_dewarped(
+    ink: np.ndarray, line: dict, cell_w: int = 32, target_h: int = 14
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Extract a CURVED line as a straightened strip: the bbox crop is
+    split into glyph-cell columns (the corpus cell pitch), each cell is
+    shifted vertically so its ink bottom lands on row target_h - 1, and
+    the strip is cropped to target_h rows.
+
+    The piecewise-translation analog of the reference's bevelled mesh warp
+    (extract_polygons, /root/reference/kraken/lib/segmentation.py:1424-1643):
+    the warp is piecewise per quad there, piecewise per cell here, and both
+    resample the source band onto a straight strip. Exact for the corpus
+    because glyphs are drawn with per-cell integer offsets.
+    """
+    strip, (x0, y0) = extract_line(ink, line)
+    h, w = strip.shape
+    if h == 0 or w == 0:
+        return strip, (x0, y0)
+    # pass 1: per-cell ink bottom; cells whose glyph does not touch the
+    # baseline (dashes, apostrophes) yield a too-high bottom, detected in
+    # pass 2 as outliers vs their smooth neighbors and re-interpolated
+    n_cells = -(-w // cell_w)
+    bots = np.full(n_cells, -1, dtype=np.int64)
+    for k in range(n_cells):
+        cell = strip[:, k * cell_w : min((k + 1) * cell_w, w)]
+        rows = np.nonzero(cell.any(axis=1))[0]
+        if len(rows):
+            bots[k] = int(rows[-1])
+    have = np.nonzero(bots >= 0)[0]
+    if len(have) == 0:
+        return np.zeros((target_h, w), dtype=np.uint8), (x0, y0)
+    # the true band bottom is the upper envelope of neighboring bottoms:
+    # a floating glyph sits strictly above its neighbors' smooth curve
+    ref = np.interp(np.arange(n_cells), have, bots[have])
+    for _ in range(2):  # two refinement sweeps
+        good = np.nonzero((bots >= 0) & (bots >= ref - 2))[0]
+        if len(good) == 0:
+            break
+        ref = np.interp(np.arange(n_cells), good, bots[good])
+    bot_final = np.round(ref).astype(np.int64)
+    out = np.zeros((target_h, w), dtype=np.uint8)
+    for k in range(n_cells):
+        c0, c1 = k * cell_w, min((k + 1) * cell_w, w)
+        if bots[k] < 0:
+            continue
+        bot = int(bot_final[k])
+        top = max(bot + 1 - target_h, 0)
+        block = strip[top : bot + 1, c0:c1]
+        out[target_h - block.shape[0] :, c0:c1] = block
+    return out, (x0, y0)

@@ -211,3 +211,77 @@ def render_document(seed: int, doc_idx: int) -> dict:
         "lines": ordered,
         "regions": regions,
     }
+
+
+def render_curved_document(seed: int, doc_idx: int) -> dict:
+    """Curved-baseline page variant: every line's glyphs follow a sinusoidal
+    baseline (per-CELL integer offsets), exercising the polygonal line
+    machinery the straight corpus never needs — BLLA polyline baselines
+    (/root/reference/kraken/lib/segmentation.py:316-419) and piecewise
+    dewarping extraction (the reference's mesh warp,
+    lib/segmentation.py:1424-1643). Single column; same GT contract as
+    render_document plus 'amplitude'."""
+    rng = doc_rng(seed ^ 0x5EED, doc_idx)
+    lang = LANGS[doc_idx % len(LANGS)]
+    base_dir = "R" if lang == "ar" else "L"
+    pool = _POOLS[lang]
+    w, h = PAGE_SIZE
+    amp = int(rng.integers(4, 9))  # 4..8 px, < line lead so bands stay apart
+    wavelen = float(rng.integers(300, 700))
+    phase = float(rng.uniform(0, 2 * np.pi))
+
+    usable_w = w - 2 * MARGIN
+    max_cells = (usable_w - GLYPH_W) // CELL_W + 1
+    pitch = LINE_PITCH + 2 * amp  # keep curved bands separated
+    max_lines = (h - 2 * MARGIN) // pitch
+    n_lines = int(rng.integers(8, min(20, max_lines) + 1))
+
+    ink = np.zeros((h, w), dtype=np.uint8)
+    lines: list[dict] = []
+    for li in range(n_lines):
+        text = _make_line_text(rng, pool, max_cells)
+        visual = text[::-1] if base_dir == "R" else text
+        x0 = MARGIN
+        y0 = MARGIN + amp + li * pitch
+        baseline_pts = []
+        for k, ch in enumerate(visual):
+            gx = x0 + k * CELL_W
+            off = int(round(amp * np.sin(2 * np.pi * (gx - x0) / wavelen + phase)))
+            if ch != " ":
+                ink[y0 + off : y0 + off + GLYPH_H, gx : gx + GLYPH_W] |= glyph_ink(ord(ch))
+            baseline_pts.append([gx, y0 + off + GLYPH_H - 1])
+        ncells = len(visual)
+        bbox = [x0, y0 - amp, x0 + CELL_W * (ncells - 1) + GLYPH_W, y0 + amp + GLYPH_H]
+        lines.append(
+            {
+                "text": text,
+                "visual": visual,
+                "bbox": bbox,
+                "baseline": baseline_pts,
+                "col": 0,
+                "line_in_col": li,
+                "rank": li,
+            }
+        )
+
+    gy = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
+    gx2 = np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :]
+    bg = 205.0 + 45.0 * gx2 - 35.0 * gy
+    noise = _smooth_noise(rng, h, w, cell=16, std=7.0)
+    page = bg + noise
+    ink_val = 35.0 + 1.3 * noise
+    page = np.where(ink.astype(bool), ink_val, page)
+    img = np.clip(page, 0, 255).astype(np.uint8)
+
+    return {
+        "img": img,
+        "ink": ink,
+        "text": "\n".join(l["text"] for l in lines),
+        "lang": lang,
+        "base_dir": base_dir,
+        "ncols": 1,
+        "oversized": False,
+        "amplitude": amp,
+        "lines": lines,
+        "regions": [],
+    }

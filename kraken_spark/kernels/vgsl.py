@@ -41,7 +41,7 @@ import numpy as np
 _ACT = {
     "r": lambda x: np.maximum(x, 0.0),
     "l": lambda x: x,
-    "s": lambda x: 1.0 / (1.0 + np.exp(-x)),
+    "s": lambda x: 1.0 / (1.0 + np.exp(-np.clip(x, -60.0, 60.0))),
     "t": np.tanh,
     "m": lambda x: _softmax(x, axis=0),
 }

@@ -106,9 +106,31 @@ def x_extract_blla(spark, sf):
     ).orderBy("url")
 
 
+def x_extract_curved(spark, sf):
+    """Curved-baseline OCR end-to-end: a sinusoidal-baseline corpus variant
+    segmented with the neural path (polyline baselines) and extracted with
+    piecewise per-cell dewarping (kernels/lineextract.extract_line_dewarped
+    — the reference's polygonal mesh-warp role, lib/segmentation.py:
+    1424-1643). CER is 0 on >80% of pages and <1% average on the rest
+    (residual split/merge corner cases at amplitude 7-8; asserted in
+    tests/test_pipeline_spark.py)."""
+    from ..corpus import generate_corpus_df
+
+    docs = generate_corpus_df(spark, _n_docs(sf) // 2, curved=True)
+    ext = plan_extraction(
+        docs,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        segmenter="blla_curved",
+    )
+    return ext.select(
+        "url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"
+    ).orderBy("url")
+
+
 QUERIES = {
     "x_extract_text": (x_extract_text, None),
     "x_extract_blla": (x_extract_blla, None),
+    "x_extract_curved": (x_extract_curved, None),
     "x_extract_lines": (x_extract_lines, None),
     "x_extract_regions": (x_extract_regions, None),
     "x_extract_cer_report": (x_extract_cer_report, None),

@@ -107,14 +107,20 @@ def extract_document(
         out["n_px"] = int(img.size)
         out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
         mask = binarize.nlbin(img)
-        if segmenter == "blla":
+        if segmenter in ("blla", "blla_curved"):
             from .kernels import blla
 
             seg = blla.segment_blla(mask, url=url, text_direction=text_direction)
         else:
             seg = pageseg.segment(mask, url=url, text_direction=text_direction)
         out["guard_tripped"] = seg["guard_tripped"]
-        strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
+        if segmenter == "blla_curved":
+            # curved baselines: piecewise per-cell dewarp to straight strips
+            strips = [
+                lineextract.extract_line_dewarped(mask, l)[0] for l in seg["lines"]
+            ]
+        else:
+            strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
         records = recognize_page(model, codec, strips, base_dir=base_dir)
         lines = []
         for l, r in zip(seg["lines"], records):

@@ -164,6 +164,19 @@ def test_blla_extraction_byte_identical(spark):
         assert r.n_lines > 0 and r.n_regions > 0
 
 
+def test_curved_extraction_quality(spark):
+    """Curved-baseline pages through blla + per-cell dewarp: most pages
+    byte-identical; the residual (steep-amplitude split/merge corner cases)
+    stays under 1.5% CER."""
+    docs = generate_corpus_df(spark, 10, curved=True)
+    rows = plan_extraction(docs, num_partitions=2, segmenter="blla_curved").collect()
+    assert len(rows) == 10
+    cers = [r.cer for r in rows]
+    assert sum(1 for c in cers if c == 0.0) >= 8
+    assert max(cers) < 0.015
+    assert not any(r.guard_tripped for r in rows)
+
+
 def test_weight_salt_separates_heavy_pages(spark):
     """Heavy pages (> HEAVY_BYTES payload) must salt into the dedicated
     bucket space [n, n + n//4); normal pages into [0, n)."""
