@@ -54,7 +54,13 @@ def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
 
 
 def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: tuple[int, int], pad: str) -> np.ndarray:
-    """x: (C,H,W); w: (O,C,kh,kw); returns (O,H',W'). im2col + tensordot."""
+    """x: (C,H,W); w: (O,C,kh,kw); returns (O,H',W').
+
+    Two execution strategies: a shifted-tap accumulation loop when the
+    nonzero-tap x output-channel count is small (page-sized heatmap convs —
+    the sliding-window tensordot would materialize an O(H*W*kh*kw) window
+    tensor, ~92 MB for a 7x7 over a half-res page), else im2col +
+    tensordot (recognizer convs: many output channels, small strips)."""
     c, h, wid = x.shape
     o, _, kh, kw = w.shape
     sh, sw = stride
@@ -64,6 +70,23 @@ def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: tuple[int, int]
         h, wid = x.shape[1], x.shape[2]
     if h < kh or wid < kw:
         return np.zeros((o, 0, 0), dtype=np.float32)
+    oh = (h - kh) // sh + 1
+    ow = (wid - kw) // sw + 1
+    nonzero_taps = int((w != 0).any(axis=0).sum())
+    if nonzero_taps * o <= 128:
+        out = np.zeros((o, oh, ow), dtype=np.float32)
+        xf = x.astype(np.float32, copy=False)
+        for ci in range(c):
+            for dy in range(kh):
+                for dx in range(kw):
+                    col = w[:, ci, dy, dx]
+                    if not col.any():
+                        continue
+                    patch = xf[ci, dy : dy + oh * sh : sh, dx : dx + ow * sw : sw]
+                    for oi in range(o):
+                        if col[oi] != 0.0:
+                            out[oi] += col[oi] * patch
+        return out + b[:, None, None].astype(np.float32)
     win = np.lib.stride_tricks.sliding_window_view(x, (kh, kw), axis=(1, 2))
     win = win[:, ::sh, ::sw]  # (C, H', W', kh, kw)
     out = np.tensordot(w, win, axes=([1, 2, 3], [0, 3, 4]))  # (O, H', W')
