@@ -172,7 +172,7 @@ def _facing_anchor(frag: list[list[int]], from_end: bool, radius: int = 20) -> f
 def join_baseline_fragments(
     baselines: list[list[list[int]]],
     max_gap_x: int = 30,
-    max_dy: float = 6.0,
+    max_dy: float = 7.0,
     ink_small: np.ndarray | None = None,
     max_gap_far: int = 60,
 ) -> list[list[list[int]]]:
