@@ -12,9 +12,10 @@ segmenter (/root/reference/kraken/blla.py:59-508,
    a bottom-edge detector for the baseline class and a local-density box
    kernel for the region class, built as ordinary VGSL conv weights.
 2. vectorize the baseline heatmap into polylines — `vectorize_lines`
-   (lib/segmentation.py:316-419); connected components of the thresholded
-   map -> per-column center fit -> Douglas-Peucker simplification
-   (the skeleton/MCP machinery collapses for 1-px-thin responses).
+   (lib/segmentation.py:316-419): threshold -> x-closing + small y-dilation
+   -> connected components -> per-column BOTTOM fit -> Douglas-Peucker;
+   fragments are then joined across gaps (join_baseline_fragments, the
+   LineMCP analog) and mid-band phantoms suppressed (lower-wins).
 3. vectorize the region heatmap into boundary polygons —
    `vectorize_regions` (lib/segmentation.py:422-449).
 4. polygonize each baseline into a bounding envelope against the ink
@@ -84,7 +85,6 @@ def compute_segmentation_map(mask: np.ndarray, model: VGSLModel) -> np.ndarray:
     x = small.astype(np.float32)[None]  # {0,1} ink coding
     # forward() returns (T, C) for output-less specs via reshape; we need the
     # raw (C, H', W') map, so run the conv layer directly
-    layer = model.layers[0]
     from .vgsl import _ACT, _conv2d
 
     act = _conv2d(x, model.weights["conv0.w"], model.weights["conv0.b"], (1, 1), "same")
