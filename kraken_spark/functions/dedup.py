@@ -30,6 +30,13 @@ def t(spark: SparkSession, sf_dir: str, name: str = "documents"):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# per-document shingle budget: a pathological multi-MB document must not
+# explode into millions of shuffle rows (the row-blowup guard for the
+# 100 TB corpus); similarity estimates over the first 100k chars are
+# statistically identical for dedup purposes
+MAX_SHINGLE_CHARS = 100_000
+
+
 def _shingles(spark, sf, distinct: bool = True):
     """(doc_id, shingle) char-7-gram pairs; distinct unless the consumer is
     duplicate-insensitive (min-hash is: min() over duplicates is identical,
@@ -39,7 +46,8 @@ def _shingles(spark, sf, distinct: bool = True):
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(text) - 6, 1)), i -> substr(text, i, 7))"
+                f"transform(sequence(1, greatest(least(length(text), {MAX_SHINGLE_CHARS}) - 6, 1)),"
+                " i -> substr(text, i, 7))"
             )
         ).alias("shingle"),
     )
@@ -50,7 +58,7 @@ _SHINGLES_ALL_CTE = """
 shingles AS (
   SELECT doc_id, s AS shingle
   FROM documents,
-       LATERAL unnest(list_transform(generate_series(1, greatest(length(text) - 6, 1)),
+       LATERAL unnest(list_transform(generate_series(1, greatest(least(length(text), 100000) - 6, 1)),
                                      i -> substr(text, i, 7))) AS u(s))
 """
 
@@ -58,7 +66,7 @@ _SHINGLES_CTE = """
 shingles AS (
   SELECT DISTINCT doc_id, s AS shingle
   FROM documents,
-       LATERAL unnest(list_transform(generate_series(1, greatest(length(text) - 6, 1)),
+       LATERAL unnest(list_transform(generate_series(1, greatest(least(length(text), 100000) - 6, 1)),
                                      i -> substr(text, i, 7))) AS u(s))
 """
 
