@@ -302,3 +302,24 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE b_orders")
     spark.sql("DROP TABLE b_lineitem")
     shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_extraction_plan_has_single_shuffle(spark):
+    """The extraction pipeline is map-only per url: exactly ONE Exchange
+    (the explicit weight-salted repartition) may appear in the physical
+    plan — a regression here means an accidental extra shuffle that would
+    dominate at 100 TB."""
+    tmp = tempfile.mkdtemp(prefix="ks_plan_")
+    try:
+        generate_corpus_df(spark, 4).write.mode("overwrite").parquet(f"{tmp}/in")
+        docs = spark.read.parquet(f"{tmp}/in")
+        plan = (
+            plan_extraction(docs, num_partitions=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan[:2000]
+        assert "MapInArrow" in plan, plan[:1500]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
