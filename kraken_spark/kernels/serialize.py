@@ -166,13 +166,30 @@ def to_alto(row, created: str = PINNED_CREATED) -> str:
                 f'WIDTH="{lw}" HEIGHT="{lh}" BASELINE={quoteattr(bl)}>\n'
             )
             ws = words_of(l)
+            have_glyphs = len(l["cuts"]) >= len(l["prediction"]) and len(
+                l["confidences"]
+            ) >= len(l["prediction"])
             for k, wd in enumerate(ws):
                 wx, wy, ww, wh2 = _wh(wd["bbox"])
                 parts.append(
                     f'\t\t\t\t\t\t<String CONTENT={quoteattr(wd["text"])} '
                     f'HPOS="{wx}" VPOS="{wy}" WIDTH="{ww}" HEIGHT="{wh2}" '
-                    f'WC="{wd["conf"]:.4f}"/>\n'
+                    f'WC="{wd["conf"]:.4f}"'
                 )
+                if have_glyphs:
+                    parts.append(">\n")
+                    # per-codepoint Glyph children with GC confidences
+                    # (templates/alto Glyph elements; cuts give the x-span)
+                    for ci in range(wd["start"], wd["end"]):
+                        gx0, gx1 = l["cuts"][ci]
+                        parts.append(
+                            f'\t\t\t\t\t\t\t<Glyph CONTENT={quoteattr(l["prediction"][ci])} '
+                            f'HPOS="{int(gx0)}" VPOS="{wy}" WIDTH="{int(gx1 - gx0)}" '
+                            f'HEIGHT="{wh2}" GC="{l["confidences"][ci]:.4f}"/>\n'
+                        )
+                    parts.append("\t\t\t\t\t\t</String>\n")
+                else:
+                    parts.append("/>\n")
                 if k < len(ws) - 1:
                     gap_x = wx + ww
                     parts.append(f'\t\t\t\t\t\t<SP HPOS="{gap_x}" VPOS="{wy}"/>\n')

@@ -323,3 +323,38 @@ def test_extraction_plan_has_single_shuffle(spark):
         assert "MapInArrow" in plan, plan[:1500]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_alto_glyph_elements(ext_rows):
+    """ALTO output carries per-codepoint Glyph children with GC confidences
+    (the reference's templates/alto Glyph/GC surface)."""
+    import xml.etree.ElementTree as ET
+
+    from kraken_spark.kernels.serialize import serialize
+
+    r = ext_rows[0].asDict(recursive=True)
+    root = ET.fromstring(serialize(r, "alto").encode("utf-8"))
+    glyphs = [el for el in root.iter() if el.tag.rsplit("}", 1)[-1] == "Glyph"]
+    n_nonspace = sum(
+        1 for l in r["lines"] for ch in l["prediction"] if not ch.isspace()
+    )
+    assert len(glyphs) == n_nonspace
+    assert all(0.0 <= float(g.get("GC")) <= 1.0 for g in glyphs)
+    # round-trip still intact (String CONTENT unchanged)
+    from kraken_spark.kernels.xmlparse import parse_alto
+
+    seg = parse_alto(serialize(r, "alto").encode("utf-8"))
+    assert [l["text"] for l in seg["lines"]] == [l["prediction"] for l in r["lines"]]
+
+
+def test_rgb_page_extraction(spark):
+    """RGB page payloads decode through the luma path and extract exactly."""
+    import numpy as np
+
+    from kraken_spark.kernels import png, render
+    from kraken_spark.stages import extract_document
+
+    d = render.render_document(42, 0)
+    rgb = np.stack([d["img"]] * 3, axis=-1)
+    out = extract_document(png.encode_png(rgb), "u", d["lang"], d["text"])
+    assert out["cer"] == 0.0 and not out["guard_tripped"]
