@@ -248,8 +248,39 @@ def x_forced_align(spark, sf):
     )
 
 
+def x_page_knn(spark, sf):
+    """kNN over the pipeline's OWN page embeddings: decode -> 64-dim tile
+    embedding -> brute-force cosine top-3 per page (zip_with/aggregate,
+    JVM-side). Connects the multimodal feature extractor to the similarity
+    operators over real page data (tile embeddings capture layout/ink
+    density, so neighbors share page structure)."""
+    emb = x_doc_embeddings(spark, sf)
+    dot = (
+        "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    a = emb.select(
+        F.col("url").alias("a_url"), F.col("lang").alias("a_lang"), F.col("embedding").alias("a_emb")
+    )
+    b = emb.select(
+        F.col("url").alias("b_url"), F.col("lang").alias("b_lang"), F.col("embedding").alias("b_emb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("a_url") != F.col("b_url"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_url").orderBy(F.desc("cos"), "b_url")
+    return (
+        pairs.withColumn("cos", F.round(F.expr(dot), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("a_url", "a_lang", "b_url", "b_lang", "cos", "rk")
+        .orderBy("a_url", "rk")
+    )
+
+
 QUERIES = {
     "x_doc_embeddings": (x_doc_embeddings, None),
+    "x_page_knn": (x_page_knn, None),
     "x_thumbnails": (x_thumbnails, None),
     "x_phash_dedup": (x_phash_dedup, None),
     "x_forced_align": (x_forced_align, None),
