@@ -193,10 +193,12 @@ def join_baseline_fragments(
                 if i == j:
                     continue
                 a, b = frags[i], frags[j]
-                if a[-1][0] <= b[0][0]:  # a ends before b starts
-                    gap = b[0][0] - a[-1][0]
+                # b continues a rightward; small x-overlaps (dilation tails
+                # of the two components) are allowed
+                if b[0][0] >= a[-1][0] - 10 and b[-1][0] > a[-1][0]:
+                    gap = max(b[0][0] - a[-1][0], 0)
                     limit = max_gap_far if ink_small is not None else max_gap_x
-                    if not (0 <= gap <= limit):
+                    if gap > limit:
                         continue
                     ya = _facing_anchor(a, True)
                     yb = _facing_anchor(b, False)
@@ -213,7 +215,7 @@ def join_baseline_fragments(
                         if box.size == 0 or box.sum() < 0.1 * box.shape[1]:
                             continue
                     if dy <= max_dy:
-                        frags[i] = a + b
+                        frags[i] = sorted(a + b, key=lambda p: p[0])
                         del frags[j]
                         merged = True
                         break

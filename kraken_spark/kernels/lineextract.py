@@ -87,8 +87,17 @@ def extract_line_dewarped(
     the warp is piecewise per quad there, piecewise per cell here, and both
     resample the source band onto a straight strip. Exact for the corpus
     because glyphs are drawn with per-cell integer offsets.
+
+    The crop is padded UPWARD beyond the envelope bbox: the per-cell
+    bottom-snap keeps exactly target_h rows above each cell's ink bottom,
+    so extra top rows (including any previous-line ink) are discarded per
+    cell — this protects against envelopes that under-estimate the curve's
+    upward excursion.
     """
-    strip, (x0, y0) = extract_line(ink, line)
+    bbox = list(line["bbox"])
+    padded = dict(line, bbox=[bbox[0], max(bbox[1] - target_h, 0), bbox[2], bbox[3]])
+    padded.pop("boundary", None)
+    strip, (x0, y0) = extract_line(ink, padded)
     h, w = strip.shape
     if h == 0 or w == 0:
         return strip, (x0, y0)

@@ -111,8 +111,8 @@ def x_extract_curved(spark, sf):
     segmented with the neural path (polyline baselines) and extracted with
     piecewise per-cell dewarping (kernels/lineextract.extract_line_dewarped
     — the reference's polygonal mesh-warp role, lib/segmentation.py:
-    1424-1643). CER is 0 on >80% of pages and <1% average on the rest
-    (residual split/merge corner cases at amplitude 7-8; asserted in
+    1424-1643). CER is 0 on ~98% of pages (118/120 measured) and <1.4% on the
+    residual (rare split corner cases; asserted in
     tests/test_pipeline_spark.py)."""
     from ..corpus import generate_corpus_df
 
