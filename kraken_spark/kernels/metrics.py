@@ -57,3 +57,9 @@ def wer(reference: str, hypothesis: str) -> float:
         if wd not in vocab:
             vocab[wd] = chr(0xE000 + len(vocab))  # private-use code points
     return levenshtein("".join(vocab[w] for w in rw), "".join(vocab[w] for w in hw)) / len(rw)
+
+
+def cer_case_insensitive(reference: str, hypothesis: str) -> float:
+    """Case-insensitive CER (the reference tracks it alongside CER,
+    /root/reference/kraken/train/vgsl.py:378-457)."""
+    return cer(reference.casefold(), hypothesis.casefold())

@@ -98,3 +98,71 @@ def component_stats(mask: np.ndarray) -> dict:
         "n_components": int(n),
         "median_sqrt_area": float(np.median(np.sqrt(areas))),
     }
+
+
+def propagate_labels(mask: np.ndarray, seeds: np.ndarray, conflict: int = 0) -> np.ndarray:
+    """Propagate seed labels through the connected components of mask;
+    components containing more than one distinct seed label get `conflict`
+    (the reference's propagate_labels, /root/reference/kraken/lib/
+    morph.py:104-120)."""
+    labels, n = label(mask)
+    out = np.zeros_like(seeds)
+    if n == 0:
+        return out
+    comp = labels.ravel()
+    sd = seeds.ravel()
+    hit = sd != 0
+    comp_hit = comp[hit]
+    seed_hit = sd[hit]
+    assign = {}
+    for c, s in zip(comp_hit.tolist(), seed_hit.tolist()):
+        if c == 0:
+            continue
+        if c in assign and assign[c] != s:
+            assign[c] = conflict
+        else:
+            assign.setdefault(c, s)
+    lut = np.zeros(n + 1, dtype=seeds.dtype)
+    for c, s in assign.items():
+        lut[c] = s
+    return lut[labels]
+
+
+def spread_labels(labels: np.ndarray, maxdist: int | None = None) -> np.ndarray:
+    """Assign each background pixel the label of its nearest labeled pixel
+    (chamfer/BFS distance), optionally capped at maxdist — the reference's
+    EDT-based spread_labels (/root/reference/kraken/lib/morph.py:83-92)."""
+    from collections import deque
+
+    h, w = labels.shape
+    out = labels.copy()
+    dist = np.where(labels != 0, 0, -1).astype(np.int32)
+    q = deque(zip(*np.nonzero(labels)))
+    while q:
+        y, x = q.popleft()
+        d = dist[y, x]
+        if maxdist is not None and d >= maxdist:
+            continue
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and dist[ny, nx] == -1:
+                dist[ny, nx] = d + 1
+                out[ny, nx] = out[y, x]
+                q.append((ny, nx))
+    return out
+
+
+def select_regions(mask: np.ndarray, score, min_score: float = 0.0, nbest: int = 100000) -> np.ndarray:
+    """Keep the nbest components by score(slice_bbox) with score > min_score
+    (the reference's select_regions, /root/reference/kraken/lib/
+    morph.py:122-136); score takes (y0, x0, y1, x1)."""
+    labels, n = label(mask)
+    if n == 0:
+        return np.zeros_like(mask)
+    boxes = find_objects(labels, n)
+    scores = [(score(b), i + 1) for i, b in enumerate(boxes)]
+    keep = {i for s, i in sorted(scores, reverse=True)[:nbest] if s > min_score}
+    lut = np.zeros(n + 1, dtype=np.uint8)
+    for i in keep:
+        lut[i] = 1
+    return lut[labels]

@@ -318,3 +318,38 @@ def test_end_to_end_byte_identical(doc_idx):
     strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
     recs = recognize_page(model, codec, strips, base_dir=d["base_dir"])
     assert "\n".join(r["prediction"] for r in recs) == d["text"]
+
+
+def test_propagate_and_spread_labels():
+    from kraken_spark.kernels.morph import propagate_labels, select_regions, spread_labels
+
+    mask = np.zeros((6, 10), np.uint8)
+    mask[1:3, 1:4] = 1   # component A
+    mask[4:6, 6:9] = 1   # component B
+    seeds = np.zeros_like(mask, dtype=np.int32)
+    seeds[1, 1] = 5      # one seed in A
+    seeds[4, 6] = 7      # one seed in B
+    out = propagate_labels(mask, seeds)
+    assert set(out[mask.astype(bool)].tolist()) == {5, 7}
+    # conflicting seeds in one component -> 0
+    seeds[2, 3] = 9
+    out = propagate_labels(mask, seeds)
+    assert set(out[1:3, 1:4].ravel().tolist()) == {0}
+    # spread: every pixel inherits nearest label
+    lab = np.zeros((4, 8), np.int32)
+    lab[0, 0] = 1
+    lab[3, 7] = 2
+    sp = spread_labels(lab)
+    assert sp[0, 1] == 1 and sp[3, 6] == 2 and (sp != 0).all()
+    assert (spread_labels(lab, maxdist=1) == 0).sum() > 0
+    # select_regions: keep the taller component only
+    sel = select_regions(mask, score=lambda b: b[2] - b[0], min_score=0, nbest=1)
+    assert sel.sum() in (mask[1:3].sum(), mask[4:6].sum())
+
+
+def test_cer_case_insensitive():
+    from kraken_spark.kernels.metrics import cer, cer_case_insensitive
+
+    assert cer("Hello", "hello") > 0.0
+    assert cer_case_insensitive("Hello", "hello") == 0.0
+    assert cer_case_insensitive("abc", "abd") == cer("abc", "abd")
