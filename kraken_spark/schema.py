@@ -62,6 +62,9 @@ EXTRACTION_ARROW = pa.schema(
         pa.field("n_px", pa.int64()),
         pa.field("width", pa.int32()),
         pa.field("height", pa.int32()),
+        # alternative reading orders (the Segmentation.line_orders field,
+        # /root/reference/kraken/containers.py:251-354): [0] = neural order
+        pa.field("line_orders", pa.list_(pa.list_(pa.int32()))),
         pa.field("partition_id", pa.int32()),
     ]
 )
@@ -76,7 +79,7 @@ EXTRACTION_DDL = (
     "regions array<struct<id:string, region_type:string, "
     "boundary:array<array<int>>, rank:int>>, "
     "cer double, wall_ms double, n_px bigint, width int, height int, "
-    "partition_id int"
+    "line_orders array<array<int>>, partition_id int"
 )
 
 # per-partition lineage/metrics rows (north rule: per-partition lineage +

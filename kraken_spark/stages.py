@@ -92,6 +92,7 @@ def extract_document(
         "n_px": 0,
         "width": 0,
         "height": 0,
+        "line_orders": [],
     }
     try:
         if html[:1] in (b"<", b"\xef") or html[:5].lstrip()[:1] == b"<":
@@ -152,6 +153,18 @@ def extract_document(
         out["n_lines"] = len(lines)
         out["n_regions"] = len(out["regions"])
         out["text"] = "\n".join(l["prediction"] for l in lines)
+        # alternative neural reading order (Segmentation.line_orders; the
+        # reference appends neural RO as an alternative order, blla.py:381-461)
+        if lines:
+            from .kernels.ro import neural_reading_order
+
+            out["line_orders"] = [
+                neural_reading_order(
+                    [tuple(l["bbox"]) for l in lines],
+                    w=out["width"] or 1,
+                    h=out["height"] or 1,
+                )
+            ]
         if gt_text is not None:
             out["cer"] = float(cer_fn(gt_text, out["text"]))
     except Exception:

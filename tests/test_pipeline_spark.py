@@ -357,3 +357,11 @@ def test_rgb_page_extraction(spark):
     rgb = np.stack([d["img"]] * 3, axis=-1)
     out = extract_document(png.encode_png(rgb), "u", d["lang"], d["text"])
     assert out["cer"] == 0.0 and not out["guard_tripped"]
+
+
+def test_line_orders_alternative(spark, ext_rows):
+    """Every extraction row carries one alternative (neural) reading order —
+    a valid permutation of the line indices (Segmentation.line_orders)."""
+    for r in ext_rows:
+        assert len(r.line_orders) == 1
+        assert sorted(r.line_orders[0]) == list(range(r.n_lines))
