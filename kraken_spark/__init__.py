@@ -21,3 +21,17 @@ Design points (see SURVEY.md §4.3, §7):
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "corpus",
+    "functions",
+    "job",
+    "kernels",
+    "operators",
+    "pipeline",
+    "schema",
+    "session",
+    "sources",
+    "stages",
+    "streaming",
+]
