@@ -129,10 +129,15 @@ GAP_BRIDGE_X = 31
 REGION_CLOSE_Y = 9
 
 
-def vectorize_lines(bl_map: np.ndarray, threshold: float = 0.5, min_len: int = 20) -> list[list[list[int]]]:
-    """Thresholded baseline heatmap -> simplified polylines
-    (vectorize_lines, lib/segmentation.py:316-419). Coordinates are in
-    heatmap space; the caller scales back."""
+def vectorize_lines(
+    bl_map: np.ndarray, threshold: float = 0.5, min_len: int = 20, simplify: bool = True
+) -> list[list[list[int]]]:
+    """Thresholded baseline heatmap -> polylines (vectorize_lines,
+    lib/segmentation.py:316-419). Coordinates are in heatmap space; the
+    caller scales back. With simplify=False the dense per-column bottom
+    polyline is returned — the join pass needs dense ends, because
+    Douglas-Peucker may displace endpoints by up to `tolerance` px and
+    that error is enough to push a curved-line join past its dy budget."""
     hot = bl_map > threshold
     # closing along x: fill gaps, preserve extents
     hot = binary_erosion_sep(binary_dilation_sep(hot, 1, GAP_BRIDGE_X), 1, GAP_BRIDGE_X)
@@ -154,16 +159,20 @@ def vectorize_lines(bl_map: np.ndarray, threshold: float = 0.5, min_len: int = 2
         ux, starts = np.unique(xs, return_index=True)
         cy = np.maximum.reduceat(ys, starts).astype(np.float64)
         pts = np.stack([ux + x0, cy + y0], axis=1)
-        simp = approximate_polygon(pts, tolerance=3.0)
-        out.append([[int(round(px)), int(round(py))] for px, py in simp])
+        if simplify:
+            pts = approximate_polygon(pts, tolerance=3.0)
+        out.append([[int(round(px)), int(round(py))] for px, py in pts])
     return out
 
 
-def _facing_anchor(frag: list[list[int]], from_end: bool, radius: int = 20) -> float:
+def _facing_anchor(frag: list[list[int]], from_end: bool, radius: int = 8) -> float:
     """Robust y-anchor at a fragment's facing end: the MAXIMUM y (lowest
     point) among points within `radius` px of the end. Detector artifacts
     only ever deviate UPWARD from the true baseline (the baseline is the
-    lowest response of its band), so max-y is outlier-immune."""
+    lowest response of its band), so max-y is outlier-immune. Meant for
+    DENSE (unsimplified) polylines; the small radius keeps the anchor
+    local so a sloping sinusoidal baseline is not phase-shifted between
+    the two facing ends."""
     x_face = frag[-1][0] if from_end else frag[0][0]
     ys = [y for x, y in frag if abs(x - x_face) <= radius]
     return float(max(ys))
@@ -180,11 +189,16 @@ def join_baseline_fragments(
     agree vertically — the explicit polyline-level analog of the
     reference's minimum-cost-path endpoint joining (LineMCP,
     lib/segmentation.py:293-313,353-381). Anchors are max-y over the facing
-    40 px (see _facing_anchor), so upward detector outliers at fragment
-    tips cannot block a join, while mid-band phantom fragments (entirely
-    5+ px above the true baseline) still fail the dy test."""
+    8 px of the DENSE polyline (see _facing_anchor), so upward detector
+    outliers at fragment tips cannot block a join, while mid-band phantom
+    fragments (entirely 5+ px above the true baseline) still fail the dy
+    test. Anchors are computed once per original fragment end and carried
+    through merges (a merge's outer ends are the survivors' outer ends),
+    so dense input costs nothing extra in the O(F^2) merge loop."""
     frags = [sorted(([int(x), int(y)] for x, y in bl), key=lambda p: p[0]) for bl in baselines]
     frags.sort(key=lambda f: f[0][0])
+    # per-fragment [left_anchor, right_anchor]; invariant under merging
+    anchors = [[_facing_anchor(f, False), _facing_anchor(f, True)] for f in frags]
     merged = True
     while merged:
         merged = False
@@ -200,8 +214,8 @@ def join_baseline_fragments(
                     limit = max_gap_far if ink_small is not None else max_gap_x
                     if gap > limit:
                         continue
-                    ya = _facing_anchor(a, True)
-                    yb = _facing_anchor(b, False)
+                    ya = anchors[i][1]
+                    yb = anchors[j][0]
                     dy = abs(ya - yb)
                     if gap > max_gap_x:
                         # far joins (runs of glyphs that never touch the
@@ -216,7 +230,9 @@ def join_baseline_fragments(
                             continue
                     if dy <= max_dy:
                         frags[i] = sorted(a + b, key=lambda p: p[0])
+                        anchors[i] = [anchors[i][0], anchors[j][1]]
                         del frags[j]
+                        del anchors[j]
                         merged = True
                         break
             if merged:
@@ -225,7 +241,7 @@ def join_baseline_fragments(
 
 
 def suppress_phantom_baselines(
-    baselines: list[list[list[int]]], y_radius: int = 7
+    baselines: list[list[list[int]]], y_radius: int = 7, y_radius_short: int = 10
 ) -> list[list[list[int]]]:
     """Drop a baseline when ANOTHER baseline covers >=80% of its x-range
     no more than y_radius rows BELOW it: sparse stroke patterns fire the
@@ -233,8 +249,13 @@ def suppress_phantom_baselines(
     the lowest response of its band, so the upper of two stacked
     overlapping baselines is the phantom (the analog of the reference's
     suppression of duplicate sub-threshold responses in vectorize_lines).
-    y_radius (heatmap px) stays below the inter-line pitch so a real line
-    can never suppress its neighbor."""
+    y_radius (heatmap px) stays below the inter-line pitch (12 heatmap px
+    on the tightest straight corpus) so a real line can never suppress its
+    neighbor. Phantoms up to y_radius_short above the band get a second
+    chance ONLY when they are much shorter than the covering line: a real
+    short line (e.g. a paragraph's last line) spans well over 60% of its
+    full-width neighbor below never — post-join real baselines are
+    full-span — while mid-band phantom fragments are by nature short."""
     spans = []
     for bl in baselines:
         xs = [p[0] for p in bl]
@@ -247,9 +268,11 @@ def suppress_phantom_baselines(
         for j, (u0, u1, v) in enumerate(spans):
             if j == i:
                 continue
-            if 0.0 < v - y <= y_radius:  # j sits BELOW i within the band
+            if 0.0 < v - y <= y_radius_short:  # j sits BELOW i within the band
                 overlap = min(x1, u1) - max(x0, u0)
-                if overlap >= 0.8 * max(li, 1):
+                if overlap >= 0.8 * max(li, 1) and (
+                    v - y <= y_radius or li <= 0.6 * (u1 - u0)
+                ):
                     phantom = True
                     break
         if not phantom:
@@ -333,12 +356,17 @@ def segment_blla(
         .reshape(h2, DOWNSCALE, w2, DOWNSCALE)
         .max(axis=(1, 3))
     )
-    raw = vectorize_lines(heat[0], min_len=8)
+    # dense polylines through the join (endpoint anchors must not carry
+    # Douglas-Peucker displacement); simplified only after joining
+    raw = vectorize_lines(heat[0], min_len=8, simplify=False)
     joined = join_baseline_fragments(raw, ink_small=ink_small)
     joined = [bl for bl in joined if bl[-1][0] - bl[0][0] >= 20]
-    baselines = scale_polygonal_lines(
-        suppress_phantom_baselines(joined), DOWNSCALE
-    )
+    joined = [
+        [[int(round(px)), int(round(py))] for px, py in
+         approximate_polygon(np.asarray(bl, dtype=np.float64), tolerance=3.0)]
+        for bl in suppress_phantom_baselines(joined)
+    ]
+    baselines = scale_polygonal_lines(joined, DOWNSCALE)
     region_polys = scale_polygonal_lines(vectorize_regions(heat[1]), DOWNSCALE)
 
     lines = []

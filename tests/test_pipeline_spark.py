@@ -165,15 +165,34 @@ def test_blla_extraction_byte_identical(spark):
 
 
 def test_curved_extraction_quality(spark):
-    """Curved-baseline pages through blla + per-cell dewarp: most pages
-    byte-identical; the residual (steep-amplitude split/merge corner cases)
-    stays under 1.5% CER."""
+    """Curved-baseline pages through blla + per-cell dewarp are
+    byte-identical (CER 0.0 on the full sweep; see
+    test_curved_hard_cases_exact for the historical residuals)."""
     docs = generate_corpus_df(spark, 10, curved=True)
     rows = plan_extraction(docs, num_partitions=2, segmenter="blla_curved").collect()
     assert len(rows) == 10
     cers = [r.cer for r in rows]
-    assert all(c == 0.0 for c in cers), cers  # docs 0-9 are exactly recovered
+    assert all(c == 0.0 for c in cers), cers
     assert not any(r.guard_tripped for r in rows)
+
+
+def test_curved_hard_cases_exact():
+    """The four pages that historically broke curved exactness (seed 1234):
+    12/94 — curved-line fragment joins whose facing anchors carried
+    Douglas-Peucker endpoint displacement (fixed: dense polylines through
+    the join); 115/12 — short mid-band phantom fragments 8-10 heatmap px
+    above the true baseline (fixed: short-fragment phantom tier). Kernel
+    level, no Spark."""
+    from kraken_spark.kernels import png, render
+    from kraken_spark.stages import extract_document
+
+    for i in (12, 94, 109, 115):
+        d = render.render_curved_document(1234, i)
+        out = extract_document(
+            png.encode_png(d["img"]), f"u{i}", d["lang"],
+            gt_text=d["text"], segmenter="blla_curved",
+        )
+        assert out["cer"] == 0.0, (i, out["cer"])
 
 
 def test_weight_salt_separates_heavy_pages(spark):
