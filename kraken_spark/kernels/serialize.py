@@ -1,8 +1,9 @@
-"""Serialization sinks: extraction rows -> ALTO 4 / PageXML / hOCR / JSON.
+"""Serialization sinks: extraction rows -> ALTO 4 / PageXML / hOCR /
+abbyyXML / JSON.
 
 Re-expresses the reference's Jinja2 template serializer
 (/root/reference/kraken/serialization.py:80-269 and
-/root/reference/kraken/templates/{alto,pagexml,hocr}) as pure string
+/root/reference/kraken/templates/{alto,pagexml,hocr,abbyyxml}) as pure string
 builders over the engine's extraction row dicts. Determinism fixes vs the
 reference (SURVEY.md §7.5): element ids are already deterministic
 (pageseg.det_id replaces uuid4, cf. /root/reference/kraken/blla.py:362) and
@@ -306,6 +307,50 @@ def to_hocr(row, created: str = PINNED_CREATED) -> str:
     return "".join(parts)
 
 
+def to_abbyy(row, created: str = PINNED_CREATED) -> str:
+    """abbyyXML (FineReader 10 schema) document
+    (cf. /root/reference/kraken/templates/abbyyxml): one <block> per region
+    (free lines get their own block), <par> of <line> elements carrying
+    baseline/l/r/t/b, and per-character <charParams> with l/r/t/b extents,
+    wordStart flags at whitespace-split word starts, and charConfidence
+    rescaled to 0-100 (the template's `rescale(0, 100)` filter)."""
+    w, h = int(_row_get(row, "width", 0)), int(_row_get(row, "height", 0))
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<document xmlns="http://www.abbyy.com/FineReader_xml/FineReader10-schema-v1.xml" '
+        'version="1.0" producer="kraken_spark">\n'
+        f'\t<page width="{w}" height="{h}" resolution="0" originalCoords="1">\n'
+    ]
+    for region, lines in _group_lines_by_region(row):
+        parts.append('\t\t<block blockType="Text">\n\t\t\t<text>\n\t\t\t\t<par>\n')
+        for l in lines:
+            x0, y0, x1, y1 = (int(v) for v in l["bbox"])
+            baseline_y = int((y0 + y1) / 2)
+            parts.append(
+                f'\t\t\t\t\t<line baseline="{baseline_y}" l="{x0}" r="{x1}" '
+                f't="{y0}" b="{y1}"><formatting lang="">'
+            )
+            text = l["prediction"]
+            have_geom = len(l["cuts"]) >= len(text) and len(l["confidences"]) >= len(text)
+            for wd in words_of(l):
+                for ci in range(wd["start"], wd["end"]):
+                    if have_geom:
+                        cx0, cx1 = (int(v) for v in l["cuts"][ci])
+                        conf = int(round(l["confidences"][ci] * 100))
+                    else:
+                        cx0, cx1, conf = x0, x1, 0
+                    word_start = "1" if ci == wd["start"] else "0"
+                    parts.append(
+                        f'<charParams l="{cx0}" r="{cx1}" t="{y0}" b="{y1}" '
+                        f'wordStart="{word_start}" charConfidence="{conf}">'
+                        f"{escape(text[ci])}</charParams>"
+                    )
+            parts.append("</formatting></line>\n")
+        parts.append("\t\t\t\t</par>\n\t\t\t</text>\n\t\t</block>\n")
+    parts.append("\t</page>\n</document>\n")
+    return "".join(parts)
+
+
 def to_json(row) -> str:
     """JSON Segmentation round-trip form (cf. the reference's
     dataclasses.asdict JSON I/O, /root/reference/kraken/kraken.py:179-181)."""
@@ -336,6 +381,7 @@ SERIALIZERS = {
     "alto": to_alto,
     "pagexml": to_pagexml,
     "hocr": to_hocr,
+    "abbyyxml": to_abbyy,
     "json": lambda row, created=PINNED_CREATED: to_json(row),
 }
 

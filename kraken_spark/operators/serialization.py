@@ -124,5 +124,6 @@ QUERIES = {
     "x_serialize_alto": (_mk_serialize_query("alto"), None),
     "x_serialize_pagexml": (_mk_serialize_query("pagexml"), None),
     "x_serialize_hocr": (_mk_serialize_query("hocr"), None),
+    "x_serialize_abbyy": (_mk_serialize_query("abbyyxml"), None),
     "x_roundtrip_xml": (x_roundtrip_xml, None),
 }

@@ -114,7 +114,7 @@ def test_serializers_produce_valid_xml(ext_rows):
     from kraken_spark.kernels.serialize import serialize
 
     r = ext_rows[0].asDict(recursive=True)
-    for fmt in ("alto", "pagexml", "hocr"):
+    for fmt in ("alto", "pagexml", "hocr", "abbyyxml"):
         doc = serialize(r, fmt)
         root = ET.fromstring(doc.encode("utf-8"))
         assert root is not None
@@ -122,6 +122,15 @@ def test_serializers_produce_valid_xml(ext_rows):
         assert serialize(r, fmt) == doc
     seg = __import__("json").loads(serialize(r, "json"))
     assert len(seg["lines"]) == r["n_lines"]
+    # abbyy charParams reassemble each line's prediction minus whitespace
+    ns = "{http://www.abbyy.com/FineReader_xml/FineReader10-schema-v1.xml}"
+    root = ET.fromstring(serialize(r, "abbyyxml").encode("utf-8"))
+    got = [
+        "".join(cp.text or "" for cp in line.iter(f"{ns}charParams"))
+        for line in root.iter(f"{ns}line")
+    ]
+    want = ["".join(l["prediction"].split()) for l in r["lines"]]
+    assert got == want
 
 
 def test_streaming_extraction_available_now(spark):
