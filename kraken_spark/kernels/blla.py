@@ -72,16 +72,23 @@ def build_segmenter() -> VGSLModel:
     return model
 
 
+def _pool_or(mask: np.ndarray, d: int) -> np.ndarray:
+    """d x d max-pool of a binary mask via strided OR (no reshape/reduce
+    temporaries — ~10x cheaper than reshape().max(axis=(1,3)) at page size)."""
+    h2, w2 = mask.shape[0] // d, mask.shape[1] // d
+    m = mask[: h2 * d, : w2 * d].astype(bool, copy=False)
+    out = m[0::d, 0::d].copy()
+    for i in range(d):
+        for j in range(d):
+            if i or j:
+                out |= m[i::d, j::d]
+    return out
+
+
 def compute_segmentation_map(mask: np.ndarray, model: VGSLModel) -> np.ndarray:
     """Downscale the ink mask (max-pool keeps thin ink), forward, return
     (2, H/2, W/2) sigmoid heatmaps (blla.py:59-141 analog)."""
-    h, w = mask.shape
-    h2, w2 = h // DOWNSCALE, w // DOWNSCALE
-    small = (
-        mask[: h2 * DOWNSCALE, : w2 * DOWNSCALE]
-        .reshape(h2, DOWNSCALE, w2, DOWNSCALE)
-        .max(axis=(1, 3))
-    )
+    small = _pool_or(mask, DOWNSCALE)
     x = small.astype(np.float32)[None]  # {0,1} ink coding
     # forward() returns (T, C) for output-less specs via reshape; we need the
     # raw (C, H', W') map, so run the conv layer directly
@@ -161,7 +168,7 @@ def vectorize_lines(
         pts = np.stack([ux + x0, cy + y0], axis=1)
         if simplify:
             pts = approximate_polygon(pts, tolerance=3.0)
-        out.append([[int(round(px)), int(round(py))] for px, py in pts])
+        out.append(np.rint(pts).astype(np.int64).tolist())
     return out
 
 
@@ -350,20 +357,16 @@ def segment_blla(
     heat = compute_segmentation_map(mask, model)
     # vectorize with a tiny length floor so curved-line fragments survive
     # until the join pass; the real minimum applies post-join
-    h2, w2 = mask.shape[0] // DOWNSCALE, mask.shape[1] // DOWNSCALE
-    ink_small = (
-        mask[: h2 * DOWNSCALE, : w2 * DOWNSCALE]
-        .reshape(h2, DOWNSCALE, w2, DOWNSCALE)
-        .max(axis=(1, 3))
-    )
+    ink_small = _pool_or(mask, DOWNSCALE)
     # dense polylines through the join (endpoint anchors must not carry
     # Douglas-Peucker displacement); simplified only after joining
     raw = vectorize_lines(heat[0], min_len=8, simplify=False)
     joined = join_baseline_fragments(raw, ink_small=ink_small)
     joined = [bl for bl in joined if bl[-1][0] - bl[0][0] >= 20]
     joined = [
-        [[int(round(px)), int(round(py))] for px, py in
-         approximate_polygon(np.asarray(bl, dtype=np.float64), tolerance=3.0)]
+        np.rint(approximate_polygon(np.asarray(bl, dtype=np.float64), tolerance=3.0))
+        .astype(np.int64)
+        .tolist()
         for bl in suppress_phantom_baselines(joined)
     ]
     baselines = scale_polygonal_lines(joined, DOWNSCALE)

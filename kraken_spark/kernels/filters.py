@@ -88,23 +88,41 @@ def moving_min_1d(a: np.ndarray, k: int, axis: int) -> np.ndarray:
     return -moving_max_1d(-a, k, axis)
 
 
+def _window_count_1d(m: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Edge-replicated windowed SUM of width k along axis via one cumsum —
+    the binary-morphology fast path: for a 0/1 mask, moving max == count>0
+    and moving min == count==k, and a single cumsum+subtract beats the two
+    accumulate scans + gathers of the van Herk max filter ~3x."""
+    m = np.moveaxis(m, axis, -1)
+    left = k // 2
+    right = k - 1 - left
+    pad = np.concatenate(
+        [np.repeat(m[..., :1], left, axis=-1), m, np.repeat(m[..., -1:], right, axis=-1)],
+        axis=-1,
+    )
+    c = np.cumsum(pad, axis=-1, dtype=np.int32)
+    out = c[..., k - 1 :].copy()
+    out[..., 1:] -= c[..., :-k]
+    return np.moveaxis(out, -1, axis)
+
+
 def binary_dilation_sep(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
     """Binary dilation with a kh x kw ones structuring element (separable)."""
-    m = mask.astype(np.uint8)
+    m = mask.astype(bool, copy=False)
     if kh > 1:
-        m = moving_max_1d(m, kh, 0)
+        m = _window_count_1d(m, kh, 0) > 0
     if kw > 1:
-        m = moving_max_1d(m, kw, 1)
-    return m.astype(bool)
+        m = _window_count_1d(m, kw, 1) > 0
+    return m
 
 
 def binary_erosion_sep(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
-    m = mask.astype(np.uint8)
+    m = mask.astype(bool, copy=False)
     if kh > 1:
-        m = moving_min_1d(m, kh, 0)
+        m = _window_count_1d(m, kh, 0) == kh
     if kw > 1:
-        m = moving_min_1d(m, kw, 1)
-    return m.astype(bool)
+        m = _window_count_1d(m, kw, 1) == kw
+    return m
 
 
 def percentile_nearest(a: np.ndarray, q: float, axis: int = -1) -> np.ndarray:

@@ -53,14 +53,46 @@ def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
+def _rect_decompose(k2d: np.ndarray) -> list[tuple[float, int, int, int, int]]:
+    """Greedy cover of a 2D kernel by constant-value rectangles
+    (value, y0, y1, x0, x1) with zeros skipped; exact for any kernel, but
+    only worth using when the cover is small (box-like heatmap kernels)."""
+    kh, kw = k2d.shape
+    covered = np.zeros((kh, kw), dtype=bool)
+    rects = []
+    for y in range(kh):
+        for x in range(kw):
+            if covered[y, x] or k2d[y, x] == 0:
+                continue
+            v = k2d[y, x]
+            x1 = x
+            while x1 + 1 < kw and not covered[y, x1 + 1] and k2d[y, x1 + 1] == v:
+                x1 += 1
+            y1 = y
+            while (
+                y1 + 1 < kh
+                and not covered[y1 + 1, x : x1 + 1].any()
+                and (k2d[y1 + 1, x : x1 + 1] == v).all()
+            ):
+                y1 += 1
+            covered[y : y1 + 1, x : x1 + 1] = True
+            rects.append((float(v), y, y1 + 1, x, x1 + 1))
+    return rects
+
+
 def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: tuple[int, int], pad: str) -> np.ndarray:
     """x: (C,H,W); w: (O,C,kh,kw); returns (O,H',W').
 
-    Two execution strategies: a shifted-tap accumulation loop when the
-    nonzero-tap x output-channel count is small (page-sized heatmap convs —
-    the sliding-window tensordot would materialize an O(H*W*kh*kw) window
-    tensor, ~92 MB for a 7x7 over a half-res page), else im2col +
-    tensordot (recognizer convs: many output channels, small strips)."""
+    Three execution strategies: integral-image box sums when every kernel
+    decomposes into a handful of constant-weight rectangles AND the input
+    is integer-valued (page-sized heatmap convs over binary ink — one
+    float64 summed-area table per channel, then 4 slice-adds per
+    rectangle; exact, since integer sums are representable in float64);
+    else a shifted-tap accumulation loop when the nonzero-tap x
+    output-channel count is small (the sliding-window tensordot would
+    materialize an O(H*W*kh*kw) window tensor, ~92 MB for a 7x7 over a
+    half-res page); else im2col + tensordot (recognizer convs: many output
+    channels, small strips)."""
     c, h, wid = x.shape
     o, _, kh, kw = w.shape
     sh, sw = stride
@@ -72,6 +104,29 @@ def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: tuple[int, int]
         return np.zeros((o, 0, 0), dtype=np.float32)
     oh = (h - kh) // sh + 1
     ow = (wid - kw) // sw + 1
+    rect_sets = (
+        [[_rect_decompose(w[oi, ci]) for ci in range(c)] for oi in range(o)]
+        if o * c <= 8
+        else []
+    )
+    total_rects = sum(len(r) for rs in rect_sets for r in rs)
+    if 0 < total_rects <= 16 and all(
+        float(xi.min()) >= 0.0 and float(xi.max()) <= 2**20 and np.all(xi == np.floor(xi))
+        for xi in x
+    ):
+        out = np.zeros((o, oh, ow), dtype=np.float64)
+        for ci in range(c):
+            sat = np.zeros((h + 1, wid + 1), dtype=np.float64)
+            sat[1:, 1:] = x[ci].astype(np.float64, copy=False).cumsum(axis=0).cumsum(axis=1)
+            for oi in range(o):
+                for v, ry0, ry1, rx0, rx1 in rect_sets[oi][ci]:
+                    out[oi] += v * (
+                        sat[ry1 : ry1 + oh * sh : sh, rx1 : rx1 + ow * sw : sw]
+                        - sat[ry0 : ry0 + oh * sh : sh, rx1 : rx1 + ow * sw : sw]
+                        - sat[ry1 : ry1 + oh * sh : sh, rx0 : rx0 + ow * sw : sw]
+                        + sat[ry0 : ry0 + oh * sh : sh, rx0 : rx0 + ow * sw : sw]
+                    )
+        return (out + b[:, None, None]).astype(np.float32)
     nonzero_taps = int((w != 0).any(axis=0).sum())
     if nonzero_taps * o <= 128:
         out = np.zeros((o, oh, ow), dtype=np.float32)
