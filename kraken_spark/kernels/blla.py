@@ -348,10 +348,13 @@ def segment_blla(
     url: str = "",
     text_direction: str = "horizontal-lr",
     model: VGSLModel | None = None,
+    reading_order_fn=None,
 ) -> dict:
     """Full neural path: heatmaps -> vectorize -> scale back -> polygonize
     -> region assignment -> reading order. Same output contract as
-    pageseg.segment."""
+    pageseg.segment. reading_order_fn: optional override,
+    ``fn(line_bboxes, line_region_idx, region_bboxes, rl) -> permutation``
+    (the reference's pluggable hook, /root/reference/kraken/blla.py:254)."""
     model = model or build_segmenter()
     rl = text_direction.endswith("rl")
     heat = compute_segmentation_map(mask, model)
@@ -412,11 +415,13 @@ def segment_blla(
         line_region_idx.append(idx)
 
     line_bboxes = [tuple(l["bbox"]) for l in lines]
-    if len(regions) > 1:
-        region_bboxes = [
-            (r["boundary"][0][0], r["boundary"][0][1], r["boundary"][2][0], r["boundary"][2][1])
-            for r in regions
-        ]
+    region_bboxes = [
+        (r["boundary"][0][0], r["boundary"][0][1], r["boundary"][2][0], r["boundary"][2][1])
+        for r in regions
+    ]
+    if reading_order_fn is not None:
+        perm = reading_order_fn(line_bboxes, line_region_idx, region_bboxes, rl)
+    elif len(regions) > 1:
         perm = polygonal_reading_order(line_bboxes, line_region_idx, region_bboxes, rl=rl)
     else:
         perm = reading_order(line_bboxes, rl=rl)

@@ -96,12 +96,18 @@ def segment(
     min_gutter: int = 64,
     min_line_height: int = 4,
     min_line_width: int = 4,
+    reading_order_fn=None,
 ) -> dict:
     """Segment a binarized page. Returns a Segmentation-like dict:
 
     {type:'baselines', text_direction, script_detection: False,
      lines: [{id, bbox, baseline, boundary, region_ids, rank}],
      regions: [{id, region_type, boundary, rank}], guard_tripped: bool}
+
+    reading_order_fn: optional override called as
+    ``fn(line_bboxes, line_region_idx, region_bboxes, rl) -> permutation``
+    — the reference's pluggable reading-order hook
+    (/root/reference/kraken/pageseg.py:315,339-341).
     """
     h, w = ink.shape
     rl = text_direction.endswith("rl")
@@ -224,7 +230,9 @@ def segment(
         for r in regions
     ]
     line_bboxes = [tuple(l["bbox"]) for l in lines]
-    if len(regions) > 1:
+    if reading_order_fn is not None:
+        perm = reading_order_fn(line_bboxes, line_region_idx, region_bboxes, rl)
+    elif len(regions) > 1:
         perm = polygonal_reading_order(line_bboxes, line_region_idx, region_bboxes, rl=rl)
     else:
         perm = reading_order(line_bboxes, rl=rl)

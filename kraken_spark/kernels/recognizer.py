@@ -69,12 +69,17 @@ def recognize_page(
     strips: list[np.ndarray],
     base_dir: str = "L",
     bidi_reordering: bool = True,
+    decoder=None,
 ) -> list[dict]:
     """Batched recognition: all line strips of a page are concatenated (with
     cell-aligned offsets and a one-cell background gap) into a single wide
     image so the VGSL forward pass is one matmul instead of per-line calls —
     the Spark-friendly analog of the reference's pad-and-stack batching
-    (/root/reference/kraken/lib/vgsl/rpred.py:171-208)."""
+    (/root/reference/kraken/lib/vgsl/rpred.py:171-208).
+
+    decoder: optional CTC decoder ``acts -> [(label, start, end, conf)]``,
+    defaulting to the greedy decoder — the reference's pluggable-decoder
+    config knob (/root/reference/kraken/configs/base.py:219-235)."""
     usable = [
         (i, s) for i, s in enumerate(strips) if s.size > 0 and s.shape[1] >= GLYPH_W
     ]
@@ -97,7 +102,7 @@ def recognize_page(
         f0 = off // FRAME_STRIDE
         nframes = (w - GLYPH_W) // FRAME_STRIDE + 1
         records[i] = _decode_frames(
-            acts[f0 : f0 + nframes], codec, base_dir, bidi_reordering
+            acts[f0 : f0 + nframes], codec, base_dir, bidi_reordering, decoder
         )
     return records
 
@@ -118,9 +123,10 @@ def recognize_line(
 
 
 def _decode_frames(
-    acts: np.ndarray, codec: Codec, base_dir: str, bidi_reordering: bool
+    acts: np.ndarray, codec: Codec, base_dir: str, bidi_reordering: bool,
+    decoder=None,
 ) -> dict:
-    decoded = codec.decode(greedy_decoder(acts))
+    decoded = codec.decode((decoder or greedy_decoder)(acts))
     if not decoded:
         return dict(_EMPTY_RECORD)
     # frame -> cell geometry: frame f starts at x = f*FRAME_STRIDE; character

@@ -386,6 +386,15 @@ SERIALIZERS = {
 }
 
 
+def register_serializer(fmt: str, fn) -> None:
+    """Register a custom output format ``fn(row, created=...) -> str`` —
+    the reference's custom-Jinja-template hook
+    (/root/reference/kraken/serialization.py:252-258), as a registry entry
+    instead of a template path so executor-side dispatch stays a dict
+    lookup."""
+    SERIALIZERS[fmt] = fn
+
+
 def serialize(row, fmt: str, created: str = PINNED_CREATED) -> str:
     """Dispatch like the reference's serialize(..., template=fmt)
     (/root/reference/kraken/serialization.py:80-113)."""

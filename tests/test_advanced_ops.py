@@ -199,3 +199,65 @@ def test_multipage_roundtrip_and_pdf_stub():
     with pytest.raises(NotImplementedError):
         unpack_pages(b"%PDF-1.7 fake")
     assert unpack_pages(b"plain png bytes") == [b"plain png bytes"]
+
+
+def test_pluggable_hooks():
+    """§2.10 pluggability: custom reading-order fn (pageseg.py:315 /
+    blla.py:254 analog), pluggable CTC decoder (configs/base.py:219-235),
+    custom serializer template (serialization.py:252-258)."""
+    from kraken_spark.kernels import blla
+    from kraken_spark.kernels.ctc import greedy_decoder
+    from kraken_spark.kernels.recognizer import recognize_page
+    from kraken_spark.kernels.serialize import SERIALIZERS, register_serializer, serialize
+    from kraken_spark.stages import _get_model
+
+    d = render.render_document(99, 1)
+    mask = binarize.nlbin(png.to_grayscale(d["img"]))
+
+    # 1. reading_order_fn override: reversed order flips line ranks
+    calls = []
+    def reversed_ro(line_bboxes, line_region_idx, region_bboxes, rl):
+        calls.append(len(line_bboxes))
+        return list(range(len(line_bboxes)))[::-1]
+    seg_fwd = pageseg.segment(mask, url="u", text_direction="horizontal-lr")
+    seg_rev = pageseg.segment(
+        mask, url="u", text_direction="horizontal-lr", reading_order_fn=reversed_ro
+    )
+    assert calls and len(seg_rev["lines"]) == len(seg_fwd["lines"])
+    assert [l["bbox"] for l in seg_rev["lines"]] == [l["bbox"] for l in seg_fwd["lines"]][::-1]
+    seg_rev_b = blla.segment_blla(
+        mask, url="u", text_direction="horizontal-lr", reading_order_fn=reversed_ro
+    )
+    assert len(calls) == 2 and len(seg_rev_b["lines"]) > 0
+
+    # 2. pluggable CTC decoder: a conf-clamping wrapper changes confidences
+    # but not predictions
+    model, codec = _get_model()
+    from kraken_spark.kernels import lineextract
+
+    strips = [lineextract.extract_line(mask, l)[0] for l in seg_fwd["lines"]]
+    base = recognize_page(model, codec, strips)
+    def clamped(acts):
+        return [(lab, s, e, 0.5) for lab, s, e, _ in greedy_decoder(acts)]
+    alt = recognize_page(model, codec, strips, decoder=clamped)
+    assert [r["prediction"] for r in alt] == [r["prediction"] for r in base]
+    # decoder-produced confidences are clamped; synthesized inter-word
+    # space cells keep their own confidence
+    assert all(
+        c == 0.5
+        for r in alt
+        for ch, c in zip(r["prediction"], r["confidences"])
+        if ch != " "
+    )
+    assert any(c == 0.5 for r in alt for c in r["confidences"])
+
+    # 3. custom serializer registration
+    def to_tsv(row, created=""):
+        return "\n".join(l["prediction"] for l in row["lines"])
+    register_serializer("tsv", to_tsv)
+    try:
+        row = {"url": "u", "width": 1, "height": 1,
+               "lines": [{"prediction": "ab"}, {"prediction": "cd"}], "regions": []}
+        assert serialize(row, "tsv") == "ab\ncd"
+    finally:
+        SERIALIZERS.pop("tsv", None)
