@@ -249,9 +249,94 @@ def ann_ivf_cosine(spark, sf):
     )
 
 
+DEDUP_COS_THRESH = 0.9
+_PERT_QUANT = (
+    "transform(zip_with(embedding, reverse(embedding), "
+    "(x, y) -> CAST(x AS DOUBLE) * 0.98 + CAST(y AS DOUBLE) * 0.02), "
+    "v -> CAST(round(v * 1000) AS BIGINT))"
+)
+
+
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-duplicate detection — the embedding analog of
+    the text dedup family. The synthetic embeddings table has no natural
+    near-dups (max off-diagonal cosine ~0.51), so every 10th vector gets a
+    deterministic perturbed twin (98% itself + 2% its reversal, built
+    identically in Spark and the oracle); pairs are blocked by label (the
+    standard dedup blocking key — within-block brute force, across-block
+    zero pairs, which is the partition-parallel scale path) and quantized
+    to integers so the cosine is bit-stable across engines (see
+    knn_cosine_bruteforce). A row appears once per near-duplicate with its
+    canonical (minimum-id) representative."""
+    e = t(spark, sf)
+    base = e.select("vec_id", "label", F.expr(_QUANT).alias("vq"))
+    twins = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.expr(_PERT_QUANT).alias("vq"),
+    )
+    full = base.unionByName(twins).withColumn(
+        "n2", F.expr(_IDOT.format(a="vq", b="vq"))
+    )
+    a = full.select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
+        F.col("vq").alias("a_vq"), F.col("n2").alias("a_n2"),
+    )
+    b = full.select(
+        F.col("vec_id").alias("dup_id"), F.col("label").alias("label"),
+        F.col("vq").alias("b_vq"), F.col("n2").alias("b_n2"),
+    )
+    cos = F.expr(_IDOT.format(a="a_vq", b="b_vq")) / (
+        F.sqrt(F.col("a_n2").cast("double")) * F.sqrt(F.col("b_n2").cast("double"))
+    )
+    pairs = (
+        a.join(b, (F.col("a_label") == F.col("label")) & (F.col("a_id") < F.col("dup_id")))
+        .withColumn("cos_r", F.round(cos, 6))
+        .filter(F.col("cos_r") >= DEDUP_COS_THRESH)
+    )
+    return (
+        pairs.groupBy("dup_id", "label")
+        .agg(
+            F.min("a_id").alias("rep_id"),
+            F.round(F.max("cos_r"), 6).alias("max_cos"),
+            F.count("*").alias("n_nbrs"),
+        )
+        .orderBy("dup_id")
+    )
+
+
+DEDUP_EMB_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CAST(round((CAST(embedding[i] AS DOUBLE) * 0.98
+                                         + CAST(embedding[len(embedding) + 1 - i] AS DOUBLE) * 0.02)
+                                        * 1000) AS BIGINT)) AS vq
+  FROM embeddings WHERE vec_id % 10 = 0),
+en AS (
+  SELECT vec_id, label, vq,
+         list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * vq[i])) AS n2
+  FROM base),
+pairs AS (
+  SELECT b.vec_id AS dup_id, b.label, a.vec_id AS a_id,
+         ROUND(list_sum(list_transform(generate_series(1, len(a.vq)), i -> a.vq[i] * b.vq[i]))
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS cos_r
+  FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT dup_id, label, MIN(a_id) AS rep_id, ROUND(MAX(cos_r), 6) AS max_cos,
+       COUNT(*) AS n_nbrs
+FROM pairs WHERE cos_r >= {DEDUP_COS_THRESH}
+GROUP BY dup_id, label ORDER BY dup_id
+"""
+
+
 QUERIES = {
     "knn_cosine_bruteforce": (knn_cosine_bruteforce, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
     "ann_lsh_cosine": (ann_lsh_cosine, None),
     "ann_ivf_cosine": (ann_ivf_cosine, None),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
 }
