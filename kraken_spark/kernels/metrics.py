@@ -63,3 +63,64 @@ def cer_case_insensitive(reference: str, hypothesis: str) -> float:
     """Case-insensitive CER (the reference tracks it alongside CER,
     /root/reference/kraken/train/vgsl.py:378-457)."""
     return cer(reference.casefold(), hypothesis.casefold())
+
+
+def align_counts(reference: str, hypothesis: str) -> dict:
+    """Global alignment edit counts + confusion pairs — the role of the
+    reference's global_align confusion reporting
+    (/root/reference/kraken/lib/dataset/utils.py:284-330, consumed by the
+    `report` template, /root/reference/kraken/templates/report).
+
+    Returns {"insertions", "deletions", "substitutions", "matches",
+    "confusions": [(correct, generated, n), ...] sorted by -n then pair}.
+    Full DP matrix with backtrace (pages are ~1e3 chars; the matrix is
+    vectorized row-wise like `levenshtein` above)."""
+    la, lb = len(reference), len(hypothesis)
+    if la == 0 or lb == 0:
+        return {
+            "insertions": lb,
+            "deletions": la,
+            "substitutions": 0,
+            "matches": 0,
+            "confusions": [],
+        }
+    av = np.frombuffer(reference.encode("utf-32-le"), dtype=np.uint32)
+    bv = np.frombuffer(hypothesis.encode("utf-32-le"), dtype=np.uint32)
+    dmat = np.empty((la + 1, lb + 1), dtype=np.int32)
+    dmat[0] = np.arange(lb + 1, dtype=np.int32)
+    for i in range(1, la + 1):
+        prev = dmat[i - 1]
+        m = np.minimum(prev[:-1] + (bv != av[i - 1]), prev[1:] + 1)
+        dmat[i] = _scan_min(np.concatenate(([np.int32(i)], m)))
+    ins = dels = subs = matches = 0
+    from collections import Counter
+
+    conf: Counter = Counter()
+    i, j = la, lb
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and dmat[i, j] == dmat[i - 1, j - 1] + (av[i - 1] != bv[j - 1]):
+            if av[i - 1] == bv[j - 1]:
+                matches += 1
+            else:
+                subs += 1
+                conf[(reference[i - 1], hypothesis[j - 1])] += 1
+            i -= 1
+            j -= 1
+        elif i > 0 and dmat[i, j] == dmat[i - 1, j] + 1:
+            dels += 1
+            conf[(reference[i - 1], "")] += 1
+            i -= 1
+        else:
+            ins += 1
+            conf[("", hypothesis[j - 1])] += 1
+            j -= 1
+    confusions = sorted(
+        ((c, g, n) for (c, g), n in conf.items()), key=lambda t: (-t[2], t[0], t[1])
+    )
+    return {
+        "insertions": ins,
+        "deletions": dels,
+        "substitutions": subs,
+        "matches": matches,
+        "confusions": confusions,
+    }

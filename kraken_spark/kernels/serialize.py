@@ -386,6 +386,41 @@ SERIALIZERS = {
 }
 
 
+def to_report(stats: dict) -> str:
+    """OCR accuracy report — the reference's `report` template
+    (/root/reference/kraken/templates/report), tab-separated with the same
+    sections: totals, character/word accuracy (incl. case-insensitive),
+    edit-operation counts, per-script (here: per-language) accuracy, and
+    confusion counts.
+
+    stats: {name, chars, errors, character_accuracy, character_CI_accuracy,
+    word_accuracy, insertions, deletions, substitutions,
+    scripts: [(script, count, errors, accuracy)],
+    counts: [(errors, correct, generated)]}."""
+    lines = [
+        f"=== report {stats.get('name', '')} ===",
+        "",
+        f"{stats['chars']}\tCharacters",
+        f"{stats['errors']}\tErrors",
+        f"{stats['character_accuracy']:.2f}%\tCharacter Accuracy",
+        f"{stats['character_CI_accuracy']:.2f}%\tCharacter Accuracy (Case-insensitive)",
+        f"{stats['word_accuracy']:.2f}%\tWord Accuracy",
+        "",
+        f"{stats['insertions']}\tInsertions",
+        f"{stats['deletions']}\tDeletions",
+        f"{stats['substitutions']}\tSubstitutions",
+        "",
+        "Count\tMissed\t%Right",
+    ]
+    for script, count, errors, accuracy in stats.get("scripts", []):
+        lines.append(f"{count}\t{errors}\t{accuracy:.2f}%\t{script}")
+    lines.append("")
+    lines.append("Errors\tCorrect-Generated")
+    for errors, correct, generated in stats.get("counts", []):
+        lines.append(f"{errors}\t{{ {correct} }} - {{ {generated} }}")
+    return "\n".join(lines) + "\n"
+
+
 def register_serializer(fmt: str, fn) -> None:
     """Register a custom output format ``fn(row, created=...) -> str`` —
     the reference's custom-Jinja-template hook

@@ -84,6 +84,80 @@ def x_extract_cer_report(spark, sf):
     )
 
 
+def x_ocr_report(spark, sf):
+    """Per-language OCR accuracy report — the data behind the reference's
+    `report` template (/root/reference/kraken/templates/report, fed by
+    global_align counts, lib/dataset/utils.py:284-330): character/word
+    accuracy (incl. case-insensitive) and insertion/deletion/substitution
+    totals from a full alignment backtrace per document. Rendered to the
+    reference's text layout by kernels/serialize.to_report (tested in
+    tests/test_pipeline_spark.py)."""
+    import pyarrow as pa
+
+    gt = corpus_for(spark, sf).select("url", F.col("text").alias("gt"))
+    ext = _extraction(spark, sf).select("url", "lang", "text")
+    joined = ext.join(gt, "url")
+
+    out_schema = (
+        "lang string, chars long, errors long, ci_errors long, words long, "
+        "word_errors long, insertions long, deletions long, substitutions long"
+    )
+
+    def counts(batches):
+        from ..kernels.metrics import align_counts, cer_case_insensitive, levenshtein, wer
+
+        schema = pa.schema(
+            [
+                ("lang", pa.string()),
+                ("chars", pa.int64()),
+                ("errors", pa.int64()),
+                ("ci_errors", pa.int64()),
+                ("words", pa.int64()),
+                ("word_errors", pa.int64()),
+                ("insertions", pa.int64()),
+                ("deletions", pa.int64()),
+                ("substitutions", pa.int64()),
+            ]
+        )
+        for b in batches:
+            rows = []
+            for r in b.to_pylist():
+                ref, hyp = r["gt"], r["text"]
+                ac = align_counts(ref, hyp)
+                nw = len(ref.split())
+                rows.append(
+                    {
+                        "lang": r["lang"],
+                        "chars": len(ref),
+                        "errors": ac["insertions"] + ac["deletions"] + ac["substitutions"],
+                        "ci_errors": levenshtein(ref.casefold(), hyp.casefold()),
+                        "words": nw,
+                        "word_errors": int(round(wer(ref, hyp) * nw)),
+                        "insertions": ac["insertions"],
+                        "deletions": ac["deletions"],
+                        "substitutions": ac["substitutions"],
+                    }
+                )
+            yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    per_doc = joined.mapInArrow(counts, schema=out_schema)
+    pct = lambda err, tot: F.round(100.0 * (1.0 - F.sum(err) / F.sum(tot)), 4)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("chars").alias("chars"),
+            F.sum("errors").alias("errors"),
+            pct("errors", "chars").alias("char_acc"),
+            pct("ci_errors", "chars").alias("char_acc_ci"),
+            pct("word_errors", "words").alias("word_acc"),
+            F.sum("insertions").alias("insertions"),
+            F.sum("deletions").alias("deletions"),
+            F.sum("substitutions").alias("substitutions"),
+        )
+        .orderBy("lang")
+    )
+
+
 def x_extract_metrics(spark, sf):
     """Per-partition lineage/metrics table (north-rule lineage requirement)."""
     ext = _extraction(spark, sf)
@@ -111,8 +185,7 @@ def x_extract_curved(spark, sf):
     segmented with the neural path (polyline baselines) and extracted with
     piecewise per-cell dewarping (kernels/lineextract.extract_line_dewarped
     — the reference's polygonal mesh-warp role, lib/segmentation.py:
-    1424-1643). CER is 0 on ~98% of pages (118/120 measured) and <1.4% on the
-    residual (rare split corner cases; asserted in
+    1424-1643). CER is 0.0 on every page (120/120 measured; asserted in
     tests/test_pipeline_spark.py)."""
     from ..corpus import generate_corpus_df
 
@@ -134,5 +207,6 @@ QUERIES = {
     "x_extract_lines": (x_extract_lines, None),
     "x_extract_regions": (x_extract_regions, None),
     "x_extract_cer_report": (x_extract_cer_report, None),
+    "x_ocr_report": (x_ocr_report, None),
     "x_extract_metrics": (x_extract_metrics, None),
 }

@@ -393,3 +393,38 @@ def test_line_orders_alternative(spark, ext_rows):
     for r in ext_rows:
         assert len(r.line_orders) == 1
         assert sorted(r.line_orders[0]) == list(range(r.n_lines))
+
+
+def test_ocr_report_query_and_renderer(spark):
+    """x_ocr_report aggregates alignment counts per language (all-exact
+    corpus -> 100% accuracies, zero edits) and to_report renders the
+    reference's report-template layout."""
+    from kraken_spark.kernels.serialize import to_report
+    from kraken_spark.operators.extraction import x_ocr_report
+
+    rows = x_ocr_report(spark, "sf0.001").collect()
+    assert {r.lang for r in rows} == {"ar", "en", "fr"}
+    for r in rows:
+        assert r.errors == 0 and r.insertions == 0 and r.deletions == 0
+        assert r.char_acc == 100.0 and r.char_acc_ci == 100.0 and r.word_acc == 100.0
+
+    doc = to_report(
+        {
+            "name": "corpus",
+            "chars": 100,
+            "errors": 3,
+            "character_accuracy": 97.0,
+            "character_CI_accuracy": 98.0,
+            "word_accuracy": 90.0,
+            "insertions": 1,
+            "deletions": 1,
+            "substitutions": 1,
+            "scripts": [("en", 100, 3, 97.0)],
+            "counts": [(2, "a", "b"), (1, "c", "")],
+        }
+    )
+    assert doc.startswith("=== report corpus ===\n")
+    assert "97.00%\tCharacter Accuracy\n" in doc
+    assert "98.00%\tCharacter Accuracy (Case-insensitive)\n" in doc
+    assert "100\t3\t97.00%\ten" in doc
+    assert "2\t{ a } - { b }" in doc
