@@ -75,14 +75,22 @@ def align_counts(reference: str, hypothesis: str) -> dict:
     "confusions": [(correct, generated, n), ...] sorted by -n then pair}.
     Full DP matrix with backtrace (pages are ~1e3 chars; the matrix is
     vectorized row-wise like `levenshtein` above)."""
+    from collections import Counter
+
     la, lb = len(reference), len(hypothesis)
     if la == 0 or lb == 0:
+        conf0 = Counter(
+            [("", ch) for ch in hypothesis] + [(ch, "") for ch in reference]
+        )
         return {
             "insertions": lb,
             "deletions": la,
             "substitutions": 0,
             "matches": 0,
-            "confusions": [],
+            "confusions": sorted(
+                ((c, g, n) for (c, g), n in conf0.items()),
+                key=lambda t: (-t[2], t[0], t[1]),
+            ),
         }
     av = np.frombuffer(reference.encode("utf-32-le"), dtype=np.uint32)
     bv = np.frombuffer(hypothesis.encode("utf-32-le"), dtype=np.uint32)
@@ -93,8 +101,6 @@ def align_counts(reference: str, hypothesis: str) -> dict:
         m = np.minimum(prev[:-1] + (bv != av[i - 1]), prev[1:] + 1)
         dmat[i] = _scan_min(np.concatenate(([np.int32(i)], m)))
     ins = dels = subs = matches = 0
-    from collections import Counter
-
     conf: Counter = Counter()
     i, j = la, lb
     while i > 0 or j > 0:

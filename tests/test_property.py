@@ -168,3 +168,21 @@ def test_bidi_display_logical_involution(s):
     logical, perm = display_to_logical(s, "R")
     assert sorted(perm) == list(range(len(s)))
     assert "".join(s[i] for i in perm) == logical
+
+
+@given(
+    st.text(alphabet="abcXY .", max_size=40),
+    st.text(alphabet="abcXY .", max_size=40),
+)
+def test_align_counts_consistent_with_levenshtein(a, b):
+    """Backtraced edit-operation counts must sum to the edit distance and
+    partition both strings (matches+dels+subs == len(ref), matches+ins+subs
+    == len(hyp)); confusion multiset size equals the edit count."""
+    from kraken_spark.kernels.metrics import align_counts, levenshtein
+
+    c = align_counts(a, b)
+    edits = c["insertions"] + c["deletions"] + c["substitutions"]
+    assert edits == levenshtein(a, b)
+    assert c["matches"] + c["deletions"] + c["substitutions"] == len(a)
+    assert c["matches"] + c["insertions"] + c["substitutions"] == len(b)
+    assert sum(n for _, _, n in c["confusions"]) == edits
