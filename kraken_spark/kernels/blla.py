@@ -357,6 +357,35 @@ def segment_blla(
     (the reference's pluggable hook, /root/reference/kraken/blla.py:254)."""
     model = model or build_segmenter()
     rl = text_direction.endswith("rl")
+    if text_direction.startswith("vertical"):
+        # vertical text: rotate 90° CCW so lines run horizontally, segment,
+        # un-rotate every coordinate — same scheme as pageseg.segment (the
+        # reference's rotated segmentation + rotate_lines,
+        # /root/reference/kraken/pageseg.py:307-454,292-304)
+        from .pageseg import rotate_points
+
+        h, w = mask.shape
+        seg = segment_blla(
+            np.ascontiguousarray(np.rot90(mask, k=1)),
+            url=url,
+            text_direction="horizontal-" + ("rl" if rl else "lr"),
+            model=model,
+            reading_order_fn=reading_order_fn,
+        )
+        for l in seg["lines"]:
+            pts = rotate_points(
+                [[l["bbox"][0], l["bbox"][1]], [l["bbox"][2] - 1, l["bbox"][3] - 1]],
+                1, h, w,
+            )
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            l["bbox"] = [min(xs), min(ys), max(xs) + 1, max(ys) + 1]
+            l["baseline"] = rotate_points(l["baseline"], 1, h, w)
+            l["boundary"] = rotate_points(l["boundary"], 1, h, w)
+        for r in seg["regions"]:
+            r["boundary"] = rotate_points(r["boundary"], 1, h, w)
+        seg["text_direction"] = text_direction
+        return seg
     heat = compute_segmentation_map(mask, model)
     # vectorize with a tiny length floor so curved-line fragments survive
     # until the join pass; the real minimum applies post-join

@@ -261,3 +261,29 @@ def test_pluggable_hooks():
         assert serialize(row, "tsv") == "ab\ncd"
     finally:
         SERIALIZERS.pop("tsv", None)
+
+
+def test_vertical_text_segmentation_blla():
+    """Same rotate-segment-unrotate contract through the NEURAL path:
+    vertical-* pages recover all lines with rotated geometry and exact
+    recognition (parity with the pageseg vertical test above)."""
+    from kraken_spark.kernels import blla
+    from kraken_spark.kernels.codec import Codec
+    from kraken_spark.kernels.recognizer import build_recognizer, recognize_page
+
+    d = render.render_document(42, 0)  # en, 1-col
+    mask = binarize.nlbin(png.to_grayscale(d["img"]))
+    vmask = np.ascontiguousarray(np.rot90(mask, k=3))  # CW: lines now vertical
+    seg = blla.segment_blla(vmask, url="u", text_direction="vertical-lr")
+    assert seg["text_direction"] == "vertical-lr"
+    assert len(seg["lines"]) == len(d["lines"])
+    got0 = seg["lines"][0]["bbox"]
+    assert (got0[3] - got0[1]) > (got0[2] - got0[0])
+    model = build_recognizer()
+    codec = Codec(model.codec)
+    strips = []
+    for l in seg["lines"]:
+        bx0, by0, bx1, by1 = l["bbox"]
+        strips.append(np.ascontiguousarray(np.rot90(vmask[by0:by1, bx0:bx1], k=1)))
+    recs = recognize_page(model, codec, strips, base_dir="L")
+    assert "\n".join(r["prediction"] for r in recs) == d["text"]
