@@ -363,6 +363,8 @@ def to_json(row) -> str:
         if _row_get(row, "base_dir", "L") == "R"
         else "horizontal-lr",
         "script_detection": False,
+        "width": int(_row_get(row, "width", 0)),
+        "height": int(_row_get(row, "height", 0)),
         "lines": [_line_fields(l) for l in (_row_get(row, "lines", []) or [])],
         "regions": [
             {
@@ -375,6 +377,45 @@ def to_json(row) -> str:
         ],
     }
     return json.dumps(seg, ensure_ascii=False, sort_keys=True)
+
+
+def from_json(doc: str) -> dict:
+    """Inverse of to_json: parse a JSON Segmentation into the same
+    contract `xmlparse.parse_segmentation` returns, so JSON payloads take
+    the identical pre-segmented input path (the reference's JSON
+    round-trip, /root/reference/kraken/kraken.py:179-181,215-220)."""
+    import json
+
+    seg = json.loads(doc)
+    lines = []
+    for i, l in enumerate(seg.get("lines", []) or []):
+        lines.append(
+            {
+                "id": l.get("id") or f"line_{i}",
+                "rank": i,
+                "bbox": [int(v) for v in (l.get("bbox") or [0, 0, 0, 0])],
+                "baseline": [[int(x), int(y)] for x, y in (l.get("baseline") or [])],
+                "boundary": [[int(x), int(y)] for x, y in (l.get("boundary") or [])],
+                "region_ids": list(l.get("region_ids") or []),
+                "text": l.get("prediction") or "",
+            }
+        )
+    regions = [
+        {
+            "id": r.get("id") or f"region_{j}",
+            "region_type": r.get("region_type") or "text",
+            "boundary": [[int(x), int(y)] for x, y in (r.get("boundary") or [])],
+            "rank": int(r.get("rank", j)),
+        }
+        for j, r in enumerate(seg.get("regions", []) or [])
+    ]
+    return {
+        "width": int(seg.get("width", 0) or 0),
+        "height": int(seg.get("height", 0) or 0),
+        "text_direction": seg.get("text_direction") or "horizontal-lr",
+        "lines": lines,
+        "regions": regions,
+    }
 
 
 SERIALIZERS = {

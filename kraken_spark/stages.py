@@ -100,6 +100,10 @@ def extract_document(
             # lines/regions/text directly, no OCR (the reference's -f xml
             # input, /root/reference/kraken/kraken.py:200-207; SURVEY §3.4)
             return _extract_from_xml(html, out, gt_text, t0)
+        if html[:1] == b"{" or html[:5].lstrip()[:1] == b"{":
+            # JSON Segmentation payload (the reference's JSON round-trip,
+            # kraken.py:179-181,215-220): same pre-segmented path
+            return _extract_from_json(html, out, gt_text, t0)
         w0, h0 = png.read_dimensions(html)
         if w0 * h0 > MAX_PAGE_PX:
             raise ValueError(f"page exceeds admission cap: {w0}x{h0}")
@@ -179,10 +183,22 @@ def extract_document(
 def _extract_from_xml(html: bytes, out: dict, gt_text: str | None, t0: float) -> dict:
     """Pre-segmented XML input: lines carry text already; geometry and
     reading order come from the document."""
-    from .kernels.metrics import cer as cer_fn
     from .kernels.xmlparse import parse_segmentation
 
-    seg = parse_segmentation(html)
+    return _extract_from_seg(parse_segmentation(html), out, gt_text, t0)
+
+
+def _extract_from_json(html: bytes, out: dict, gt_text: str | None, t0: float) -> dict:
+    """Pre-segmented JSON input — the reference's JSON Segmentation
+    round-trip (/root/reference/kraken/kraken.py:179-181,215-220): the
+    segment stage's JSON output feeds recognition/serialization directly."""
+    from .kernels.serialize import from_json
+
+    return _extract_from_seg(from_json(html.decode("utf-8")), out, gt_text, t0)
+
+
+def _extract_from_seg(seg: dict, out: dict, gt_text: str | None, t0: float) -> dict:
+    from .kernels.metrics import cer as cer_fn
     out["width"], out["height"] = int(seg["width"]), int(seg["height"])
     out["n_px"] = out["width"] * out["height"]
     lines = []

@@ -428,3 +428,27 @@ def test_ocr_report_query_and_renderer(spark):
     assert "98.00%\tCharacter Accuracy (Case-insensitive)\n" in doc
     assert "100\t3\t97.00%\ten" in doc
     assert "2\t{ a } - { b }" in doc
+
+
+def test_json_payload_extraction_path(spark):
+    """documents whose html column holds a JSON Segmentation (to_json
+    output) take the pre-segmented path like XML — byte-identical text,
+    no OCR (the reference's JSON round-trip, kraken.py:179-181,215-220)."""
+    from kraken_spark.kernels.serialize import serialize
+    from kraken_spark.operators.extraction import _extraction
+
+    ext_rows = _extraction(spark, "sf0.001").collect()
+    json_docs = [
+        (r.url, bytearray(serialize(r.asDict(recursive=True), "json").encode("utf-8")), r.text, r.lang)
+        for r in ext_rows
+    ]
+    df = spark.createDataFrame(
+        json_docs, "url string, html binary, text string, lang string"
+    )
+    out = {r.url: r for r in plan_extraction(df, num_partitions=2).collect()}
+    assert len(out) == len(ext_rows)
+    for r in ext_rows:
+        o = out[r.url]
+        assert not o.guard_tripped
+        assert o.cer == 0.0 and o.text == r.text
+        assert o.n_lines == r.n_lines and o.width == r.width
