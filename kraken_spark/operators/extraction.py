@@ -84,6 +84,41 @@ def x_extract_cer_report(spark, sf):
     )
 
 
+def x_extract_vertical(spark, sf):
+    """Vertical-text extraction end-to-end: the standard corpus pages are
+    rotated 90° CW in an Arrow stage (lines become vertical columns) and
+    extracted with text_direction='vertical' — rotate-segment-unrotate +
+    strip rotate-back (the reference's 4-valued text_direction,
+    kraken/pageseg.py:307-454 + bbox-crop rotate,
+    lib/segmentation.py:1631-1643). CER must be 0.0 (asserted in
+    tests/test_pipeline_spark.py)."""
+    import pyarrow as pa
+
+    docs = corpus_for(spark, sf)
+
+    def rotate(batches):
+        import numpy as np
+
+        from ..kernels import png
+
+        for b in batches:
+            rows = b.to_pylist()
+            for r in rows:
+                img = png.to_grayscale(png.decode_png(bytes(r["html"])))
+                r["html"] = png.encode_png(np.ascontiguousarray(np.rot90(img, k=3)))
+            yield pa.RecordBatch.from_pylist(rows, schema=b.schema)
+
+    vdocs = docs.mapInArrow(rotate, schema=docs.schema)
+    ext = plan_extraction(
+        vdocs,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        text_direction="vertical",
+    )
+    return ext.select(
+        "url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"
+    ).orderBy("url")
+
+
 def x_ocr_report(spark, sf):
     """Per-language OCR accuracy report — the data behind the reference's
     `report` template (/root/reference/kraken/templates/report, fed by
@@ -204,6 +239,7 @@ QUERIES = {
     "x_extract_text": (x_extract_text, None),
     "x_extract_blla": (x_extract_blla, None),
     "x_extract_curved": (x_extract_curved, None),
+    "x_extract_vertical": (x_extract_vertical, None),
     "x_extract_lines": (x_extract_lines, None),
     "x_extract_regions": (x_extract_regions, None),
     "x_extract_cer_report": (x_extract_cer_report, None),

@@ -43,6 +43,7 @@ def plan_extraction(
     documents: DataFrame,
     num_partitions: int | None = None,
     segmenter: str = "pageseg",
+    text_direction: str | None = None,
 ) -> DataFrame:
     """Build the (lazy) extraction DataFrame over a documents table."""
     spark = documents.sparkSession
@@ -51,7 +52,9 @@ def plan_extraction(
     df = documents.select(*cols)
     salt, total = weight_salt(n)
     df = df.repartition(total, salt.alias("salt"))
-    return df.mapInArrow(make_extract_map(segmenter), schema=EXTRACTION_DDL)
+    return df.mapInArrow(
+        make_extract_map(segmenter, text_direction), schema=EXTRACTION_DDL
+    )
 
 
 def extracted_text(extractions: DataFrame) -> DataFrame:

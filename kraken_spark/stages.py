@@ -62,14 +62,21 @@ def _get_model():
 
 def extract_document(
     html: bytes, url: str, lang: str, gt_text: str | None = None,
-    segmenter: str = "pageseg",
+    segmenter: str = "pageseg", text_direction: str | None = None,
 ) -> dict:
     """Pure-Python single-document extraction (kernel chain); used by the
     Arrow stage below and directly unit-testable.
 
     segmenter: 'pageseg' (model-free morphological path, §2.4) or 'blla'
     (neural heatmap path, kernels/blla.py, §2.3) — both emit the same
-    Segmentation contract, so the rest of the chain is shared."""
+    Segmentation contract, so the rest of the chain is shared.
+
+    text_direction: None derives horizontal-{lr,rl} from lang; 'vertical'
+    derives vertical-{lr,rl}; a full 4-valued direction is used as-is
+    (the reference's text_direction option, kraken/pageseg.py:307-454).
+    Vertical pages segment via rotate-segment-unrotate and their strips
+    are rotated back before recognition (the reference's bbox crop +
+    90° rotate, lib/segmentation.py:1631-1643)."""
     from .kernels import binarize, lineextract, pageseg, png
     from .kernels.metrics import cer as cer_fn
     from .kernels.recognizer import recognize_page
@@ -77,7 +84,11 @@ def extract_document(
     model, codec = _get_model()
     t0 = time.perf_counter()
     base_dir = "R" if lang == "ar" else "L"
-    text_direction = "horizontal-rl" if base_dir == "R" else "horizontal-lr"
+    if text_direction == "vertical":
+        text_direction = "vertical-rl" if base_dir == "R" else "vertical-lr"
+    elif text_direction is None:
+        text_direction = "horizontal-rl" if base_dir == "R" else "horizontal-lr"
+    vertical = text_direction.startswith("vertical")
     out = {
         "url": url,
         "lang": lang,
@@ -126,10 +137,25 @@ def extract_document(
             ]
         else:
             strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
+        if vertical:
+            # strips were cropped from the vertical page: rotate back to
+            # horizontal before recognition (lib/segmentation.py:1631-1643)
+            import numpy as np
+
+            strips = [
+                np.ascontiguousarray(np.rot90(s, k=1)) if s.size else s
+                for s in strips
+            ]
         records = recognize_page(model, codec, strips, base_dir=base_dir)
         lines = []
         for l, r in zip(seg["lines"], records):
             x0 = l["bbox"][0]
+            if vertical:
+                # the reading axis is page-y; strip-x c maps to y1 - c
+                y1b = l["bbox"][3]
+                cuts = [[y1b - c[1], y1b - c[0]] for c in r["cuts"]]
+            else:
+                cuts = [[c[0] + x0, c[1] + x0] for c in r["cuts"]]
             lines.append(
                 {
                     "id": l["id"],
@@ -139,7 +165,7 @@ def extract_document(
                     "boundary": l["boundary"],
                     "region_ids": l["region_ids"],
                     "prediction": r["prediction"],
-                    "cuts": [[c[0] + x0, c[1] + x0] for c in r["cuts"]],
+                    "cuts": cuts,
                     "confidences": r["confidences"],
                     "display_order": r["display_order"],
                 }
@@ -236,9 +262,10 @@ def _extract_from_seg(seg: dict, out: dict, gt_text: str | None, t0: float) -> d
     return out
 
 
-def make_extract_map(segmenter: str = "pageseg"):
+def make_extract_map(segmenter: str = "pageseg", text_direction: str | None = None):
     """mapInArrow stage body factory: documents batches -> extraction
-    batches, with the segmentation path chosen at plan time."""
+    batches, with the segmentation path (and optionally a 4-valued or
+    'vertical' text direction) chosen at plan time."""
 
     def extract_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -258,7 +285,9 @@ def make_extract_map(segmenter: str = "pageseg"):
             order = sorted(range(len(urls)), key=lambda i: -(len(htmls[i] or b"")))
             rows = [None] * len(urls)
             for i in order:
-                rows[i] = extract_document(htmls[i], urls[i], langs[i], gts[i], segmenter)
+                rows[i] = extract_document(
+                    htmls[i], urls[i], langs[i], gts[i], segmenter, text_direction
+                )
             for r in rows:
                 r["partition_id"] = pid
             yield pa.RecordBatch.from_pylist(rows, schema=EXTRACTION_ARROW)

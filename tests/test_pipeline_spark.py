@@ -452,3 +452,14 @@ def test_json_payload_extraction_path(spark):
         assert not o.guard_tripped
         assert o.cer == 0.0 and o.text == r.text
         assert o.n_lines == r.n_lines and o.width == r.width
+
+
+def test_vertical_extraction_spark_path(spark):
+    """Vertical text through the full Spark stage (x_extract_vertical):
+    rotated pages, text_direction='vertical' -> byte-identical text,
+    vertical line geometry, reading-axis cuts."""
+    from kraken_spark.operators.extraction import x_extract_vertical
+
+    rows = x_extract_vertical(spark, "sf0.001").collect()
+    assert rows and all(r.cer == 0.0 for r in rows)
+    assert {r.lang for r in rows} == {"ar", "en", "fr"}
