@@ -37,9 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true", help="anti-join committed output")
     ap.add_argument(
         "--serialize",
-        choices=["alto", "pagexml", "hocr", "json"],
+        choices=["alto", "pagexml", "hocr", "abbyyxml", "json"],
         default=None,
         help="additionally write serialized documents next to the output",
+    )
+    ap.add_argument(
+        "--report",
+        action="store_true",
+        help="print a kraken-style OCR accuracy report (requires a ground-"
+        "truth `text` column on the input documents)",
     )
     args = ap.parse_args(argv)
 
@@ -77,6 +83,41 @@ def main(argv: list[str] | None = None) -> int:
         )
     done = spark.read.parquet(args.output)
     print(f"[kraken_spark] committed {done.count()} extraction rows -> {args.output}")
+    if args.report:
+        all_docs = spark.read.parquet(args.input)
+        if "text" not in all_docs.columns:
+            print("[kraken_spark] --report skipped: input has no ground-truth text column")
+            return 0
+        import pyspark.sql.functions as F
+
+        from kraken_spark.kernels.serialize import to_report
+        from kraken_spark.operators.extraction import report_over
+
+        rows = report_over(
+            done.select("url", "lang", "text"),
+            all_docs.select("url", F.col("text").alias("gt")),
+        ).collect()
+        chars = sum(r.chars for r in rows)
+        errors = sum(r.errors for r in rows)
+        print(
+            to_report(
+                {
+                    "name": args.run_id,
+                    "chars": chars,
+                    "errors": errors,
+                    "character_accuracy": 100.0 * (1 - errors / max(chars, 1)),
+                    "character_CI_accuracy": min(r.char_acc_ci for r in rows),
+                    "word_accuracy": min(r.word_acc for r in rows),
+                    "insertions": sum(r.insertions for r in rows),
+                    "deletions": sum(r.deletions for r in rows),
+                    "substitutions": sum(r.substitutions for r in rows),
+                    "scripts": [
+                        (r.lang, r.chars, r.errors, r.char_acc) for r in rows
+                    ],
+                    "counts": [],
+                }
+            )
+        )
     return 0
 
 

@@ -127,10 +127,17 @@ def x_ocr_report(spark, sf):
     totals from a full alignment backtrace per document. Rendered to the
     reference's text layout by kernels/serialize.to_report (tested in
     tests/test_pipeline_spark.py)."""
-    import pyarrow as pa
-
     gt = corpus_for(spark, sf).select("url", F.col("text").alias("gt"))
     ext = _extraction(spark, sf).select("url", "lang", "text")
+    return report_over(ext, gt)
+
+
+def report_over(ext, gt):
+    """Per-language accuracy rollup over (url, lang, text) extraction rows
+    joined with (url, gt) ground truth — shared by x_ocr_report and the
+    job's --report flag."""
+    import pyarrow as pa
+
     joined = ext.join(gt, "url")
 
     out_schema = (

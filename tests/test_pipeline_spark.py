@@ -463,3 +463,31 @@ def test_vertical_extraction_spark_path(spark):
     rows = x_extract_vertical(spark, "sf0.001").collect()
     assert rows and all(r.cer == 0.0 for r in rows)
     assert {r.lang for r in rows} == {"ar", "en", "fr"}
+
+
+def test_job_cli_end_to_end(spark, capsys):
+    """spark-submit entry (job.main): extract -> resume no-op -> abbyy
+    serialize sidecar -> kraken-style accuracy report on stdout."""
+    from kraken_spark.job import main
+
+    tmp = tempfile.mkdtemp(prefix="ks_jobcli_")
+    try:
+        generate_corpus_df(spark, 6).write.mode("overwrite").parquet(f"{tmp}/in")
+        rc = main(
+            ["--input", f"{tmp}/in", "--output", f"{tmp}/out",
+             "--metrics", f"{tmp}/metrics", "--serialize", "abbyyxml",
+             "--report", "--run-id", "smoke"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "=== report smoke ===" in out
+        assert "100.00%\tCharacter Accuracy" in out
+        assert spark.read.parquet(f"{tmp}/out").count() == 6
+        assert spark.read.parquet(f"{tmp}/out_abbyyxml").count() == 6
+        assert spark.read.parquet(f"{tmp}/metrics").count() > 0
+        # resume over a fully-committed output processes nothing
+        rc = main(["--input", f"{tmp}/in", "--output", f"{tmp}/out", "--resume"])
+        assert rc == 0
+        assert "resume: 0 documents remaining" in capsys.readouterr().out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
