@@ -491,3 +491,25 @@ def test_job_cli_end_to_end(spark, capsys):
         assert "resume: 0 documents remaining" in capsys.readouterr().out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_scan_pushdown_and_column_pruning(spark, tmp_path):
+    """Filters and projections must reach the parquet scan: PushedFilters
+    carries the lang predicate and ReadSchema holds ONLY the projected
+    columns — at 100 TB a scan that reads the html payload for a
+    url-count query is the difference between minutes and hours."""
+    p = str(tmp_path / "docs")
+    generate_corpus_df(spark, 4).write.mode("overwrite").parquet(p)
+    q = (
+        spark.read.parquet(p)
+        .filter(F.col("lang") == "en")
+        .select("url", "lang")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
+    assert scan, plan[:1500]
+    line = scan[0]
+    assert "PushedFilters: [" in line and "lang" in line.split("PushedFilters:")[1].split("]")[0]
+    read_schema = line.split("ReadSchema:")[1]
+    assert "url" in read_schema and "lang" in read_schema
+    assert "html" not in read_schema and "warc_ts" not in read_schema
