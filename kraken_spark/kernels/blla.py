@@ -349,12 +349,19 @@ def segment_blla(
     text_direction: str = "horizontal-lr",
     model: VGSLModel | None = None,
     reading_order_fn=None,
+    boundary_mode: str = "rect",
 ) -> dict:
     """Full neural path: heatmaps -> vectorize -> scale back -> polygonize
     -> region assignment -> reading order. Same output contract as
     pageseg.segment. reading_order_fn: optional override,
     ``fn(line_bboxes, line_region_idx, region_bboxes, rl) -> permutation``
-    (the reference's pluggable hook, /root/reference/kraken/blla.py:254)."""
+    (the reference's pluggable hook, /root/reference/kraken/blla.py:254).
+
+    boundary_mode: 'rect' keeps ink-exact rectangular envelopes;
+    'seam' replaces each boundary with a seam-carved polygonal environment
+    (kernels/seamcarve.py — the reference's calculate_polygonal_environment,
+    lib/segmentation.py:747-842) while the bbox stays ink-exact, so
+    polygon-masked extraction remains byte-identical."""
     model = model or build_segmenter()
     rl = text_direction.endswith("rl")
     if text_direction.startswith("vertical"):
@@ -371,6 +378,7 @@ def segment_blla(
             text_direction="horizontal-" + ("rl" if rl else "lr"),
             model=model,
             reading_order_fn=reading_order_fn,
+            boundary_mode=boundary_mode,
         )
         for l in seg["lines"]:
             pts = rotate_points(
@@ -461,6 +469,11 @@ def segment_blla(
         l["rank"] = rank
         l["region_ids"] = [regions[line_region_idx[li]]["id"]] if regions else []
         ordered.append(l)
+    if boundary_mode == "seam":
+        from .seamcarve import polygonal_environment
+
+        for l, poly in zip(ordered, polygonal_environment(mask, ordered)):
+            l["boundary"] = poly
     return {
         "type": "baselines",
         "text_direction": text_direction,

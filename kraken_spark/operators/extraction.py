@@ -84,6 +84,34 @@ def x_extract_cer_report(spark, sf):
     )
 
 
+def x_extract_seam(spark, sf):
+    """Neural segmentation with seam-carved polygonal line environments
+    (kernels/seamcarve.py — the reference's
+    calculate_polygonal_environment/_calc_seam,
+    lib/segmentation.py:560-635,747-842): boundaries are DP seams through
+    the inter-line gaps; extraction goes through polygon-masked crops and
+    stays byte-identical (CER 0.0, asserted in
+    tests/test_pipeline_spark.py). Emits per-line polygon sizes so the
+    driver check sees the polygonal geometry."""
+    docs = corpus_for(spark, sf)
+    ext = plan_extraction(
+        docs,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        segmenter="blla_seam",
+    )
+    lines = ext.select(
+        "url", "lang", F.round("cer", 9).alias("cer"), F.explode("lines").alias("l")
+    )
+    return lines.select(
+        "url",
+        "lang",
+        "cer",
+        F.col("l.rank").alias("line_idx"),
+        F.size("l.boundary").alias("n_boundary_pts"),
+        F.col("l.prediction").alias("prediction"),
+    ).orderBy("url", "line_idx")
+
+
 def x_extract_vertical(spark, sf):
     """Vertical-text extraction end-to-end: the standard corpus pages are
     rotated 90° CW in an Arrow stage (lines become vertical columns) and
@@ -247,6 +275,7 @@ QUERIES = {
     "x_extract_blla": (x_extract_blla, None),
     "x_extract_curved": (x_extract_curved, None),
     "x_extract_vertical": (x_extract_vertical, None),
+    "x_extract_seam": (x_extract_seam, None),
     "x_extract_lines": (x_extract_lines, None),
     "x_extract_regions": (x_extract_regions, None),
     "x_extract_cer_report": (x_extract_cer_report, None),

@@ -123,10 +123,15 @@ def extract_document(
         out["n_px"] = int(img.size)
         out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
         mask = binarize.nlbin(img)
-        if segmenter in ("blla", "blla_curved"):
+        if segmenter in ("blla", "blla_curved", "blla_seam"):
             from .kernels import blla
 
-            seg = blla.segment_blla(mask, url=url, text_direction=text_direction)
+            seg = blla.segment_blla(
+                mask,
+                url=url,
+                text_direction=text_direction,
+                boundary_mode="seam" if segmenter == "blla_seam" else "rect",
+            )
         else:
             seg = pageseg.segment(mask, url=url, text_direction=text_direction)
         out["guard_tripped"] = seg["guard_tripped"]

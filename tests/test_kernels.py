@@ -353,3 +353,53 @@ def test_cer_case_insensitive():
     assert cer("Hello", "hello") > 0.0
     assert cer_case_insensitive("Hello", "hello") == 0.0
     assert cer_case_insensitive("abc", "abd") == cer("abc", "abd")
+
+
+def test_seamcarve_polygonal_environment():
+    """Seam semantics (reference _calc_seam, lib/segmentation.py:560-635):
+    a mid-gap noise blob is excluded from BOTH neighbors; ink adjacent to a
+    line's band edge joins that line (the distance bias hugs the line, so
+    diacritic-like ink is claimed); own ink is always fully covered."""
+    import numpy as np
+
+    from kraken_spark.kernels.lineextract import polygon_mask
+    from kraken_spark.kernels.seamcarve import polygonal_environment
+
+    ink = np.zeros((60, 200), np.uint8)
+    ink[10:20, 10:190] = 1  # line A
+    ink[40:50, 10:190] = 1  # line B
+    ink[28:33, 60:64] = 1   # mid-gap noise blob
+    ink[36:40, 120:124] = 1  # ink adjacent to B's top (diacritic-like)
+    lines = [
+        {"bbox": [10, 10, 190, 20], "baseline": [[10, 19], [189, 19]]},
+        {"bbox": [10, 40, 190, 50], "baseline": [[10, 49], [189, 49]]},
+    ]
+    pa, pb = polygonal_environment(ink, lines)
+    ma = polygon_mask(pa, 60, 200)
+    mb = polygon_mask(pb, 60, 200)
+    assert ma[10:20, 10:190].all() and mb[40:50, 10:190].all()
+    assert not ma[28:33, 60:64].any() and not mb[28:33, 60:64].any()
+    assert mb[36:40, 120:124].all()  # adjacent ink claimed by B
+    assert not ma[36:40, 120:124].any()
+
+
+def test_seam_extraction_byte_identical():
+    """blla + seam boundaries: polygon-masked extraction stays exact."""
+    from kraken_spark.kernels import binarize, blla, lineextract, png, render
+    from kraken_spark.kernels.codec import Codec
+    from kraken_spark.kernels.recognizer import build_recognizer, recognize_page
+
+    model = build_recognizer()
+    codec = Codec(model.codec)
+    for i in (0, 1, 2):  # en 1-col, 2-col, ar RTL
+        d = render.render_document(321, i)
+        mask = binarize.nlbin(png.to_grayscale(d["img"]))
+        rtl = d["lang"] == "ar"
+        seg = blla.segment_blla(
+            mask, url="u",
+            text_direction="horizontal-rl" if rtl else "horizontal-lr",
+            boundary_mode="seam",
+        )
+        strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
+        recs = recognize_page(model, codec, strips, base_dir="R" if rtl else "L")
+        assert "\n".join(r["prediction"] for r in recs) == d["text"], (i, d["lang"])

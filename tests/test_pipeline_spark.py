@@ -513,3 +513,13 @@ def test_scan_pushdown_and_column_pruning(spark, tmp_path):
     read_schema = line.split("ReadSchema:")[1]
     assert "url" in read_schema and "lang" in read_schema
     assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
+def test_seam_extraction_spark_path(spark):
+    """Seam-boundary segmentation through the full Spark stage: CER 0.0
+    everywhere and polygonal (non-rect) boundaries present."""
+    docs = generate_corpus_df(spark, 6)
+    rows = plan_extraction(docs, num_partitions=2, segmenter="blla_seam").collect()
+    assert len(rows) == 6
+    assert all(r.cer == 0.0 for r in rows)
+    assert all(len(l.boundary) >= 4 for r in rows for l in r.lines)
