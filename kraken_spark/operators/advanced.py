@@ -253,13 +253,18 @@ def x_merge_segmentations(spark, sf):
 
 
 def x_pdf_pages(spark, sf):
-    """Bundle consecutive corpus pages into 3-page MPGZ blobs, explode back
-    into page rows, and run full extraction — the multi-page ingestion path
-    with per-page urls (url#pN)."""
+    """Bundle consecutive corpus pages into 3-page multi-page blobs —
+    alternating REAL image PDFs (sources/pdf.write_pdf: Flate image
+    XObjects, parsed back without a rasterizer) and MPGZ containers —
+    explode back into page rows, and run full extraction: the reference's
+    PDF-to-page-rows ingestion (kraken/kraken.py:363-405) with per-page
+    urls (url#pN)."""
     from ..pipeline import plan_extraction
-    from ..sources.pdf import explode_pages, pack_multipage
+    from ..sources.pdf import explode_pages, pack_multipage, write_pdf
 
     def bundle(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import png
+
         schema = pa.schema(
             [pa.field("url", pa.string()), pa.field("html", pa.binary())]
         )
@@ -268,10 +273,14 @@ def x_pdf_pages(spark, sf):
             out = []
             for k in range(0, len(rows), 3):
                 grp = rows[k : k + 3]
+                if (k // 3) % 2 == 0:
+                    blob = write_pdf([png.decode_png(bytes(g["html"])) for g in grp])
+                else:
+                    blob = pack_multipage([g["html"] for g in grp])
                 out.append(
                     {
                         "url": grp[0]["url"].rsplit("/", 1)[0] + f"/bundle-{k}",
-                        "html": pack_multipage([g["html"] for g in grp]),
+                        "html": blob,
                     }
                 )
             if out:

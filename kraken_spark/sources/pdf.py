@@ -2,22 +2,131 @@
 
 The reference rasterizes PDFs at 300 dpi via pyvips, emitting one temp PNG
 per page (/root/reference/kraken/kraken.py:363-405). This container ships
-no PDF rasterizer (no pyvips/poppler), so the rasterizer itself is STUBBED
-behind an import-try + NotImplementedError, while the Spark-side plumbing —
-the blob -> ARRAY<page> explode, schema, batching — is real and tested via
-a deterministic multi-page container format (magic ``MPGZ``: a length-
-prefixed list of PNG payloads) that stands in for rasterized PDF output.
+no PDF rasterizer (no pyvips/poppler), so PDF support splits in two:
+
+- **Image PDFs** (the scanned-document case kraken actually targets):
+  handled natively. `write_pdf` emits a minimal valid PDF 1.4 with one
+  Flate-encoded DeviceGray/DeviceRGB image XObject per page, and
+  `extract_pdf_images` parses image XObjects back out of any PDF whose
+  page images are raw Flate (no renderer needed — the pixels ARE the
+  page). `unpack_pages` routes `%PDF-` blobs through it.
+- **Vector-content PDFs** genuinely need a rasterizer and stay STUBBED
+  behind an import-try + NotImplementedError.
+
+The Spark-side plumbing — the blob -> ARRAY<page> explode, schema,
+batching — is shared and also tested via the deterministic ``MPGZ``
+container (a length-prefixed list of PNG payloads).
 """
 
 from __future__ import annotations
 
+import re
 import struct
+import zlib
 from typing import Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
 MAGIC = b"MPGZ"
+
+
+def write_pdf(pages: list) -> bytes:
+    """Minimal valid PDF 1.4: one page per grayscale/RGB uint8 array, the
+    samples Flate-compressed into an image XObject scaled to the MediaBox
+    (the inverse of the reference's rasterize-to-PNG step)."""
+    objs: list[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kid_refs = " ".join(f"{3 + 3 * i} 0 R" for i in range(len(pages)))
+    objs.append(
+        f"<< /Type /Pages /Kids [{kid_refs}] /Count {len(pages)} >>".encode()
+    )
+    for i, img in enumerate(pages):
+        h, w = img.shape[:2]
+        rgb = img.ndim == 3
+        page_n, content_n, image_n = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+                f"/Resources << /XObject << /Im0 {image_n} 0 R >> >> "
+                f"/Contents {content_n} 0 R >>"
+            ).encode()
+        )
+        draw = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
+        )
+        data = zlib.compress(img.tobytes(), 6)
+        objs.append(
+            (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /Device{'RGB' if rgb else 'Gray'} "
+                f"/BitsPerComponent 8 /Filter /FlateDecode "
+                f"/Length {len(data)} >>\nstream\n"
+            ).encode()
+            + data
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+_OBJ_RE = re.compile(rb"\d+\s+0\s+obj\b(.*?)\bendobj", re.DOTALL)
+_NUM_KEY = lambda key, d: re.search(rb"/" + key + rb"\s+(\d+)", d)  # noqa: E731
+
+
+def extract_pdf_images(data: bytes) -> list:
+    """Image XObjects (raw Flate or uncompressed samples) -> uint8 arrays,
+    in document order. Returns [] when the PDF has no such images (vector
+    content — rasterizer territory)."""
+    import numpy as np
+
+    pages = []
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(1)
+        if b"/Subtype" not in body or b"/Image" not in body:
+            continue
+        wm, hm = _NUM_KEY(b"Width", body), _NUM_KEY(b"Height", body)
+        if not wm or not hm:
+            continue
+        w, h = int(wm.group(1)), int(hm.group(1))
+        channels = 3 if b"/DeviceRGB" in body else 1
+        bpc = _NUM_KEY(b"BitsPerComponent", body)
+        if bpc and int(bpc.group(1)) != 8:
+            continue  # unsupported depth: skip, don't crash
+        sm = re.search(rb"stream\r?\n", body)
+        if not sm:
+            continue
+        start = sm.end()
+        lm = _NUM_KEY(b"Length", body)
+        if lm:
+            raw = body[start : start + int(lm.group(1))]
+        else:
+            end = body.rfind(b"endstream")
+            raw = body[start:end].rstrip(b"\r\n")
+        if b"/FlateDecode" in body:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        if len(raw) < w * h * channels:
+            continue
+        arr = np.frombuffer(raw[: w * h * channels], dtype=np.uint8)
+        pages.append(arr.reshape((h, w, 3) if channels == 3 else (h, w)))
+    return pages
 
 
 def pack_multipage(pages: list[bytes]) -> bytes:
@@ -34,9 +143,11 @@ def unpack_pages(data: bytes) -> list[bytes]:
 
     - MPGZ container: length-prefixed split (deterministic fake of the
       rasterizer output).
-    - %PDF: requires a rasterizer; raises NotImplementedError unless pyvips
-      is importable (it is not in this container) — the clearly-marked stub
-      the Spark plumbing is tested around.
+    - %PDF with image XObjects (scanned-document PDFs): pages extracted
+      natively via extract_pdf_images and re-encoded as PNG payloads.
+    - %PDF with only vector content: requires a rasterizer; raises
+      NotImplementedError unless pyvips is importable (it is not in this
+      container) — the clearly-marked stub.
     - anything else: treated as a single-page payload.
     """
     if data[:4] == MAGIC:
@@ -50,13 +161,18 @@ def unpack_pages(data: bytes) -> list[bytes]:
             pos += ln
         return pages
     if data[:5] == b"%PDF-":
+        imgs = extract_pdf_images(data)
+        if imgs:
+            from ..kernels import png
+
+            return [png.encode_png(im) for im in imgs]
         try:
             import pyvips  # noqa: F401
         except ImportError:
             raise NotImplementedError(
-                "PDF rasterization requires pyvips (the reference renders at "
-                "300 dpi, kraken/kraken.py:372-394); not available in this "
-                "container — ship pages pre-rasterized or as MPGZ"
+                "PDF has no extractable image XObjects; rasterizing vector "
+                "content requires pyvips (the reference renders at 300 dpi, "
+                "kraken/kraken.py:372-394), not available in this container"
             ) from None
         raise NotImplementedError("pyvips rasterization path not wired")
     return [bytes(data)]

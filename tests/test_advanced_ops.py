@@ -196,9 +196,32 @@ def test_multipage_roundtrip_and_pdf_stub():
     pages = [b"page-one-bytes", b"page-two", b""]
     blob = pack_multipage(pages)
     assert unpack_pages(blob) == pages
+    # a vector-only PDF (no image XObjects) still needs a rasterizer
     with pytest.raises(NotImplementedError):
         unpack_pages(b"%PDF-1.7 fake")
     assert unpack_pages(b"plain png bytes") == [b"plain png bytes"]
+
+
+def test_image_pdf_native_roundtrip():
+    """Scanned-document (image) PDFs are handled WITHOUT a rasterizer:
+    write_pdf emits a valid PDF 1.4 with Flate image XObjects,
+    extract_pdf_images recovers pixel-identical pages, and unpack_pages
+    routes %PDF blobs through it to PNG payloads that extract at CER 0."""
+    from kraken_spark.sources.pdf import extract_pdf_images, write_pdf
+    from kraken_spark.stages import extract_document
+
+    d0 = render.render_document(42, 0)
+    d1 = render.render_document(42, 3)
+    pdf = write_pdf([d0["img"], d1["img"]])
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    imgs = extract_pdf_images(pdf)
+    assert len(imgs) == 2
+    assert np.array_equal(imgs[0], d0["img"]) and np.array_equal(imgs[1], d1["img"])
+    payloads = unpack_pages(pdf)
+    assert len(payloads) == 2
+    for payload, d in zip(payloads, (d0, d1)):
+        out = extract_document(payload, "u", d["lang"], gt_text=d["text"])
+        assert out["cer"] == 0.0
 
 
 def test_pluggable_hooks():
