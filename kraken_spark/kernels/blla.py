@@ -206,6 +206,9 @@ def join_baseline_fragments(
     frags.sort(key=lambda f: f[0][0])
     # per-fragment [left_anchor, right_anchor]; invariant under merging
     anchors = [[_facing_anchor(f, False), _facing_anchor(f, True)] for f in frags]
+    yspans = [
+        [min(p[1] for p in f), max(p[1] for p in f)] for f in frags
+    ]
     merged = True
     while merged:
         merged = False
@@ -235,11 +238,27 @@ def join_baseline_fragments(
                         ]
                         if box.size == 0 or box.sum() < 0.1 * box.shape[1]:
                             continue
-                    if dy <= max_dy:
+                    # touching fragments (a component split by labeling,
+                    # one side's tip riding a mid-band shelf) join when
+                    # their y-INTERVALS overlap even if the facing anchors
+                    # disagree: distinct lines are band-separated (pitch >
+                    # band) and column gutters are > 2 px, so this can
+                    # never bridge two real lines
+                    touch_join = gap <= 2 and (
+                        min(yspans[i][1], yspans[j][1])
+                        - max(yspans[i][0], yspans[j][0])
+                        >= 3
+                    )
+                    if dy <= max_dy or touch_join:
                         frags[i] = sorted(a + b, key=lambda p: p[0])
                         anchors[i] = [anchors[i][0], anchors[j][1]]
+                        yspans[i] = [
+                            min(yspans[i][0], yspans[j][0]),
+                            max(yspans[i][1], yspans[j][1]),
+                        ]
                         del frags[j]
                         del anchors[j]
+                        del yspans[j]
                         merged = True
                         break
             if merged:
@@ -247,8 +266,84 @@ def join_baseline_fragments(
     return frags
 
 
+def _col_bottoms(frag: list[list[int]]) -> dict[int, int]:
+    cols: dict[int, int] = {}
+    for x, y in frag:
+        cols[x] = max(cols.get(x, -1), y)
+    return cols
+
+
+def _snap_bottoms(
+    cols: dict[int, int], ink_small: np.ndarray, up: int = 4
+) -> dict[int, int]:
+    """Snap detector bottoms to the actual lowest INK row at/above them
+    (the heatmap response trails the ink by 2-3 rows — the conv fires as
+    long as ink sits within its upper taps), so the ink-evidence gates
+    below measure from real glyph geometry, not detector geometry.
+    Columns with no ink nearby (inter-stroke gaps — the response bridges
+    them) are DROPPED: they carry no geometric evidence either way."""
+    h = ink_small.shape[0]
+    out: dict[int, int] = {}
+    for x, y in cols.items():
+        lo = max(y - up, 0)
+        col = ink_small[lo : min(y + 1, h), x]
+        rr = np.nonzero(col)[0]
+        if len(rr):
+            out[x] = lo + int(rr[-1])
+    return out
+
+
+def _band_height(
+    cols: dict[int, int], xs: list[int], ink_small: np.ndarray, max_h: int = 14
+) -> float:
+    """Contiguous ink-band height above the (ink-snapped) median bottom,
+    measured on the ROW PROJECTION over the given x-range (per-column runs
+    break on sparse strokes): rows with any ink in the range extend the
+    band, a run of >= 2 blank rows ends it, so a neighboring line's ink
+    across the inter-line gap is never counted (the glyph x-height
+    estimate; analog of the reference's scale estimation,
+    pageseg.py:69-81)."""
+    if not xs:
+        return float(max_h)
+    ys = sorted(cols[x] for x in xs)
+    yb = ys[len(ys) // 2]
+    rows = ink_small[max(yb - max_h, 0) : yb + 1, min(xs) : max(xs) + 1].any(axis=1)
+    height = 0
+    blanks = 0
+    for k in range(1, len(rows)):
+        if rows[-1 - k]:
+            height = k
+            blanks = 0
+        else:
+            blanks += 1
+            if blanks >= 2:
+                break
+    return float(height)
+
+
+def _ink_below_frac(
+    cols: dict[int, int], ink_small: np.ndarray, lo: int = 2, hi: int = 5
+) -> float:
+    """Fraction of (ink-snapped) columns with ink in rows (y+lo, y+hi)
+    strictly below the bottom. The true baseline is the LOWEST ink of its
+    band, so real baselines score ~0 (the first rows of the inter-line gap
+    are blank), while a mid-band phantom has its band's remaining glyph
+    strokes directly underneath."""
+    if not cols:
+        return 0.0
+    h = ink_small.shape[0]
+    hit = sum(
+        1 for x, y in cols.items() if ink_small[min(y + lo, h - 1) : min(y + hi, h), x].any()
+    )
+    return hit / len(cols)
+
+
 def suppress_phantom_baselines(
-    baselines: list[list[list[int]]], y_radius: int = 7, y_radius_short: int = 10
+    baselines: list[list[list[int]]],
+    y_radius: int = 7,
+    y_radius_short: int = 10,
+    ink_small: np.ndarray | None = None,
+    y_radius_ink: int = 16,
 ) -> list[list[list[int]]]:
     """Drop a baseline when ANOTHER baseline covers >=80% of its x-range
     no more than y_radius rows BELOW it: sparse stroke patterns fire the
@@ -262,7 +357,18 @@ def suppress_phantom_baselines(
     chance ONLY when they are much shorter than the covering line: a real
     short line (e.g. a paragraph's last line) spans well over 60% of its
     full-width neighbor below never — post-join real baselines are
-    full-span — while mid-band phantom fragments are by nature short."""
+    full-span — while mid-band phantom fragments are by nature short.
+    A third, ink-evidence tier (needs ink_small) reaches the rest of the
+    band (up to y_radius_ink — large-amplitude curved bands put phantoms
+    further above the dipping baseline than any fixed window below the
+    inter-line pitch can cover). The ink tier works LOCALLY: the covering
+    baseline's per-column bottoms at the candidate's own columns must sit
+    within one glyph-band height (ink-derived, _band_height) below it —
+    i.e. the candidate lies inside the covering line's glyph band — and
+    glyph ink must continue directly BELOW the candidate's bottom, which
+    no true baseline allows (the baseline is the lowest ink of its band).
+    A real short line right above a full line sits a full line-pitch
+    above it, beyond the band gate."""
     spans = []
     for bl in baselines:
         xs = [p[0] for p in bl]
@@ -275,13 +381,32 @@ def suppress_phantom_baselines(
         for j, (u0, u1, v) in enumerate(spans):
             if j == i:
                 continue
-            if 0.0 < v - y <= y_radius_short:  # j sits BELOW i within the band
+            if 0.0 < v - y <= y_radius_ink:  # j sits BELOW i within the band
                 overlap = min(x1, u1) - max(x0, u0)
-                if overlap >= 0.8 * max(li, 1) and (
-                    v - y <= y_radius or li <= 0.6 * (u1 - u0)
-                ):
+                if overlap < 0.8 * max(li, 1):
+                    continue
+                short = li <= 0.6 * (u1 - u0)
+                if v - y <= y_radius or (short and v - y <= y_radius_short):
                     phantom = True
                     break
+                if short and ink_small is not None:
+                    ci_raw = _col_bottoms(baselines[i])
+                    ci = _snap_bottoms(ci_raw, ink_small)
+                    cj = _snap_bottoms(_col_bottoms(baselines[j]), ink_small)
+                    shared = [x for x in ci if x in cj]
+                    # a handful of ink-backed shared columns suffices: the
+                    # band/ink gates below carry the discrimination, and
+                    # sparse strokes legitimately thin out the snapped set
+                    if len(shared) < max(6, 0.25 * len(ci_raw)):
+                        continue
+                    local_gap = sum(cj[x] - ci[x] for x in shared) / len(shared)
+                    band_h = _band_height(cj, shared, ink_small)
+                    if (
+                        0.0 < local_gap <= band_h + 2
+                        and _ink_below_frac(ci, ink_small) >= 0.15
+                    ):
+                        phantom = True
+                        break
         if not phantom:
             keep.append(baselines[i])
     return keep
@@ -407,7 +532,7 @@ def segment_blla(
         np.rint(approximate_polygon(np.asarray(bl, dtype=np.float64), tolerance=3.0))
         .astype(np.int64)
         .tolist()
-        for bl in suppress_phantom_baselines(joined)
+        for bl in suppress_phantom_baselines(joined, ink_small=ink_small)
     ]
     baselines = scale_polygonal_lines(joined, DOWNSCALE)
     region_polys = scale_polygonal_lines(vectorize_regions(heat[1]), DOWNSCALE)

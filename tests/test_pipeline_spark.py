@@ -204,6 +204,32 @@ def test_curved_hard_cases_exact():
         assert out["cer"] == 0.0, (i, out["cer"])
 
 
+def test_cross_seed_hard_cases_exact():
+    """Second wave of historical residuals, found by multi-seed sweeps:
+    (7,35) — a touching fragment pair whose facing anchors disagreed by 8
+    (fixed: touch-join on overlapping y-intervals); (7,42)/(555,49) —
+    mid-band phantoms beyond the fixed suppression windows (fixed:
+    ink-below-evidence tier, gated on sitting inside the covering line's
+    y-span so a REAL short line right above a full line — the
+    (1234,4) straight case — is never suppressed)."""
+    from kraken_spark.kernels import png, render
+    from kraken_spark.stages import extract_document
+
+    for seed, i, rend, seg in (
+        (7, 35, render.render_curved_document, "blla_curved"),
+        (7, 42, render.render_curved_document, "blla_curved"),
+        (555, 49, render.render_curved_document, "blla_curved"),
+        (1234, 4, render.render_document, "blla"),
+        (7, 15, render.render_document, "blla"),
+    ):
+        d = rend(seed, i)
+        out = extract_document(
+            png.encode_png(d["img"]), f"u{seed}_{i}", d["lang"],
+            gt_text=d["text"], segmenter=seg,
+        )
+        assert out["cer"] == 0.0, (seed, i, seg, out["cer"])
+
+
 def test_weight_salt_separates_heavy_pages(spark):
     """Heavy pages (> HEAVY_BYTES payload) must salt into the dedicated
     bucket space [n, n + n//4); normal pages into [0, n)."""
