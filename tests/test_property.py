@@ -186,3 +186,27 @@ def test_align_counts_consistent_with_levenshtein(a, b):
     assert c["matches"] + c["deletions"] + c["substitutions"] == len(a)
     assert c["matches"] + c["insertions"] + c["substitutions"] == len(b)
     assert sum(n for _, _, n in c["confusions"]) == edits
+
+
+@given(
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_column_seam_is_connected_and_optimalish(h, w, seed):
+    """Seam DP invariants: every column gets a row in bounds, adjacent
+    columns differ by at most 1 (the 3-neighbor transition set), and the
+    seam's total energy never exceeds any constant-row path's."""
+    import numpy as np
+
+    from kraken_spark.kernels.seamcarve import column_seam
+
+    rng = np.random.default_rng(seed)
+    energy = rng.random((h, w)).astype(np.float32)
+    ys = column_seam(energy)
+    assert len(ys) == w
+    assert all(0 <= y < h for y in ys)
+    assert all(abs(int(ys[i + 1]) - int(ys[i])) <= 1 for i in range(w - 1))
+    seam_cost = float(sum(energy[y, x] for x, y in enumerate(ys)))
+    best_row = float(energy.sum(axis=1).min())
+    assert seam_cost <= best_row + 1e-4
