@@ -651,8 +651,88 @@ FROM per_user
 """
 
 
+def q18_large_volume_customers(spark, sf):
+    """TPC-H Q18 shape: customers whose orders carry a large total
+    quantity — an IN-subquery (left-semi join in Spark) over a grouped
+    HAVING, then a three-way join + re-aggregation."""
+    l = t(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf, "orders").join(big, F.col("o_orderkey") == big.l_orderkey, "left_semi")
+    c = t(spark, sf, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS total_price,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY total_price DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+def window_lead_lag(spark, sf):
+    """lead/lag over per-customer order history: days since the previous
+    order and value delta to the next one (the §2.8 windowed-sequence
+    shape — same plan as per-page line-to-line geometry deltas)."""
+    o = t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+            F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("next_price_delta"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WINDOW_LEAD_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       DATE_DIFF('day',
+                 LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev,
+       ROUND(LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             - o_totalprice, 2) AS next_price_delta,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, rn
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
+    "window_lead_lag": (window_lead_lag, WINDOW_LEAD_LAG_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
