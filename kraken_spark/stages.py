@@ -20,6 +20,7 @@ partitions, skew is handled by the pipeline's weight-aware salting.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Iterator
 
@@ -118,11 +119,23 @@ def extract_document(
         w0, h0 = png.read_dimensions(html)
         if w0 * h0 > MAX_PAGE_PX:
             raise ValueError(f"page exceeds admission cap: {w0}x{h0}")
+        # per-document wall-clock budget (SURVEY §7.5): a pathological page
+        # must not stall its whole partition — on breach the document is
+        # flagged and emitted empty, like the reference's endpoint cap
+        # (lib/segmentation.py:353-381). 0 disables (default).
+        budget_ms = float(os.environ.get("KRAKEN_SPARK_DOC_BUDGET_MS", "0") or 0)
+
+        def _check_budget(stage: str) -> None:
+            if budget_ms > 0 and (time.perf_counter() - t0) * 1000.0 > budget_ms:
+                raise TimeoutError(f"doc budget exceeded after {stage}")
+
         img = png.decode_png(html)
         img = png.to_grayscale(img)
         out["n_px"] = int(img.size)
         out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
+        _check_budget("decode")
         mask = binarize.nlbin(img)
+        _check_budget("binarize")
         if segmenter in ("blla", "blla_curved", "blla_seam"):
             from .kernels import blla
 
@@ -134,6 +147,7 @@ def extract_document(
             )
         else:
             seg = pageseg.segment(mask, url=url, text_direction=text_direction)
+        _check_budget("segment")
         out["guard_tripped"] = seg["guard_tripped"]
         if segmenter == "blla_curved":
             # curved baselines: piecewise per-cell dewarp to straight strips

@@ -310,3 +310,23 @@ def test_vertical_text_segmentation_blla():
         strips.append(np.ascontiguousarray(np.rot90(vmask[by0:by1, bx0:bx1], k=1)))
     recs = recognize_page(model, codec, strips, base_dir="L")
     assert "\n".join(r["prediction"] for r in recs) == d["text"]
+
+
+def test_doc_time_budget(monkeypatch):
+    """KRAKEN_SPARK_DOC_BUDGET_MS: a pathological page past the budget is
+    flagged + emitted empty instead of stalling its partition (SURVEY §7.5
+    skew control; analog of the reference's endpoint cap,
+    lib/segmentation.py:353-381)."""
+    from kraken_spark.stages import extract_document
+
+    d = render.render_document(42, 0)
+    payload = png.encode_png(d["img"])
+    monkeypatch.setenv("KRAKEN_SPARK_DOC_BUDGET_MS", "0.001")
+    out = extract_document(payload, "u", d["lang"], gt_text=d["text"])
+    assert out["guard_tripped"] and out["n_lines"] == 0
+    monkeypatch.setenv("KRAKEN_SPARK_DOC_BUDGET_MS", "60000")
+    out = extract_document(payload, "u", d["lang"], gt_text=d["text"])
+    assert not out["guard_tripped"] and out["cer"] == 0.0
+    monkeypatch.delenv("KRAKEN_SPARK_DOC_BUDGET_MS")
+    out = extract_document(payload, "u", d["lang"], gt_text=d["text"])
+    assert not out["guard_tripped"] and out["cer"] == 0.0
