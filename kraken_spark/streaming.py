@@ -31,12 +31,15 @@ def stream_extraction(
     run_id: str = "stream0",
     num_partitions: int | None = None,
     available_now: bool = True,
+    segmenter: str = "pageseg",
+    text_direction: str | None = None,
 ):
     """Start a file-source stream: parquet documents dir -> extraction parquet.
 
     With available_now=True the stream drains everything present and stops
     (the batch-backfill trigger); otherwise it keeps running per default
-    micro-batch trigger. Returns the StreamingQuery.
+    micro-batch trigger. segmenter/text_direction pass through to the same
+    plan_extraction stage graph as batch. Returns the StreamingQuery.
     """
 
     docs = (
@@ -46,7 +49,12 @@ def stream_extraction(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ext = plan_extraction(batch_df, num_partitions=num_partitions)
+        ext = plan_extraction(
+            batch_df,
+            num_partitions=num_partitions,
+            segmenter=segmenter,
+            text_direction=text_direction,
+        )
         # persist so metrics aggregation doesn't recompute the extraction
         ext = ext.persist()
         try:
