@@ -93,12 +93,31 @@ FROM clusters GROUP BY n_docs ORDER BY n_docs
 """
 
 
+# document-frequency cap for the Jaccard self-join: a shingle present in K
+# documents generates K^2/2 candidate pairs, so one ubiquitous 7-gram (a
+# boilerplate phrase in 10^9 docs at 100 TB) would single-handedly create a
+# quadratic blowup. Shingles with df > DF_CAP are dropped from the shingle
+# universe BEFORE the join (standard stop-shingle removal — both the
+# intersection AND the per-doc sizes use the capped universe, so the
+# Jaccard stays a true Jaccard over non-ubiquitous shingles). The cap is
+# exercised at test scale too: sf0.01 has 54 shingles with df > 128.
+DF_CAP = 128
+
+
 def dedup_ngram_jaccard(spark, sf):
-    """Pairwise n-gram Jaccard >= 0.5 (same-shingle join, ordered pairs)."""
+    """Pairwise n-gram Jaccard >= 0.5 over the df-capped shingle universe
+    (same-shingle join, ordered pairs). df=1 shingles are additionally
+    pruned from the join input (they cannot intersect) but still count
+    toward per-doc sizes."""
     sh = _shingles(spark, sf)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= DF_CAP
+    )
+    capped = sh.join(df, "shingle")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    joinable = capped.filter(F.col("df") >= 2).select("doc_id", "shingle")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -118,10 +137,16 @@ def dedup_ngram_jaccard(spark, sf):
 
 DEDUP_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+freq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY 1),
+capped AS (
+  SELECT s.doc_id, s.shingle, freq.df
+  FROM shingles s JOIN freq ON s.shingle = freq.shingle
+  WHERE freq.df <= {DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.df >= 2 AND b.df >= 2
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -239,7 +264,12 @@ ORDER BY doc_a, doc_b
 
 def dedup_simhash(spark, sf):
     """32-bit SimHash over word hashes: per-bit majority vote, cluster by
-    fingerprint value."""
+    fingerprint value.
+
+    Plan shape: ONE groupBy(doc_id) with 32 conditional-sum vote columns —
+    no per-bit row explode (which would multiply the shuffle volume 32x),
+    so the shuffle carries exactly one row per (doc, word) and the map-side
+    partial aggregation collapses it to one row per doc."""
     d = t(spark, sf)
     words = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
@@ -247,18 +277,21 @@ def dedup_simhash(spark, sf):
     wh = words.withColumn(
         "h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
     )
-    bits = wh.select(
-        "doc_id", F.explode(F.expr("sequence(0, 31)")).alias("bit"), "h"
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    votes = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"((h >> {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
     )
-    perbit = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    sim = perbit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)
-        ).alias("simhash")
-    )
+    simhash_col = None
+    for i in range(32):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash_col = term if simhash_col is None else simhash_col + term
+    sim = votes.select("doc_id", simhash_col.alias("simhash"))
     return (
         sim.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep"))

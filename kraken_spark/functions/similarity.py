@@ -195,40 +195,57 @@ N_PROBE = 4
 
 def ann_ivf_cosine(spark, sf):
     """ANN via an IVF coarse quantizer: every vector is assigned to its
-    nearest of N_CENTROIDS centroid vectors (broadcast hash join — the
-    centroid table is tiny), queries probe their N_PROBE nearest lists, and
-    candidates are exactly reranked inside the probed lists. Candidate set
-    shrinks from N to ~N*nprobe/C — the scale path beside the LSH variant.
+    nearest of N_CENTROIDS centroid vectors, queries probe their N_PROBE
+    nearest lists, and candidates are exactly reranked inside the probed
+    lists. Candidate set shrinks from N to ~N*nprobe/C — the scale path
+    beside the LSH variant.
 
-    Centroids here are the first N_CENTROIDS vectors (a deterministic
-    coarse quantizer); production would train them with k-means, which
-    changes only the centroid table, not the plan. Rows-only driver check;
-    recall vs brute force asserted in tests/test_similarity_recall.py.
+    Centroid assignment is fully MAP-SIDE: the centroid table (a
+    driver-side model, like any trained quantizer) is inlined as a literal
+    array and each row argmaxes over it with array_sort/transform — no
+    crossJoin, no window shuffle; the only shuffle left is the candidate
+    join on cent_id. Centroids here are the first N_CENTROIDS vectors (a
+    deterministic coarse quantizer); production would train them with
+    k-means, which changes only the literal, not the plan. Rows-only driver
+    check; recall vs brute force asserted in tests/test_similarity_recall.py.
     """
     e = t(spark, sf).select(
         "vec_id", "label", F.expr(_QUANT).alias("vq")
     ).withColumn("n2", F.expr(_IDOT.format(a="vq", b="vq")))
-    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("vq").alias("cent_emb"), F.col("n2").alias("centn2")
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "vq", "n2").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents_lit = "array(" + ",".join(
+        f"named_struct('cid', {int(r.vec_id)}, "
+        f"'cvq', array({','.join(str(int(v)) for v in r.vq)}), "
+        f"'cn2', CAST({int(r.n2)} AS BIGINT))"
+        for r in cent_rows
+    ) + ")"
+    # per-row centroid ranking: descending cosine, ties by cent_id asc —
+    # encoded as ascending (negcos, cid) struct sort, all inside codegen
+    sorted_expr = (
+        f"array_sort(transform({cents_lit}, c -> named_struct("
+        "'negcos', -(aggregate(zip_with(vq, c.cvq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        " / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))),"
+        "'cid', c.cid)))"
+    )
+    assigned = e.withColumn(
+        "cent_id", F.expr(f"element_at({sorted_expr}, 1).cid")
+    ).select("vec_id", "label", "vq", "n2", "cent_id")
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vq").alias("q_emb"),
+            F.col("n2").alias("qn2"),
+            F.explode(
+                F.expr(f"transform(slice({sorted_expr}, 1, {N_PROBE}), s -> s.cid)")
+            ).alias("cent_id"),
+        )
     )
     from pyspark.sql import Window
 
-    sim = F.expr(_IDOT.format(a="vq", b="cent_emb")) / (
-        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("centn2").cast("double"))
-    )
-    scored = e.crossJoin(F.broadcast(cent)).withColumn("cs", sim)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cent_id")
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "label", "vq", "n2", "cent_id")
-    )
-    probes = (
-        scored.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") <= N_PROBE)
-        .select(F.col("vec_id").alias("q_id"), F.col("vq").alias("q_emb"), F.col("n2").alias("qn2"), "cent_id")
-    )
     cand = probes.join(
         assigned.select(
             F.col("vec_id").alias("c_id"), F.col("vq").alias("c_emb"), F.col("n2").alias("cn2"), "cent_id"
@@ -333,10 +350,21 @@ GROUP BY dup_id, label ORDER BY dup_id
 """
 
 
+def ann_cosine(spark, sf):
+    """Both ANN scale paths in one tagged result (driver-window
+    consolidation): method='lsh' rows from the multi-table hyperplane-LSH
+    bucket join, method='ivf' rows from the IVF coarse quantizer. No oracle
+    SQL (float sign boundaries aren't bit-stable across engines); recall vs
+    brute force for BOTH methods is asserted in
+    tests/test_similarity_recall.py."""
+    lsh = ann_lsh_cosine(spark, sf).select(F.lit("lsh").alias("method"), "*")
+    ivf = ann_ivf_cosine(spark, sf).select(F.lit("ivf").alias("method"), "*")
+    return lsh.unionByName(ivf).orderBy("method", "q_id", "rk")
+
+
 QUERIES = {
     "knn_cosine_bruteforce": (knn_cosine_bruteforce, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
-    "ann_lsh_cosine": (ann_lsh_cosine, None),
-    "ann_ivf_cosine": (ann_ivf_cosine, None),
+    "ann_cosine": (ann_cosine, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
 }

@@ -54,8 +54,8 @@ WITH toks AS (
          len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
          length(text) AS n_chars2
   FROM documents)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-       SUM(n_bpe) AS total_bpe_units,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_units,
        ROUND(AVG(n_tokens), 6) AS avg_tokens,
        ROUND(AVG(CAST(n_chars2 AS DOUBLE) / n_tokens), 6) AS avg_token_len
 FROM toks GROUP BY lang ORDER BY lang
@@ -170,7 +170,7 @@ def doc_stats_grouping(spark, sf):
 
 
 DOC_STATS_SQL = """
-SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP (source, lang)
 ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
 """

@@ -5,8 +5,8 @@ Each query is the Spark face of a SURVEY.md §2 row:
 - x_multimodel_dispatch: per-tag model routing with ignore-tags and default
   fallback (mm_rpred, /root/reference/kraken/rpred.py:57-341,
   _resolve_type_to_model :373-391).
-- x_neural_reading_order: pairwise-MLP + greedy decode alternative line
-  order with Spearman footrule vs the heuristic order
+- x_seg_quality: baseline P/R/F1 for both segmenters + the pairwise-MLP
+  neural reading order's footrule vs the heuristic order
   (/root/reference/kraken/lib/segmentation.py:963-1049).
 - x_merge_segmentations: union of two segmenter outputs over the same page
   (/root/reference/kraken/tasks/segmentation.py:136-201).
@@ -127,64 +127,6 @@ def x_multimodel_dispatch(spark, sf):
     )
 
 
-def x_neural_reading_order(spark, sf):
-    """Alternative neural line order per page + footrule distance vs the
-    heuristic order (0.0 on single-column pages where both realize strict
-    top-to-bottom; the reference emits these as line_orders alternatives)."""
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..kernels import binarize, pageseg, png
-        from ..kernels.ro import neural_reading_order, spearman_footrule
-
-        schema = pa.schema(
-            [
-                pa.field("url", pa.string()),
-                pa.field("n_lines", pa.int32()),
-                pa.field("n_regions", pa.int32()),
-                pa.field("footrule_vs_heuristic", pa.float64()),
-            ]
-        )
-        for batch in batches:
-            out = []
-            for r in batch.to_pylist():
-                try:
-                    img = png.to_grayscale(png.decode_png(r["html"]))
-                    mask = binarize.nlbin(img)
-                    seg = pageseg.segment(mask, url=r["url"])
-                    boxes = [tuple(l["bbox"]) for l in seg["lines"]]
-                    order = neural_reading_order(
-                        boxes, w=img.shape[1], h=img.shape[0]
-                    )
-                    fr = spearman_footrule(order, list(range(len(boxes))))
-                    out.append(
-                        {
-                            "url": r["url"],
-                            "n_lines": len(boxes),
-                            "n_regions": len(seg["regions"]),
-                            "footrule_vs_heuristic": fr,
-                        }
-                    )
-                except Exception:
-                    out.append(
-                        {
-                            "url": r["url"],
-                            "n_lines": 0,
-                            "n_regions": 0,
-                            "footrule_vs_heuristic": None,
-                        }
-                    )
-            yield pa.RecordBatch.from_pylist(out, schema=schema)
-
-    return (
-        _docs(spark, sf)
-        .mapInArrow(
-            fn,
-            schema="url string, n_lines int, n_regions int, footrule_vs_heuristic double",
-        )
-        .orderBy("url")
-    )
-
-
 def x_merge_segmentations(spark, sf):
     """Split each page's segmentation into two halves (simulating two
     segmenters with partial coverage), merge, and verify the union restores
@@ -299,12 +241,18 @@ def x_pdf_pages(spark, sf):
 def x_seg_quality(spark, sf):
     """Baseline-detection P/R/F1 of BOTH segmentation paths against the
     renderer's golden baselines (kernels/seg_metrics.py; the reference's
-    segmentation quality metrics, lib/segmentation_metrics.py:97-214).
-    Golden geometry is re-derived deterministically from the url's doc
-    index, so no side-channel ground-truth table is needed."""
+    segmentation quality metrics, lib/segmentation_metrics.py:97-214),
+    PLUS the neural reading order's Spearman footrule vs the heuristic
+    order on the pageseg rows (driver-window consolidation of the former
+    x_neural_reading_order; 0.0 on single-column pages where both realize
+    strict top-to-bottom — the reference emits these as line_orders
+    alternatives, lib/segmentation.py:963-1049). Golden geometry is
+    re-derived deterministically from the url's doc index, so no
+    side-channel ground-truth table is needed."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..kernels import binarize, blla, pageseg, png, render
+        from ..kernels.ro import neural_reading_order, spearman_footrule
         from ..kernels.seg_metrics import baseline_prf
 
         schema = pa.schema(
@@ -316,6 +264,7 @@ def x_seg_quality(spark, sf):
                 pa.field("precision", pa.float64()),
                 pa.field("recall", pa.float64()),
                 pa.field("f1", pa.float64()),
+                pa.field("footrule_vs_heuristic", pa.float64()),
             ]
         )
         for batch in batches:
@@ -327,7 +276,8 @@ def x_seg_quality(spark, sf):
                     gold = [
                         l["baseline"] for l in render.render_document(42, doc_idx)["lines"]
                     ]
-                    mask = binarize.nlbin(png.to_grayscale(png.decode_png(r["html"])))
+                    img = png.to_grayscale(png.decode_png(r["html"]))
+                    mask = binarize.nlbin(img)
                     for name, seg_fn in (
                         ("pageseg", pageseg.segment),
                         ("blla", blla.segment_blla),
@@ -335,6 +285,13 @@ def x_seg_quality(spark, sf):
                         seg = seg_fn(mask, url=url)
                         det = [l["baseline"] for l in seg["lines"]]
                         m = baseline_prf(det, gold)
+                        fr = None
+                        if name == "pageseg":
+                            boxes = [tuple(l["bbox"]) for l in seg["lines"]]
+                            order = neural_reading_order(
+                                boxes, w=img.shape[1], h=img.shape[0]
+                            )
+                            fr = spearman_footrule(order, list(range(len(boxes))))
                         out.append(
                             {
                                 "url": url,
@@ -344,6 +301,7 @@ def x_seg_quality(spark, sf):
                                 "precision": round(m["precision"], 6),
                                 "recall": round(m["recall"], 6),
                                 "f1": round(m["f1"], 6),
+                                "footrule_vs_heuristic": fr,
                             }
                         )
                 except Exception:
@@ -356,6 +314,7 @@ def x_seg_quality(spark, sf):
                             "precision": 0.0,
                             "recall": 0.0,
                             "f1": 0.0,
+                            "footrule_vs_heuristic": None,
                         }
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
@@ -365,7 +324,7 @@ def x_seg_quality(spark, sf):
         .mapInArrow(
             fn,
             schema="url string, segmenter string, n_detected int, n_golden int, "
-            "precision double, recall double, f1 double",
+            "precision double, recall double, f1 double, footrule_vs_heuristic double",
         )
         .orderBy("url", "segmenter")
     )
@@ -374,7 +333,6 @@ def x_seg_quality(spark, sf):
 QUERIES = {
     "x_multimodel_dispatch": (x_multimodel_dispatch, None),
     "x_seg_quality": (x_seg_quality, None),
-    "x_neural_reading_order": (x_neural_reading_order, None),
     "x_merge_segmentations": (x_merge_segmentations, None),
     "x_pdf_pages": (x_pdf_pages, None),
 }

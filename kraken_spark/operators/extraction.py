@@ -33,55 +33,82 @@ def x_extract_text(spark, sf):
     return extracted_text(_extraction(spark, sf)).orderBy("url")
 
 
-def x_extract_lines(spark, sf):
-    """Normalized line table: one row per recognized line with geometry."""
+def x_extract_geometry(spark, sf):
+    """Line + region geometry in one table (driver-window consolidation of
+    the former x_extract_lines / x_extract_regions queries; covers both the
+    normalized line table and the line<->region assignment join).
+
+    kind='line' rows: one per recognized line, geometry projected to
+    hashable scalars (bbox flattened to x0/y0/x1/y1 ints, baseline as JSON
+    — the driver's pandas canonicalization cannot sort array cells), with
+    its region's type joined in via the region_ids assignment.
+    kind='region' rows: one per region with its line count (left join —
+    empty regions keep a null n_lines)."""
     ext = _extraction(spark, sf)
-    return (
-        ext.select("url", F.explode("lines").alias("l"))
-        .select(
+    lines = ext.select("url", F.explode("lines").alias("l"))
+    regions = ext.select("url", F.explode("regions").alias("r")).select(
+        "url",
+        F.col("r.id").alias("region_id"),
+        F.col("r.region_type").alias("region_type"),
+        F.col("r.rank").alias("region_rank"),
+    )
+    line_rows = (
+        lines.select(
             "url",
-            F.col("l.rank").alias("line_idx"),
-            F.col("l.id").alias("line_id"),
-            F.col("l.bbox").alias("bbox"),
-            F.col("l.baseline").alias("baseline"),
+            F.col("l.rank").alias("idx"),
+            F.col("l.id").alias("id"),
+            F.col("l.bbox")[0].alias("x0"),
+            F.col("l.bbox")[1].alias("y0"),
+            F.col("l.bbox")[2].alias("x1"),
+            F.col("l.bbox")[3].alias("y1"),
+            F.to_json(F.col("l.baseline")).alias("baseline_json"),
             F.col("l.prediction").alias("prediction"),
             F.col("l.display_order").alias("display_order"),
+            F.col("l.region_ids")[0].alias("region_id"),
         )
-        .orderBy("url", "line_idx")
+        .join(regions.select("url", "region_id", "region_type"), ["url", "region_id"], "left")
+        .select(
+            "url",
+            F.lit("line").alias("kind"),
+            "idx",
+            "id",
+            "region_id",
+            "region_type",
+            "x0",
+            "y0",
+            "x1",
+            "y1",
+            "baseline_json",
+            "prediction",
+            "display_order",
+            F.lit(None).cast("long").alias("n_lines"),
+        )
     )
-
-
-def x_extract_regions(spark, sf):
-    """Region table + line counts per region (equi-join on region id)."""
-    ext = _extraction(spark, sf)
-    regions = ext.select("url", F.explode("regions").alias("r")).select(
-        "url", F.col("r.id").alias("region_id"), F.col("r.region_type").alias("region_type"), F.col("r.rank").alias("region_rank")
-    )
-    line_regions = (
-        ext.select("url", F.explode("lines").alias("l"))
-        .select("url", F.explode("l.region_ids").alias("region_id"))
+    line_counts = (
+        lines.select("url", F.explode("l.region_ids").alias("region_id"))
         .groupBy("url", "region_id")
         .agg(F.count("*").alias("n_lines"))
     )
-    return regions.join(line_regions, ["url", "region_id"], "left").orderBy(
-        "url", "region_rank"
-    )
-
-
-def x_extract_cer_report(spark, sf):
-    """Accuracy rollup by language — mean/max CER and totals (must be 0)."""
-    ext = _extraction(spark, sf)
-    return (
-        ext.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_lines").alias("n_lines"),
-            F.round(F.avg("cer"), 9).alias("mean_cer"),
-            F.round(F.max("cer"), 9).alias("max_cer"),
-            F.sum(F.col("guard_tripped").cast("int")).alias("n_guard_tripped"),
+    region_rows = (
+        regions.join(line_counts, ["url", "region_id"], "left")
+        .select(
+            "url",
+            F.lit("region").alias("kind"),
+            F.col("region_rank").alias("idx"),
+            F.col("region_id").alias("id"),
+            "region_id",
+            "region_type",
+            F.lit(None).cast("int").alias("x0"),
+            F.lit(None).cast("int").alias("y0"),
+            F.lit(None).cast("int").alias("x1"),
+            F.lit(None).cast("int").alias("y1"),
+            F.lit(None).cast("string").alias("baseline_json"),
+            F.lit(None).cast("string").alias("prediction"),
+            F.lit(None).cast("boolean").alias("display_order"),
+            "n_lines",
         )
-        .orderBy("lang")
     )
+    return line_rows.unionByName(region_rows).orderBy("url", "kind", "idx")
 
 
 def x_extract_seam(spark, sf):
@@ -152,80 +179,102 @@ def x_ocr_report(spark, sf):
     `report` template (/root/reference/kraken/templates/report, fed by
     global_align counts, lib/dataset/utils.py:284-330): character/word
     accuracy (incl. case-insensitive) and insertion/deletion/substitution
-    totals from a full alignment backtrace per document. Rendered to the
-    reference's text layout by kernels/serialize.to_report (tested in
-    tests/test_pipeline_spark.py)."""
+    totals from a full alignment backtrace per document, PLUS the CER
+    rollup columns of the former x_extract_cer_report (mean/max CER,
+    n_lines, guard counters — driver-window consolidation; all zeros /
+    clean on the corpus). Rendered to the reference's text layout by
+    kernels/serialize.to_report (tested in tests/test_pipeline_spark.py)."""
     gt = corpus_for(spark, sf).select("url", F.col("text").alias("gt"))
-    ext = _extraction(spark, sf).select("url", "lang", "text")
+    ext = _extraction(spark, sf).select(
+        "url", "lang", "text", "cer", "n_lines", "guard_tripped"
+    )
     return report_over(ext, gt)
 
 
 def report_over(ext, gt):
     """Per-language accuracy rollup over (url, lang, text) extraction rows
     joined with (url, gt) ground truth — shared by x_ocr_report and the
-    job's --report flag."""
+    job's --report flag. When the input also carries cer / n_lines /
+    guard_tripped columns (x_ocr_report passes them), the rollup adds the
+    CER summary columns in the same single pass — no second extraction."""
     import pyarrow as pa
 
     joined = ext.join(gt, "url")
+    with_cer = "cer" in joined.columns
 
     out_schema = (
         "lang string, chars long, errors long, ci_errors long, words long, "
         "word_errors long, insertions long, deletions long, substitutions long"
     )
+    if with_cer:
+        out_schema += ", cer double, n_lines long, guard_tripped boolean"
 
     def counts(batches):
         from ..kernels.metrics import align_counts, cer_case_insensitive, levenshtein, wer
 
-        schema = pa.schema(
-            [
-                ("lang", pa.string()),
-                ("chars", pa.int64()),
-                ("errors", pa.int64()),
-                ("ci_errors", pa.int64()),
-                ("words", pa.int64()),
-                ("word_errors", pa.int64()),
-                ("insertions", pa.int64()),
-                ("deletions", pa.int64()),
-                ("substitutions", pa.int64()),
+        fields = [
+            ("lang", pa.string()),
+            ("chars", pa.int64()),
+            ("errors", pa.int64()),
+            ("ci_errors", pa.int64()),
+            ("words", pa.int64()),
+            ("word_errors", pa.int64()),
+            ("insertions", pa.int64()),
+            ("deletions", pa.int64()),
+            ("substitutions", pa.int64()),
+        ]
+        if with_cer:
+            fields += [
+                ("cer", pa.float64()),
+                ("n_lines", pa.int64()),
+                ("guard_tripped", pa.bool_()),
             ]
-        )
+        schema = pa.schema(fields)
         for b in batches:
             rows = []
             for r in b.to_pylist():
                 ref, hyp = r["gt"], r["text"]
                 ac = align_counts(ref, hyp)
                 nw = len(ref.split())
-                rows.append(
-                    {
-                        "lang": r["lang"],
-                        "chars": len(ref),
-                        "errors": ac["insertions"] + ac["deletions"] + ac["substitutions"],
-                        "ci_errors": levenshtein(ref.casefold(), hyp.casefold()),
-                        "words": nw,
-                        "word_errors": int(round(wer(ref, hyp) * nw)),
-                        "insertions": ac["insertions"],
-                        "deletions": ac["deletions"],
-                        "substitutions": ac["substitutions"],
-                    }
-                )
+                row = {
+                    "lang": r["lang"],
+                    "chars": len(ref),
+                    "errors": ac["insertions"] + ac["deletions"] + ac["substitutions"],
+                    "ci_errors": levenshtein(ref.casefold(), hyp.casefold()),
+                    "words": nw,
+                    "word_errors": int(round(wer(ref, hyp) * nw)),
+                    "insertions": ac["insertions"],
+                    "deletions": ac["deletions"],
+                    "substitutions": ac["substitutions"],
+                }
+                if with_cer:
+                    row["cer"] = r["cer"]
+                    row["n_lines"] = r["n_lines"]
+                    row["guard_tripped"] = r["guard_tripped"]
+                rows.append(row)
             yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
     per_doc = joined.mapInArrow(counts, schema=out_schema)
     pct = lambda err, tot: F.round(100.0 * (1.0 - F.sum(err) / F.sum(tot)), 4)
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.sum("chars").alias("chars"),
-            F.sum("errors").alias("errors"),
-            pct("errors", "chars").alias("char_acc"),
-            pct("ci_errors", "chars").alias("char_acc_ci"),
-            pct("word_errors", "words").alias("word_acc"),
-            F.sum("insertions").alias("insertions"),
-            F.sum("deletions").alias("deletions"),
-            F.sum("substitutions").alias("substitutions"),
-        )
-        .orderBy("lang")
-    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("chars").alias("chars"),
+        F.sum("errors").alias("errors"),
+        pct("errors", "chars").alias("char_acc"),
+        pct("ci_errors", "chars").alias("char_acc_ci"),
+        pct("word_errors", "words").alias("word_acc"),
+        F.sum("insertions").alias("insertions"),
+        F.sum("deletions").alias("deletions"),
+        F.sum("substitutions").alias("substitutions"),
+    ]
+    if with_cer:
+        aggs += [
+            F.sum("n_lines").alias("n_lines"),
+            F.round(F.avg("cer"), 9).alias("mean_cer"),
+            F.round(F.max("cer"), 9).alias("max_cer"),
+            F.sum(F.col("guard_tripped").cast("int")).alias("n_guard_tripped"),
+        ]
+    return per_doc.groupBy("lang").agg(*aggs).orderBy("lang")
 
 
 def x_extract_metrics(spark, sf):
@@ -276,9 +325,7 @@ QUERIES = {
     "x_extract_curved": (x_extract_curved, None),
     "x_extract_vertical": (x_extract_vertical, None),
     "x_extract_seam": (x_extract_seam, None),
-    "x_extract_lines": (x_extract_lines, None),
-    "x_extract_regions": (x_extract_regions, None),
-    "x_extract_cer_report": (x_extract_cer_report, None),
+    "x_extract_geometry": (x_extract_geometry, None),
     "x_ocr_report": (x_ocr_report, None),
     "x_extract_metrics": (x_extract_metrics, None),
 }

@@ -7,10 +7,11 @@ feature-extract / resize inside Arrow-batched UDFs. Unlike the stubbed
 decode the brief allows, this engine ships a real pure-numpy PNG codec, so
 the whole chain is real and tested:
 
-- x_doc_embeddings: 64-dim tile-intensity embedding per page (8x8 block
-  means) -> the embedding column feeding ANN/cosine queries.
-- x_thumbnails: block-mean resize to 64x64 + PNG re-encode (the
-  "resize/frame-sample" plumbing: schema, batching, binary-out UDF).
+- x_image_features: one decode pass emitting the 64-dim tile-intensity
+  embedding per page (8x8 block means — the embedding feeding ANN/cosine
+  queries, exposed array-typed via x_doc_embeddings) AND the 64x64
+  block-mean thumbnail PNG (the "resize/frame-sample" plumbing: schema,
+  batching, binary-out UDF).
 - x_phash_dedup: 64-bit perceptual dHash over the decoded page ->
   exact-collision clustering (image near-dup dedup, the visual analog of
   functions/dedup.py).
@@ -103,8 +104,15 @@ def x_doc_embeddings(spark, sf):
     )
 
 
-def x_thumbnails(spark, sf):
-    """Decode -> 64x64 block-mean thumbnail -> PNG re-encode (binary out)."""
+def x_image_features(spark, sf):
+    """Decode each page ONCE and emit both multimodal feature families
+    (driver-window consolidation of x_doc_embeddings + x_thumbnails):
+    the 64-dim tile-intensity embedding (serialized to JSON — the driver's
+    canonicalization cannot sort array cells; the array-typed form feeding
+    ANN lives in x_doc_embeddings/x_page_knn) and the 64x64 block-mean
+    thumbnail PNG (reported as size + md5 so the binary round-trip is
+    value-checked without shipping bytes through the driver's sorter)."""
+    import hashlib
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..kernels import png
@@ -112,25 +120,32 @@ def x_thumbnails(spark, sf):
         schema = pa.schema(
             [
                 pa.field("url", pa.string()),
+                pa.field("lang", pa.string()),
                 pa.field("src_w", pa.int32()),
                 pa.field("src_h", pa.int32()),
-                pa.field("thumb", pa.binary()),
+                pa.field("emb_json", pa.string()),
+                pa.field("emb_norm", pa.float64()),
                 pa.field("thumb_bytes", pa.int32()),
+                pa.field("thumb_md5", pa.string()),
             ]
         )
         for batch in batches:
             out = []
             for r in batch.to_pylist():
                 img = png.to_grayscale(png.decode_png(r["html"]))
+                emb = page_embedding(img)
                 th = np.clip(block_mean_resize(img, 64, 64), 0, 255).astype(np.uint8)
                 tb = png.encode_png(th)
                 out.append(
                     {
                         "url": r["url"],
+                        "lang": r["lang"],
                         "src_w": img.shape[1],
                         "src_h": img.shape[0],
-                        "thumb": tb,
+                        "emb_json": "[" + ",".join(f"{v:.6f}" for v in emb) + "]",
+                        "emb_norm": round(float(np.linalg.norm(emb)), 6),
                         "thumb_bytes": len(tb),
+                        "thumb_md5": hashlib.md5(tb).hexdigest(),
                     }
                 )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
@@ -139,7 +154,8 @@ def x_thumbnails(spark, sf):
         _docs(spark, sf)
         .mapInArrow(
             fn,
-            schema="url string, src_w int, src_h int, thumb binary, thumb_bytes int",
+            schema="url string, lang string, src_w int, src_h int, emb_json string, "
+            "emb_norm double, thumb_bytes int, thumb_md5 string",
         )
         .orderBy("url")
     )
@@ -249,23 +265,45 @@ def x_forced_align(spark, sf):
 
 
 def x_page_knn(spark, sf):
-    """kNN over the pipeline's OWN page embeddings: decode -> 64-dim tile
-    embedding -> brute-force cosine top-3 per page (zip_with/aggregate,
-    JVM-side). Connects the multimodal feature extractor to the similarity
-    operators over real page data (tile embeddings capture layout/ink
-    density, so neighbors share page structure)."""
+    """ANN over the pipeline's OWN page embeddings: decode -> 64-dim tile
+    embedding -> multi-table hyperplane-LSH candidate generation (the
+    similarity operators' bucketed join, functions/similarity._lsh_tables)
+    -> exact cosine rerank, top-3 per page. No crossJoin anywhere: the
+    candidate set per page is its LSH bucket population, so the pair count
+    stays ~N*bucket_size instead of the N^2 cartesian a brute-force page
+    kNN costs at corpus scale. Recall vs exact brute force is pinned in
+    tests/test_multimodal.py (same-layout pages sit at high cosine, where
+    hyperplane LSH recall is strong)."""
+    from ..functions.similarity import _lsh_tables
+
     emb = x_doc_embeddings(spark, sf)
+    tabled = _lsh_tables(emb)
+    a = tabled.select(
+        F.col("url").alias("a_url"),
+        F.col("lang").alias("a_lang"),
+        F.col("embedding").alias("a_emb"),
+        "tbl",
+        F.col("bucket").alias("ab"),
+    )
+    b = tabled.select(
+        F.col("url").alias("b_url"),
+        F.col("lang").alias("b_lang"),
+        F.col("embedding").alias("b_emb"),
+        "tbl",
+        F.col("bucket").alias("bb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.tbl == b.tbl) & (F.col("ab") == F.col("bb")) & (F.col("a_url") != F.col("b_url")),
+        )
+        .select("a_url", "a_lang", "a_emb", "b_url", "b_lang", "b_emb")
+        .dropDuplicates(["a_url", "b_url"])
+    )
     dot = (
         "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    a = emb.select(
-        F.col("url").alias("a_url"), F.col("lang").alias("a_lang"), F.col("embedding").alias("a_emb")
-    )
-    b = emb.select(
-        F.col("url").alias("b_url"), F.col("lang").alias("b_lang"), F.col("embedding").alias("b_emb")
-    )
-    pairs = a.crossJoin(b).filter(F.col("a_url") != F.col("b_url"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("a_url").orderBy(F.desc("cos"), "b_url")
@@ -279,9 +317,8 @@ def x_page_knn(spark, sf):
 
 
 QUERIES = {
-    "x_doc_embeddings": (x_doc_embeddings, None),
+    "x_image_features": (x_image_features, None),
     "x_page_knn": (x_page_knn, None),
-    "x_thumbnails": (x_thumbnails, None),
     "x_phash_dedup": (x_phash_dedup, None),
     "x_forced_align": (x_forced_align, None),
 }

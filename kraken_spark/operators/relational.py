@@ -2,11 +2,17 @@
 
 Implements the reference's implicit dataflow operators (SURVEY.md §2.8) as
 genuine Spark relational plans: projection/filter (predicate pushdown),
-broadcast + shuffle joins, grouped/rollup aggregation, windows (ranking,
-running totals, sessionization), sorts/top-k, set ops, semi/anti joins,
-string/date/conditional expressions. Every aggregate column is explicitly
-aliased identically in the DataFrame plan and the DuckDB oracle SQL; money
-sums are rounded to stabilize cross-engine float summation order.
+broadcast + shuffle joins, grouped/rollup/cube aggregation, windows (ranking,
+running totals, lead/lag, sessionization), sorts/top-k, set ops, semi/anti
+joins, string/date/conditional expressions. Every aggregate column is
+explicitly aliased identically in the DataFrame plan and the DuckDB oracle
+SQL; money sums are rounded to stabilize cross-engine float summation order;
+integer sums are CAST(... AS BIGINT) in the oracle (DuckDB promotes SUM over
+integers to HUGEINT, which the driver's value hash renders differently).
+
+Round 2 consolidated near-duplicate entries so the full catalog fits the
+driver's 50-query correctness window — each merged query's docstring names
+every §2.8 operator it carries evidence for.
 """
 
 from __future__ import annotations
@@ -115,27 +121,6 @@ ORDER BY revenue DESC, n_name
 """
 
 
-def q6_forecast_revenue(spark, sf):
-    l = t(spark, sf, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01"))
-            & (F.col("l_discount").between(0.05, 0.07))
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
-    )
-
-
-Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-"""
-
-
 def q10_returned_items(spark, sf):
     c = t(spark, sf, "customer")
     o = t(spark, sf, "orders")
@@ -163,491 +148,6 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
-"""
-
-
-# --------------------------------------------------------------- primitives
-def filter_project(spark, sf):
-    l = t(spark, sf, "lineitem")
-    return (
-        l.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charged"),
-            F.col("l_returnflag").alias("flag"),
-        )
-        .orderBy("l_orderkey", "l_linenumber")
-    )
-
-
-FILTER_PROJECT_SQL = """
-SELECT l_orderkey, l_linenumber,
-       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
-       l_returnflag AS flag
-FROM lineitem
-WHERE l_quantity > 45 AND l_discount < 0.02
-ORDER BY l_orderkey, l_linenumber
-"""
-
-
-def join_broadcast_dims(spark, sf):
-    n = t(spark, sf, "nation")
-    r = t(spark, sf, "region")
-    c = t(spark, sf, "customer")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
-        )
-        .orderBy("r_name")
-    )
-
-
-JOIN_BROADCAST_SQL = """
-SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-ORDER BY r_name
-"""
-
-
-def agg_rollup(spark, sf):
-    l = t(spark, sf, "lineitem")
-    return (
-        l.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
-        )
-    )
-
-
-AGG_ROLLUP_SQL = """
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-"""
-
-
-def window_topk_per_group(spark, sf):
-    o = t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
-        o.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
-        .orderBy("o_custkey", "rk")
-    )
-
-
-WINDOW_TOPK_SQL = """
-SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rk
-FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
-  FROM orders) s
-WHERE rk <= 3
-ORDER BY o_custkey, rk
-"""
-
-
-def window_running_sum(spark, sf):
-    o = t(spark, sf, "orders").filter(F.col("o_custkey") < 100)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.withColumn("running", F.round(F.sum("o_totalprice").over(w), 2))
-        .select("o_custkey", "o_orderkey", "running")
-        .orderBy("o_custkey", "o_orderkey")
-    )
-
-
-WINDOW_RUNNING_SQL = """
-SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS running
-FROM orders
-WHERE o_custkey < 100
-ORDER BY o_custkey, o_orderkey
-"""
-
-
-def topk_orders(spark, sf):
-    o = t(spark, sf, "orders")
-    return (
-        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
-        .limit(25)
-    )
-
-
-TOPK_SQL = """
-SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
-FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
-"""
-
-
-def set_ops(spark, sf):
-    c = t(spark, sf, "customer")
-    big = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    build = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
-    return (
-        big.intersect(build)
-        .union(big.intersect(auto))
-        .exceptAll(c.filter(F.col("c_acctbal") > 9000).select("c_custkey"))
-        .distinct()
-        .orderBy("c_custkey")
-    )
-
-
-SET_OPS_SQL = """
-SELECT DISTINCT c_custkey FROM (
-  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-   INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-  UNION ALL
-  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-   INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
-  EXCEPT ALL
-  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
-) s ORDER BY c_custkey
-"""
-
-
-def distinct_agg(spark, sf):
-    l = t(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count("*").alias("n_rows"),
-    ).orderBy("l_returnflag")
-
-
-DISTINCT_AGG_SQL = """
-SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
-       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-"""
-
-
-def string_funcs(spark, sf):
-    p = t(spark, sf, "part")
-    return (
-        p.select(
-            "p_partkey",
-            F.upper(F.col("p_brand")).alias("brand_u"),
-            F.substring("p_name", 1, 5).alias("prefix"),
-            F.length("p_name").alias("name_len"),
-            F.regexp_replace("p_type", "[aeiou]", "").alias("type_novowel"),
-        )
-        .filter(F.col("name_len") > 10)
-        .orderBy("p_partkey")
-    )
-
-
-STRING_FUNCS_SQL = """
-SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTR(p_name, 1, 5) AS prefix,
-       LENGTH(p_name) AS name_len, REGEXP_REPLACE(p_type, '[aeiou]', '', 'g') AS type_novowel
-FROM part WHERE LENGTH(p_name) > 10 ORDER BY p_partkey
-"""
-
-
-def date_funcs(spark, sf):
-    o = t(spark, sf, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
-        )
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("volume"))
-        .orderBy("yr", "mo")
-    )
-
-
-DATE_FUNCS_SQL = """
-SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo,
-       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS volume
-FROM orders GROUP BY 1, 2 ORDER BY yr, mo
-"""
-
-
-def case_when_agg(spark, sf):
-    o = t(spark, sf, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
-        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
-        F.sum(F.when(~F.col("o_orderstatus").isin("F", "O"), 1).otherwise(0)).alias("n_other"),
-    ).orderBy("o_orderpriority")
-
-
-CASE_WHEN_SQL = """
-SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       SUM(CASE WHEN o_orderstatus NOT IN ('F','O') THEN 1 ELSE 0 END) AS n_other
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
-
-
-def semi_join_customers(spark, sf):
-    c = t(spark, sf, "customer")
-    o = t(spark, sf, "orders").filter(F.col("o_totalprice") > 30000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-SEMI_JOIN_SQL = """
-SELECT c_custkey, c_name FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 30000)
-ORDER BY c_custkey
-"""
-
-
-def anti_join_customers(spark, sf):
-    c = t(spark, sf, "customer")
-    o = t(spark, sf, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
-
-
-ANTI_JOIN_SQL = """
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey
-"""
-
-
-# --------------------------------------------------------------- events
-def events_sessionize(spark, sf):
-    """Gap-based sessionization (30-min inactivity) — lag + cumulative sum,
-    the batch analog of streaming session windows."""
-    e = t(spark, sf, "events").withColumn("ts_s", F.expr("to_unix_timestamp(ts)"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gapped = e.withColumn(
-        "new_session",
-        F.when(
-            F.col("ts_s") - F.lag("ts_s").over(w) > 1800,
-            1,
-        ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
-    )
-    sess = gapped.withColumn("session_id", F.sum("new_session").over(w))
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
-        .orderBy("user_id", "session_id")
-    )
-
-
-EVENTS_SESSION_SQL = """
-WITH gapped AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 OR LAG(ts) OVER w IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), sess AS (
-  SELECT user_id, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
-  FROM gapped)
-SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
-FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
-"""
-
-
-def events_tumbling_window(spark, sf):
-    """Tumbling 1-hour windows per event type (batch form of the streaming
-    windowed aggregation in kraken_spark.streaming)."""
-    e = t(spark, sf, "events")
-    return (
-        e.groupBy(
-            F.date_trunc("hour", "ts").cast("string").alias("bucket"), "event_type"
-        )
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
-        .orderBy("bucket", "event_type")
-    )
-
-
-EVENTS_TUMBLING_SQL = """
-SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
-       COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
-FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
-"""
-
-
-def events_json_extract(spark, sf):
-    e = t(spark, sf, "events")
-    return (
-        e.select(
-            "event_id",
-            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k"),
-        )
-        .filter(F.col("k") > 90)
-        .orderBy("event_id")
-    )
-
-
-EVENTS_JSON_SQL = """
-SELECT event_id, CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k
-FROM events
-WHERE CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) > 90
-ORDER BY event_id
-"""
-
-
-def agg_cube(spark, sf):
-    """CUBE aggregation + grouping_id (SURVEY.md §2.8 grouped aggregation;
-    extends agg_rollup to the full lattice)."""
-    l = t(spark, sf, "lineitem")
-    return (
-        l.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count("*").alias("n"),
-            F.sum("l_quantity").alias("sum_qty"),
-        )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
-    )
-
-
-AGG_CUBE_SQL = """
-SELECT GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS gid,
-       COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
-       l_returnflag, l_linestatus
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag, l_linestatus
-"""
-
-
-def range_theta_join(spark, sf):
-    """Equi + range (theta) join: lineitems whose quantity falls within
-    +-2 of their part's size — the relational form of the reference's
-    midpoint-in-polygon spatial predicate (SURVEY.md §2.8 theta/spatial
-    join, /root/reference/kraken/lib/segmentation.py:906-922)."""
-    l = t(spark, sf, "lineitem")
-    p = t(spark, sf, "part")
-    joined = l.join(
-        F.broadcast(p),
-        (l.l_partkey == p.p_partkey)
-        & (l.l_quantity >= p.p_size - 2)
-        & (l.l_quantity <= p.p_size + 2),
-    )
-    return (
-        joined.groupBy("p_brand")
-        .agg(
-            F.count("*").alias("n"),
-            # integer-cent quantization: cross-engine float-sum order safe
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
-                "revenue_cents"
-            ),
-        )
-        .orderBy("p_brand")
-    )
-
-
-RANGE_THETA_SQL = """
-SELECT p_brand, COUNT(*) AS n,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
-FROM lineitem JOIN part ON l_partkey = p_partkey
- AND l_quantity BETWEEN p_size - 2 AND p_size + 2
-GROUP BY p_brand ORDER BY p_brand
-"""
-
-
-def pivot_event_types(spark, sf):
-    """Pivot: per user-bucket event-type counts as columns (conditional
-    aggregation in the oracle — semantically identical)."""
-    e = t(spark, sf, "events")
-    return (
-        e.withColumn("bucket", F.pmod("user_id", F.lit(10)).cast("int"))
-        .groupBy("bucket")
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .count()
-        .na.fill(0)
-        .orderBy("bucket")
-    )
-
-
-PIVOT_SQL = """
-SELECT CAST(user_id % 10 AS INT) AS bucket,
-       COUNT(*) FILTER (event_type = 'click')    AS click,
-       COUNT(*) FILTER (event_type = 'error')    AS error,
-       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-       COUNT(*) FILTER (event_type = 'signup')   AS signup,
-       COUNT(*) FILTER (event_type = 'view')     AS view
-FROM events GROUP BY bucket ORDER BY bucket
-"""
-
-
-def corr_stats(spark, sf):
-    """Numeric aggregate battery: corr / stddev / variance per event type
-    (rounded — cross-engine float reduction order differs)."""
-    e = t(spark, sf, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_vu"),
-            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
-            F.round(F.var_samp("value"), 6).alias("var_value"),
-            F.round(F.avg("value"), 6).alias("mean_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-CORR_STATS_SQL = """
-SELECT event_type,
-       ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
-       ROUND(STDDEV_SAMP(value), 6) AS sd_value,
-       ROUND(VAR_SAMP(value), 6) AS var_value,
-       ROUND(AVG(value), 6) AS mean_value
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-def spearman_footrule(spark, sf):
-    """Reading-order evaluation metric: mean |rank_by_ts - rank_by_value|
-    per user (the Spearman footrule the reference tracks for neural RO,
-    /root/reference/kraken/lib/ro/model.py:63-64) over the events table."""
-    e = t(spark, sf, "events")
-    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_val = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
-    ranked = e.select(
-        "user_id",
-        F.row_number().over(w_ts).alias("r_ts"),
-        F.row_number().over(w_val).alias("r_val"),
-    )
-    per_user = ranked.groupBy("user_id").agg(
-        F.avg(F.abs(F.col("r_ts") - F.col("r_val"))).alias("footrule")
-    )
-    return per_user.agg(
-        F.count("*").alias("n_users"),
-        F.round(F.avg("footrule"), 6).alias("mean_footrule"),
-        F.round(F.max("footrule"), 6).alias("max_footrule"),
-    )
-
-
-FOOTRULE_SQL = """
-WITH ranked AS (
-  SELECT user_id,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r_ts,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS r_val
-  FROM events
-), per_user AS (
-  SELECT user_id, AVG(ABS(r_ts - r_val)) AS footrule FROM ranked GROUP BY user_id
-)
-SELECT COUNT(*) AS n_users, ROUND(AVG(footrule), 6) AS mean_footrule,
-       ROUND(MAX(footrule), 6) AS max_footrule
-FROM per_user
 """
 
 
@@ -697,10 +197,112 @@ LIMIT 100
 """
 
 
-def window_lead_lag(spark, sf):
-    """lead/lag over per-customer order history: days since the previous
-    order and value delta to the next one (the §2.8 windowed-sequence
-    shape — same plan as per-page line-to-line geometry deltas)."""
+# --------------------------------------------------------------- primitives
+def filter_project(spark, sf):
+    """Projection + filter with parquet predicate pushdown — the plan must
+    show PushedFilters on the scan and read only the 6 referenced columns
+    (SURVEY.md §2.8 projection/filter)."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charged"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+       l_returnflag AS flag
+FROM lineitem
+WHERE l_quantity > 45 AND l_discount < 0.02
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def agg_cube(spark, sf):
+    """Grouped aggregation over the full CUBE lattice + grouping_id
+    (SURVEY.md §2.8 grouped agg / rollup / cube / grouping_id — the cube
+    lattice is a superset of the rollup lattice, so this single query covers
+    both grouping-set shapes)."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+       l_returnflag, l_linestatus
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def window_topk_per_group(spark, sf):
+    """Top-k both ways (SURVEY.md §2.8 sort/top-k + windowed rank): per-group
+    top-3 via row_number over a partitioned window, plus membership in the
+    GLOBAL top-25 computed scale-correctly — orderBy().limit() (TakeOrdered,
+    no full shuffle) broadcast-joined back, instead of a partition-less
+    global window that would funnel every row through one task."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    per_group = (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+    top25 = (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+        .withColumn(
+            "global_rk",
+            F.row_number().over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey")),
+        )
+        .select(F.col("o_orderkey").alias("tk"), "global_rk")
+    )
+    return (
+        per_group.join(F.broadcast(top25), per_group.o_orderkey == top25.tk, "left")
+        .drop("tk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+WITH per_group AS (
+  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders),
+top25 AS (
+  SELECT o_orderkey AS tk,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rk
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25)
+SELECT o_custkey, o_orderkey, price, rk, global_rk
+FROM per_group LEFT JOIN top25 ON o_orderkey = tk
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def window_funcs(spark, sf):
+    """Windowed sequence battery over per-customer order history (SURVEY.md
+    §2.8 lead/lag/running-total — the same plan shape as per-page
+    line-to-line geometry deltas): days since the previous order, value
+    delta to the next one, running spend, and the sequence number, all over
+    one partitioned ordered window."""
     o = t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -709,53 +311,319 @@ def window_lead_lag(spark, sf):
             "o_orderkey",
             F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
             F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("next_price_delta"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running"),
             F.row_number().over(w).alias("rn"),
         )
         .orderBy("o_custkey", "rn")
     )
 
 
-WINDOW_LEAD_LAG_SQL = """
+WINDOW_FUNCS_SQL = """
 SELECT o_custkey, o_orderkey,
        DATE_DIFF('day',
-                 LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 LAG(o_orderdate) OVER w,
                  o_orderdate) AS days_since_prev,
-       ROUND(LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             - o_totalprice, 2) AS next_price_delta,
-       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+       ROUND(LEAD(o_totalprice) OVER w - o_totalprice, 2) AS next_price_delta,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS running,
+       ROW_NUMBER() OVER w AS rn
 FROM orders
 WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, rn
+"""
+
+
+def set_semi_anti(spark, sf):
+    """Set ops + semi/anti joins in one tagged result (SURVEY.md §2.8 set
+    ops AND semi/anti join): kind='setop' rows are the
+    INTERSECT/UNION/EXCEPT-ALL chain over customer segments; kind='semi'
+    rows are customers with a >30k order (left_semi); kind='anti' rows are
+    customers with no orders at all (left_anti)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    big = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    build = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    setop = (
+        big.intersect(build)
+        .union(big.intersect(auto))
+        .exceptAll(c.filter(F.col("c_acctbal") > 9000).select("c_custkey"))
+        .distinct()
+        .select(F.lit("setop").alias("kind"), "c_custkey")
+    )
+    semi = (
+        c.join(
+            o.filter(F.col("o_totalprice") > 30000),
+            c.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        ).select(F.lit("semi").alias("kind"), "c_custkey")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("kind"), "c_custkey"
+    )
+    return setop.unionByName(semi).unionByName(anti).orderBy("kind", "c_custkey")
+
+
+SET_SEMI_ANTI_SQL = """
+SELECT kind, c_custkey FROM (
+  SELECT 'setop' AS kind, c_custkey FROM (
+    SELECT DISTINCT c_custkey FROM (
+      (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      UNION ALL
+      (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      EXCEPT ALL
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ) s0) s1
+  UNION ALL
+  SELECT 'semi' AS kind, c_custkey FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 30000)
+  UNION ALL
+  SELECT 'anti' AS kind, c_custkey FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+) u ORDER BY kind, c_custkey
+"""
+
+
+def stats_agg(spark, sf):
+    """Distinct + statistical aggregate battery per event type (SURVEY.md
+    §2.8 distinct/stats aggregates): countDistinct, corr, stddev, variance,
+    mean — rounded because cross-engine float reduction order differs."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_rows"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_vu"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STATS_AGG_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_rows,
+       ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+       ROUND(STDDEV_SAMP(value), 6) AS sd_value,
+       ROUND(VAR_SAMP(value), 6) AS var_value,
+       ROUND(AVG(value), 6) AS mean_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def string_funcs(spark, sf):
+    """String scalar functions (upper/substring/length/regexp_replace) with
+    a pushed filter — SURVEY.md §2.8 scalar string expressions."""
+    p = t(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_u"),
+            F.substring("p_name", 1, 5).alias("prefix"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_replace("p_type", "[aeiou]", "").alias("type_novowel"),
+        )
+        .filter(F.col("name_len") > 10)
+        .orderBy("p_partkey")
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTR(p_name, 1, 5) AS prefix,
+       LENGTH(p_name) AS name_len, REGEXP_REPLACE(p_type, '[aeiou]', '', 'g') AS type_novowel
+FROM part WHERE LENGTH(p_name) > 10 ORDER BY p_partkey
+"""
+
+
+def case_when_agg(spark, sf):
+    """Conditional aggregation — SUM(CASE WHEN ...) per group (SURVEY.md
+    §2.8 conditional expressions in aggregates)."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("F", "O"), 1).otherwise(0)).alias("n_other"),
+    ).orderBy("o_orderpriority")
+
+
+CASE_WHEN_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------- events
+def events_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity) — lag + cumulative sum,
+    the batch analog of streaming session windows — with a JSON-extracted
+    per-session property aggregate (SURVEY.md §2.8 sessionization + JSON
+    extraction: max_k pulls "k" out of the props JSON string per event and
+    maxes it per session)."""
+    e = t(spark, sf, "events").withColumn("ts_s", F.expr("to_unix_timestamp(ts)"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(w) > 1800,
+            1,
+        ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
+    )
+    sess = gapped.withColumn("session_id", F.sum("new_session").over(w))
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, value, props,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value, props,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM gapped)
+SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value,
+       MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS max_k
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def events_pivot_hourly(spark, sf):
+    """Tumbling 1-hour windows pivoted to per-type count columns (SURVEY.md
+    §2.8 windowed aggregation + pivot + date functions: date_trunc/year/month
+    bucketing, event_type pivoted via Spark's pivot — conditional FILTER
+    aggregation in the oracle, semantically identical)."""
+    e = t(spark, sf, "events")
+    return (
+        e.withColumn("bucket", F.date_trunc("hour", "ts").cast("string"))
+        .withColumn("yr", F.year("ts"))
+        .withColumn("mo", F.month("ts"))
+        .groupBy("bucket", "yr", "mo")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("bucket")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+       EXTRACT(year FROM ts) AS yr, EXTRACT(month FROM ts) AS mo,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1, 2, 3 ORDER BY bucket
+"""
+
+
+def range_theta_join(spark, sf):
+    """Equi + range (theta) join: lineitems whose quantity falls within
+    +-2 of their part's size — the relational form of the reference's
+    midpoint-in-polygon spatial predicate (SURVEY.md §2.8 theta/spatial
+    join, /root/reference/kraken/lib/segmentation.py:906-922)."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    joined = l.join(
+        F.broadcast(p),
+        (l.l_partkey == p.p_partkey)
+        & (l.l_quantity >= p.p_size - 2)
+        & (l.l_quantity <= p.p_size + 2),
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            # integer-cent quantization: cross-engine float-sum order safe
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+RANGE_THETA_SQL = """
+SELECT p_brand, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+ AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def spearman_footrule(spark, sf):
+    """Reading-order evaluation metric: mean |rank_by_ts - rank_by_value|
+    per user (the Spearman footrule the reference tracks for neural RO,
+    /root/reference/kraken/lib/ro/model.py:63-64) over the events table."""
+    e = t(spark, sf, "events")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    ranked = e.select(
+        "user_id",
+        F.row_number().over(w_ts).alias("r_ts"),
+        F.row_number().over(w_val).alias("r_val"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.avg(F.abs(F.col("r_ts") - F.col("r_val"))).alias("footrule")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("footrule"), 6).alias("mean_footrule"),
+        F.round(F.max("footrule"), 6).alias("max_footrule"),
+    )
+
+
+FOOTRULE_SQL = """
+WITH ranked AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r_ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS r_val
+  FROM events
+), per_user AS (
+  SELECT user_id, AVG(ABS(r_ts - r_val)) AS footrule FROM ranked GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users, ROUND(AVG(footrule), 6) AS mean_footrule,
+       ROUND(MAX(footrule), 6) AS max_footrule
+FROM per_user
 """
 
 
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
-    "window_lead_lag": (window_lead_lag, WINDOW_LEAD_LAG_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "filter_project": (filter_project, FILTER_PROJECT_SQL),
-    "join_broadcast_dims": (join_broadcast_dims, JOIN_BROADCAST_SQL),
-    "agg_rollup": (agg_rollup, AGG_ROLLUP_SQL),
-    "window_topk_per_group": (window_topk_per_group, WINDOW_TOPK_SQL),
-    "window_running_sum": (window_running_sum, WINDOW_RUNNING_SQL),
-    "topk_orders": (topk_orders, TOPK_SQL),
-    "set_ops": (set_ops, SET_OPS_SQL),
-    "distinct_agg": (distinct_agg, DISTINCT_AGG_SQL),
-    "string_funcs": (string_funcs, STRING_FUNCS_SQL),
-    "date_funcs": (date_funcs, DATE_FUNCS_SQL),
-    "case_when_agg": (case_when_agg, CASE_WHEN_SQL),
-    "semi_join_customers": (semi_join_customers, SEMI_JOIN_SQL),
-    "anti_join_customers": (anti_join_customers, ANTI_JOIN_SQL),
-    "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
-    "events_tumbling_window": (events_tumbling_window, EVENTS_TUMBLING_SQL),
-    "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
     "agg_cube": (agg_cube, AGG_CUBE_SQL),
+    "window_topk_per_group": (window_topk_per_group, WINDOW_TOPK_SQL),
+    "window_funcs": (window_funcs, WINDOW_FUNCS_SQL),
+    "set_semi_anti": (set_semi_anti, SET_SEMI_ANTI_SQL),
+    "stats_agg": (stats_agg, STATS_AGG_SQL),
+    "string_funcs": (string_funcs, STRING_FUNCS_SQL),
+    "case_when_agg": (case_when_agg, CASE_WHEN_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
+    "events_pivot_hourly": (events_pivot_hourly, EVENTS_PIVOT_SQL),
     "range_theta_join": (range_theta_join, RANGE_THETA_SQL),
-    "pivot_event_types": (pivot_event_types, PIVOT_SQL),
-    "corr_stats": (corr_stats, CORR_STATS_SQL),
     "spearman_footrule": (spearman_footrule, FOOTRULE_SQL),
 }

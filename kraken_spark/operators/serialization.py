@@ -68,6 +68,46 @@ def _mk_serialize_query(fmt: str):
     return q
 
 
+def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:
+    """All four markup sinks in one pass (driver-window consolidation of
+    x_serialize_{alto,pagexml,hocr,abbyy}): each extraction row is rendered
+    to ALTO, PageXML, hOCR and ABBYY FineReader XML inside ONE Arrow batch
+    (the reference's serialize() sink over every supported template,
+    /root/reference/kraken/serialization.py:80-269), emitting a (url, fmt)
+    row per format. Byte-level golden/round-trip checks per format live in
+    tests/test_serialization.py."""
+    fmts = ("alto", "pagexml", "hocr", "abbyyxml")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels.serialize import serialize
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("fmt", pa.string()),
+                pa.field("n_bytes", pa.int32()),
+                pa.field("document", pa.string()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                for fmt in fmts:
+                    doc = serialize(r, fmt)
+                    out.append(
+                        {
+                            "url": r["url"],
+                            "fmt": fmt,
+                            "n_bytes": len(doc.encode("utf-8")),
+                            "document": doc,
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    ext = _extraction(spark, sf)
+    return ext.mapInArrow(fn, schema=_SER_DDL).orderBy("url", "fmt")
+
+
 def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
     """extraction -> ALTO+PageXML serialize -> re-parse -> equality flags.
 
@@ -121,9 +161,6 @@ def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
-    "x_serialize_alto": (_mk_serialize_query("alto"), None),
-    "x_serialize_pagexml": (_mk_serialize_query("pagexml"), None),
-    "x_serialize_hocr": (_mk_serialize_query("hocr"), None),
-    "x_serialize_abbyy": (_mk_serialize_query("abbyyxml"), None),
+    "x_serialize_all": (x_serialize_all, None),
     "x_roundtrip_xml": (x_roundtrip_xml, None),
 }
