@@ -83,6 +83,32 @@ def display_map(levels: list[int]) -> list[int]:
     return perm
 
 
+def auto_base_dir(text: str) -> str:
+    """UAX#9 P2/P3: paragraph level from the first strong character
+    (reference lib/bidi/__init__.py get_base_level)."""
+    for c in text:
+        t = char_class(c)
+        if t == "AL":
+            return "R"
+        if t == "L":
+            return "L"
+    return "L"
+
+
+def get_display(text: str, base_dir: str | None = None) -> tuple[str, list[int]]:
+    """Forward display transform + permutation — the reference's
+    ``get_display_map(text, base_dir)`` (lib/bidi/__init__.py:465-505) as
+    used by ocr_record._reorder (containers.py:579-605): treat ``text`` as
+    logical order, resolve levels, apply L2. Returns (display_text, order)
+    with display[i] = text[order[i]]. rpred's logical_order applies this to
+    the network's display-order prediction."""
+    if base_dir not in ("L", "R"):
+        base_dir = auto_base_dir(text)
+    levels = resolve_levels(text, base_dir)
+    perm = display_map(levels)
+    return "".join(text[i] for i in perm), perm
+
+
 def display_to_logical(
     visual: str, base_dir: str = "L"
 ) -> tuple[str, list[int]]:

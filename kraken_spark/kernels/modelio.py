@@ -1,0 +1,313 @@
+"""Pure-numpy readers for the reference's trained-model formats.
+
+Loads REAL kraken model files — no torch/safetensors/coremltools/protobuf
+packages required:
+
+- safetensors: the trivial container (8-byte LE header length + JSON header
+  + raw little-endian tensor bytes); kraken stores the model map (VGSL spec,
+  codec, seg_type, legacy_polygons, ...) as JSON under
+  ``__metadata__.kraken_meta`` keyed by a per-model UUID prefix, with
+  weights named ``<uuid>.nn.<layer>.<param>``
+  (/root/reference/kraken/models/loaders.py:46-152 ``load_safetensors``,
+  writers.py for the metadata layout).
+- CoreML ``.mlmodel``: a protobuf ``Model`` message parsed here with a
+  minimal wire-format reader. Field numbers verified against the bundled
+  ``tests/resources/overfit.mlmodel``: Model.description=2 /
+  Model.neuralNetwork=500; ModelDescription.metadata=100;
+  Metadata.userDefined=100 (map); NeuralNetwork.layers=1;
+  NeuralNetworkLayer.name=1 with oneof convolution=100, activation=130,
+  innerProduct=140, softmax=175, custom=500. Weight extraction mirrors
+  /root/reference/kraken/models/_coreml.py:10-90 and loaders.py:155-254
+  ``load_coreml`` (VGSL spec + codec live in the userDefined metadata).
+
+Both loaders return a :class:`KrakenModelBundle` whose ``weights`` dict is
+keyed with the layer-local names the reference's torch modules use
+(``C_0.co.weight``, ``Gn_1.layer.bias``, ``O_5.lin.weight``, ...) so the
+numpy VGSL interpreter in kernels/torchvgsl.py can bind them directly.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_ST_DTYPES = {
+    "F64": np.dtype("<f8"),
+    "F32": np.dtype("<f4"),
+    "F16": np.dtype("<f2"),
+    "I64": np.dtype("<i8"),
+    "I32": np.dtype("<i4"),
+    "I16": np.dtype("<i2"),
+    "I8": np.dtype("<i1"),
+    "U8": np.dtype("<u1"),
+    "BOOL": np.dtype("?"),
+}
+
+
+@dataclass
+class KrakenModelBundle:
+    """One recognition/segmentation model deserialized from a kraken file."""
+
+    vgsl: str
+    codec: dict[str, list[int]] | None
+    weights: dict[str, np.ndarray]
+    metadata: dict = field(default_factory=dict)
+
+    @property
+    def legacy_polygons(self) -> bool:
+        # models predating the flag used the legacy extractor
+        # (reference default in rpred._choose_legacy_polygon_extractor)
+        return bool(self.metadata.get("legacy_polygons", True))
+
+    @property
+    def one_channel_mode(self) -> str | None:
+        return self.metadata.get("one_channel_mode")
+
+    @property
+    def seg_type(self) -> str | None:
+        return self.metadata.get("seg_type")
+
+
+# --------------------------------------------------------------- safetensors
+def read_safetensors(path: str) -> tuple[dict[str, np.ndarray], dict]:
+    """Raw safetensors parse: (tensors, metadata)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if len(blob) < 8:
+        raise ValueError(f"{path}: not a safetensors file (too short)")
+    (hlen,) = struct.unpack("<Q", blob[:8])
+    if hlen > len(blob) - 8:
+        raise ValueError(f"{path}: header length {hlen} exceeds file size")
+    header = json.loads(blob[8 : 8 + hlen])
+    meta = header.pop("__metadata__", {})
+    base = 8 + hlen
+    tensors: dict[str, np.ndarray] = {}
+    for name, info in header.items():
+        dt = _ST_DTYPES.get(info["dtype"])
+        if dt is None:
+            raise ValueError(f"{path}: unsupported dtype {info['dtype']} for {name}")
+        b0, b1 = info["data_offsets"]
+        arr = np.frombuffer(blob, dtype=dt, count=(b1 - b0) // dt.itemsize, offset=base + b0)
+        tensors[name] = arr.reshape(info["shape"]).astype(np.float32) if dt.kind == "f" else arr.reshape(info["shape"])
+    return tensors, meta
+
+
+def load_safetensors(path: str) -> list[KrakenModelBundle]:
+    """Kraken-semantics safetensors load: one bundle per model prefix in
+    kraken_meta, weights renamed '<uuid>.nn.X' -> 'X'
+    (loaders.py:46-152)."""
+    tensors, meta = read_safetensors(path)
+    model_map = json.loads(meta.get("kraken_meta", "null"))
+    if not isinstance(model_map, dict):
+        raise ValueError(f"{path}: missing/invalid kraken_meta model map")
+    out = []
+    for prefix, model_data in model_map.items():
+        weights = {
+            k[len(prefix) + 4 :]: v
+            for k, v in tensors.items()
+            if k.startswith(prefix + ".nn.")
+        }
+        md = dict(model_data)
+        vgsl = md.pop("vgsl", None)
+        codec = md.pop("codec", None)
+        if not vgsl:
+            raise ValueError(f"{path}: model {prefix} has no VGSL spec")
+        out.append(KrakenModelBundle(vgsl=vgsl, codec=codec, weights=weights, metadata=md))
+    return out
+
+
+# --------------------------------------------------------------- protobuf
+def _pb_fields(buf: bytes):
+    """Iterate (field_number, wire_type, value) over a protobuf message.
+    varint -> int, length-delimited -> bytes, 32/64-bit -> raw bytes."""
+    i, n = 0, len(buf)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield fno, wt, v
+        elif wt == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield fno, wt, buf[i : i + ln]
+            i += ln
+        elif wt == 5:
+            yield fno, wt, buf[i : i + 4]
+            i += 4
+        elif wt == 1:
+            yield fno, wt, buf[i : i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+
+
+def _pb_map(buf: bytes) -> dict[int, list]:
+    out: dict[int, list] = {}
+    for fno, _wt, v in _pb_fields(buf):
+        out.setdefault(fno, []).append(v)
+    return out
+
+
+def _pb_varints(v) -> list[int]:
+    """Decode a packed-or-single repeated varint field value."""
+    if isinstance(v, int):
+        return [v]
+    out = []
+    i = 0
+    while i < len(v):
+        x = 0
+        shift = 0
+        while True:
+            b = v[i]
+            i += 1
+            x |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        out.append(x)
+    return out
+
+
+def _weight_floats(wp: bytes) -> np.ndarray:
+    """WeightParams message -> float32 array (floatValue packed = field 1;
+    float16Value raw = field 2)."""
+    m = _pb_map(wp)
+    if 1 in m:
+        return np.frombuffer(b"".join(m[1]), dtype="<f4").copy()
+    if 2 in m:
+        return np.frombuffer(b"".join(m[2]), dtype="<f2").astype(np.float32)
+    return np.zeros(0, dtype=np.float32)
+
+
+def _custom_params(m: dict[int, list]) -> dict[str, int]:
+    """CustomLayerParams.parameters (field 30 map entries) -> {name: intValue}.
+    The value message stores intValue at field 30 (varint)."""
+    out = {}
+    for entry in m.get(30, []):
+        em = _pb_map(entry)
+        key = em[1][0].decode()
+        vm = _pb_map(em[2][0])
+        if 30 in vm:
+            iv = vm[30][0]
+            # negative intValues are 64-bit two's-complement varints
+            if iv >= 1 << 63:
+                iv -= 1 << 64
+            out[key] = iv
+    return out
+
+
+def load_coreml(path: str) -> list[KrakenModelBundle]:
+    """CoreML .mlmodel load (models/loaders.py:155-254 + _coreml.py).
+
+    Extracts the VGSL spec + codec from the userDefined metadata and the
+    conv / groupnorm / linear weights from the NeuralNetwork layers. LSTM
+    CoreML layers (uni/biDirectionalLSTM) are not deserialized — no asset
+    in the reference repo exercises them (the bundled LSTM models are LFS
+    stubs); recurrent models load through the safetensors path."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    top = _pb_map(blob)
+    if 2 not in top or 500 not in top:
+        raise ValueError(f"{path}: not a CoreML NeuralNetwork model")
+    desc = _pb_map(top[2][0])
+    user_defined: dict[str, str] = {}
+    for meta in desc.get(100, []):
+        for fno, _wt, v in _pb_fields(meta):
+            if fno == 100:
+                em = _pb_map(v)
+                user_defined[em[1][0].decode()] = em[2][0].decode() if 2 in em else ""
+    try:
+        kraken_meta = json.loads(user_defined.get("kraken_meta", "{}"))
+    except json.JSONDecodeError as e:
+        raise ValueError(f"{path}: invalid kraken_meta JSON: {e}") from e
+    vgsl = user_defined.get("vgsl") or kraken_meta.get("vgsl")
+    if not vgsl:
+        raise ValueError(f"{path}: no VGSL spec in model metadata")
+    codec = None
+    if "codec" in user_defined:
+        codec = json.loads(user_defined["codec"])
+    elif "codec" in kraken_meta:
+        codec = kraken_meta.get("codec")
+    kraken_meta.pop("codec", None)
+    kraken_meta.pop("vgsl", None)
+    # pre-kraken_meta models are always recognizers (loaders.py:199-205)
+    if not kraken_meta.get("model_type"):
+        kraken_meta["model_type"] = ["recognition"]
+
+    weights: dict[str, np.ndarray] = {}
+    for layer_buf in _pb_map(top[500][0]).get(1, []):
+        lm = _pb_map(layer_buf)
+        name = lm[1][0].decode()
+        if 100 in lm:  # convolution (_coreml.py:62-77)
+            cm = _pb_map(lm[100][0])
+            out_c = cm[1][0]
+            in_c = cm[2][0]
+            ksize = _pb_varints(cm[20][0])
+            base = name.removesuffix("_conv")
+            w = _weight_floats(cm[90][0])
+            if cm.get(60, [0])[0]:  # isDeconvolution
+                weights[f"{base}.co.weight"] = w.reshape(in_c, out_c, *ksize)
+            else:
+                weights[f"{base}.co.weight"] = w.reshape(out_c, in_c, *ksize)
+            weights[f"{base}.co.bias"] = _weight_floats(cm[91][0])
+        elif 140 in lm:  # innerProduct (_coreml.py:10-18)
+            im = _pb_map(lm[140][0])
+            in_c, out_c = im[1][0], im[2][0]
+            base = name.removesuffix("_lin")
+            weights[f"{base}.lin.weight"] = _weight_floats(im[20][0]).reshape(out_c, in_c)
+            weights[f"{base}.lin.bias"] = _weight_floats(im[21][0])
+        elif 500 in lm:  # custom (_coreml.py:80-88 groupnorm; reshape is a noop)
+            cm = _pb_map(lm[500][0])
+            cls = cm.get(10, [b""])[0].decode()
+            if cls == "groupnorm":
+                in_c = _custom_params(cm)["in_channels"]
+                wp = cm.get(20, [])
+                weights[f"{name}.layer.weight"] = _weight_floats(wp[0]).reshape(in_c)
+                weights[f"{name}.layer.bias"] = _weight_floats(wp[1]).reshape(in_c)
+        elif 420 in lm or 430 in lm:
+            raise ValueError(
+                f"{path}: CoreML LSTM layer {name} not supported — "
+                "use the safetensors form of this model"
+            )
+        # activation (130) / softmax (175) / pooling carry no weights; the
+        # VGSL spec is authoritative for the activation functions.
+    return [KrakenModelBundle(vgsl=vgsl, codec=codec, weights=weights, metadata=kraken_meta)]
+
+
+def load_kraken_model(path: str) -> list[KrakenModelBundle]:
+    """Format-sniffing loader (the reference's load_models entry-point
+    chain, loaders.py:27-43): safetensors first, then CoreML protobuf."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if len(head) >= 9:
+        (hlen,) = struct.unpack("<Q", head[:8])
+        if head[8:9] == b"{" and hlen < 100_000_000:
+            return load_safetensors(path)
+    return load_coreml(path)

@@ -277,6 +277,76 @@ def report_over(ext, gt):
     return per_doc.groupBy("lang").agg(*aggs).orderBy("lang")
 
 
+def x_rpred_golden(spark, sf):
+    """Trained-weight golden parity, distributed: loads the reference's
+    REAL overfit.mlmodel (pure-numpy CoreML parse, kernels/modelio.py) and
+    reproduces the exact prediction strings of the reference's own tests
+    (/root/reference/tests/test_rpred.py:352-366) on 000236.png inside an
+    Arrow batch — one row per test case with the predicted string and a
+    match flag (all true; also asserted in tests/test_golden_rpred.py).
+    sf_dir is unused: the inputs are the reference's fixed test assets."""
+    import pyarrow as pa
+
+    cases = spark.createDataFrame(
+        [("bbox_golden",), ("bl_golden",), ("bbox_outbounds",), ("bl_outbounds",)],
+        "case string",
+    ).coalesce(1)
+
+    def fn(batches):
+        from ..kernels import png as _png
+        from ..kernels.modelio import load_kraken_model
+        from ..kernels.rpred_parity import LoadedRecognizer
+
+        res = "/root/reference/tests/resources"
+        rec = LoadedRecognizer(load_kraken_model(f"{res}/overfit.mlmodel")[0])
+        img = _png.decode_png(open(f"{res}/000236.png", "rb").read())
+        golden = {
+            "bbox_golden": "ܡ ܘܡ ܗ ܡܕܐ ܐ ܐܐ ܡ ܗܗܐܐܐܕ",
+            "bl_golden": ".ܗ ܣܗܐ  ܕ ܣ   ܗ ܕܗܗ ܟܕܗܣ    ܠ  ܐ .ܣܕܐܣ. ܗ ",
+            "bbox_outbounds": "",
+            "bl_outbounds": "",
+        }
+        schema = pa.schema(
+            [
+                pa.field("case", pa.string()),
+                pa.field("prediction", pa.string()),
+                pa.field("golden", pa.string()),
+                pa.field("match", pa.bool_()),
+            ]
+        )
+        for b in batches:
+            out = []
+            for r in b.to_pylist():
+                case = r["case"]
+                if case == "bbox_golden":
+                    p = rec.recognize_bbox(img, [0, 0, 2544, 156], pad=1)
+                elif case == "bl_golden":
+                    p = rec.recognize_baseline(
+                        img, [[0, 10], [2543, 10]],
+                        [[0, 0], [2543, 0], [2543, 155], [0, 155]], pad=1,
+                    )
+                elif case == "bbox_outbounds":
+                    p = rec.recognize_bbox(img, [-1, -1, 10000, 10000], pad=1)
+                else:
+                    p = rec.recognize_baseline(
+                        img, [[0, 0], [10000, 0]],
+                        [[-1, -1], [-1, 10000], [10000, 10000], [10000, -1]], pad=1,
+                    )
+                out.append(
+                    {
+                        "case": case,
+                        "prediction": p["prediction"],
+                        "golden": golden[case],
+                        "match": p["prediction"] == golden[case],
+                    }
+                )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return cases.mapInArrow(
+        fn, schema="case string, prediction string, golden string, match boolean"
+    ).orderBy("case")
+
+
 def x_extract_metrics(spark, sf):
     """Per-partition lineage/metrics table (north-rule lineage requirement)."""
     ext = _extraction(spark, sf)
@@ -328,4 +398,5 @@ QUERIES = {
     "x_extract_geometry": (x_extract_geometry, None),
     "x_ocr_report": (x_ocr_report, None),
     "x_extract_metrics": (x_extract_metrics, None),
+    "x_rpred_golden": (x_rpred_golden, None),
 }
