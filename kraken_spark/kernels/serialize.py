@@ -41,7 +41,21 @@ def _line_fields(line: dict) -> dict:
         "cuts": cuts,
         "confidences": confs,
         "region_ids": list(_row_get(line, "region_ids", [])),
+        "tags": _row_get(line, "tags", "") or "",
+        "language": list(_row_get(line, "language", []) or []),
     }
+
+
+def _type_of_tags(tags_json: str, default: str = "default") -> str:
+    """Primary type label from the JSON-encoded tags column
+    (containers.py:88 shape)."""
+    import json as _json
+
+    try:
+        tags = _json.loads(tags_json) if tags_json else {}
+        return (tags.get("type") or [{}])[0].get("type", default) or default
+    except (ValueError, AttributeError, IndexError):
+        return default
 
 
 def words_of(line: dict) -> list[dict]:
@@ -98,6 +112,8 @@ def _group_lines_by_region(row) -> list[tuple[dict | None, list[dict]]]:
         region_type=_row_get(r, "region_type", "text"),
         boundary=[list(p) for p in _row_get(r, "boundary", [])],
         rank=int(_row_get(r, "rank", 0)),
+        tags=_row_get(r, "tags", "") or "",
+        language=list(_row_get(r, "language", []) or []),
     ) for r in (_row_get(row, "regions", []) or [])]
     regions.sort(key=lambda r: r["rank"])
     lines = [_line_fields(l) for l in (_row_get(row, "lines", []) or [])]
@@ -136,6 +152,26 @@ def to_alto(row, created: str = PINNED_CREATED) -> str:
         "\t\t\t</processingSoftware>\n"
         "\t\t</Processing>\n"
         "\t</Description>\n"
+    ]
+    # Tags block: one OtherTag per distinct line/region type label, referenced
+    # by TAGREFS (the ALTO tag model the parser reads back, alto.py:133-170)
+    groups = _group_lines_by_region(row)
+    labels: list[str] = []
+    for region, lines in groups:
+        for lab in [_type_of_tags(region["tags"], region["region_type"])] if region else []:
+            if lab not in labels:
+                labels.append(lab)
+        for l in lines:
+            lab = _type_of_tags(l["tags"])
+            if lab not in labels:
+                labels.append(lab)
+    tag_ids = {lab: f"TAG_{k}" for k, lab in enumerate(labels)}
+    if tag_ids:
+        parts.append("\t<Tags>\n")
+        for lab, tid in tag_ids.items():
+            parts.append(f'\t\t<OtherTag ID={quoteattr(tid)} TYPE="type" LABEL={quoteattr(lab)}/>\n')
+        parts.append("\t</Tags>\n")
+    parts += [
         "\t<Layout>\n"
         f'\t\t<Page WIDTH="{w}" HEIGHT="{h}" PHYSICAL_IMG_NR="0" ID="page_0">\n'
         "\t\t\t<PrintSpace "
@@ -155,16 +191,25 @@ def to_alto(row, created: str = PINNED_CREATED) -> str:
         else:
             rx = ry = 0
             rw, rh = w, h
+        reg_attrs = ""
+        if region:
+            rlab = _type_of_tags(region["tags"], region["region_type"])
+            reg_attrs = f" TAGREFS={quoteattr(tag_ids[rlab])}"
+            if region["language"]:
+                reg_attrs += f" LANG={quoteattr(region['language'][0])}"
         parts.append(
             f'\t\t\t\t<TextBlock ID={quoteattr(rid)} HPOS="{rx}" VPOS="{ry}" '
-            f'WIDTH="{rw}" HEIGHT="{rh}">\n'
+            f'WIDTH="{rw}" HEIGHT="{rh}"{reg_attrs}>\n'
         )
         for l in lines:
             x, y, lw, lh = _wh(l["bbox"])
             bl = " ".join(f"{int(px)},{int(py)}" for px, py in l["baseline"])
+            line_attrs = f" TAGREFS={quoteattr(tag_ids[_type_of_tags(l['tags'])])}"
+            if l["language"]:
+                line_attrs += f" LANG={quoteattr(l['language'][0])}"
             parts.append(
                 f'\t\t\t\t\t<TextLine ID={quoteattr(l["id"])} HPOS="{x}" VPOS="{y}" '
-                f'WIDTH="{lw}" HEIGHT="{lh}" BASELINE={quoteattr(bl)}>\n'
+                f'WIDTH="{lw}" HEIGHT="{lh}" BASELINE={quoteattr(bl)}{line_attrs}>\n'
             )
             ws = words_of(l)
             have_glyphs = len(l["cuts"]) >= len(l["prediction"]) and len(
@@ -223,8 +268,11 @@ def to_pagexml(row, created: str = PINNED_CREATED) -> str:
             else [[0, 0], [w, 0], [w, h], [0, h]]
         )
         rtype = region["region_type"] if region else "text"
+        rattrs = ""
+        if region and region["language"]:
+            rattrs = f" primaryLanguage={quoteattr(region['language'][0])}"
         parts.append(
-            f"\t\t<TextRegion id={quoteattr(rid)} custom={quoteattr('structure {type:' + rtype + ';}')}>\n"
+            f"\t\t<TextRegion id={quoteattr(rid)} custom={quoteattr('structure {type:' + rtype + ';}')}{rattrs}>\n"
             f"\t\t\t<Coords points={quoteattr(_points(boundary))}/>\n"
         )
         for l in lines:
@@ -237,8 +285,12 @@ def to_pagexml(row, created: str = PINNED_CREATED) -> str:
             mean_conf = (
                 sum(l["confidences"]) / len(l["confidences"]) if l["confidences"] else 0.0
             )
+            ltype = _type_of_tags(l["tags"])
+            lattrs = f" custom={quoteattr('structure {type:' + ltype + ';}')}"
+            if l["language"]:
+                lattrs += f" primaryLanguage={quoteattr(l['language'][0])}"
             parts.append(
-                f"\t\t\t<TextLine id={quoteattr(l['id'])}>\n"
+                f"\t\t\t<TextLine id={quoteattr(l['id'])}{lattrs}>\n"
                 f"\t\t\t\t<Coords points={quoteattr(_points(boundary_pts))}/>\n"
                 f"\t\t\t\t<Baseline points={quoteattr(_points(l['baseline']))}/>\n"
                 f'\t\t\t\t<TextEquiv conf="{mean_conf:.4f}">'
@@ -372,6 +424,8 @@ def to_json(row) -> str:
                 "region_type": _row_get(r, "region_type", "text"),
                 "boundary": [list(p) for p in _row_get(r, "boundary", [])],
                 "rank": int(_row_get(r, "rank", 0)),
+                "tags": _row_get(r, "tags", "") or "",
+                "language": list(_row_get(r, "language", []) or []),
             }
             for r in (_row_get(row, "regions", []) or [])
         ],
@@ -398,6 +452,8 @@ def from_json(doc: str) -> dict:
                 "boundary": [[int(x), int(y)] for x, y in (l.get("boundary") or [])],
                 "region_ids": list(l.get("region_ids") or []),
                 "text": l.get("prediction") or "",
+                "tags": l.get("tags") or "",
+                "language": list(l.get("language") or []),
             }
         )
     regions = [
@@ -406,6 +462,8 @@ def from_json(doc: str) -> dict:
             "region_type": r.get("region_type") or "text",
             "boundary": [[int(x), int(y)] for x, y in (r.get("boundary") or [])],
             "rank": int(r.get("rank", j)),
+            "tags": r.get("tags") or "",
+            "language": list(r.get("language") or []),
         }
         for j, r in enumerate(seg.get("regions", []) or [])
     ]

@@ -12,11 +12,42 @@ reference's tolerance for the many ALTO/PageXML namespace versions
 
 from __future__ import annotations
 
+import json
 import xml.etree.ElementTree as ET
 
 
 def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
+
+
+def _tags_json(tags: dict | None, default_type: str = "default") -> str:
+    """Serialize the reference's tags shape dict[str, list[dict[str,str]]]
+    (containers.py:88) to the columnar JSON-string form."""
+    if not tags:
+        tags = {"type": [{"type": default_type}]}
+    return json.dumps(tags, sort_keys=True)
+
+
+def parse_page_custom(s: str) -> dict[str, list[dict[str, str]]]:
+    """Transkribus-style ``custom`` attribute parser:
+    'structure {type:heading;} language {value:fr;}' ->
+    {'structure': [{'type': 'heading'}], ...} (the reference's
+    parse_page_custom, lib/xml/common.py:82-95)."""
+    out: dict[str, list[dict[str, str]]] = {}
+    for chunk in (s or "").split("}"):
+        chunk = chunk.strip()
+        if not chunk or "{" not in chunk:
+            continue
+        tag, _, vals = chunk.partition("{")
+        kv: dict[str, str] = {}
+        for val in vals.split(";"):
+            val = val.strip()
+            if not val:
+                continue
+            key, _, v = val.partition(":")
+            kv[key.strip()] = v.strip()
+        out.setdefault(tag.strip(), []).append(kv)
+    return out
 
 
 def _iter_local(el: ET.Element, name: str):
@@ -60,22 +91,46 @@ def parse_alto(data: bytes) -> dict:
     for fn in _iter_local(root, "fileName"):
         out["imagename"] = fn.text or ""
         break
+    page_lang = None
     for page in _iter_local(root, "Page"):
         out["width"] = int(float(page.get("WIDTH", "0")))
         out["height"] = int(float(page.get("HEIGHT", "0")))
+        page_lang = page.get("LANG")
         break
+    # Tags block: StructureTag/LayoutTag/OtherTag ID -> (TYPE, LABEL),
+    # referenced from TAGREFS attributes (alto.py:133-170, 227-331)
+    tag_map: dict[str, tuple[str, str]] = {}
+    for kind in ("StructureTag", "LayoutTag", "OtherTag"):
+        for tg in _iter_local(root, kind):
+            tid = tg.get("ID")
+            if tid:
+                tag_map[tid] = (tg.get("TYPE") or "type", tg.get("LABEL") or "")
+
+    def tagrefs_to_tags(refs: str | None) -> dict:
+        tags: dict = {}
+        for ref in (refs or "").split():
+            ttype, label = tag_map.get(ref, (None, None))
+            if label:
+                tags.setdefault(ttype or "type", []).append({"type": label})
+        return tags
+
     for block in _iter_local(root, "TextBlock"):
         x0 = int(float(block.get("HPOS", "0")))
         y0 = int(float(block.get("VPOS", "0")))
         bw = int(float(block.get("WIDTH", "0")))
         bh = int(float(block.get("HEIGHT", "0")))
         rid = block.get("ID", "")
+        block_tags = tagrefs_to_tags(block.get("TAGREFS"))
+        block_type = (block_tags.get("type") or [{"type": "text"}])[0]["type"]
+        block_lang = block.get("LANG") or page_lang
         out["regions"].append(
             {
                 "id": rid,
-                "region_type": "text",
+                "region_type": block_type,
                 "boundary": [[x0, y0], [x0 + bw, y0], [x0 + bw, y0 + bh], [x0, y0 + bh]],
                 "rank": len(out["regions"]),
+                "tags": _tags_json(block_tags, block_type),
+                "language": [block_lang] if block_lang else [],
             }
         )
         for tl in _iter_local(block, "TextLine"):
@@ -95,6 +150,9 @@ def parse_alto(data: bytes) -> dict:
             words = []
             for st in _iter_local(tl, "String"):
                 words.append(st.get("CONTENT", ""))
+            line_tags = tagrefs_to_tags(tl.get("TAGREFS"))
+            line_type = (line_tags.get("type") or [{"type": "default"}])[0]["type"]
+            line_lang = tl.get("LANG") or block_lang
             out["lines"].append(
                 {
                     "id": tl.get("ID", ""),
@@ -109,6 +167,8 @@ def parse_alto(data: bytes) -> dict:
                     "text": " ".join(words),
                     "region_ids": [rid],
                     "rank": len(out["lines"]),
+                    "tags": _tags_json(line_tags, line_type),
+                    "language": [line_lang] if line_lang else [],
                 }
             )
     return out
@@ -119,10 +179,12 @@ def parse_pagexml(data: bytes) -> dict:
     (cf. /root/reference/kraken/lib/xml/page.py:63-328)."""
     root = ET.fromstring(data)
     out = {"type": "baselines", "lines": [], "regions": [], "imagename": "", "width": 0, "height": 0}
+    page_lang = None
     for page in _iter_local(root, "Page"):
         out["imagename"] = page.get("imageFilename", "")
         out["width"] = int(float(page.get("imageWidth", "0")))
         out["height"] = int(float(page.get("imageHeight", "0")))
+        page_lang = page.get("primaryLanguage")
         break
     for region in _iter_local(root, "TextRegion"):
         rid = region.get("id", "")
@@ -131,12 +193,22 @@ def parse_pagexml(data: bytes) -> dict:
             if _local(child.tag) == "Coords":
                 boundary = _parse_points(child.get("points", ""))
                 break
+        # Transkribus custom attribute: structure type + language
+        # (page.py:124-147 via parse_page_custom)
+        reg_custom = parse_page_custom(region.get("custom", ""))
+        reg_type = region.get("type") or ""
+        if not reg_type and "structure" in reg_custom:
+            reg_type = reg_custom["structure"][0].get("type", "")
+        reg_type = reg_type or "text"
+        reg_lang = region.get("primaryLanguage") or page_lang
         out["regions"].append(
             {
                 "id": rid,
-                "region_type": "text",
+                "region_type": reg_type,
                 "boundary": boundary,
                 "rank": len(out["regions"]),
+                "tags": _tags_json({"type": [{"type": reg_type}]}),
+                "language": [reg_lang] if reg_lang else [],
             }
         )
         for tl in _iter_local(region, "TextLine"):
@@ -159,6 +231,13 @@ def parse_pagexml(data: bytes) -> dict:
                 bbox = [min(xs), min(ys), max(xs), max(ys)]
             else:
                 bbox = [0, 0, 0, 0]
+            line_custom = parse_page_custom(tl.get("custom", ""))
+            ltype = "default"
+            if "structure" in line_custom:
+                ltype = line_custom["structure"][0].get("type", "default") or "default"
+            line_lang = tl.get("primaryLanguage") or reg_lang
+            if "language" in line_custom and line_custom["language"][0]:
+                line_lang = next(iter(line_custom["language"][0].values()), line_lang)
             out["lines"].append(
                 {
                     "id": tl.get("id", ""),
@@ -168,6 +247,8 @@ def parse_pagexml(data: bytes) -> dict:
                     "text": text,
                     "region_ids": [rid],
                     "rank": len(out["lines"]),
+                    "tags": _tags_json({"type": [{"type": ltype}]}),
+                    "language": [line_lang] if line_lang else [],
                 }
             )
     return out

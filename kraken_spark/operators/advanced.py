@@ -31,83 +31,98 @@ def _docs(spark: SparkSession, sf: str):
 
 
 def x_multimodel_dispatch(spark, sf):
-    """Route each line to a model by its page-language tag: 'ar' -> the RTL
-    model, 'en' -> the Latin model, 'fr' in tags_ignore (lines skipped, like
-    the reference's tags_ignore, rpred.py:190-193); unknown tags fall back
-    to the default model. Emits per-url routing + correctness."""
+    """Per-LINE tag-keyed model routing — the reference's mm_rpred over
+    line tags (rpred.py:57-341, _get_type + _resolve_type_to_model
+    :373-391): each segmented line carries a type tag in the schema's
+    ``tags`` column ('heading' for the first line, every 5th line
+    'marginalia', else 'default'); the registry maps 'heading' and
+    'default' to distinct model instances, 'marginalia' is in tags_ignore
+    (skipped with an empty record, rpred.py:190-193), and unknown tags
+    fall back to the default model. Emits one row per (url, tag) with line
+    counts + per-tag recognition correctness against the ground truth."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import json
+
         from ..kernels import binarize, lineextract, pageseg, png
         from ..kernels.codec import Codec
-        from ..kernels.recognizer import build_recognizer, recognize_page
+        from ..kernels.recognizer import build_recognizer, recognize_line
 
-        # per-tag model registry; separately constructed instances so the
-        # routing is observable (mm_rpred's dict-of-models)
         registry = {
-            "ar": ("rtl_model", build_recognizer()),
-            "en": ("latin_model", build_recognizer()),
+            "heading": ("heading_model", build_recognizer()),
             "default": ("default_model", build_recognizer()),
         }
-        tags_ignore = {"fr"}
+        tags_ignore = {"marginalia"}
         codecs = {k: Codec(m.codec) for k, (_, m) in registry.items()}
         schema = pa.schema(
             [
                 pa.field("url", pa.string()),
-                pa.field("lang", pa.string()),
+                pa.field("tag", pa.string()),
                 pa.field("model_used", pa.string()),
                 pa.field("n_lines", pa.int32()),
                 pa.field("n_recognized", pa.int32()),
                 pa.field("text_exact", pa.bool_()),
             ]
         )
+
+        def line_tag(idx: int) -> str:
+            if idx == 0:
+                return "heading"
+            if idx % 5 == 0:
+                return "marginalia"
+            return "default"
+
         for batch in batches:
             out = []
             for r in batch.to_pylist():
                 url, lang, gt = r["url"], r["lang"], r["text"]
+                base_dir = "R" if lang == "ar" else "L"
                 try:
-                    if lang in tags_ignore:
-                        out.append(
-                            {
-                                "url": url,
-                                "lang": lang,
-                                "model_used": "ignored",
-                                "n_lines": 0,
-                                "n_recognized": 0,
-                                "text_exact": None,
-                            }
-                        )
-                        continue
-                    key = lang if lang in registry else "default"
-                    name, model = registry[key]
-                    codec = codecs[key]
                     img = png.to_grayscale(png.decode_png(r["html"]))
                     mask = binarize.nlbin(img)
-                    base_dir = "R" if lang == "ar" else "L"
                     seg = pageseg.segment(
                         mask,
                         url=url,
                         text_direction="horizontal-rl" if base_dir == "R" else "horizontal-lr",
                     )
-                    strips = [
-                        lineextract.extract_line(mask, l)[0] for l in seg["lines"]
-                    ]
-                    recs = recognize_page(model, codec, strips, base_dir=base_dir)
-                    text = "\n".join(rec["prediction"] for rec in recs)
-                    out.append(
-                        {
-                            "url": url,
-                            "lang": lang,
-                            "model_used": name,
-                            "n_lines": len(seg["lines"]),
-                            "n_recognized": sum(1 for rec in recs if rec["prediction"]),
-                            "text_exact": text == gt,
-                        }
-                    )
+                    gt_lines = gt.split("\n")
+                    per_tag: dict[str, dict] = {}
+                    for i, l in enumerate(seg["lines"]):
+                        tag = line_tag(i)
+                        l["tags"] = json.dumps({"type": [{"type": tag}]})
+                        bucket = per_tag.setdefault(
+                            tag, {"n": 0, "rec": 0, "exact": True, "model": None}
+                        )
+                        bucket["n"] += 1
+                        if tag in tags_ignore:
+                            bucket["model"] = "ignored"
+                            continue
+                        name, model = registry.get(tag, registry["default"])
+                        bucket["model"] = name
+                        strip, _ = lineextract.extract_line(mask, l)
+                        rec = recognize_line(
+                            model, codecs.get(tag, codecs["default"]), strip, base_dir=base_dir
+                        )
+                        if rec["prediction"]:
+                            bucket["rec"] += 1
+                        if i < len(gt_lines) and rec["prediction"] != gt_lines[i]:
+                            bucket["exact"] = False
+                    for tag, b in sorted(per_tag.items()):
+                        out.append(
+                            {
+                                "url": url,
+                                "tag": tag,
+                                "model_used": b["model"] or "none",
+                                "n_lines": b["n"],
+                                "n_recognized": b["rec"],
+                                "text_exact": None if tag in tags_ignore else b["exact"],
+                            }
+                        )
                 except Exception:
                     out.append(
                         {
                             "url": url,
-                            "lang": lang,
+                            "tag": "error",
                             "model_used": "error",
                             "n_lines": 0,
                             "n_recognized": 0,
@@ -120,10 +135,10 @@ def x_multimodel_dispatch(spark, sf):
         _docs(spark, sf)
         .mapInArrow(
             fn,
-            schema="url string, lang string, model_used string, n_lines int, "
+            schema="url string, tag string, model_used string, n_lines int, "
             "n_recognized int, text_exact boolean",
         )
-        .orderBy("url")
+        .orderBy("url", "tag")
     )
 
 

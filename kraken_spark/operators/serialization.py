@@ -126,6 +126,8 @@ def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
                 pa.field("n_lines", pa.int32()),
                 pa.field("text_match", pa.bool_()),
                 pa.field("baseline_match", pa.bool_()),
+                pa.field("tags_match", pa.bool_()),
+                pa.field("language_match", pa.bool_()),
             ]
         )
         for batch in batches:
@@ -142,6 +144,12 @@ def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
                     bl_match = [l["baseline"] for l in got_lines] == [
                         [list(p) for p in l["baseline"]] for l in orig_lines
                     ]
+                    tags_match = [l["tags"] for l in got_lines] == [
+                        l["tags"] for l in orig_lines
+                    ]
+                    lang_match = [l["language"] for l in got_lines] == [
+                        list(l["language"] or []) for l in orig_lines
+                    ]
                     out.append(
                         {
                             "url": r["url"],
@@ -149,6 +157,8 @@ def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
                             "n_lines": len(got_lines),
                             "text_match": text_match,
                             "baseline_match": bl_match,
+                            "tags_match": tags_match,
+                            "language_match": lang_match,
                         }
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
@@ -156,7 +166,8 @@ def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
     ext = _extraction(spark, sf)
     return ext.mapInArrow(
         roundtrip,
-        schema="url string, fmt string, n_lines int, text_match boolean, baseline_match boolean",
+        schema="url string, fmt string, n_lines int, text_match boolean, "
+        "baseline_match boolean, tags_match boolean, language_match boolean",
     ).orderBy("url", "fmt")
 
 

@@ -34,6 +34,11 @@ LINE_STRUCT = pa.struct(
         pa.field("cuts", pa.list_(pa.list_(pa.int32()))),
         pa.field("confidences", pa.list_(pa.float32())),
         pa.field("display_order", pa.bool_()),
+        # the reference's BaselineLine.tags dict[str, list[dict[str, str]]]
+        # (containers.py:88), JSON-encoded for a stable columnar type, and
+        # its per-line language list (containers.py / lib/xml readers)
+        pa.field("tags", pa.string()),
+        pa.field("language", pa.list_(pa.string())),
     ]
 )
 
@@ -43,6 +48,8 @@ REGION_STRUCT = pa.struct(
         pa.field("region_type", pa.string()),
         pa.field("boundary", pa.list_(pa.list_(pa.int32()))),
         pa.field("rank", pa.int32()),
+        pa.field("tags", pa.string()),
+        pa.field("language", pa.list_(pa.string())),
     ]
 )
 
@@ -75,9 +82,11 @@ EXTRACTION_DDL = (
     "lines array<struct<id:string, rank:int, bbox:array<int>, "
     "baseline:array<array<int>>, boundary:array<array<int>>, "
     "region_ids:array<string>, prediction:string, cuts:array<array<int>>, "
-    "confidences:array<float>, display_order:boolean>>, "
+    "confidences:array<float>, display_order:boolean, tags:string, "
+    "language:array<string>>>, "
     "regions array<struct<id:string, region_type:string, "
-    "boundary:array<array<int>>, rank:int>>, "
+    "boundary:array<array<int>>, rank:int, tags:string, "
+    "language:array<string>>>, "
     "cer double, wall_ms double, n_px bigint, width int, height int, "
     "line_orders array<array<int>>, partition_id int"
 )

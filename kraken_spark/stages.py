@@ -187,6 +187,10 @@ def extract_document(
                     "cuts": cuts,
                     "confidences": r["confidences"],
                     "display_order": r["display_order"],
+                    # segmenter output carries no semantic labels: default
+                    # type tag + page language (containers.py:88 default)
+                    "tags": l.get("tags") or '{"type": [{"type": "default"}]}',
+                    "language": l.get("language") or ([lang] if lang else []),
                 }
             )
         out["lines"] = lines
@@ -196,6 +200,9 @@ def extract_document(
                 "region_type": rg["region_type"],
                 "boundary": rg["boundary"],
                 "rank": rg["rank"],
+                "tags": rg.get("tags")
+                or '{"type": [{"type": "' + rg["region_type"] + '"}]}',
+                "language": rg.get("language") or ([lang] if lang else []),
             }
             for rg in seg["regions"]
         ]
@@ -260,6 +267,8 @@ def _extract_from_seg(seg: dict, out: dict, gt_text: str | None, t0: float) -> d
                 "cuts": [],
                 "confidences": [],
                 "display_order": False,
+                "tags": l.get("tags") or '{"type": [{"type": "default"}]}',
+                "language": l.get("language") or [],
             }
         )
     out["lines"] = lines
@@ -269,6 +278,9 @@ def _extract_from_seg(seg: dict, out: dict, gt_text: str | None, t0: float) -> d
             "region_type": r["region_type"],
             "boundary": r["boundary"],
             "rank": r["rank"],
+            "tags": r.get("tags")
+            or '{"type": [{"type": "' + r["region_type"] + '"}]}',
+            "language": r.get("language") or [],
         }
         for r in seg["regions"]
     ]

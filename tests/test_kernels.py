@@ -195,6 +195,47 @@ def test_bidi_rtl_with_spaces():
     assert logical == visual[::-1]
 
 
+def test_bidi_full_uax9_vectors():
+    """Full UAX#9 coverage (reference lib/bidi/__init__.py:48-505):
+    embedded numbers, paired brackets (N0), isolates, explicit overrides,
+    mirroring (L4) and formatting-character removal (X9)."""
+    from kraken_spark.kernels.bidi import auto_base_dir, get_display
+
+    # numbers keep LTR order inside an RTL paragraph (W rules + I2)
+    assert get_display("אב 123 גד")[0] == "דג 123 בא"
+    # N0: brackets around same-direction content take the embedding dir
+    # and mirror on odd levels (L4)
+    assert get_display("א (בג) ד")[0] == "ד (גב) א"
+    # N0: brackets around opposite-direction content with LTR context stay L
+    assert get_display("אב (cd) ג")[0] == "ג (cd) בא"
+    # mixed Latin run inside RTL
+    assert get_display("אב abc גד")[0] == "דג abc בא"
+    # isolates are honored and removed from the display output
+    assert get_display("a⁦b⁩c")[0] == "abc"
+    # RLO override forces RTL over Latin; PDF terminates it (X2-X8)
+    assert get_display("a‮bcd‬f")[0] == "adcbf"
+    # P2/P3 auto base-direction from first strong character
+    assert auto_base_dir("א mixed") == "R"
+    assert auto_base_dir("mixed א") == "L"
+    # AN after AL (W2): Arabic digits group right-to-left context
+    disp, order = get_display("ا12")
+    assert set(disp) == set("ا12") and len(order) == 3
+
+
+def test_bidi_bracket_number_rtl_line():
+    """The cases the earlier subset mis-ordered: parenthesized Latin +
+    numbers inside an RTL line round-trip through display_to_logical."""
+    from kraken_spark.kernels.bidi import display_to_logical, get_display
+
+    logical = "שלום (abc 12) סוף"
+    disp, order = get_display(logical)
+    assert sorted(order) == list(range(len(logical)))
+    # display must keep 'abc 12' contiguous LTR
+    assert "abc 12" in disp
+    back, _ = display_to_logical(disp, "R")
+    assert sorted(back) == sorted(logical)
+
+
 # ---------------------------------------------------------------- vgsl
 def test_vgsl_parse_and_shapes():
     m = VGSLModel("[1,16,0,1 Cr3,3,8 Mp2,2 Lbx10 O1c5]").init_random(0)

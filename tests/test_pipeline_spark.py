@@ -105,7 +105,67 @@ def test_serialization_roundtrip_spark(spark):
     rows = x_roundtrip_xml(spark, "sf0.001").collect()
     assert rows
     assert all(r.text_match and r.baseline_match for r in rows)
+    # line tags + languages survive serialize -> reparse in BOTH dialects
+    # (ALTO Tags/TAGREFS/LANG, PageXML custom/primaryLanguage — the
+    # reference's line metadata model, containers.py:88, alto.py:227-331)
+    assert all(r.tags_match and r.language_match for r in rows)
     assert {r.fmt for r in rows} == {"alto", "pagexml"}
+
+
+def test_xml_tag_language_parsing():
+    """ALTO TAGREFS and PageXML custom attributes populate the tags and
+    language schema fields."""
+    import json
+
+    from kraken_spark.kernels.xmlparse import parse_segmentation
+
+    alto = b"""<?xml version="1.0"?>
+<alto xmlns="http://www.loc.gov/standards/alto/ns-v4#">
+ <Tags><OtherTag ID="T1" TYPE="type" LABEL="heading"/></Tags>
+ <Layout><Page WIDTH="100" HEIGHT="50" LANG="de">
+  <PrintSpace><TextBlock ID="b0" HPOS="0" VPOS="0" WIDTH="100" HEIGHT="50">
+   <TextLine ID="l0" HPOS="0" VPOS="0" WIDTH="100" HEIGHT="10" BASELINE="0,8 100,8" TAGREFS="T1" LANG="fr">
+    <String CONTENT="hi"/>
+   </TextLine>
+  </TextBlock></PrintSpace></Page></Layout></alto>"""
+    seg = parse_segmentation(alto)
+    line = seg["lines"][0]
+    assert json.loads(line["tags"]) == {"type": [{"type": "heading"}]}
+    assert line["language"] == ["fr"]
+    assert seg["regions"][0]["language"] == ["de"]
+
+    page = b"""<?xml version="1.0"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15">
+ <Page imageFilename="x" imageWidth="100" imageHeight="50" primaryLanguage="en">
+  <TextRegion id="r0" custom="structure {type:paragraph;}">
+   <Coords points="0,0 100,0 100,50 0,50"/>
+   <TextLine id="l0" custom="structure {type:heading;}">
+    <Coords points="0,0 100,0 100,10 0,10"/>
+    <Baseline points="0,8 100,8"/>
+    <TextEquiv><Unicode>hi</Unicode></TextEquiv>
+   </TextLine>
+  </TextRegion></Page></PcGts>"""
+    seg = parse_segmentation(page)
+    assert seg["regions"][0]["region_type"] == "paragraph"
+    assert json.loads(seg["lines"][0]["tags"]) == {"type": [{"type": "heading"}]}
+    assert seg["lines"][0]["language"] == ["en"]
+
+
+def test_multimodel_dispatch_by_line_tags(spark):
+    """Line-tag routing: heading/default go to their registry models,
+    marginalia is ignored, all recognized lines are exact."""
+    from kraken_spark.operators.advanced import x_multimodel_dispatch
+
+    rows = x_multimodel_dispatch(spark, "sf0.001").collect()
+    tags = {r.tag for r in rows}
+    assert {"heading", "default"} <= tags
+    by_tag = {r.tag: r for r in rows}
+    assert by_tag["heading"].model_used == "heading_model"
+    assert by_tag["default"].model_used == "default_model"
+    if "marginalia" in tags:
+        assert by_tag["marginalia"].model_used == "ignored"
+        assert by_tag["marginalia"].text_exact is None
+    assert all(r.text_exact for r in rows if r.tag in ("heading", "default"))
 
 
 def test_serializers_produce_valid_xml(ext_rows):

@@ -163,11 +163,16 @@ def test_extract_document_never_crashes_on_garbage(payload):
 @settings(max_examples=40, deadline=None)
 @given(ALPHA_TEXT)
 def test_bidi_display_logical_involution(s):
-    from kraken_spark.kernels.bidi import display_to_logical
+    """display_to_logical is a permutation of the input, up to L4 bracket
+    mirroring on odd embedding levels (full UAX#9 semantics)."""
+    from kraken_spark.kernels.bidi import MIRRORED, display_to_logical
 
     logical, perm = display_to_logical(s, "R")
     assert sorted(perm) == list(range(len(s)))
-    assert "".join(s[i] for i in perm) == logical
+    for k, i in enumerate(perm):
+        src = s[i]
+        allowed = {src, chr(MIRRORED[ord(src)])} if ord(src) in MIRRORED else {src}
+        assert logical[k] in allowed
 
 
 @given(
