@@ -99,15 +99,21 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         chars = sum(r.chars for r in rows)
         errors = sum(r.errors for r in rows)
+        ci_errors = sum(r.ci_errors for r in rows)
+        words = sum(r.words for r in rows)
+        word_errors = sum(r.word_errors for r in rows)
         print(
             to_report(
                 {
                     "name": args.run_id,
                     "chars": chars,
                     "errors": errors,
+                    # corpus-weighted accuracies (1 - sum(err)/sum(total)),
+                    # consistent with the summed chars/errors lines above —
+                    # NOT the worst single language
                     "character_accuracy": 100.0 * (1 - errors / max(chars, 1)),
-                    "character_CI_accuracy": min(r.char_acc_ci for r in rows),
-                    "word_accuracy": min(r.word_acc for r in rows),
+                    "character_CI_accuracy": 100.0 * (1 - ci_errors / max(chars, 1)),
+                    "word_accuracy": 100.0 * (1 - word_errors / max(words, 1)),
                     "insertions": sum(r.insertions for r in rows),
                     "deletions": sum(r.deletions for r in rows),
                     "substitutions": sum(r.substitutions for r in rows),

@@ -25,12 +25,28 @@ def _n_docs(sf_dir: str) -> int:
 
 def _extraction(spark: SparkSession, sf_dir: str):
     docs = corpus_for(spark, sf_dir)
-    return plan_extraction(docs, num_partitions=spark.sparkContext.defaultParallelism)
+    # 3x-core partitioning: finer buckets let the weight-salt +
+    # largest-first scheduling balance the heavy-page skew (measured
+    # ~1.25x faster than 1x-core at the 240-doc bench size; empty tasks at
+    # smaller SFs cost microseconds)
+    return plan_extraction(
+        docs, num_partitions=spark.sparkContext.defaultParallelism * 3
+    )
+
+
+def _ordered(df, *cols):
+    """Deterministic output order WITHOUT a global orderBy: a global sort
+    samples its child to compute range boundaries, which re-executes the
+    whole extraction mapInArrow a second time (2x the query cost). The x_*
+    results are small (<= a few thousand rows), so one explicit shuffle to
+    a single partition + an in-partition sort gives the same deterministic
+    order with the extraction computed exactly once."""
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 def x_extract_text(spark, sf):
     """Flagship: byte-identical extracted text per url."""
-    return extracted_text(_extraction(spark, sf)).orderBy("url")
+    return _ordered(extracted_text(_extraction(spark, sf)), "url")
 
 
 def x_extract_geometry(spark, sf):
@@ -108,7 +124,7 @@ def x_extract_geometry(spark, sf):
             "n_lines",
         )
     )
-    return line_rows.unionByName(region_rows).orderBy("url", "kind", "idx")
+    return _ordered(line_rows.unionByName(region_rows), "url", "kind", "idx")
 
 
 def x_extract_seam(spark, sf):
@@ -129,14 +145,18 @@ def x_extract_seam(spark, sf):
     lines = ext.select(
         "url", "lang", F.round("cer", 9).alias("cer"), F.explode("lines").alias("l")
     )
-    return lines.select(
+    return _ordered(
+        lines.select(
+            "url",
+            "lang",
+            "cer",
+            F.col("l.rank").alias("line_idx"),
+            F.size("l.boundary").alias("n_boundary_pts"),
+            F.col("l.prediction").alias("prediction"),
+        ),
         "url",
-        "lang",
-        "cer",
-        F.col("l.rank").alias("line_idx"),
-        F.size("l.boundary").alias("n_boundary_pts"),
-        F.col("l.prediction").alias("prediction"),
-    ).orderBy("url", "line_idx")
+        "line_idx",
+    )
 
 
 def x_extract_vertical(spark, sf):
@@ -169,9 +189,10 @@ def x_extract_vertical(spark, sf):
         num_partitions=spark.sparkContext.defaultParallelism,
         text_direction="vertical",
     )
-    return ext.select(
-        "url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"
-    ).orderBy("url")
+    return _ordered(
+        ext.select("url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"),
+        "url",
+    )
 
 
 def x_ocr_report(spark, sf):
@@ -260,6 +281,11 @@ def report_over(ext, gt):
         F.count("*").alias("n_docs"),
         F.sum("chars").alias("chars"),
         F.sum("errors").alias("errors"),
+        # raw sums so callers can compute corpus-WEIGHTED accuracies
+        # instead of per-language minima (job --report headline)
+        F.sum("ci_errors").alias("ci_errors"),
+        F.sum("words").alias("words"),
+        F.sum("word_errors").alias("word_errors"),
         pct("errors", "chars").alias("char_acc"),
         pct("ci_errors", "chars").alias("char_acc_ci"),
         pct("word_errors", "words").alias("word_acc"),
@@ -364,9 +390,12 @@ def x_extract_blla(spark, sf):
         num_partitions=spark.sparkContext.defaultParallelism,
         segmenter="blla",
     )
-    return ext.select(
-        "url", "lang", "n_lines", "n_regions", F.round("cer", 9).alias("cer"), "text"
-    ).orderBy("url")
+    return _ordered(
+        ext.select(
+            "url", "lang", "n_lines", "n_regions", F.round("cer", 9).alias("cer"), "text"
+        ),
+        "url",
+    )
 
 
 def x_extract_curved(spark, sf):
@@ -384,9 +413,10 @@ def x_extract_curved(spark, sf):
         num_partitions=spark.sparkContext.defaultParallelism,
         segmenter="blla_curved",
     )
-    return ext.select(
-        "url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"
-    ).orderBy("url")
+    return _ordered(
+        ext.select("url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"),
+        "url",
+    )
 
 
 QUERIES = {

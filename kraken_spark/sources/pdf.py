@@ -181,8 +181,13 @@ def unpack_pages(data: bytes) -> list[bytes]:
 def explode_pages(docs: DataFrame) -> DataFrame:
     """documents(url, html=multi-page blob, ...) -> one row per page with
     url suffixed '#p{idx}' — the Spark form of the reference's one-temp-PNG-
-    per-page expansion. Unreadable blobs yield zero rows (logged upstream
-    by the extraction guard)."""
+    per-page expansion.
+
+    Undecodable blobs (e.g. vector PDFs without a rasterizer) emit ONE
+    sentinel row (page_idx=-1, html=garbage bytes) instead of vanishing:
+    downstream extraction commits it as a guard_tripped row, so a resumed
+    job's anti-join (pipeline.remaining_documents) sees the url as done and
+    converges — a silently-dropped url would be re-selected forever."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         schema = pa.schema(
@@ -201,7 +206,18 @@ def explode_pages(docs: DataFrame) -> DataFrame:
                 try:
                     pages = unpack_pages(r["html"] or b"")
                 except (NotImplementedError, Exception):
-                    pages = []
+                    pages = None
+                if pages is None or not pages:
+                    out.append(
+                        {
+                            "url": f"{r['url']}#p-1",
+                            "page_idx": -1,
+                            "html": b"",
+                            "text": r.get("text") if "text" in names else None,
+                            "lang": r.get("lang") if "lang" in names else None,
+                        }
+                    )
+                    continue
                 for i, p in enumerate(pages):
                     out.append(
                         {

@@ -4,9 +4,11 @@ The reference has no streaming semantics (SURVEY.md §2.9) — this is the
 optional foreachBatch wrapper noted in SURVEY.md §7.6: new document files
 appearing under an input directory are picked up by a file-source stream and
 run through the SAME plan_extraction stage graph, with exactly-once sink
-semantics provided by the checkpoint + idempotent per-url parquet appends
-(the batch pipeline's resume story, pipeline.remaining_documents, stays the
-recovery path if the checkpoint is lost).
+semantics from the checkpoint + batch_id-keyed idempotent partition
+overwrites (foreachBatch is at-least-once; a retried micro-batch rewrites
+its own partition rather than appending duplicates). The batch pipeline's
+resume story, pipeline.remaining_documents, stays the recovery path if the
+checkpoint is lost.
 
 At production scale this is the Iceberg streaming-ingest pattern: the
 micro-batch boundary is the snapshot commit boundary, so lineage/metrics
@@ -58,11 +60,17 @@ def stream_extraction(
         # persist so metrics aggregation doesn't recompute the extraction
         ext = ext.persist()
         try:
-            ext.write.mode("append").parquet(output_path)
+            # idempotent exactly-once sink: each micro-batch overwrites its
+            # OWN batch_id-keyed partition directory, so a batch retried by
+            # foreachBatch's at-least-once contract rewrites the same files
+            # instead of appending duplicates (partition-style naming keeps
+            # spark.read.parquet(output_path) working, with batch_id as a
+            # lineage column)
+            ext.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
             if metrics_path:
                 metrics_table(ext, run_id=f"{run_id}_b{batch_id}").write.mode(
-                    "append"
-                ).parquet(metrics_path)
+                    "overwrite"
+                ).parquet(f"{metrics_path}/batch_id={batch_id}")
         finally:
             ext.unpersist()
 

@@ -202,6 +202,8 @@ def test_multipage_roundtrip_and_pdf_stub():
     assert unpack_pages(b"plain png bytes") == [b"plain png bytes"]
 
 
+
+
 def test_image_pdf_native_roundtrip():
     """Scanned-document (image) PDFs are handled WITHOUT a rasterizer:
     write_pdf emits a valid PDF 1.4 with Flate image XObjects,

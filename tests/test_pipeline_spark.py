@@ -151,6 +151,29 @@ def test_xml_tag_language_parsing():
     assert seg["lines"][0]["language"] == ["en"]
 
 
+def test_explode_pages_flags_undecodable_blob(spark, tmp_path):
+    """An undecodable blob must emit ONE sentinel row (page_idx=-1) whose
+    extraction commits guard_tripped=true — so a resumed job's anti-join
+    (remaining_documents) converges instead of re-selecting the url
+    forever."""
+    from kraken_spark.pipeline import plan_extraction, remaining_documents
+    from kraken_spark.sources.pdf import explode_pages
+
+    docs = spark.createDataFrame(
+        [("u://vector", b"%PDF-1.7 vector only", "gt", "en")],
+        "url string, html binary, text string, lang string",
+    )
+    pages = explode_pages(docs)
+    rows = pages.collect()
+    assert len(rows) == 1 and rows[0].page_idx == -1
+    ext = plan_extraction(pages.select("url", "html", "text", "lang"), num_partitions=1)
+    out_path = str(tmp_path / "out")
+    ext.write.parquet(out_path)
+    committed = spark.read.parquet(out_path).collect()
+    assert len(committed) == 1 and committed[0].guard_tripped
+    assert remaining_documents(pages.select("url", "html", "text", "lang"), out_path).count() == 0
+
+
 def test_multimodel_dispatch_by_line_tags(spark):
     """Line-tag routing: heading/default go to their registry models,
     marginalia is ignored, all recognized lines are exact."""
