@@ -42,6 +42,14 @@ def main(argv: list[str] | None = None) -> int:
         help="additionally write serialized documents next to the output",
     )
     ap.add_argument(
+        "--model",
+        default=None,
+        help="path to a kraken model file (CoreML .mlmodel or safetensors; "
+        "ship via spark-submit --files) — recognition runs the loaded "
+        "trained weights through the rpred-parity path instead of the "
+        "built-in recognizer",
+    )
+    ap.add_argument(
         "--report",
         action="store_true",
         help="print a kraken-style OCR accuracy report (requires a ground-"
@@ -75,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics_path=args.metrics,
         run_id=args.run_id,
         num_partitions=args.partitions,
+        kraken_model_path=args.model,
     )
     if args.serialize:
         ext = spark.read.parquet(args.output)

@@ -41,9 +41,11 @@ class LoadedRecognizer:
         self.height = self.net.height
 
     # -- transforms ---------------------------------------------------------
-    def _finish(self, ts: np.ndarray, pad: int, bidi_reordering=True) -> dict:
+    def _finish(self, ts: np.ndarray, pad: int, bidi_reordering=True, box_w: int | None = None) -> dict:
         """pad/invert/forward/decode shared tail. ts: (H, W) float32 in its
-        path's native scale (0..255 for the dewarp path, 0..1 for uint8)."""
+        path's native scale (0..255 for the dewarp path, 0..1 for uint8).
+        With box_w set, cuts are scaled from network frames back to crop
+        pixel x-spans (rpred.py:293-311 net_scale/in_scale + _scale_val)."""
         if pad:
             fill = 255.0 if ts.max() > 1.0 else 1.0
             ts = np.pad(ts, ((0, 0), (pad, pad)), constant_values=fill)
@@ -56,6 +58,14 @@ class LoadedRecognizer:
         pred = "".join(c[0] for c in chars)
         cuts = [(c[1], c[2]) for c in chars]
         confs = [c[3] for c in chars]
+        if box_w is not None and cuts:
+            net_scale = ts.shape[1] / probs.shape[0]
+            in_scale = box_w / (ts.shape[1] - 2 * pad)
+
+            def scale_val(v):
+                return int(round(min(max((v * net_scale - pad) * in_scale, 0), box_w - 1)))
+
+            cuts = [(scale_val(a), scale_val(b)) for a, b in cuts]
         if bidi_reordering:
             base = bidi_reordering if bidi_reordering in ("L", "R") else None
             pred, order = get_display(pred, base)
@@ -64,9 +74,12 @@ class LoadedRecognizer:
         return {"prediction": pred, "cuts": cuts, "confidences": confs}
 
     # -- bbox path ----------------------------------------------------------
-    def recognize_bbox(self, img: np.ndarray, bbox, pad: int = 16, bidi_reordering=True) -> dict:
+    def recognize_bbox(
+        self, img: np.ndarray, bbox, pad: int = 16, bidi_reordering=True, scale_cuts: bool = False
+    ) -> dict:
         """img: full-page grayscale uint8 (H, W); bbox: [x0, y0, x1, y1]
-        exclusive like PIL crop. valid_norm=True path."""
+        exclusive like PIL crop. valid_norm=True path. scale_cuts maps
+        character cuts from network frames to crop-pixel x-spans."""
         x0, y0, x1, y1 = bbox
         if x0 < 0 or y0 < 0 or x1 > img.shape[1] or y1 > img.shape[0] or x1 <= x0 or y1 <= y0:
             return {"prediction": "", "cuts": [], "confidences": []}
@@ -76,7 +89,7 @@ class LoadedRecognizer:
         # dewarp (utils.py:139-141): PIL F->L truncates to uint8; the
         # subsequent ToDtype(scale=True) then scales the uint8 to 0..1.
         ts = np.clip(ts, 0, 255).astype(np.uint8).astype(np.float32) / 255.0
-        return self._finish(ts, pad, bidi_reordering)
+        return self._finish(ts, pad, bidi_reordering, box_w=(x1 - x0) if scale_cuts else None)
 
     # -- baseline path ------------------------------------------------------
     def recognize_baseline(
@@ -87,6 +100,7 @@ class LoadedRecognizer:
         pad: int = 16,
         bidi_reordering=True,
         legacy: bool | None = None,
+        scale_cuts: bool = False,
     ) -> dict:
         """img: full-page grayscale uint8; baseline [[x,y],...]; boundary
         polygon [[x,y],...]. valid_norm=False path (Lanczos resize)."""
@@ -110,7 +124,9 @@ class LoadedRecognizer:
         patch = patch[nzr[0] : nzr[-1] + 1, nzc[0] : nzc[-1] + 1]
         resized = fixed_resize(patch, (self.height, 0))  # uint8
         ts = resized.astype(np.float32) / 255.0  # ToDtype(scale=True) on uint8
-        return self._finish(ts, pad, bidi_reordering)
+        return self._finish(
+            ts, pad, bidi_reordering, box_w=patch.shape[1] if scale_cuts else None
+        )
 
 
 def _polygon_mask_pil(poly: np.ndarray, h: int, w: int) -> np.ndarray:

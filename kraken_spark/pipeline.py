@@ -44,8 +44,14 @@ def plan_extraction(
     num_partitions: int | None = None,
     segmenter: str = "pageseg",
     text_direction: str | None = None,
+    kraken_model_path: str | None = None,
 ) -> DataFrame:
-    """Build the (lazy) extraction DataFrame over a documents table."""
+    """Build the (lazy) extraction DataFrame over a documents table.
+
+    kraken_model_path routes recognition through a REAL kraken model file
+    (CoreML/safetensors via kernels/modelio + the rpred-parity pipeline),
+    loaded once per executor — a user of the reference can point the job
+    at their trained model unchanged (ship it with spark-submit --files)."""
     spark = documents.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 4
     cols = [c for c in ("url", "warc_ts", "html", "text", "lang") if c in documents.columns]
@@ -53,7 +59,8 @@ def plan_extraction(
     salt, total = weight_salt(n)
     df = df.repartition(total, salt.alias("salt"))
     return df.mapInArrow(
-        make_extract_map(segmenter, text_direction), schema=EXTRACTION_DDL
+        make_extract_map(segmenter, text_direction, kraken_model_path),
+        schema=EXTRACTION_DDL,
     )
 
 
@@ -87,10 +94,11 @@ def run_extraction(
     metrics_path: str | None = None,
     run_id: str = "run0",
     num_partitions: int | None = None,
+    kraken_model_path: str | None = None,
 ) -> DataFrame:
     """Execute extraction; optionally persist results + metrics as parquet
     (the sandbox stand-in for Iceberg snapshot commits)."""
-    ext = plan_extraction(documents, num_partitions)
+    ext = plan_extraction(documents, num_partitions, kraken_model_path=kraken_model_path)
     if out_path:
         ext.write.mode("append").parquet(out_path)
         spark = documents.sparkSession

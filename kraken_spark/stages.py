@@ -61,9 +61,24 @@ def _get_model():
     return _MODEL_CACHE["model"], _MODEL_CACHE["codec"]
 
 
+def _get_kraken_recognizer(path: str):
+    """Per-worker cache of a LOADED reference model (CoreML/safetensors via
+    kernels/modelio) wrapped in the rpred-parity recognizer — the
+    load-once-per-executor pattern applied to REAL kraken model files
+    (ship via spark-submit --files / SparkFiles)."""
+    key = f"kraken:{path}"
+    if key not in _MODEL_CACHE:
+        from .kernels.modelio import load_kraken_model
+        from .kernels.rpred_parity import LoadedRecognizer
+
+        _MODEL_CACHE[key] = LoadedRecognizer(load_kraken_model(path)[0])
+    return _MODEL_CACHE[key]
+
+
 def extract_document(
     html: bytes, url: str, lang: str, gt_text: str | None = None,
     segmenter: str = "pageseg", text_direction: str | None = None,
+    kraken_model_path: str | None = None,
 ) -> dict:
     """Pure-Python single-document extraction (kernel chain); used by the
     Arrow stage below and directly unit-testable.
@@ -165,7 +180,35 @@ def extract_document(
                 np.ascontiguousarray(np.rot90(s, k=1)) if s.size else s
                 for s in strips
             ]
-        records = recognize_page(model, codec, strips, base_dir=base_dir)
+        if kraken_model_path:
+            # recognition through a LOADED reference model (rpred parity):
+            # runs on the grayscale page like the reference's rpred, with
+            # bbox or baseline extraction chosen by the model's seg_type
+            rec_net = _get_kraken_recognizer(kraken_model_path)
+            records = []
+            for l in seg["lines"]:
+                if rec_net.bundle.seg_type == "bbox" or not l.get("baseline"):
+                    bx = [
+                        max(0, l["bbox"][0]),
+                        max(0, l["bbox"][1]),
+                        min(img.shape[1], l["bbox"][2]),
+                        min(img.shape[0], l["bbox"][3]),
+                    ]
+                    r = rec_net.recognize_bbox(img, bx, scale_cuts=True)
+                else:
+                    r = rec_net.recognize_baseline(
+                        img, l["baseline"], l["boundary"], scale_cuts=True
+                    )
+                records.append(
+                    {
+                        "prediction": r["prediction"],
+                        "cuts": [list(c) for c in r["cuts"]],
+                        "confidences": r["confidences"],
+                        "display_order": False,
+                    }
+                )
+        else:
+            records = recognize_page(model, codec, strips, base_dir=base_dir)
         lines = []
         for l, r in zip(seg["lines"], records):
             x0 = l["bbox"][0]
@@ -293,10 +336,15 @@ def _extract_from_seg(seg: dict, out: dict, gt_text: str | None, t0: float) -> d
     return out
 
 
-def make_extract_map(segmenter: str = "pageseg", text_direction: str | None = None):
+def make_extract_map(
+    segmenter: str = "pageseg",
+    text_direction: str | None = None,
+    kraken_model_path: str | None = None,
+):
     """mapInArrow stage body factory: documents batches -> extraction
     batches, with the segmentation path (and optionally a 4-valued or
-    'vertical' text direction) chosen at plan time."""
+    'vertical' text direction, and optionally a LOADED reference model
+    file for recognition) chosen at plan time."""
 
     def extract_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -317,7 +365,8 @@ def make_extract_map(segmenter: str = "pageseg", text_direction: str | None = No
             rows = [None] * len(urls)
             for i in order:
                 rows[i] = extract_document(
-                    htmls[i], urls[i], langs[i], gts[i], segmenter, text_direction
+                    htmls[i], urls[i], langs[i], gts[i], segmenter,
+                    text_direction, kraken_model_path
                 )
             for r in rows:
                 r["partition_id"] = pid

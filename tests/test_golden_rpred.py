@@ -121,6 +121,39 @@ def test_loaded_safetensors_model_forward():
     assert isinstance(r["prediction"], str)
 
 
+def test_pipeline_with_loaded_kraken_model():
+    """plan_extraction(kraken_model_path=...) runs the distributed pipeline
+    with a REAL reference model: segmentation from the engine, recognition
+    through the rpred-parity path, predictions drawn from the model's own
+    codec — a reference user can point the job at their trained model."""
+    pytest.importorskip("pyspark")
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="tests-loaded", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    png_bytes = open(f"{RES}/000236.png", "rb").read()
+    docs = spark.createDataFrame(
+        [("u://overfit-line", png_bytes, None, "en")],
+        "url string, html binary, text string, lang string",
+    )
+    ext = plan_extraction(
+        docs, num_partitions=2, kraken_model_path=f"{RES}/overfit.mlmodel"
+    )
+    rows = ext.collect()
+    assert len(rows) == 1 and not rows[0].guard_tripped
+    assert rows[0].n_lines >= 1
+    bundle = load_kraken_model(f"{RES}/overfit.mlmodel")[0]
+    charset = set("".join(bundle.codec.keys()))
+    pred = rows[0].text
+    assert pred.strip(), "loaded-model recognition produced no text"
+    assert set(pred) - {"\n"} <= charset, f"prediction outside model codec: {set(pred) - charset}"
+    # cuts are pixel x-spans within the line bbox
+    line = rows[0].lines[0]
+    if line.cuts:
+        assert all(c[0] <= c[1] for c in line.cuts)
+
+
 def test_model_small_forward_shape():
     m = load_kraken_model(f"{RES}/model_small.safetensors")[0]
     from kraken_spark.kernels.torchvgsl import TorchVGSL

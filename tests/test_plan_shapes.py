@@ -1,0 +1,94 @@
+"""Physical-plan shape guards: the properties that make the operators hold
+at 100 TB must be visible in the executed plans — filters reaching the
+parquet scan, projections pruning the read schema, dimension joins
+broadcast, no accidental cartesian products, map-side partial aggregation.
+A plan regression here is a scale bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from kraken_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="tests-plans", cores=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_project_pushdown_and_pruning(spark):
+    from kraken_spark.operators.relational import filter_project
+
+    plan = _plan(filter_project(spark, SF))
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+    # column pruning: the scan must not read the unused columns
+    assert "l_shipdate" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_tpch_dimension_joins_are_broadcast(spark):
+    from kraken_spark.operators.relational import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_theta_join_is_broadcast_not_cartesian(spark):
+    from kraken_spark.operators.relational import range_theta_join
+
+    plan = _plan(range_theta_join(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_global_rank_has_no_partitionless_window(spark):
+    """The global top-25 must come from TakeOrderedAndProject + broadcast,
+    never a partition-less Window over all rows."""
+    from kraken_spark.operators.relational import window_topk_per_group
+
+    plan = _plan(window_topk_per_group(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_partial_aggregation_mapside(spark):
+    """The 16-permutation signature groupBy must show a partial_min before
+    the exchange (map-side combine) so the shuffle carries one row/doc."""
+    from kraken_spark.functions.dedup import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, SF))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_ann_no_cartesian(spark):
+    from kraken_spark.functions.similarity import ann_ivf_cosine, ann_lsh_cosine
+
+    for q in (ann_lsh_cosine, ann_ivf_cosine):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_extraction_single_arrow_stage_no_extra_shuffle(spark):
+    """The fused extraction is one mapInArrow after the explicit
+    weight-salted repartition — exactly one shuffle below the Arrow eval,
+    and no global Sort above it (the orderBy-resampling trap)."""
+    from kraken_spark.corpus import corpus_for
+    from kraken_spark.pipeline import plan_extraction
+
+    docs = corpus_for(spark, SF)
+    plan = _plan(plan_extraction(docs, num_partitions=4))
+    assert plan.count("ArrowEvalPython") + plan.count("MapInArrow") >= 1
+    assert plan.count("Exchange") == 1
+    assert "Sort" not in plan.split("MapInArrow")[0]
