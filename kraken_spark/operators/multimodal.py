@@ -18,6 +18,9 @@ the whole chain is real and tested:
 - x_forced_align: CTC trellis alignment of the recognized text back onto
   each line (kernels/align.py; /root/reference/kraken/align.py:42-85),
   reporting cut agreement with recognition — 1.0 everywhere on the corpus.
+- x_frame_sample: binary media clips -> frame explode -> stride-2 frame
+  sampler -> per-frame features (the video frame-sampling plumbing; the
+  page codec stands in for a video decoder, which this container lacks).
 """
 
 from __future__ import annotations
@@ -316,9 +319,92 @@ def x_page_knn(spark, sf):
     )
 
 
+def x_frame_sample(spark, sf):
+    """Video-style frame sampling over opaque binary media blobs (task
+    brief: multimodal columns as binary + typed metadata, decode /
+    frame-sample as Arrow-batched UDFs): consecutive corpus pages are
+    packed into 4-frame MPGZ 'clips' (sources/pdf.pack_multipage — the
+    container plumbing is real; a production deployment swaps the frame
+    decoder for an actual video codec), frames are EXPLODED to rows,
+    every 2nd frame is sampled (the standard stride sampler), and each
+    sampled frame gets the tile embedding + dHash features. Emits per-clip
+    frame counts and per-sampled-frame feature stats."""
+    from typing import Iterator as _It
+
+    from ..sources.pdf import pack_multipage
+
+    def bundle(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                pa.field("clip_url", pa.string()),
+                pa.field("n_frames", pa.int32()),
+                pa.field("media", pa.binary()),
+            ]
+        )
+        for batch in batches:
+            rows = batch.to_pylist()
+            out = []
+            for k in range(0, len(rows), 4):
+                grp = rows[k : k + 4]
+                out.append(
+                    {
+                        "clip_url": grp[0]["url"].rsplit("/", 1)[0] + f"/clip-{k}",
+                        "n_frames": len(grp),
+                        "media": pack_multipage([g["html"] for g in grp]),
+                    }
+                )
+            if out:
+                yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    def sample(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        from ..kernels import png
+        from ..sources.pdf import unpack_pages
+
+        schema = pa.schema(
+            [
+                pa.field("clip_url", pa.string()),
+                pa.field("frame_idx", pa.int32()),
+                pa.field("n_frames", pa.int32()),
+                pa.field("frame_h", pa.int32()),
+                pa.field("frame_w", pa.int32()),
+                pa.field("emb_norm", pa.float64()),
+                pa.field("dhash", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                frames = unpack_pages(r["media"])
+                for i in range(0, len(frames), 2):  # stride-2 frame sampler
+                    img = png.to_grayscale(png.decode_png(frames[i]))
+                    emb = page_embedding(img)
+                    out.append(
+                        {
+                            "clip_url": r["clip_url"],
+                            "frame_idx": i,
+                            "n_frames": r["n_frames"],
+                            "frame_h": img.shape[0],
+                            "frame_w": img.shape[1],
+                            "emb_norm": round(float(np.linalg.norm(emb)), 6),
+                            "dhash": dhash64(img),
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    clips = _docs(spark, sf).mapInArrow(
+        bundle, schema="clip_url string, n_frames int, media binary"
+    )
+    return clips.mapInArrow(
+        sample,
+        schema="clip_url string, frame_idx int, n_frames int, frame_h int, "
+        "frame_w int, emb_norm double, dhash bigint",
+    ).orderBy("clip_url", "frame_idx")
+
+
 QUERIES = {
     "x_image_features": (x_image_features, None),
     "x_page_knn": (x_page_knn, None),
     "x_phash_dedup": (x_phash_dedup, None),
     "x_forced_align": (x_forced_align, None),
+    "x_frame_sample": (x_frame_sample, None),
 }
