@@ -303,11 +303,19 @@ def load_coreml(path: str) -> list[KrakenModelBundle]:
 
 def load_kraken_model(path: str) -> list[KrakenModelBundle]:
     """Format-sniffing loader (the reference's load_models entry-point
-    chain, loaders.py:27-43): safetensors first, then CoreML protobuf."""
-    with open(path, "rb") as f:
-        head = f.read(16)
-    if len(head) >= 9:
-        (hlen,) = struct.unpack("<Q", head[:8])
-        if head[8:9] == b"{" and hlen < 100_000_000:
-            return load_safetensors(path)
-    return load_coreml(path)
+    chain, loaders.py:27-43): safetensors first, then CoreML protobuf.
+    Any malformed payload raises ValueError — a corrupt model file on an
+    executor must fail the task with a diagnosable message, never an
+    arbitrary decode crash."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(16)
+        if len(head) >= 9:
+            (hlen,) = struct.unpack("<Q", head[:8])
+            if head[8:9] == b"{" and hlen < 100_000_000:
+                return load_safetensors(path)
+        return load_coreml(path)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"{path}: not a parseable kraken model file: {e}") from e

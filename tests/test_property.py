@@ -160,6 +160,26 @@ def test_extract_document_never_crashes_on_garbage(payload):
     assert out["guard_tripped"] or out["n_lines"] >= 0
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=512))
+def test_model_loader_rejects_garbage(payload):
+    """load_kraken_model must raise a clean ValueError (or parse) on ANY
+    byte payload — never crash with an unhandled decode error (a corrupt
+    model file on an executor must fail the task with a diagnosable
+    message)."""
+    import tempfile
+
+    from kraken_spark.kernels.modelio import load_kraken_model
+
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        f.write(payload)
+        f.flush()
+        try:
+            load_kraken_model(f.name)
+        except ValueError:
+            pass
+
+
 @settings(max_examples=40, deadline=None)
 @given(ALPHA_TEXT)
 def test_bidi_display_logical_involution(s):
