@@ -15,6 +15,17 @@ The job is idempotent per url: with --resume it anti-joins the committed
 output before processing (pipeline.remaining_documents, SURVEY.md §7.4),
 so a re-submitted job continues from the last committed snapshot.
 
+Iceberg (production): the sandbox stands in parquet paths for Iceberg
+tables; on a cluster add the runtime jar and catalog conf and pass table
+identifiers instead of paths —
+
+    --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver>
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.lake.type=glue|hive|hadoop
+
+per-url idempotence + the batch_id-keyed streaming sink then map onto
+Iceberg snapshot commits (MERGE/overwritePartitions) unchanged.
+
 On a real cluster, executor env must pin BLAS threads and glibc malloc
 thresholds exactly as session.get_spark does locally (see _PIN_ENV there);
 the spark-submit conf equivalents are spark.executorEnv.OMP_NUM_THREADS=1
