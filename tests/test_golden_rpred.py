@@ -70,14 +70,35 @@ def test_rpred_outbounds_empty(overfit, line_img):
 
 
 def test_legacy_flag_dispatch(overfit, line_img):
-    """legacy vs new polygon extraction are both selectable and produce
-    different inputs (the new path composites background instead of black
-    and is tested against the old one like tests/test_newpolygons.py)."""
-    args = (line_img, [[0, 10], [2543, 10]], [[100, 30], [2400, 30], [2400, 120], [100, 120]])
-    r_legacy = overfit.recognize_baseline(*args, pad=1, legacy=True)
-    r_new = overfit.recognize_baseline(*args, pad=1, legacy=False)
+    """legacy vs new polygon extraction are both selectable and — for a
+    non-rectangular boundary, where pixels outside the polygon exist in the
+    bbox crop — produce DIFFERENT line images (legacy fills black,
+    segmentation.py:1485; the new path composites the background,
+    :1612-1628) and different predictions, the behavioral split
+    tests/test_newpolygons.py guards in the reference."""
+    poly = [[300, 75], [500, 25], [2200, 25], [2400, 75], [2200, 130], [500, 130]]
+    args = (line_img, [[300, 80], [2400, 80]], poly)
+    r_legacy = overfit.recognize_baseline(*args, pad=16, legacy=True)
+    r_new = overfit.recognize_baseline(*args, pad=16, legacy=False)
     assert r_legacy["prediction"]
     assert r_new["prediction"]
+    assert r_legacy["prediction"] != r_new["prediction"]
+    # model-metadata dispatch (rpred.py:332-341): old model -> legacy True
+    assert overfit.bundle.legacy_polygons is True
+
+
+def test_safetensors_model_prediction_stable(line_img):
+    """Pinned outputs for the safetensors-loaded models (our own stability
+    goldens — the reference pins only the mlmodel strings): a silent change
+    in the loader, interpreter, or Lanczos path breaks these."""
+    rec = LoadedRecognizer(load_kraken_model(f"{RES}/overfit_bl.safetensors")[0])
+    r = rec.recognize_baseline(
+        line_img, [[0, 10], [2543, 10]], [[0, 0], [2543, 0], [2543, 155], [0, 155]], pad=16
+    )
+    assert r["prediction"] == (
+        "$ga P939g$g93g3m$ g3cl9c$3$i:P9 9ix;$Ym9 a3r3M$Yr9r 9$YrYlg9nP9rl"
+        "$Y3 cr93c9l9c$y9mf9P9gR$C9M:3m$"
+    )
 
 
 def test_all_reference_model_assets_load():
