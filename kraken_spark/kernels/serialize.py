@@ -260,7 +260,18 @@ def to_pagexml(row, created: str = PINNED_CREATED) -> str:
         f"\t\t<LastChange>{escape(created)}</LastChange>\n\t</Metadata>\n"
         f"\t<Page imageFilename={quoteattr(url)} imageWidth=\"{w}\" imageHeight=\"{h}\">\n"
     ]
-    for region, lines in _group_lines_by_region(row):
+    groups = _group_lines_by_region(row)
+    ordered_rids = [r["id"] for r, _ in groups if r is not None]
+    if ordered_rids:
+        # explicit region reading order (PageXML ReadingOrder element; the
+        # parser expands it back to line_orders)
+        parts.append('\t\t<ReadingOrder>\n\t\t\t<OrderedGroup id="ro_0" caption="Region reading order">\n')
+        for k, rid in enumerate(ordered_rids):
+            parts.append(
+                f'\t\t\t\t<RegionRefIndexed index="{k}" regionRef={quoteattr(rid)}/>\n'
+            )
+        parts.append("\t\t\t</OrderedGroup>\n\t\t</ReadingOrder>\n")
+    for region, lines in groups:
         rid = region["id"] if region else "region_free"
         boundary = (
             region["boundary"]

@@ -251,6 +251,42 @@ def parse_pagexml(data: bytes) -> dict:
                     "language": [line_lang] if line_lang else [],
                 }
             )
+    # explicit reading order: ReadingOrder/OrderedGroup/RegionRefIndexed
+    # (page.py:273-316) — region-id order expanded to line indices by
+    # membership, exposed as an ALTERNATIVE order (Segmentation.line_orders);
+    # the lines list keeps document (implicit) order like the reference
+    refs: list[str] = []
+    for ro_el in _iter_local(root, "ReadingOrder"):
+
+        def _walk(el: ET.Element) -> None:
+            kids = list(el)
+            indexed = []
+            for i, k in enumerate(kids):
+                try:
+                    idx = int(k.get("index", i))
+                except (TypeError, ValueError):
+                    idx = i
+                indexed.append((idx, i, k))
+            for _, _, k in sorted(indexed, key=lambda t: (t[0], t[1])):
+                if _local(k.tag) in ("OrderedGroup", "UnorderedGroup"):
+                    _walk(k)
+                else:
+                    rr = k.get("regionRef")
+                    if rr:
+                        refs.append(rr)
+
+        _walk(ro_el)
+        break
+    if refs:
+        order = [
+            i
+            for rid in refs
+            for i, l in enumerate(out["lines"])
+            if l["region_ids"] and l["region_ids"][0] == rid
+        ]
+        seen = set(order)
+        order += [i for i in range(len(out["lines"])) if i not in seen]
+        out["line_orders"] = [order]
     return out
 
 

@@ -330,6 +330,10 @@ def _extract_from_seg(seg: dict, out: dict, gt_text: str | None, t0: float) -> d
     out["n_lines"] = len(lines)
     out["n_regions"] = len(out["regions"])
     out["text"] = "\n".join(l["prediction"] for l in lines)
+    # explicit document reading orders (PageXML ReadingOrder) surface as
+    # alternative orders, like the reference's Segmentation.line_orders
+    if seg.get("line_orders"):
+        out["line_orders"] = [list(o) for o in seg["line_orders"]]
     if gt_text is not None:
         out["cer"] = float(cer_fn(gt_text, out["text"]))
     out["wall_ms"] = (time.perf_counter() - t0) * 1000.0

@@ -174,6 +174,37 @@ def test_explode_pages_flags_undecodable_blob(spark, tmp_path):
     assert remaining_documents(pages.select("url", "html", "text", "lang"), out_path).count() == 0
 
 
+def test_pagexml_explicit_reading_order():
+    """A PageXML ReadingOrder element (OrderedGroup/RegionRefIndexed)
+    reversing the region order yields a line_orders alternative with the
+    second region's lines first (page.py:273-316 semantics)."""
+    from kraken_spark.kernels.xmlparse import parse_segmentation
+    from kraken_spark.stages import extract_document
+
+    page = b"""<?xml version="1.0"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15">
+ <Page imageFilename="x" imageWidth="100" imageHeight="100">
+  <ReadingOrder><OrderedGroup id="g0">
+    <RegionRefIndexed index="1" regionRef="r0"/>
+    <RegionRefIndexed index="0" regionRef="r1"/>
+  </OrderedGroup></ReadingOrder>
+  <TextRegion id="r0"><Coords points="0,0 100,0 100,50 0,50"/>
+   <TextLine id="l0"><Coords points="0,0 100,0 100,10 0,10"/>
+    <Baseline points="0,8 100,8"/><TextEquiv><Unicode>first</Unicode></TextEquiv></TextLine>
+  </TextRegion>
+  <TextRegion id="r1"><Coords points="0,50 100,50 100,100 0,100"/>
+   <TextLine id="l1"><Coords points="0,50 100,50 100,60 0,60"/>
+    <Baseline points="0,58 100,58"/><TextEquiv><Unicode>second</Unicode></TextEquiv></TextLine>
+  </TextRegion>
+ </Page></PcGts>"""
+    seg = parse_segmentation(page)
+    # index 0 -> r1, index 1 -> r0: explicit order puts l1 before l0
+    assert seg["line_orders"] == [[1, 0]]
+    out = extract_document(page, "u", "en", None)
+    assert out["line_orders"] == [[1, 0]]
+    assert [l["prediction"] for l in out["lines"]] == ["first", "second"]
+
+
 def test_multimodel_dispatch_by_line_tags(spark):
     """Line-tag routing: heading/default go to their registry models,
     marginalia is ignored, all recognized lines are exact."""
