@@ -272,6 +272,17 @@ def test_streaming_extraction_available_now(spark):
         )
         q2.awaitTermination(300)
         assert spark.read.parquet(f"{tmp}/out").count() == 6
+        # RETRY simulation: foreachBatch is at-least-once — wipe the
+        # checkpoint so the SAME files replay as the same batch ids; the
+        # batch_id-keyed overwrite must rewrite, not duplicate
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        q3 = stream_extraction(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", num_partitions=2
+        )
+        q3.awaitTermination(300)
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == 6, "retried micro-batch duplicated rows"
+        assert out.select("url").distinct().count() == 6
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
