@@ -95,6 +95,25 @@ def test_jaccard_df_cap_drops_hot_shingles(spark, tmp_path, monkeypatch):
     assert all(a >= 100 for a, b in got), f"hot-shingle pairs leaked: {got}"
 
 
+def test_audio_features_plumbing(spark):
+    """Audio modality: deterministic-fake decode, real mapInPandas chain —
+    stable per-content features, one row per clip."""
+    from kraken_spark.operators.multimodal import audio_features
+
+    docs = spark.createDataFrame(
+        [("a", b"blob-one"), ("b", b"blob-two"), ("c", b"blob-one")],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in audio_features(docs).collect()}
+    assert len(rows) == 3
+    # same bytes -> identical features (deterministic decode)
+    assert rows["a"].dominant_bin == rows["c"].dominant_bin
+    assert rows["a"].rms == rows["c"].rms
+    # different bytes -> content-dependent dominant tone
+    assert rows["a"].dominant_bin != rows["b"].dominant_bin
+    assert all(r.duration_s == 1.0 and r.n_frames == 31 for r in rows.values())
+
+
 def test_simhash_plan_has_no_bit_explode(spark):
     """The SimHash plan must contain exactly one generator (the word
     explode) — the per-bit explode would multiply shuffle volume 32x."""
