@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from ..corpus import corpus_for
+from .extraction import _ordered
 
 
 def _docs(spark: SparkSession, sf: str):
@@ -131,14 +132,14 @@ def x_multimodel_dispatch(spark, sf):
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return (
-        _docs(spark, sf)
-        .mapInArrow(
+    return _ordered(
+        _docs(spark, sf).mapInArrow(
             fn,
             schema="url string, tag string, model_used string, n_lines int, "
             "n_recognized int, text_exact boolean",
-        )
-        .orderBy("url", "tag")
+        ),
+        "url",
+        "tag",
     )
 
 
@@ -199,13 +200,12 @@ def x_merge_segmentations(spark, sf):
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return (
-        _docs(spark, sf)
-        .mapInArrow(
+    return _ordered(
+        _docs(spark, sf).mapInArrow(
             fn,
             schema="url string, n_lines int, order_restored boolean, regions_restored boolean",
-        )
-        .orderBy("url")
+        ),
+        "url",
     )
 
 
@@ -250,7 +250,7 @@ def x_pdf_pages(spark, sf):
         pages.select("url", "html", "text", "lang"),
         num_partitions=spark.sparkContext.defaultParallelism,
     )
-    return ext.select("url", "n_lines", "guard_tripped").orderBy("url")
+    return _ordered(ext.select("url", "n_lines", "guard_tripped"), "url")
 
 
 def x_seg_quality(spark, sf):
@@ -334,14 +334,14 @@ def x_seg_quality(spark, sf):
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return (
-        _docs(spark, sf)
-        .mapInArrow(
+    return _ordered(
+        _docs(spark, sf).mapInArrow(
             fn,
             schema="url string, segmenter string, n_detected int, n_golden int, "
             "precision double, recall double, f1 double, footrule_vs_heuristic double",
-        )
-        .orderBy("url", "segmenter")
+        ),
+        "url",
+        "segmenter",
     )
 
 

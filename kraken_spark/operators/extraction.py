@@ -368,9 +368,12 @@ def x_rpred_golden(spark, sf):
                 )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return cases.mapInArrow(
-        fn, schema="case string, prediction string, golden string, match boolean"
-    ).orderBy("case")
+    return _ordered(
+        cases.mapInArrow(
+            fn, schema="case string, prediction string, golden string, match boolean"
+        ),
+        "case",
+    )
 
 
 def x_extract_metrics(spark, sf):

@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..corpus import corpus_for
+from .extraction import _ordered
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -100,10 +101,11 @@ def x_doc_embeddings(spark, sf):
                 )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return (
-        _docs(spark, sf)
-        .mapInArrow(fn, schema="url string, lang string, embedding array<float>")
-        .orderBy("url")
+    return _ordered(
+        _docs(spark, sf).mapInArrow(
+            fn, schema="url string, lang string, embedding array<float>"
+        ),
+        "url",
     )
 
 
@@ -153,14 +155,13 @@ def x_image_features(spark, sf):
                 )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return (
-        _docs(spark, sf)
-        .mapInArrow(
+    return _ordered(
+        _docs(spark, sf).mapInArrow(
             fn,
             schema="url string, lang string, src_w int, src_h int, emb_json string, "
             "emb_norm double, thumb_bytes int, thumb_md5 string",
-        )
-        .orderBy("url")
+        ),
+        "url",
     )
 
 
@@ -257,13 +258,12 @@ def x_forced_align(spark, sf):
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return (
-        _docs(spark, sf)
-        .mapInArrow(
+    return _ordered(
+        _docs(spark, sf).mapInArrow(
             fn,
             schema="url string, n_lines int, n_aligned int, cut_agreement double",
-        )
-        .orderBy("url")
+        ),
+        "url",
     )
 
 
@@ -394,11 +394,15 @@ def x_frame_sample(spark, sf):
     clips = _docs(spark, sf).mapInArrow(
         bundle, schema="clip_url string, n_frames int, media binary"
     )
-    return clips.mapInArrow(
-        sample,
-        schema="clip_url string, frame_idx int, n_frames int, frame_h int, "
-        "frame_w int, emb_norm double, dhash bigint",
-    ).orderBy("clip_url", "frame_idx")
+    return _ordered(
+        clips.mapInArrow(
+            sample,
+            schema="clip_url string, frame_idx int, n_frames int, frame_h int, "
+            "frame_w int, emb_norm double, dhash bigint",
+        ),
+        "clip_url",
+        "frame_idx",
+    )
 
 
 def audio_features(docs: DataFrame, sr: int = 16000, frame: int = 512) -> DataFrame:

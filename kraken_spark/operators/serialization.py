@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .extraction import _extraction
+from .extraction import _extraction, _ordered
 
 _SER_DDL = "url string, fmt string, n_bytes int, document string"
 
@@ -105,7 +105,7 @@ def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
     ext = _extraction(spark, sf)
-    return ext.mapInArrow(fn, schema=_SER_DDL).orderBy("url", "fmt")
+    return _ordered(ext.mapInArrow(fn, schema=_SER_DDL), "url", "fmt")
 
 
 def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
@@ -164,11 +164,15 @@ def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
     ext = _extraction(spark, sf)
-    return ext.mapInArrow(
-        roundtrip,
-        schema="url string, fmt string, n_lines int, text_match boolean, "
-        "baseline_match boolean, tags_match boolean, language_match boolean",
-    ).orderBy("url", "fmt")
+    return _ordered(
+        ext.mapInArrow(
+            roundtrip,
+            schema="url string, fmt string, n_lines int, text_match boolean, "
+            "baseline_match boolean, tags_match boolean, language_match boolean",
+        ),
+        "url",
+        "fmt",
+    )
 
 
 QUERIES = {
