@@ -175,6 +175,50 @@ def test_pipeline_with_loaded_kraken_model():
         assert all(c[0] <= c[1] for c in line.cuts)
 
 
+def test_torchvgsl_lstm_cross_check():
+    """No reference asset exercises the LSTM layer (the recurrent models
+    are LFS stubs), so cross-check torchvgsl's TransposedSummarizingRNN
+    mapping against the engine's independently-written VGSLModel LSTM on
+    identical weights: both implement torch nn.LSTM gate math (i,f,g,o),
+    so a width-direction bidi layer must produce identical sequences."""
+    import numpy as np
+
+    from kraken_spark.kernels.torchvgsl import TorchVGSL
+    from kraken_spark.kernels.vgsl import VGSLModel
+
+    rng = np.random.default_rng(7)
+    C, H, W, HID = 3, 1, 11, 4
+    x = rng.standard_normal((C, H, W)).astype(np.float32)
+
+    def mk(shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.3
+
+    wih_f, whh_f = mk((4 * HID, C)), mk((4 * HID, HID))
+    wih_b, whh_b = mk((4 * HID, C)), mk((4 * HID, HID))
+    b_f, b_b = mk(4 * HID), mk(4 * HID)
+
+    tnet = TorchVGSL(f"[1,{H},0,{C} Lbx{HID}]", {
+        "L_0.layer.weight_ih_l0": wih_f,
+        "L_0.layer.weight_hh_l0": whh_f,
+        "L_0.layer.bias_ih_l0": b_f,
+        "L_0.layer.bias_hh_l0": np.zeros(4 * HID, np.float32),
+        "L_0.layer.weight_ih_l0_reverse": wih_b,
+        "L_0.layer.weight_hh_l0_reverse": whh_b,
+        "L_0.layer.bias_ih_l0_reverse": b_b,
+        "L_0.layer.bias_hh_l0_reverse": np.zeros(4 * HID, np.float32),
+    })
+    t_out = tnet._forward_layer(x[None], tnet.layers[0])  # (1, 2H, 1, W)
+
+    vnet = VGSLModel(f"[1,{H},0,{C} Lbx{HID}]", weights={
+        "lstm0.fwd.wih": wih_f, "lstm0.fwd.whh": whh_f, "lstm0.fwd.b": b_f,
+        "lstm0.bwd.wih": wih_b, "lstm0.bwd.whh": whh_b, "lstm0.bwd.b": b_b,
+    })
+    v_out = vnet._forward_layer(x, vnet.layers[0])  # (2H, 1, W)
+
+    assert t_out.shape == (1, 2 * HID, H, W)
+    assert np.allclose(t_out[0], v_out, atol=1e-5), np.abs(t_out[0] - v_out).max()
+
+
 def test_model_small_forward_shape():
     m = load_kraken_model(f"{RES}/model_small.safetensors")[0]
     from kraken_spark.kernels.torchvgsl import TorchVGSL
