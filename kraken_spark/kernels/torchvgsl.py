@@ -60,12 +60,12 @@ def _correlate1d_constant(a: np.ndarray, k: np.ndarray, axis: int, mode: str = "
     if mode == "reflect":
         n = a.shape[axis]
         if r >= n:
-            # np.pad symmetric caps at n per application; tile reflections
+            # np.pad symmetric extends by at most the current length per
+            # application; iterate to tile the alternating reflection like
+            # scipy's 'reflect' for radius >= length
             ap = a
             left = right = r
             while left > 0 or right > 0:
-                lp, rp = min(left, ap.shape[axis] - 0), min(right, ap.shape[axis] - 0)
-                # symmetric reflection extends by at most current length
                 lp = min(left, ap.shape[axis])
                 rp = min(right, ap.shape[axis])
                 p = [(0, 0)] * a.ndim
