@@ -92,6 +92,11 @@ def run_headline() -> None:
     total = round(sum(timings.values()), 3)
     from kraken_spark.corpus import docs_for_sf
 
+    # trained-weight parity flag: the reference's own golden predictions
+    # (tests/test_rpred.py) reproduced through its real overfit.mlmodel
+    golden_rows = qs["x_rpred_golden"](spark, SF_DIR).collect()
+    golden_parity = bool(golden_rows) and all(r.match for r in golden_rows)
+
     print(
         json.dumps(
             {
@@ -99,6 +104,7 @@ def run_headline() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "golden_parity": golden_parity,
                 "sf": _sf_number(SF_DIR),
                 # BASELINE.json's docs/sec metric, from the flagship
                 # extraction query (sustained large-batch figures and the
