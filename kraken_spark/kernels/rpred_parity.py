@@ -187,16 +187,11 @@ def extract_polygon_legacy(img: np.ndarray, baseline: np.ndarray, poly: np.ndarr
         if abs(angle) < 1e-9:
             return patch
         return _rotate_nearest(patch, angle)
-    # curved: piecewise dewarp analog over the masked patch
-    from .lineextract import extract_line_dewarped
-
-    line = {
-        "baseline": [[int(x - c_min), int(y - r_min)] for x, y in baseline],
-        "boundary": [[int(x - c_min), int(y - r_min)] for x, y in poly],
-        "bbox": [0, 0, patch.shape[1], patch.shape[0]],
-    }
-    strip, _ = extract_line_dewarped(patch, line)
-    return strip
+    # curved: bevelled-envelope quad mesh warp (the analog of the legacy
+    # path's piecewise-affine Delaunay warp, segmentation.py:1494-1549)
+    return curved_line_dewarp(
+        patch, baseline - (c_min, r_min), poly - (c_min, r_min), order=1, cval=0.0
+    )
 
 
 def extract_polygon_new(img: np.ndarray, baseline: np.ndarray, poly: np.ndarray) -> np.ndarray:
@@ -220,15 +215,150 @@ def extract_polygon_new(img: np.ndarray, baseline: np.ndarray, poly: np.ndarray)
         if abs(angle) < 1e-9:
             return patch
         return _rotate_nearest(patch, angle, cval=bg)
-    from .lineextract import extract_line_dewarped
+    # curved: the reference's non-legacy curved branch — projected
+    # destination extents + bevelled envelope + quad mesh warp
+    # (segmentation.py:1573-1628), background-composited
+    return curved_line_dewarp(
+        patch, baseline - (c_min, r_min), poly - (c_min, r_min), order=1, cval=float(bg)
+    )
 
-    line = {
-        "baseline": [[int(x - c_min), int(y - r_min)] for x, y in baseline],
-        "boundary": [[int(x - c_min), int(y - r_min)] for x, y in poly],
-        "bbox": [0, 0, patch.shape[1], patch.shape[0]],
-    }
-    strip, _ = extract_line_dewarped(patch, line)
-    return strip
+
+def _bevelled_envelope(baseline: np.ndarray, bl_start, out_shape):
+    """Source/target envelope point pairs for the curved-line quad warp —
+    port of the reference's _bevelled_warping_envelope
+    (lib/segmentation.py:1334-1394): per-vertex bezier bevels between
+    segment normals, producing (top, bottom) point columns along the line."""
+    env_dy = [-bl_start[1], out_shape[0] - bl_start[1]]
+    diff = np.diff(baseline, axis=0)
+    norms = np.linalg.norm(diff, axis=1)
+    dn = diff / norms[:, None]
+    cum = np.concatenate([[0.0], np.cumsum(norms)])
+    seg_normals = np.stack([-dn[:, 1], dn[:, 0]], axis=1)
+
+    def it(p):
+        return (int(p[0]), int(p[1]))
+
+    ini = baseline[0] - dn[0] * bl_start[0]
+    src = [it(ini + env_dy[0] * seg_normals[0]), it(ini + env_dy[1] * seg_normals[0])]
+    tgt = [(0, 0), (0, out_shape[0])]
+    max_bevel = out_shape[0] / 3
+    step = max_bevel / 2
+    for k in range(len(baseline) - 2):
+        pt = baseline[k + 1]
+        seg_prev = baseline[k] - pt
+        seg_next = baseline[k + 2] - pt
+        bev_prev = seg_prev / max(2.0, np.linalg.norm(seg_prev) / max_bevel)
+        bev_next = seg_next / max(2.0, np.linalg.norm(seg_next) / max_bevel)
+        nsteps = max(1, int(np.round((np.linalg.norm(bev_prev) + np.linalg.norm(bev_next)) / step)))
+        lp, ln = np.linalg.norm(bev_prev), np.linalg.norm(bev_next)
+        for i in range(nsteps + 1):
+            t = i / nsteps
+            tpt = pt + (1 - t) ** 2 * bev_prev + t**2 * bev_next
+            tx = bl_start[0] + cum[k + 1] - (1 - t) ** 2 * lp + t**2 * ln
+            tn = (1 - t) * seg_normals[k] + t * seg_normals[k + 1]
+            tn = tn / np.linalg.norm(tn)
+            sp = [it(tpt + env_dy[0] * tn), it(tpt + env_dy[1] * tn)]
+            tp = [(int(tx), 0), (int(tx), out_shape[0])]
+            if sp[0] == src[-2] or sp[1] == src[-1] or tp[0] == tgt[-2]:
+                continue
+            src += sp
+            tgt += tp
+    end = baseline[-1] + dn[-1] * (out_shape[1] - cum[-1] - bl_start[0])
+    src += [it(end + env_dy[0] * seg_normals[-1]), it(end + env_dy[1] * seg_normals[-1])]
+    tgt += [(out_shape[1], 0), (out_shape[1], out_shape[0])]
+    return src, tgt
+
+
+def _quad_mesh_warp(patch: np.ndarray, src_env, tgt_env, out_shape, order: int = 1, cval: float = 0.0) -> np.ndarray:
+    """PIL Image.MESH transform analog over (target box, source quad)
+    pairs (segmentation.py:1618-1628): each vertical target slab samples a
+    bilinear source quad (NW, SW, SE, NE); order 0 = nearest, 1 =
+    bilinear; taps outside the patch read cval."""
+    h, w = patch.shape
+    out = np.full(out_shape, cval, dtype=np.float64)
+    pf = patch.astype(np.float64)
+    ys = np.arange(out_shape[0], dtype=np.float64)
+    for i in range(0, len(src_env) - 3, 2):
+        x0, _ = tgt_env[i]
+        x1, y1t = tgt_env[i + 3]
+        if x1 <= x0:
+            continue
+        nw, sw, se, ne = (
+            np.asarray(src_env[i], dtype=np.float64),
+            np.asarray(src_env[i + 1], dtype=np.float64),
+            np.asarray(src_env[i + 3], dtype=np.float64),
+            np.asarray(src_env[i + 2], dtype=np.float64),
+        )
+        xs = np.arange(max(x0, 0), min(x1, out_shape[1]), dtype=np.float64)
+        if len(xs) == 0:
+            continue
+        u = ((xs - x0) / (x1 - x0))[None, :]
+        v = (ys / max(y1t, 1))[:, None]
+        sx = (1 - u) * (1 - v) * nw[0] + u * (1 - v) * ne[0] + (1 - u) * v * sw[0] + u * v * se[0]
+        sy = (1 - u) * (1 - v) * nw[1] + u * (1 - v) * ne[1] + (1 - u) * v * sw[1] + u * v * se[1]
+        if order == 0:
+            ix = np.rint(sx).astype(np.int64)
+            iy = np.rint(sy).astype(np.int64)
+            valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+            vals = np.where(valid, pf[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)], cval)
+        else:
+            fx = np.floor(sx)
+            fy = np.floor(sy)
+            ax = sx - fx
+            ay = sy - fy
+            ix = fx.astype(np.int64)
+            iy = fy.astype(np.int64)
+
+            def tap(dy, dx):
+                yy = iy + dy
+                xx = ix + dx
+                ok = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+                return np.where(ok, pf[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)], cval)
+
+            vals = (
+                tap(0, 0) * (1 - ax) * (1 - ay)
+                + tap(0, 1) * ax * (1 - ay)
+                + tap(1, 0) * (1 - ax) * ay
+                + tap(1, 1) * ax * ay
+            )
+        out[:, int(max(x0, 0)) : int(max(x0, 0)) + len(xs)] = vals
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def curved_line_dewarp(patch: np.ndarray, baseline: np.ndarray, poly: np.ndarray, order: int = 1, cval: float = 0.0) -> np.ndarray:
+    """Curved-baseline line straightening — the reference's non-legacy
+    curved branch (segmentation.py:1573-1628): polygon points projected
+    onto their nearest baseline segment give the rectified destination
+    extents; the bevelled envelope + quad mesh warp resamples the patch
+    onto a straight-baseline strip. baseline/poly are patch-local."""
+    bl = np.asarray(baseline, dtype=np.float64)
+    fp = np.asarray(poly, dtype=np.float64)
+    diff = np.diff(bl, axis=0)
+    norms = np.linalg.norm(diff, axis=1)
+    if (norms == 0).any():
+        keep = np.concatenate([[True], norms > 0])
+        bl = bl[keep]
+        diff = np.diff(bl, axis=0)
+        norms = np.linalg.norm(diff, axis=1)
+    if len(bl) < 2:
+        return patch
+    dn = diff / norms[:, None]
+    cum = np.concatenate([[0.0], np.cumsum(norms)])
+    pb = fp[None, :, :] - bl[:-1, None, :]
+    x = np.einsum("kpm,km->kp", pb, dn)
+    segdist = np.maximum(-x, x - norms[:, None])
+    closest = np.argmin(segdist, axis=0)
+    idx = np.arange(len(fp))
+    x_c = x[closest, idx]
+    d_c = pb[closest, idx]
+    y_c = np.cross(dn[closest], d_c)
+    dst = np.stack([cum[closest] + x_c, y_c], axis=1) + bl[0]
+    c0, c1 = int(dst[:, 0].min()), int(dst[:, 0].max())
+    r0, r1 = int(dst[:, 1].min()), int(dst[:, 1].max())
+    out_shape = (r1 - r0 + 1, c1 - c0 + 1)
+    bl_dst0 = (bl[0][0] + 0.0 - c0, bl[0][1] + 0.0 - r0)
+    src_env, tgt_env = _bevelled_envelope(bl, bl_dst0, out_shape)
+    return _quad_mesh_warp(patch, src_env, tgt_env, out_shape, order=order, cval=cval)
 
 
 def _rotate_nearest(patch: np.ndarray, angle: float, cval: int = 0) -> np.ndarray:

@@ -175,6 +175,40 @@ def test_pipeline_with_loaded_kraken_model():
         assert all(c[0] <= c[1] for c in line.cuts)
 
 
+def test_curved_mesh_warp_straightens():
+    """The bevelled-envelope quad mesh warp (the reference's non-legacy
+    curved branch, segmentation.py:1573-1628) must flatten a known
+    sinusoidal column displacement to ~quantization residual when given a
+    fine baseline polyline."""
+    import numpy as np
+
+    from kraken_spark.kernels.rpred_parity import curved_line_dewarp
+
+    H, W, amp, period = 40, 600, 6, 200
+    straight = np.zeros((H, W), dtype=np.uint8)
+    straight[20:24, :] = 255
+    for x in range(10, W, 30):
+        straight[12:20, x : x + 3] = 255
+    shift = np.round(amp * np.sin(2 * np.pi * np.arange(W) / period)).astype(int)
+    curved = np.zeros((H + 2 * amp, W), dtype=np.uint8)
+    for x in range(W):
+        curved[amp + shift[x] : amp + shift[x] + H, x] = straight[:, x]
+    xs = np.arange(0, W, 8)
+    bl = np.stack([xs, amp + shift[xs] + 23], axis=1).astype(float)
+    poly = np.array(
+        [[0, 0], [W - 1, 0], [W - 1, curved.shape[0] - 1], [0, curved.shape[0] - 1]],
+        dtype=float,
+    )
+    strip = curved_line_dewarp(curved, bl, poly, order=0, cval=0)
+    rows = []
+    for x in range(5, W - 5, 20):
+        col = np.nonzero(strip[:, x] > 127)[0]
+        if len(col):
+            rows.append(int(col.max()))
+    assert rows, "warp produced an empty strip"
+    assert max(rows) - min(rows) <= 3, f"residual curvature too large: {rows}"
+
+
 def test_torchvgsl_lstm_cross_check():
     """No reference asset exercises the LSTM layer (the recurrent models
     are LFS stubs), so cross-check torchvgsl's TransposedSummarizingRNN
