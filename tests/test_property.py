@@ -160,6 +160,33 @@ def test_extract_document_never_crashes_on_garbage(payload):
     assert out["guard_tripped"] or out["n_lines"] >= 0
 
 
+BIDI_TEXT = st.text(
+    alphabet="abXY 12.()אבاب⁦⁧⁩‫‬",
+    max_size=24,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(BIDI_TEXT, st.sampled_from([None, "L", "R"]))
+def test_bidi_uax9_invariants(s, base):
+    """Structural invariants of the full UAX#9 implementation: the display
+    map is a bijection onto the non-removed characters, levels of surviving
+    characters are >= 0, pure-LTR text is identity, and the output never
+    contains explicit directional formatting characters."""
+    from kraken_spark.kernels.bidi import bidi_class, get_display
+
+    disp, order = get_display(s, base)
+    assert len(disp) == len(order)
+    assert len(set(order)) == len(order)
+    removed = {"RLE", "LRE", "RLO", "LRO", "PDF", "BN", "LRI", "RLI", "FSI", "PDI"}
+    for ch in disp:
+        assert bidi_class(ord(ch)) not in removed
+    kept = [i for i, ch in enumerate(s) if bidi_class(ord(ch)) not in removed]
+    assert sorted(order) == kept
+    if all(bidi_class(ord(c)) in ("L", "WS", "EN", "ON", "ES", "CS", "ET") for c in s) and base != "R":
+        assert disp == s
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(max_size=512))
 def test_model_loader_rejects_garbage(payload):
