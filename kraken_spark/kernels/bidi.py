@@ -89,9 +89,37 @@ MIRRORED = dict(_MIRROR_ONE_WAY)
 MIRRORED.update({v: k for k, v in _MIRROR_ONE_WAY.items()})
 
 
+# DerivedBidiClass.txt default-class ranges for unassigned codepoints
+# (UAX#9 / UCD header): unassigned in these blocks default to AL / R / ET;
+# everything else unassigned defaults to L.  The host unicodedata returns ''
+# for unassigned codepoints, so without this fallback newly-assigned Arabic/
+# Hebrew-block characters would reorder as neutrals.
+_DEFAULT_AL = (
+    (0x0600, 0x07BF), (0x0860, 0x08FF), (0xFB50, 0xFDCF), (0xFDF0, 0xFDFF),
+    (0xFE70, 0xFEFF), (0x1EC70, 0x1ECBF), (0x1ED00, 0x1ED4F), (0x1EE00, 0x1EEFF),
+)
+_DEFAULT_R = (
+    (0x0590, 0x05FF), (0x07C0, 0x085F), (0xFB1D, 0xFB4F), (0x10800, 0x10CFF),
+    (0x10D40, 0x10EBF), (0x10F00, 0x10F2F), (0x10F70, 0x10FFF),
+    (0x1E800, 0x1EC6F), (0x1ECC0, 0x1ECFF), (0x1ED50, 0x1EDFF), (0x1EF00, 0x1EFFF),
+)
+_DEFAULT_ET = ((0x20A0, 0x20CF),)
+
+
 def bidi_class(cp: int) -> str:
     c = unicodedata.bidirectional(chr(cp))
-    return c if c else "ON"
+    if c:
+        return c
+    for lo, hi in _DEFAULT_AL:
+        if lo <= cp <= hi:
+            return "AL"
+    for lo, hi in _DEFAULT_R:
+        if lo <= cp <= hi:
+            return "R"
+    for lo, hi in _DEFAULT_ET:
+        if lo <= cp <= hi:
+            return "ET"
+    return "L"
 
 
 def char_class(ch: str) -> str:
@@ -350,7 +378,7 @@ def _bracket_pass(
         cp = cps[i]
         if cp in _BRACKET_PAIRS:
             if len(stack) >= _BRACKET_STACK_LIMIT:
-                return  # BD16: stop processing on overflow
+                break  # BD16: stop *finding* pairs, but resolve those collected
             stack.append((_BRACKET_CANON.get(cp, cp), n))
         elif cp in _BRACKET_CLOSERS:
             want = _BRACKET_CANON.get(_BRACKET_CLOSERS[cp], _BRACKET_CLOSERS[cp])

@@ -57,7 +57,9 @@ def x_extract_geometry(spark, sf):
     kind='line' rows: one per recognized line, geometry projected to
     hashable scalars (bbox flattened to x0/y0/x1/y1 ints, baseline as JSON
     — the driver's pandas canonicalization cannot sort array cells), with
-    its region's type joined in via the region_ids assignment.
+    its PRIMARY region's type joined in (region_id = region_ids[0]; the
+    full multi-membership list is emitted as region_ids_json so no
+    assignment is lost — region n_lines counts use all memberships).
     kind='region' rows: one per region with its line count (left join —
     empty regions keep a null n_lines)."""
     ext = _extraction(spark, sf)
@@ -81,6 +83,7 @@ def x_extract_geometry(spark, sf):
             F.col("l.prediction").alias("prediction"),
             F.col("l.display_order").alias("display_order"),
             F.col("l.region_ids")[0].alias("region_id"),
+            F.to_json(F.col("l.region_ids")).alias("region_ids_json"),
         )
         .join(regions.select("url", "region_id", "region_type"), ["url", "region_id"], "left")
         .select(
@@ -95,6 +98,7 @@ def x_extract_geometry(spark, sf):
             "x1",
             "y1",
             "baseline_json",
+            "region_ids_json",
             "prediction",
             "display_order",
             F.lit(None).cast("long").alias("n_lines"),
@@ -119,6 +123,7 @@ def x_extract_geometry(spark, sf):
             F.lit(None).cast("int").alias("x1"),
             F.lit(None).cast("int").alias("y1"),
             F.lit(None).cast("string").alias("baseline_json"),
+            F.lit(None).cast("string").alias("region_ids_json"),
             F.lit(None).cast("string").alias("prediction"),
             F.lit(None).cast("boolean").alias("display_order"),
             "n_lines",

@@ -333,7 +333,7 @@ def x_frame_sample(spark, sf):
 
     from ..sources.pdf import pack_multipage
 
-    def bundle(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+    def pack(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
         schema = pa.schema(
             [
                 pa.field("clip_url", pa.string()),
@@ -342,15 +342,14 @@ def x_frame_sample(spark, sf):
             ]
         )
         for batch in batches:
-            rows = batch.to_pylist()
             out = []
-            for k in range(0, len(rows), 4):
-                grp = rows[k : k + 4]
+            for r in batch.to_pylist():
+                frames = [f["html"] for f in r["frames"]]
                 out.append(
                     {
-                        "clip_url": grp[0]["url"].rsplit("/", 1)[0] + f"/clip-{k}",
-                        "n_frames": len(grp),
-                        "media": pack_multipage([g["html"] for g in grp]),
+                        "clip_url": r["first_url"] + "/clip",
+                        "n_frames": len(frames),
+                        "media": pack_multipage(frames),
                     }
                 )
             if out:
@@ -391,8 +390,23 @@ def x_frame_sample(spark, sf):
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    clips = _docs(spark, sf).mapInArrow(
-        bundle, schema="clip_url string, n_frames int, media binary"
+    # Clip membership is a pure function of the url (page index // 4 within
+    # lang), so clip identity is independent of partitioning and core count;
+    # the groupBy shuffles on the clip key — bounded 4 frames per group.
+    page_idx = F.regexp_extract("url", r"page-(\d+)$", 1).cast("long")
+    keyed = _docs(spark, sf).select(
+        "url",
+        "html",
+        "lang",
+        (page_idx / 4).cast("long").alias("clip_no"),
+        page_idx.alias("page_idx"),
+    )
+    grouped = keyed.groupBy("lang", "clip_no").agg(
+        F.min("url").alias("first_url"),
+        F.sort_array(F.collect_list(F.struct("page_idx", "html"))).alias("frames"),
+    )
+    clips = grouped.select("first_url", "frames").mapInArrow(
+        pack, schema="clip_url string, n_frames int, media binary"
     )
     return _ordered(
         clips.mapInArrow(
