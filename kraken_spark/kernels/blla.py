@@ -72,6 +72,63 @@ def build_segmenter() -> VGSLModel:
     return model
 
 
+SEG_SPEC_REF = "[1,0,0,1 Cs7,7,2 Cs5,49,2]"
+
+# conv1 (bridge layer) constants — tuned so that every text line yields
+# exactly ONE ridge component across 24 corpus pages (all zero-mismatch
+# configs formed a plateau k in 45..53, theta 0.02..0.025, pen 1.5; this is
+# its center). See build_segmenter_ref.
+_REF_BOX_W = 49
+_REF_GAIN = 40.0
+_REF_THETA = 0.028
+_REF_PEN = 1.5
+
+
+def build_segmenter_ref() -> VGSLModel:
+    """Two-layer constructed heatmap net for the reference-faithful
+    vectorizer (kernels/blla_vec.py, the port of lib/segmentation.py's
+    vectorize_lines). A TRAINED blla model (blla.mlmodel — an LFS stub in
+    this snapshot) emits smooth CONTINUOUS ridges along whole text lines;
+    the single-layer bottom-edge detector of build_segmenter instead emits
+    dashed per-glyph responses with ~12 px word gaps that no ridge filter
+    or MCP join can bridge (MCP wavefronts cross at most one off-skeleton
+    pixel). The second conv constructs the trained regime:
+
+    baseline channel: a 49-px horizontal box over the edge response,
+    positive on the center row + 2 above, 1.5x-penalized on the 2 below —
+    the ridge is continuous along each line and BOTTOM-aligned, so the
+    skeleton centerline lands on the baseline exactly like a trained
+    model's ridge. region channel: full 5x49 box mean over the density
+    response at threshold 0.1 — bridges inter-word and inter-line gaps so
+    each text block is ONE solid blob (the trained-model regime the
+    reference's Moore-tracing vectorize_regions expects; the raw density
+    channel splinters into ~100 word blobs per page)."""
+    model = VGSLModel(SEG_SPEC_REF)
+    w0 = np.zeros((2, 1, 7, 7), dtype=np.float32)
+    w0[0, 0, 0:4, 2:5] = 1.0
+    w0[0, 0, 4:7, 2:5] = -4.0
+    b0 = np.zeros(2, dtype=np.float32)
+    b0[0] = -2.5
+    w0[1, 0, :, :] = 1.0
+    b0[1] = -4.5
+    k = _REF_BOX_W
+    g = _REF_GAIN
+    w1 = np.zeros((2, 2, 5, k), dtype=np.float32)
+    w1[0, 0, 0:3, :] = g / (3 * k)            # rows dy=-2..0: band above
+    w1[0, 0, 3:5, :] = -g * _REF_PEN / (2 * k)  # rows dy=+1..+2: veto below
+    # region threshold 0.05 (not 0.1): the Moore-traced boundary is
+    # Douglas-Peucker(10)-simplified, which can cut up to 10 px inward at
+    # block corners; the lower threshold grows the blob a few px so
+    # bottom-line baseline midpoints stay inside the simplified polygon
+    w1[1, 1, :, :] = g / (5 * k)              # region: solid-block bridge
+    b1 = np.array([-g * _REF_THETA, -g * 0.05], dtype=np.float32)
+    model.weights["conv0.w"] = w0
+    model.weights["conv0.b"] = b0
+    model.weights["conv1.w"] = w1
+    model.weights["conv1.b"] = b1
+    return model
+
+
 def _pool_or(mask: np.ndarray, d: int) -> np.ndarray:
     """d x d max-pool of a binary mask via strided OR (no reshape/reduce
     temporaries — ~10x cheaper than reshape().max(axis=(1,3)) at page size)."""
@@ -96,6 +153,59 @@ def compute_segmentation_map(mask: np.ndarray, model: VGSLModel) -> np.ndarray:
 
     act = _conv2d(x, model.weights["conv0.w"], model.weights["conv0.b"], (1, 1), "same")
     return _ACT["s"](act)
+
+
+def _box_row_sum(c: np.ndarray, r0: int, r1: int, cols: int) -> np.ndarray:
+    """Sum over the window rows [r+r0, r+r1] x cols centered columns for
+    every pixel, from a zero-padded 2-D integral image. c is the integral
+    image of the input padded by (pr, pc) on each side."""
+    h = c.shape[0] - 1 - 2 * _REF_PAD_R
+    w = c.shape[1] - 1 - 2 * _REF_PAD_C
+    lo = cols // 2
+    a0 = _REF_PAD_R + r0
+    a1 = _REF_PAD_R + r1 + 1
+    b0 = _REF_PAD_C - lo
+    b1 = _REF_PAD_C - lo + cols
+    return (
+        c[a1 : a1 + h, b1 : b1 + w]
+        - c[a0 : a0 + h, b1 : b1 + w]
+        - c[a1 : a1 + h, b0 : b0 + w]
+        + c[a0 : a0 + h, b0 : b0 + w]
+    )
+
+
+_REF_PAD_R = 2
+_REF_PAD_C = _REF_BOX_W // 2
+
+
+def compute_segmentation_map_ref(mask: np.ndarray, model: VGSLModel) -> np.ndarray:
+    """Two-layer forward for the reference-vectorizer net
+    (build_segmenter_ref): downscale -> conv0 -> sigmoid -> conv1 ->
+    sigmoid, returning (2, H/2, W/2) heatmaps in the trained-model regime
+    (continuous bottom-aligned baseline ridges).
+
+    conv1's weights are box-uniform per row group by construction, so the
+    convolution is evaluated exactly via integral-image box sums instead
+    of im2col (a ~150x speedup for the 5x49 kernel; numerical equivalence
+    with vgsl._conv2d is pinned in tests/test_blla_vec.py)."""
+    small = _pool_or(mask, DOWNSCALE)
+    x = small.astype(np.float32)[None]
+    from .vgsl import _ACT, _conv2d
+
+    a = _ACT["s"](_conv2d(x, model.weights["conv0.w"], model.weights["conv0.b"], (1, 1), "same"))
+    k = _REF_BOX_W
+    g = _REF_GAIN
+    pads = ((_REF_PAD_R, _REF_PAD_R), (_REF_PAD_C, _REF_PAD_C))
+    ints = []
+    for ch in (0, 1):
+        p = np.pad(a[ch].astype(np.float64), pads)
+        c = np.cumsum(np.cumsum(p, axis=0), axis=1)
+        ints.append(np.pad(c, ((1, 0), (1, 0))))
+    up = _box_row_sum(ints[0], -2, 0, k) * (g / (3 * k))
+    dn = _box_row_sum(ints[0], 1, 2, k) * (g * _REF_PEN / (2 * k))
+    z0 = up - dn + float(model.weights["conv1.b"][0])
+    z1 = _box_row_sum(ints[1], -2, 2, k) * (g / (5 * k)) + float(model.weights["conv1.b"][1])
+    return _ACT["s"](np.stack([z0, z1]).astype(np.float32))
 
 
 def approximate_polygon(points: np.ndarray, tolerance: float = 3.0) -> np.ndarray:
@@ -475,6 +585,7 @@ def segment_blla(
     model: VGSLModel | None = None,
     reading_order_fn=None,
     boundary_mode: str = "rect",
+    vectorizer: str = "analog",
 ) -> dict:
     """Full neural path: heatmaps -> vectorize -> scale back -> polygonize
     -> region assignment -> reading order. Same output contract as
@@ -486,8 +597,15 @@ def segment_blla(
     'seam' replaces each boundary with a seam-carved polygonal environment
     (kernels/seamcarve.py — the reference's calculate_polygonal_environment,
     lib/segmentation.py:747-842) while the bbox stays ink-exact, so
-    polygon-masked extraction remains byte-identical."""
-    model = model or build_segmenter()
+    polygon-masked extraction remains byte-identical.
+
+    vectorizer: 'analog' is the engine's own chain (threshold -> x-closing
+    -> CC bottom-fit -> fragment join); 'reference' is the faithful port
+    of the reference's vectorize_lines (Sato ridge -> threshold 0.17 ->
+    skeletonize -> endpoint-budgeted MCP joins -> Douglas-Peucker ->
+    boundary extension -> separator orientation, kernels/blla_vec.py),
+    fed by the two-layer trained-regime net (build_segmenter_ref)."""
+    model = model or (build_segmenter_ref() if vectorizer == "reference" else build_segmenter())
     rl = text_direction.endswith("rl")
     if text_direction.startswith("vertical"):
         # vertical text: rotate 90° CCW so lines run horizontally, segment,
@@ -504,6 +622,7 @@ def segment_blla(
             model=model,
             reading_order_fn=reading_order_fn,
             boundary_mode=boundary_mode,
+            vectorizer=vectorizer,
         )
         for l in seg["lines"]:
             pts = rotate_points(
@@ -519,23 +638,37 @@ def segment_blla(
             r["boundary"] = rotate_points(r["boundary"], 1, h, w)
         seg["text_direction"] = text_direction
         return seg
-    heat = compute_segmentation_map(mask, model)
-    # vectorize with a tiny length floor so curved-line fragments survive
-    # until the join pass; the real minimum applies post-join
-    ink_small = _pool_or(mask, DOWNSCALE)
-    # dense polylines through the join (endpoint anchors must not carry
-    # Douglas-Peucker displacement); simplified only after joining
-    raw = vectorize_lines(heat[0], min_len=8, simplify=False)
-    joined = join_baseline_fragments(raw, ink_small=ink_small)
-    joined = [bl for bl in joined if bl[-1][0] - bl[0][0] >= 20]
-    joined = [
-        np.rint(approximate_polygon(np.asarray(bl, dtype=np.float64), tolerance=3.0))
-        .astype(np.int64)
-        .tolist()
-        for bl in suppress_phantom_baselines(joined, ink_small=ink_small)
-    ]
-    baselines = scale_polygonal_lines(joined, DOWNSCALE)
-    region_polys = scale_polygonal_lines(vectorize_regions(heat[1]), DOWNSCALE)
+    if vectorizer == "reference":
+        from . import blla_vec
+
+        heat = compute_segmentation_map_ref(mask, model)
+        zeros = np.zeros_like(heat[0])
+        # the constructed net has no start/end separator heads, so the
+        # orientation stage sees empty marker maps and takes the
+        # reference's low-confidence default branch (left-to-right)
+        joined = blla_vec.vectorize_lines_ref(np.stack([zeros, zeros, heat[0]]))
+        baselines = scale_polygonal_lines(joined, DOWNSCALE)
+        region_polys = scale_polygonal_lines(
+            blla_vec.vectorize_regions_ref(heat[1]), DOWNSCALE
+        )
+    else:
+        heat = compute_segmentation_map(mask, model)
+        # vectorize with a tiny length floor so curved-line fragments survive
+        # until the join pass; the real minimum applies post-join
+        ink_small = _pool_or(mask, DOWNSCALE)
+        # dense polylines through the join (endpoint anchors must not carry
+        # Douglas-Peucker displacement); simplified only after joining
+        raw = vectorize_lines(heat[0], min_len=8, simplify=False)
+        joined = join_baseline_fragments(raw, ink_small=ink_small)
+        joined = [bl for bl in joined if bl[-1][0] - bl[0][0] >= 20]
+        joined = [
+            np.rint(approximate_polygon(np.asarray(bl, dtype=np.float64), tolerance=3.0))
+            .astype(np.int64)
+            .tolist()
+            for bl in suppress_phantom_baselines(joined, ink_small=ink_small)
+        ]
+        baselines = scale_polygonal_lines(joined, DOWNSCALE)
+        region_polys = scale_polygonal_lines(vectorize_regions(heat[1]), DOWNSCALE)
 
     lines = []
     for bl in baselines:
@@ -565,20 +698,43 @@ def segment_blla(
     for i, r in enumerate(regions):
         r["rank"] = i
 
+    def _bbox_dist(px: float, py: float, r: dict) -> float:
+        xs = [p[0] for p in r["boundary"]]
+        ys = [p[1] for p in r["boundary"]]
+        dx = max(min(xs) - px, 0.0, px - max(xs))
+        dy = max(min(ys) - py, 0.0, py - max(ys))
+        return dx * dx + dy * dy
+
     line_region_idx = []
     for l in lines:
         bl = l["baseline"]
         mx = sum(p[0] for p in bl) / len(bl)
         my = sum(p[1] for p in bl) / len(bl)
+        # midpoint-in-region, reference semantics (lib/segmentation.py:
+        # 906-922); a miss falls back to the NEAREST region rather than
+        # region 0 — Douglas-Peucker(10) region simplification can cut a
+        # block corner by a few px and strand its bottom line's midpoint
+        # just outside the polygon
         idx = next(
             (i for i, r in enumerate(regions) if is_in_region((mx, my), r["boundary"])),
-            0,
+            None,
         )
+        if idx is None:
+            idx = (
+                min(range(len(regions)), key=lambda i: _bbox_dist(mx, my, regions[i]))
+                if regions
+                else 0
+            )
         line_region_idx.append(idx)
 
     line_bboxes = [tuple(l["bbox"]) for l in lines]
     region_bboxes = [
-        (r["boundary"][0][0], r["boundary"][0][1], r["boundary"][2][0], r["boundary"][2][1])
+        (
+            min(p[0] for p in r["boundary"]),
+            min(p[1] for p in r["boundary"]),
+            max(p[0] for p in r["boundary"]),
+            max(p[1] for p in r["boundary"]),
+        )
         for r in regions
     ]
     if reading_order_fn is not None:

@@ -21,10 +21,14 @@ def _find(parent: np.ndarray, i: int) -> int:
     return root
 
 
-def label(mask: np.ndarray) -> tuple[np.ndarray, int]:
-    """4-connected component labeling. Returns (labels int32 HxW, n)."""
+def label(mask: np.ndarray, connectivity: int = 1) -> tuple[np.ndarray, int]:
+    """Connected component labeling. connectivity=1 is 4-connected (the
+    default, matching scipy.ndimage.label); connectivity=2 is 8-connected
+    (matching skimage.measure.label's 2-D default — needed for skeleton
+    components, whose paths step diagonally). Returns (labels int32, n)."""
     h, w = mask.shape
     m = mask.astype(bool)
+    diag = 1 if connectivity == 2 else 0
     # per-row runs via diff on padded rows
     padded = np.zeros((h, w + 2), dtype=np.int8)
     padded[:, 1:-1] = m
@@ -46,10 +50,10 @@ def label(mask: np.ndarray) -> tuple[np.ndarray, int]:
         j = j0
         for i in range(i0, i1):
             a0, a1 = cs[i], ce[i]
-            while j < j1 and ce[j] <= a0:
+            while j < j1 and ce[j] <= a0 - diag:
                 j += 1
             k = j
-            while k < j1 and cs[k] < a1:
+            while k < j1 and cs[k] < a1 + diag:
                 ra, rb = _find(parent, i), _find(parent, k)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)

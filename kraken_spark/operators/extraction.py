@@ -391,19 +391,25 @@ def x_extract_blla(spark, sf):
     """Flagship extraction through the NEURAL segmentation path
     (kernels/blla.py: heatmap forward -> vectorize -> polygonize -> scale
     back; SURVEY §2.3) — per-url text + CER (0.0 everywhere, asserted in
-    tests/test_pipeline_spark.py)."""
+    tests/test_pipeline_spark.py). Runs BOTH baseline-vectorization
+    chains, tagged by the `vectorizer` column: 'analog' is the engine's
+    own CC/column-fit/fragment-join chain; 'reference' is the faithful
+    port of the reference's vectorize_lines (Sato ridge -> threshold ->
+    skeletonize -> endpoint-budgeted MCP joins -> Douglas-Peucker ->
+    boundary extension, lib/segmentation.py:316-419; kernels/blla_vec.py)."""
     docs = corpus_for(spark, sf)
-    ext = plan_extraction(
-        docs,
-        num_partitions=spark.sparkContext.defaultParallelism,
-        segmenter="blla",
-    )
-    return _ordered(
-        ext.select(
-            "url", "lang", "n_lines", "n_regions", F.round("cer", 9).alias("cer"), "text"
-        ),
-        "url",
-    )
+    n = spark.sparkContext.defaultParallelism
+    parts = []
+    for seg, tag in (("blla", "analog"), ("blla_ref", "reference")):
+        ext = plan_extraction(docs, num_partitions=n, segmenter=seg)
+        parts.append(
+            ext.select(
+                F.lit(tag).alias("vectorizer"),
+                "url", "lang", "n_lines", "n_regions",
+                F.round("cer", 9).alias("cer"), "text",
+            )
+        )
+    return _ordered(parts[0].unionByName(parts[1]), "vectorizer", "url")
 
 
 def x_extract_curved(spark, sf):

@@ -151,7 +151,7 @@ def extract_document(
         _check_budget("decode")
         mask = binarize.nlbin(img)
         _check_budget("binarize")
-        if segmenter in ("blla", "blla_curved", "blla_seam"):
+        if segmenter in ("blla", "blla_curved", "blla_seam", "blla_ref"):
             from .kernels import blla
 
             seg = blla.segment_blla(
@@ -159,6 +159,7 @@ def extract_document(
                 url=url,
                 text_direction=text_direction,
                 boundary_mode="seam" if segmenter == "blla_seam" else "rect",
+                vectorizer="reference" if segmenter == "blla_ref" else "analog",
             )
         else:
             seg = pageseg.segment(mask, url=url, text_direction=text_direction)

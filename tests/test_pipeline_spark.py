@@ -346,6 +346,12 @@ def test_cross_seed_hard_cases_exact():
         (555, 49, render.render_curved_document, "blla_curved"),
         (1234, 4, render.render_document, "blla"),
         (7, 15, render.render_document, "blla"),
+        # reference-vectorizer chain (kernels/blla_vec.py): page 32 is the
+        # historical region-assignment rotation case (footer midpoint 1px
+        # outside the DP(10)-simplified region -> nearest-region fallback);
+        # (7,15) re-checks the analog's hard page through the port
+        (1234, 32, render.render_document, "blla_ref"),
+        (7, 15, render.render_document, "blla_ref"),
     ):
         d = rend(seed, i)
         out = extract_document(
