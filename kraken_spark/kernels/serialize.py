@@ -140,7 +140,7 @@ def to_alto(row, created: str = PINNED_CREATED) -> str:
         '<alto xmlns="http://www.loc.gov/standards/alto/ns-v4#" '
         'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
         'xsi:schemaLocation="http://www.loc.gov/standards/alto/ns-v4# '
-        'http://www.loc.gov/standards/alto/v4/alto-4-2.xsd">\n'
+        'http://www.loc.gov/standards/alto/v4/alto-4-3.xsd">\n'
         "\t<Description>\n\t\t<MeasurementUnit>pixel</MeasurementUnit>\n"
         "\t\t<sourceImageInformation>\n"
         f"\t\t\t<fileName>{escape(url)}</fileName>\n"
@@ -279,11 +279,15 @@ def to_pagexml(row, created: str = PINNED_CREATED) -> str:
             else [[0, 0], [w, 0], [w, h], [0, h]]
         )
         rtype = region["region_type"] if region else "text"
-        rattrs = ""
+        # language goes into the Transkribus custom string like the
+        # reference's pagexml template (templates/pagexml:3): the PAGE
+        # XSD's primaryLanguage is an ENUM of full language names
+        # ("English"), so ISO codes there are schema-invalid
+        rcustom = "structure {type:" + rtype + ";}"
         if region and region["language"]:
-            rattrs = f" primaryLanguage={quoteattr(region['language'][0])}"
+            rcustom += " language {type:" + region["language"][0] + ";}"
         parts.append(
-            f"\t\t<TextRegion id={quoteattr(rid)} custom={quoteattr('structure {type:' + rtype + ';}')}{rattrs}>\n"
+            f"\t\t<TextRegion id={quoteattr(rid)} custom={quoteattr(rcustom)}>\n"
             f"\t\t\t<Coords points={quoteattr(_points(boundary))}/>\n"
         )
         for l in lines:
@@ -297,9 +301,10 @@ def to_pagexml(row, created: str = PINNED_CREATED) -> str:
                 sum(l["confidences"]) / len(l["confidences"]) if l["confidences"] else 0.0
             )
             ltype = _type_of_tags(l["tags"])
-            lattrs = f" custom={quoteattr('structure {type:' + ltype + ';}')}"
+            lcustom = "structure {type:" + ltype + ";}"
             if l["language"]:
-                lattrs += f" primaryLanguage={quoteattr(l['language'][0])}"
+                lcustom += " language {type:" + l["language"][0] + ";}"
+            lattrs = f" custom={quoteattr(lcustom)}"
             parts.append(
                 f"\t\t\t<TextLine id={quoteattr(l['id'])}{lattrs}>\n"
                 f"\t\t\t\t<Coords points={quoteattr(_points(boundary_pts))}/>\n"

@@ -201,6 +201,8 @@ def parse_pagexml(data: bytes) -> dict:
             reg_type = reg_custom["structure"][0].get("type", "")
         reg_type = reg_type or "text"
         reg_lang = region.get("primaryLanguage") or page_lang
+        if "language" in reg_custom and reg_custom["language"][0]:
+            reg_lang = next(iter(reg_custom["language"][0].values()), reg_lang)
         out["regions"].append(
             {
                 "id": rid,

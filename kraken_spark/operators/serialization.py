@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .extraction import _extraction, _ordered
 
 _SER_DDL = "url string, fmt string, n_bytes int, document string"
+_SER_ALL_DDL = "url string, fmt string, n_bytes int, xsd_valid boolean, document string"
 
 
 def _serialize_map(fmt: str):
@@ -74,18 +75,30 @@ def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:
     to ALTO, PageXML, hOCR and ABBYY FineReader XML inside ONE Arrow batch
     (the reference's serialize() sink over every supported template,
     /root/reference/kraken/serialization.py:80-269), emitting a (url, fmt)
-    row per format. Byte-level golden/round-trip checks per format live in
-    tests/test_serialization.py."""
+    row per format. ALTO and PageXML rows carry xsd_valid: validated
+    against the official schemas the reference tests with
+    (tests/test_serialization.py:51-73, alto-4-3.xsd / pagecontent.xsd)
+    by the pure-stdlib subset validator in kernels/xsdcheck.py (null for
+    hOCR/ABBYY, which have no XSD). Byte-level golden/round-trip checks
+    per format live in tests/test_serialization.py."""
     fmts = ("alto", "pagexml", "hocr", "abbyyxml")
+    xsd_for = {
+        "alto": "/root/reference/tests/resources/alto-4-3.xsd",
+        "pagexml": "/root/reference/tests/resources/pagecontent.xsd",
+    }
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os
+
         from ..kernels.serialize import serialize
+        from ..kernels.xsdcheck import validate_xml
 
         schema = pa.schema(
             [
                 pa.field("url", pa.string()),
                 pa.field("fmt", pa.string()),
                 pa.field("n_bytes", pa.int32()),
+                pa.field("xsd_valid", pa.bool_()),
                 pa.field("document", pa.string()),
             ]
         )
@@ -94,18 +107,25 @@ def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:
             for r in batch.to_pylist():
                 for fmt in fmts:
                     doc = serialize(r, fmt)
+                    xsd = xsd_for.get(fmt)
+                    valid = (
+                        not validate_xml(doc, xsd)
+                        if xsd and os.path.exists(xsd)
+                        else None
+                    )
                     out.append(
                         {
                             "url": r["url"],
                             "fmt": fmt,
                             "n_bytes": len(doc.encode("utf-8")),
+                            "xsd_valid": valid,
                             "document": doc,
                         }
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
     ext = _extraction(spark, sf)
-    return _ordered(ext.mapInArrow(fn, schema=_SER_DDL), "url", "fmt")
+    return _ordered(ext.mapInArrow(fn, schema=_SER_ALL_DDL), "url", "fmt")
 
 
 def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
