@@ -419,64 +419,60 @@ def x_frame_sample(spark, sf):
     )
 
 
-def audio_features(docs: DataFrame, sr: int = 16000, frame: int = 512) -> DataFrame:
-    """Audio-modality plumbing over opaque binary blobs (task brief:
-    audio as binary + typed metadata; no audio codec ships in this
-    container, so the DECODE STEP IS A DETERMINISTIC FAKE — xxhash-seeded
-    synthetic PCM derived from the blob bytes — while everything Spark-side
-    is real: schema, mapInPandas batching, framing, and the numpy feature
-    chain). Features per clip: duration, RMS energy, zero-crossing rate,
-    and dominant-frequency bin from an FFT over the first frames — swap
-    `_fake_decode_pcm` for a real decoder (soundfile/ffmpeg) in production
-    without touching the plan.
+def audio_features(docs: DataFrame, frame: int = 512) -> DataFrame:
+    """Audio-modality features over real RIFF/WAV PCM blobs (task brief:
+    audio as binary + typed metadata). The decode is the pure-numpy WAV
+    reader in kernels/wav.py (8/16/24/32-bit int and float PCM, stereo
+    downmix); features per clip are duration, RMS energy, zero-crossing
+    rate, and the dominant-frequency bin from an FFT over fixed-size
+    frames. Malformed/non-WAV blobs yield a guard row (decode_ok=false)
+    instead of failing the task — at 100 TB a single bad container must
+    never kill a stage.
 
     Library function + pytest (not a driver query: the 50-entry catalog is
     full; the distributed path is exercised in tests/test_multimodal.py).
     """
 
     def fn(pdfs):
-        import hashlib
-
         import pandas as pd
 
-        def _fake_decode_pcm(blob: bytes, n: int = sr) -> np.ndarray:
-            # DETERMINISTIC FAKE decode: seed from content hash -> 1 s of
-            # synthetic PCM with a content-dependent dominant tone
-            seed = int.from_bytes(hashlib.md5(blob or b"\0").digest()[:8], "big")
-            rng = np.random.default_rng(seed)
-            t = np.arange(n, dtype=np.float64) / sr
-            f0 = 100.0 + (seed % 4000)
-            return (0.6 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(n)).astype(
-                np.float32
-            )
+        from ..kernels.wav import WavError, read_wav
 
+        cols = ["url", "decode_ok", "sample_rate", "duration_s", "n_frames",
+                "rms", "zcr", "dominant_hz"]
         for pdf in pdfs:
             rows = []
             for _, r in pdf.iterrows():
-                pcm = _fake_decode_pcm(bytes(r["html"] or b""))
+                try:
+                    sr, pcm = read_wav(bytes(r["html"] or b""))
+                except WavError:
+                    rows.append({"url": r["url"], "decode_ok": False,
+                                 "sample_rate": 0, "duration_s": 0.0,
+                                 "n_frames": 0, "rms": 0.0, "zcr": 0.0,
+                                 "dominant_hz": 0.0})
+                    continue
                 frames = pcm[: (len(pcm) // frame) * frame].reshape(-1, frame)
-                rms = float(np.sqrt(np.mean(pcm**2)))
-                zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
-                spec = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
-                rows.append(
-                    {
-                        "url": r["url"],
-                        "duration_s": round(len(pcm) / sr, 6),
-                        "n_frames": int(frames.shape[0]),
-                        "rms": round(rms, 6),
-                        "zcr": round(zcr, 6),
-                        "dominant_bin": int(np.argmax(spec[1:]) + 1),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "duration_s", "n_frames", "rms", "zcr", "dominant_bin"],
-            )
+                rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
+                zcr = (float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
+                       if len(pcm) > 1 else 0.0)
+                if frames.size:
+                    spec = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+                    dom_hz = float((np.argmax(spec[1:]) + 1) * sr / frame)
+                else:
+                    dom_hz = 0.0
+                rows.append({"url": r["url"], "decode_ok": True,
+                             "sample_rate": int(sr),
+                             "duration_s": round(len(pcm) / sr, 6) if sr else 0.0,
+                             "n_frames": int(frames.shape[0]),
+                             "rms": round(rms, 6), "zcr": round(zcr, 6),
+                             "dominant_hz": round(dom_hz, 3)})
+            yield pd.DataFrame(rows, columns=cols)
 
     return docs.select("url", "html").mapInPandas(
         fn,
-        schema="url string, duration_s double, n_frames int, rms double, "
-        "zcr double, dominant_bin int",
+        schema="url string, decode_ok boolean, sample_rate int, "
+        "duration_s double, n_frames int, rms double, zcr double, "
+        "dominant_hz double",
     )
 
 

@@ -95,23 +95,87 @@ def test_jaccard_df_cap_drops_hot_shingles(spark, tmp_path, monkeypatch):
     assert all(a >= 100 for a, b in got), f"hot-shingle pairs leaked: {got}"
 
 
-def test_audio_features_plumbing(spark):
-    """Audio modality: deterministic-fake decode, real mapInPandas chain —
-    stable per-content features, one row per clip."""
+def test_audio_features_real_wav(spark):
+    """Audio modality end-to-end on REAL RIFF/WAV PCM bytes: pure-tone
+    clips with closed-form RMS/ZCR, dominant-frequency recovery, and a
+    garbage blob that must yield a guard row, not a crash."""
+    import numpy as np
+
+    from kraken_spark.kernels.wav import sine_clip, write_wav
     from kraken_spark.operators.multimodal import audio_features
 
+    sr = 16000
+    # 1000 Hz divides the 512-sample frame size evenly (32 cycles/frame)
+    a = sine_clip(1000.0, 1.0, sr, amplitude=0.6)
+    b = sine_clip(2500.0, 1.0, sr, amplitude=0.6)
+    stereo = write_wav(
+        np.repeat(0.25 * np.sin(2 * np.pi * 500.0 * np.arange(sr) / sr), 2),
+        sr, channels=2)
     docs = spark.createDataFrame(
-        [("a", b"blob-one"), ("b", b"blob-two"), ("c", b"blob-one")],
+        [("a", a), ("b", b), ("c", a), ("s", stereo), ("junk", b"<html>no")],
         "url string, html binary",
     )
     rows = {r.url: r for r in audio_features(docs).collect()}
-    assert len(rows) == 3
-    # same bytes -> identical features (deterministic decode)
-    assert rows["a"].dominant_bin == rows["c"].dominant_bin
+    assert len(rows) == 5
+    assert not rows["junk"].decode_ok and rows["junk"].n_frames == 0
+    ok = [rows[k] for k in ("a", "b", "c", "s")]
+    assert all(r.decode_ok and r.sample_rate == sr and r.duration_s == 1.0
+               and r.n_frames == 31 for r in ok)
+    # closed-form: RMS of a full-period sine = A/sqrt(2); ZCR = 2*f0/sr
+    assert rows["a"].rms == pytest.approx(0.6 / np.sqrt(2), abs=1e-4)
+    assert rows["a"].zcr == pytest.approx(2 * 1000 / sr, abs=1e-3)
+    assert rows["s"].rms == pytest.approx(0.25 / np.sqrt(2), abs=1e-4)
+    # dominant frequency recovered from the FFT (bin width sr/512 = 31.25 Hz)
+    assert abs(rows["a"].dominant_hz - 1000.0) <= 31.25
+    assert abs(rows["b"].dominant_hz - 2500.0) <= 31.25
+    assert abs(rows["s"].dominant_hz - 500.0) <= 31.25
+    # determinism: identical bytes -> identical features
     assert rows["a"].rms == rows["c"].rms
-    # different bytes -> content-dependent dominant tone
-    assert rows["a"].dominant_bin != rows["b"].dominant_bin
-    assert all(r.duration_s == 1.0 and r.n_frames == 31 for r in rows.values())
+    assert rows["a"].dominant_hz == rows["c"].dominant_hz
+
+
+def test_wav_codec_roundtrip():
+    """WAV kernel: every supported encoding round-trips within its
+    quantization error; extra chunks and stereo downmix handled."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kraken_spark.kernels.wav import WavError, read_wav, write_wav
+
+    rng = np.random.default_rng(7)
+    x = np.clip(rng.standard_normal(777) * 0.3, -1, 1)
+    # int encodes are asymmetric by spec (scale 2^(b-1)-1 up, 2^(b-1)
+    # down) so the bound is ~(1+|x|)/2^(b-1), not 1/(2^(b-1)-1)
+    for bits, tol in ((8, 1 / 64), (16, 1 / 16384), (32, 1e-9), (-32, 1e-7)):
+        sr, y = read_wav(write_wav(x, 8000, bits=bits))
+        assert sr == 8000 and len(y) == len(x)
+        assert np.max(np.abs(y - x)) <= tol + 1e-12
+    # stereo: L/R average
+    inter = np.empty(200)
+    inter[0::2], inter[1::2] = 0.5, -0.1
+    _, mono = read_wav(write_wav(inter, 8000, bits=-32, channels=2))
+    assert np.allclose(mono, 0.2, atol=1e-7)
+    # a LIST chunk between fmt and data must be skipped
+    blob = bytearray(write_wav(x[:10], 8000))
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    blob = blob[:36] + extra + blob[36:]
+    blob[4:8] = struct.pack("<I", len(blob) - 8)
+    sr, y = read_wav(bytes(blob))
+    assert sr == 8000 and len(y) == 10
+    # 24-bit: hand-pack a known triple (-1 -> 0xFFFFFF sign-extended)
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    data24 = b"\xff\xff\xff" + b"\x00\x00\x40"  # -1/2^23, +2^22/2^23
+    wav24 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt24) + 8 + len(data24))
+             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt24)) + fmt24
+             + b"data" + struct.pack("<I", len(data24)) + data24)
+    _, y24 = read_wav(wav24)
+    assert y24[0] == _pytest.approx(-1 / 2 ** 23)
+    assert y24[1] == _pytest.approx(0.5)
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", b"OggS" + b"\0" * 40):
+        with _pytest.raises(WavError):
+            read_wav(bad)
 
 
 def test_simhash_plan_has_no_bit_explode(spark):
