@@ -137,10 +137,14 @@ def _lsh_tables(e):
         sig_parts = []
         for k in range(PLANES_PER_TABLE):
             j = ti * PLANES_PER_TABLE + k
+            # sign of an INTEGER dot over the x1000-quantized vector —
+            # exact and engine-independent, so the bucket assignment is
+            # oracle-checkable (no float sign boundary)
             dot = F.expr(
-                f"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-                      (v, d) -> CAST(v AS DOUBLE) * (CASE WHEN substr(md5(concat('{j}', ':', d)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)),
-                      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+                f"""aggregate(zip_with(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                      sequence(0, size(embedding) - 1),
+                      (v, d) -> v * (CASE WHEN substr(md5(concat('{j}', ':', d)), 1, 1) < '8' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                      CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
             )
             sig_parts.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**k))
         bucket = sig_parts[0]
@@ -156,26 +160,29 @@ def ann_lsh_cosine(spark, sf):
     """ANN via multi-table hyperplane-LSH bucket join, exact rerank over
     the union of candidates from all tables.
 
-    No oracle SQL (float sign boundaries aren't bit-stable across engines);
-    recall vs brute force is asserted in tests/test_similarity_recall.py.
+    Fully deterministic across engines: bucket signs AND the rerank cosine
+    both run on the x1000-quantized integer vectors, so the DuckDB twin
+    (ANN_SQL) reproduces it bit-for-bit; recall vs brute force is asserted
+    in tests/test_similarity_recall.py.
     """
-    e = _lsh_tables(t(spark, sf))
+    e = _lsh_tables(t(spark, sf)).select(
+        "vec_id", "tbl", "bucket", F.expr(_QUANT).alias("vq")
+    ).withColumn("n2", F.expr(_IDOT.format(a="vq", b="vq")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "tbl", F.col("bucket").alias("qb")
+        F.col("vec_id").alias("q_id"), F.col("vq").alias("q_emb"),
+        F.col("n2").alias("qn2"), "tbl", F.col("bucket").alias("qb")
     )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "tbl", F.col("bucket").alias("cb"))
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("vq").alias("c_emb"),
+        F.col("n2").alias("cn2"), "tbl", F.col("bucket").alias("cb")
+    )
     pairs = (
         q.join(c, (q.tbl == c.tbl) & (F.col("qb") == F.col("cb")) & (F.col("q_id") != F.col("c_id")))
-        .select("q_id", "q_emb", "c_id", "c_emb")
+        .select("q_id", "q_emb", "qn2", "c_id", "c_emb", "cn2")
         .dropDuplicates(["q_id", "c_id"])
     )
-    cos = F.expr(
-        _DOT.format(a="q_emb", b="c_emb")
-        + " / ("
-        + _NORM.format(a="q_emb")
-        + " * "
-        + _NORM.format(a="c_emb")
-        + ")"
+    cos = F.expr(_IDOT.format(a="q_emb", b="c_emb")) / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
     from pyspark.sql import Window
 
@@ -350,12 +357,89 @@ GROUP BY dup_id, label ORDER BY dup_id
 """
 
 
+def _ann_oracle_sql() -> str:
+    """DuckDB twin of ann_cosine. Everything rides on the x1000-quantized
+    integer vectors: LSH bucket bits are signs of integer plane dots (md5
+    per-component signs, identical string recipe in both engines), IVF
+    assignment is an integer-cosine argmax with (negcos, cid) tie-break,
+    and both reranks use the same exact-integer dot / sqrt(double) cosine
+    rounded to 6 places — bit-identical to the Spark plan."""
+
+    def plane_dot(j: int) -> str:
+        return ("list_sum(list_transform(generate_series(0, len(vq) - 1), "
+                f"d -> vq[d + 1] * CASE WHEN substr(md5(concat(CAST({j} AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 1) < '8' "
+                "THEN 1 ELSE -1 END))")
+
+    bucket_cols = ", ".join(
+        " + ".join(f"(CASE WHEN {plane_dot(ti * PLANES_PER_TABLE + k)} >= 0 THEN {2 ** k} ELSE 0 END)"
+                   for k in range(PLANES_PER_TABLE)) + f" AS b{ti}"
+        for ti in range(N_TABLES))
+    tb_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {ti} AS tbl, b{ti} AS bucket FROM sigs"
+        for ti in range(N_TABLES))
+    idot = ("list_sum(list_transform(generate_series(1, len({a}.vq)), "
+            "i -> {a}.vq[i] * {b}.vq[i]))")
+    cos = (f"CAST({idot} AS DOUBLE) / "
+           "(sqrt(CAST({a}.n2 AS DOUBLE)) * sqrt(CAST({b}.n2 AS DOUBLE)))")
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+  FROM embeddings),
+en AS (
+  SELECT vec_id, vq,
+         list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * vq[i])) AS n2
+  FROM e),
+sigs AS (SELECT vec_id, {bucket_cols} FROM e),
+tb AS ({tb_arms}),
+lsh_cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM tb q JOIN tb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id),
+lsh_scored AS (
+  SELECT q_id, c_id, ROUND({cos.format(a='eq', b='ec')}, 6) AS cos_r
+  FROM lsh_cand JOIN en eq ON eq.vec_id = q_id JOIN en ec ON ec.vec_id = c_id),
+lsh_top AS (
+  SELECT q_id, c_id, cos_r,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS rk
+  FROM lsh_scored),
+cents AS (SELECT vec_id AS cid, vq, n2 FROM en WHERE vec_id < {N_CENTROIDS}),
+cent_cos AS (
+  SELECT ev.vec_id, c.cid, -({cos.format(a='ev', b='c')}) AS negcos
+  FROM en ev CROSS JOIN cents c),
+cent_rank AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negcos, cid) AS crk
+  FROM cent_cos),
+assigned AS (SELECT vec_id, cid AS cent_id FROM cent_rank WHERE crk = 1),
+probes AS (
+  SELECT vec_id AS q_id, cid AS cent_id FROM cent_rank
+  WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),
+ivf_scored AS (
+  SELECT p.q_id, a.vec_id AS c_id, ROUND({cos.format(a='eq', b='ec')}, 6) AS cos_r
+  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+  JOIN en eq ON eq.vec_id = p.q_id JOIN en ec ON ec.vec_id = a.vec_id),
+ivf_top AS (
+  SELECT q_id, c_id, cos_r,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS rk
+  FROM ivf_scored)
+SELECT 'lsh' AS method, q_id, c_id, cos_r, rk FROM lsh_top WHERE rk <= {TOP_K}
+UNION ALL
+SELECT 'ivf' AS method, q_id, c_id, cos_r, rk FROM ivf_top WHERE rk <= {TOP_K}
+ORDER BY method, q_id, rk
+"""
+
+
+ANN_SQL = _ann_oracle_sql()
+
+
 def ann_cosine(spark, sf):
     """Both ANN scale paths in one tagged result (driver-window
     consolidation): method='lsh' rows from the multi-table hyperplane-LSH
-    bucket join, method='ivf' rows from the IVF coarse quantizer. No oracle
-    SQL (float sign boundaries aren't bit-stable across engines); recall vs
-    brute force for BOTH methods is asserted in
+    bucket join, method='ivf' rows from the IVF coarse quantizer. Oracle
+    SQL: ANN_SQL — exact, since buckets, assignment, and rerank all run on
+    integer-quantized vectors (no float sign boundary). Recall vs brute
+    force for BOTH methods is additionally asserted in
     tests/test_similarity_recall.py."""
     lsh = ann_lsh_cosine(spark, sf).select(F.lit("lsh").alias("method"), "*")
     ivf = ann_ivf_cosine(spark, sf).select(F.lit("ivf").alias("method"), "*")
@@ -365,6 +449,6 @@ def ann_cosine(spark, sf):
 QUERIES = {
     "knn_cosine_bruteforce": (knn_cosine_bruteforce, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
-    "ann_cosine": (ann_cosine, None),
+    "ann_cosine": (ann_cosine, ANN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
 }

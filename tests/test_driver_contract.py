@@ -29,7 +29,9 @@ def test_extraction_queries_are_rows_only():
 
     qs, os_ = E.queries(), E.oracle_sql()
     for name in qs:
-        if name.startswith("x_") or name.startswith("ann_"):
+        if name.startswith("x_"):
             assert name not in os_, f"{name} unexpectedly grew an oracle"
         else:
+            # incl. ann_cosine: integer-quantized buckets/assignment make
+            # even the ANN paths exactly SQL-expressible
             assert name in os_, f"{name} lacks an oracle_sql entry"
