@@ -385,3 +385,81 @@ def _rotate_nearest(patch: np.ndarray, angle: float, cval: int = 0) -> np.ndarra
     out = np.full(out_shape, cval, dtype=patch.dtype)
     out[valid] = patch[sy[valid], sx[valid]]
     return out
+
+
+def resolve_tag(tags: dict | None, default: str = "default") -> str:
+    """Line-type tag resolution (reference rpred.py:47-54, _get_type):
+    tags carry {'type': [{'type': <tag>}, ...]}; absent/None pieces fall
+    back to 'default'."""
+    if tags is None:
+        return default
+    head = tags.get("type", [{"type": default}])[0]
+    return head.get("type") or default
+
+
+class MultiModelDispatcher:
+    """mm_rpred parity (reference rpred.py:57-341): per-line tag-keyed
+    model routing over a segmentation, with tags_ignore (matching lines
+    yield empty records without touching a model), defaultdict fallback
+    (unknown tags resolve to the factory model), and the reference's two
+    failure modes — a plain mapping missing a model for a present tag, and
+    untagged input with no default mapping — both raising ValueError.
+
+    ``nets`` maps tag -> LoadedRecognizer; pass a collections.defaultdict
+    for fallback semantics, exactly like the reference API. ``seg`` is a
+    dict: {'type': 'bbox'|'baselines', 'script_detection': bool,
+    'lines': [...]}, each line {'id', 'tags', and 'bbox' or
+    'baseline'+'boundary'}.
+    """
+
+    def __init__(self, nets, im, seg, pad: int = 16, bidi_reordering=True,
+                 tags_ignore=None):
+        from collections import defaultdict
+
+        self.nets = nets
+        self.im = im
+        self.seg = seg
+        self.pad = pad
+        self.bidi_reordering = bidi_reordering
+        self.tags_ignore = list(tags_ignore or [])
+        self.have_tags = bool(seg.get("script_detection"))
+        self._is_dd = isinstance(nets, defaultdict)
+
+        active = set()
+        if self.have_tags:
+            tags = {resolve_tag(ln.get("tags")) for ln in seg["lines"]}
+            missing = {t for t in tags
+                       if not self._is_dd and not nets.get(t)
+                       and t not in self.tags_ignore}
+            if missing:
+                raise ValueError(f"missing models for tags {missing}")
+            active = tags - set(self.tags_ignore)
+        if not self._is_dd and not active:
+            raise ValueError(
+                "no tags in input data and no default model in mapping")
+
+    def _model_for(self, tags):
+        tag = resolve_tag(tags) if tags is not None else None
+        if tag in self.nets:
+            return tag, self.nets[tag]
+        if self._is_dd:
+            return tag or "default", self.nets.default_factory()
+        raise ValueError(f"no model for type {tag}")
+
+    def __iter__(self):
+        for ln in self.seg["lines"]:
+            if self.have_tags and self.tags_ignore and \
+                    resolve_tag(ln.get("tags")) in self.tags_ignore:
+                yield {"id": ln.get("id"), "tag": resolve_tag(ln.get("tags")),
+                       "model": None, "prediction": "", "cuts": [],
+                       "confidences": []}
+                continue
+            tag, net = self._model_for(ln.get("tags"))
+            if self.seg["type"] == "bbox":
+                r = net.recognize_bbox(self.im, ln["bbox"], pad=self.pad,
+                                       bidi_reordering=self.bidi_reordering)
+            else:
+                r = net.recognize_baseline(
+                    self.im, ln["baseline"], ln["boundary"], pad=self.pad,
+                    bidi_reordering=self.bidi_reordering)
+            yield dict(r, id=ln.get("id"), tag=tag, model=net)

@@ -132,15 +132,95 @@ def x_multimodel_dispatch(spark, sf):
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
+    schema_str = ("url string, tag string, model_used string, n_lines int, "
+                  "n_recognized int, text_exact boolean")
+    corpus_rows = _docs(spark, sf).mapInArrow(fn, schema=schema_str)
     return _ordered(
-        _docs(spark, sf).mapInArrow(
-            fn,
-            schema="url string, tag string, model_used string, n_lines int, "
-            "n_recognized int, text_exact boolean",
-        ),
+        corpus_rows.unionByName(_trained_dispatch_rows(spark, schema_str)),
         "url",
         "tag",
     )
+
+
+def _trained_dispatch_rows(spark, schema_str: str):
+    """Trained-weights dispatch goldens as driver rows: routes the
+    reference's REAL overfit.mlmodel through the mm_rpred-parity registry
+    (kernels/rpred_parity.MultiModelDispatcher) and reproduces the
+    reference's own tag-dispatch prediction strings
+    (/root/reference/tests/test_rpred.py:368-468) — ignore-tag skip,
+    defaultdict fallback, and the no-bidi raw-order goldens. One row per
+    scenario; text_exact=true means byte-identical predictions."""
+    import pyarrow as pa
+
+    scenarios = ["bbox_ignore", "bl_ignore", "bbox_default", "bl_default",
+                 "bl_nobidi", "bbox_nobidi"]
+    cases = spark.createDataFrame([(s,) for s in scenarios], "case string").coalesce(1)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from collections import defaultdict
+
+        from ..kernels import png as _png
+        from ..kernels.modelio import load_kraken_model
+        from ..kernels.rpred_parity import LoadedRecognizer, MultiModelDispatcher
+
+        res = "/root/reference/tests/resources"
+        rec = LoadedRecognizer(load_kraken_model(f"{res}/overfit.mlmodel")[0])
+        img = _png.decode_png(open(f"{res}/000236.png", "rb").read())
+        g_bbox = "ܡ ܘܡ ܗ ܡܕܐ ܐ ܐܐ ܡ ܗܗܐܐܐܕ"
+        g_bl = ".ܗ ܣܗܐ  ܕ ܣ   ܗ ܕܗܗ ܟܕܗܣ    ܠ  ܐ .ܣܕܐܣ. ܗ "
+        g_bl_nobidi = "ܕܗ .ܣܐܗܗ.ܐ ܗܣ ܕ   ܗܣ ܗ.ܗܝܣܗ ܣ ܗܢ ܪܗܗܕ ܐ   ܗܠ"
+        g_bbox_nobidi = "ܕܗܣܐܕ ܪܝ .ܡܡ ܐܠܠ ܗܠ ܐܘܗ ܟܘܗܢ ܡܡ ܐܠ"
+
+        def seg(kind, tagged):
+            line = ({"bbox": [0, 0, 2544, 156]} if kind == "bbox" else
+                    {"baseline": [[0, 10], [2543, 10]],
+                     "boundary": [[0, 0], [2543, 0], [2543, 155], [0, 155]]})
+            if tagged:
+                lines = [dict(line, id="foo", tags={"type": [{"type": "foobar"}]}),
+                         dict(line, id="bar", tags={"type": [{"type": "default"}]})]
+            else:
+                lines = [dict(line, id="foo", tags=None)]
+            return {"type": kind, "script_detection": tagged, "lines": lines}
+
+        def run(case):
+            kind = "bbox" if case.startswith("bbox") else "baselines"
+            g = g_bbox if kind == "bbox" else g_bl
+            if case.endswith("_ignore"):
+                recs = list(MultiModelDispatcher(
+                    {"default": rec}, img, seg(kind, True), pad=1,
+                    tags_ignore=["foobar"]))
+                return recs, ["", g]
+            if case.endswith("_default"):
+                recs = list(MultiModelDispatcher(
+                    defaultdict(lambda: rec), img, seg(kind, True), pad=1))
+                return recs, [g, g]
+            recs = list(MultiModelDispatcher(
+                defaultdict(lambda: rec), img, seg(kind, False),
+                bidi_reordering=False))
+            return recs, [g_bl_nobidi if kind == "baselines" else g_bbox_nobidi]
+
+        schema = pa.schema([
+            pa.field("url", pa.string()), pa.field("tag", pa.string()),
+            pa.field("model_used", pa.string()), pa.field("n_lines", pa.int32()),
+            pa.field("n_recognized", pa.int32()),
+            pa.field("text_exact", pa.bool_()),
+        ])
+        for b in batches:
+            out = []
+            for r in b.to_pylist():
+                recs, want = run(r["case"])
+                preds = [x["prediction"] for x in recs]
+                out.append({
+                    "url": f"trained://overfit/{r['case']}",
+                    "tag": r["case"],
+                    "model_used": "overfit.mlmodel",
+                    "n_lines": len(recs),
+                    "n_recognized": sum(1 for p in preds if p),
+                    "text_exact": preds == want,
+                })
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return cases.mapInArrow(fn, schema=schema_str)
 
 
 def x_merge_segmentations(spark, sf):

@@ -263,3 +263,92 @@ def test_model_small_forward_shape():
     probs = net.forward(np.random.default_rng(0).random((4, 200), dtype=np.float32))
     assert probs.shape[1] == 4
     assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+
+# -- mm_rpred tag dispatch with trained weights (test_rpred.py:368-468) ------
+
+GOLDEN_BL_NOBIDI = "ܕܗ .ܣܐܗܗ.ܐ ܗܣ ܕ   ܗܣ ܗ.ܗܝܣܗ ܣ ܗܢ ܪܗܗܕ ܐ   ܗܠ"
+GOLDEN_BBOX_NOBIDI = "ܕܗܣܐܕ ܪܝ .ܡܡ ܐܠܠ ܗܠ ܐܘܗ ܟܘܗܢ ܡܡ ܐܠ"
+
+
+def _tagged_seg(kind: str) -> dict:
+    line = (
+        {"bbox": [0, 0, 2544, 156]}
+        if kind == "bbox"
+        else {"baseline": [[0, 10], [2543, 10]],
+              "boundary": [[0, 0], [2543, 0], [2543, 155], [0, 155]]}
+    )
+    return {
+        "type": kind,
+        "script_detection": True,
+        "lines": [
+            dict(line, id="foo", tags={"type": [{"type": "foobar"}]}),
+            dict(line, id="bar", tags={"type": [{"type": "default"}]}),
+        ],
+    }
+
+
+def _simple_seg(kind: str) -> dict:
+    line = (
+        {"bbox": [0, 0, 2544, 156]}
+        if kind == "bbox"
+        else {"baseline": [[0, 10], [2543, 10]],
+              "boundary": [[0, 0], [2543, 0], [2543, 155], [0, 155]]}
+    )
+    return {"type": kind, "script_detection": False,
+            "lines": [dict(line, id="foo", tags=None)]}
+
+
+def test_mm_rpred_missing_tags_raises(overfit, line_img):
+    """reference test_mm_rpred_{bbox,bl}_missing_tags: a plain mapping
+    keyed by something other than the present tags fails fast."""
+    from kraken_spark.kernels.rpred_parity import MultiModelDispatcher
+
+    for kind in ("bbox", "baselines"):
+        with pytest.raises(ValueError):
+            MultiModelDispatcher({("type", "default"): overfit}, line_img,
+                                 _simple_seg(kind), pad=1)
+
+
+def test_mm_rpred_ignore_tags_golden(overfit, line_img):
+    """reference test_mm_rpred_{bbox,bl}_ignore_tags: the foobar line is
+    skipped with an empty record, the default line hits the trained model
+    and reproduces the golden byte-for-byte."""
+    from kraken_spark.kernels.rpred_parity import MultiModelDispatcher
+
+    for kind, golden in (("bbox", GOLDEN_BBOX), ("baselines", GOLDEN_BL)):
+        recs = list(MultiModelDispatcher(
+            {"default": overfit}, line_img, _tagged_seg(kind), pad=1,
+            tags_ignore=["foobar"]))
+        assert [r["prediction"] for r in recs] == ["", golden]
+        assert recs[0]["model"] is None and recs[1]["model"] is not None
+
+
+def test_mm_rpred_default_tags_golden(overfit, line_img):
+    """reference test_mm_rpred_{bbox,bl}_default_tags: a defaultdict
+    registry routes BOTH lines (incl. the unknown foobar tag) to the
+    trained fallback model."""
+    from collections import defaultdict
+
+    from kraken_spark.kernels.rpred_parity import MultiModelDispatcher
+
+    for kind, golden in (("bbox", GOLDEN_BBOX), ("baselines", GOLDEN_BL)):
+        recs = list(MultiModelDispatcher(
+            defaultdict(lambda: overfit), line_img, _tagged_seg(kind), pad=1))
+        assert [r["prediction"] for r in recs] == [golden, golden]
+
+
+def test_mm_rpred_nobidi_golden(overfit, line_img):
+    """reference test_mm_rpred_{bl,bbox}_nobidi: bidi_reordering=False
+    emits the raw display-order string (default pad=16 — these goldens use
+    the API default, unlike the pad=True->1 quirk of the others)."""
+    from collections import defaultdict
+
+    from kraken_spark.kernels.rpred_parity import MultiModelDispatcher
+
+    for kind, golden in (("baselines", GOLDEN_BL_NOBIDI),
+                         ("bbox", GOLDEN_BBOX_NOBIDI)):
+        recs = list(MultiModelDispatcher(
+            defaultdict(lambda: overfit), line_img, _simple_seg(kind),
+            bidi_reordering=False))
+        assert [r["prediction"] for r in recs] == [golden]

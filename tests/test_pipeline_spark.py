@@ -220,6 +220,13 @@ def test_multimodel_dispatch_by_line_tags(spark):
         assert by_tag["marginalia"].model_used == "ignored"
         assert by_tag["marginalia"].text_exact is None
     assert all(r.text_exact for r in rows if r.tag in ("heading", "default"))
+    # trained-weights dispatch goldens ride along as their own rows
+    trained = [r for r in rows if r.url.startswith("trained://overfit/")]
+    assert {r.tag for r in trained} == {
+        "bbox_ignore", "bl_ignore", "bbox_default", "bl_default",
+        "bl_nobidi", "bbox_nobidi"}
+    assert all(r.text_exact and r.model_used == "overfit.mlmodel"
+               for r in trained)
 
 
 def test_serializers_produce_valid_xml(ext_rows):
