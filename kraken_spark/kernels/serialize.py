@@ -43,7 +43,91 @@ def _line_fields(line: dict) -> dict:
         "region_ids": list(_row_get(line, "region_ids", [])),
         "tags": _row_get(line, "tags", "") or "",
         "language": list(_row_get(line, "language", []) or []),
+        # present only on record-derived lines (line_dict_from_record):
+        # precomputed sub-line segments with polygon geometry
+        "segments": _row_get(line, "segments", None),
     }
+
+
+def _max_bbox(polys) -> list[int]:
+    """Minimal box over an iterable of point polygons
+    (reference serialization.py:60-78, max_bbox)."""
+    xs = [p[0] for poly in polys for p in poly]
+    ys = [p[1] for poly in polys for p in poly]
+    return [int(min(xs)), int(min(ys)), int(max(xs)), int(max(ys))]
+
+
+def segments_for_record(rec, seg_idx0: int = 0, char_idx0: int = 0):
+    """Whitespace-split sub-line segments with full polygon geometry from a
+    per-code-point OCR record (reference serialization.py:203-236): each
+    segment (words AND whitespace runs) carries the union bbox of its
+    member character cuts, the per-character glyph boxes/polygons with
+    confidences, and — for baseline records — the aggregated
+    polygon-section boundary from record slicing."""
+    import re as _re
+
+    segs = []
+    cuts = list(rec.cuts)
+    seg_idx, char_idx, off = seg_idx0, char_idx0, 0
+    for piece in _re.split(r"(\s+)", rec.prediction):
+        if not piece:
+            continue
+        lo, hi = off, off + len(piece)
+        seg_cuts = cuts[lo:hi]
+        seg = {
+            "text": piece,
+            "is_space": piece.isspace(),
+            "index": seg_idx,
+            "bbox": _max_bbox(seg_cuts),
+            "confidences": list(rec.confidences[lo:hi]),
+            "glyphs": [
+                {"text": ch, "bbox": _max_bbox([cut]),
+                 "boundary": [list(p) for p in cut],
+                 "confidence": conf, "index": cid}
+                for ch, cut, conf, cid in zip(
+                    piece, seg_cuts, rec.confidences[lo:hi],
+                    range(char_idx, char_idx + len(piece)))
+            ],
+        }
+        if rec.kind == "baselines":
+            seg["boundary"] = [list(p) for p in rec[lo:hi][1]]
+        segs.append(seg)
+        seg_idx += 1
+        char_idx += len(piece)
+        off = hi
+    return segs, seg_idx, char_idx
+
+
+def line_dict_from_record(rec, seg_idx0: int = 0, char_idx0: int = 0):
+    """Serializer line dict from a records.BaselineOCRRecord /
+    BBoxOCRRecord, with the reference's sub-line segmentation precomputed
+    under the ``segments`` key (reference serialization.py:176-236). Also
+    returns the advanced (seg_idx, char_idx) counters so IDs stay unique
+    page-wide."""
+    if rec.kind == "baselines":
+        boundary = [list(p) for p in rec.boundary]
+        bbox = _max_bbox([boundary])
+        baseline = [list(p) for p in rec.baseline]
+    else:
+        x0, y0, x1, y1 = rec.bbox
+        bbox = [int(x0), int(y0), int(x1), int(y1)]
+        boundary = [[bbox[0], bbox[1]], [bbox[2], bbox[1]],
+                    [bbox[2], bbox[3]], [bbox[0], bbox[3]]]
+        baseline = []
+    segments, seg_idx, char_idx = segments_for_record(rec, seg_idx0, char_idx0)
+    return {
+        "id": getattr(rec, "id", "") or "",
+        "bbox": bbox,
+        "baseline": baseline,
+        "boundary": boundary,
+        "prediction": rec.prediction,
+        "cuts": [[list(p) for p in c] for c in rec.cuts],
+        "confidences": list(rec.confidences),
+        "region_ids": list(getattr(rec, "regions", []) or []),
+        "tags": "",
+        "language": [],
+        "segments": segments,
+    }, seg_idx, char_idx
 
 
 def _type_of_tags(tags_json: str, default: str = "default") -> str:
@@ -211,6 +295,52 @@ def to_alto(row, created: str = PINNED_CREATED) -> str:
                 f'\t\t\t\t\t<TextLine ID={quoteattr(l["id"])} HPOS="{x}" VPOS="{y}" '
                 f'WIDTH="{lw}" HEIGHT="{lh}" BASELINE={quoteattr(bl)}{line_attrs}>\n'
             )
+            if l.get("segments") is not None:
+                # record-derived path: reference-template semantics
+                # (templates/alto render_line) — line Shape, SP elements
+                # for interior whitespace runs with their own cut-derived
+                # geometry, String WC + Shape polygon section, Glyph GC +
+                # per-char Shape
+                if l["boundary"]:
+                    parts.append(
+                        "\t\t\t\t\t\t<Shape>\n"
+                        f'\t\t\t\t\t\t\t<Polygon POINTS={quoteattr(_points(l["boundary"]))}/>\n'
+                        "\t\t\t\t\t\t</Shape>\n"
+                    )
+                for si, seg in enumerate(l["segments"]):
+                    sx, sy, sw, sh = _wh(seg["bbox"])
+                    if seg["is_space"] and si > 0:
+                        parts.append(
+                            f'\t\t\t\t\t\t<SP ID="segment_{seg["index"]}" HPOS="{sx}" '
+                            f'VPOS="{sy}" WIDTH="{sw}" HEIGHT="{sh}"/>\n'
+                        )
+                        continue
+                    wc = round(sum(seg["confidences"]) / len(seg["confidences"]), 4)
+                    parts.append(
+                        f'\t\t\t\t\t\t<String ID="segment_{seg["index"]}" '
+                        f'CONTENT={quoteattr(seg["text"])} HPOS="{sx}" VPOS="{sy}" '
+                        f'WIDTH="{sw}" HEIGHT="{sh}" WC="{wc}">\n'
+                    )
+                    if seg.get("boundary"):
+                        parts.append(
+                            "\t\t\t\t\t\t\t<Shape>\n"
+                            f'\t\t\t\t\t\t\t\t<Polygon POINTS={quoteattr(_points(seg["boundary"]))}/>\n'
+                            "\t\t\t\t\t\t\t</Shape>\n"
+                        )
+                    for g in seg["glyphs"]:
+                        gx, gy, gw, gh = _wh(g["bbox"])
+                        parts.append(
+                            f'\t\t\t\t\t\t\t<Glyph ID="char_{g["index"]}" '
+                            f'CONTENT={quoteattr(g["text"])} HPOS="{gx}" VPOS="{gy}" '
+                            f'WIDTH="{gw}" HEIGHT="{gh}" GC="{round(g["confidence"], 4)}">\n'
+                            "\t\t\t\t\t\t\t\t<Shape>\n"
+                            f'\t\t\t\t\t\t\t\t\t<Polygon POINTS={quoteattr(_points(g["boundary"]))}/>\n'
+                            "\t\t\t\t\t\t\t\t</Shape>\n"
+                            "\t\t\t\t\t\t\t</Glyph>\n"
+                        )
+                    parts.append("\t\t\t\t\t\t</String>\n")
+                parts.append("\t\t\t\t\t</TextLine>\n")
+                continue
             ws = words_of(l)
             have_glyphs = len(l["cuts"]) >= len(l["prediction"]) and len(
                 l["confidences"]
@@ -356,6 +486,34 @@ def to_hocr(row, created: str = PINNED_CREATED) -> str:
             bl = "; baseline " + " ".join(
                 f"{int(px)},{int(py)}" for px, py in l["baseline"]
             ) if l["baseline"] else ""
+            if l.get("segments") is not None:
+                # record-derived path (reference templates/hocr render_line):
+                # x_bboxes = flattened per-char cut polygons on the line,
+                # x_confs = per-char confidences on each segment span,
+                # poly = polygon-section boundary
+                xbb = " ".join(f"{int(p[0])} {int(p[1])}"
+                               for cut in l["cuts"] for p in cut)
+                lpoly = " ".join(f"{int(p[0])} {int(p[1])}" for p in l["boundary"])
+                title = f"bbox {x0} {y0} {x1} {y1}; x_bboxes {xbb}; poly {lpoly}"
+                parts.append(
+                    f"\t\t\t<span class=\"ocr_line\" id={quoteattr(l['id'])} "
+                    f"title={quoteattr(title)}>"
+                )
+                sp = []
+                for seg in l["segments"]:
+                    sx0, sy0, sx1, sy1 = seg["bbox"]
+                    st = (f"bbox {sx0} {sy0} {sx1} {sy1}; x_confs "
+                          + " ".join(str(c) for c in seg["confidences"]))
+                    if seg.get("boundary"):
+                        st += "; poly " + " ".join(
+                            f"{int(p[0])} {int(p[1])}" for p in seg["boundary"])
+                    sp.append(
+                        f"<span class=\"ocrx_word\" id=\"segment_{seg['index']}\" "
+                        f"title={quoteattr(st)}>{escape(seg['text'])}</span>"
+                    )
+                parts.append("".join(sp))
+                parts.append("</span>\n")
+                continue
             parts.append(
                 f"\t\t\t<span class=\"ocr_line\" id={quoteattr(l['id'])} "
                 f"title={quoteattr(f'bbox {x0} {y0} {x1} {y1}{bl}')}>"
