@@ -149,3 +149,132 @@ def to_grayscale(img: np.ndarray) -> np.ndarray:
     return (
         img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
     ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the engine's video-shaped clip container
+# ---------------------------------------------------------------------------
+
+def _compress_frame(img: np.ndarray) -> bytes:
+    """Scanline-filter + deflate one frame (same None/Up layout as
+    encode_png)."""
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    raw = img.reshape(h, w * channels)
+    scanlines = np.empty((h, 1 + w * channels), dtype=np.uint8)
+    scanlines[0, 0] = 0
+    scanlines[0, 1:] = raw[0]
+    if h > 1:
+        scanlines[1:, 0] = 2
+        scanlines[1:, 1:] = raw[1:] - raw[:-1]
+    return zlib.compress(scanlines.tobytes(), 6)
+
+
+def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Encode frames as an animated PNG (APNG spec: acTL/fcTL/fdAT chunks).
+
+    All frames must share dtype uint8 and color type (all gray or all RGB).
+    The canvas is the max frame extent; per spec the first frame fills the
+    canvas (smaller first frames are zero-padded), later frames are placed
+    as (0,0) sub-rectangles with dispose_op=1 (clear to background) so each
+    composited frame shows exactly its own content.
+    """
+    if not frames:
+        raise ValueError("empty clip")
+    if any(f.dtype != np.uint8 or f.ndim != frames[0].ndim for f in frames):
+        raise ValueError("frames must be uint8 with a common color type")
+    channels = 1 if frames[0].ndim == 2 else frames[0].shape[2]
+    color_type = 0 if channels == 1 else 2
+    ch = max(f.shape[0] for f in frames)
+    cw = max(f.shape[1] for f in frames)
+    first = frames[0]
+    if first.shape[:2] != (ch, cw):
+        pad = np.zeros((ch, cw) + first.shape[2:], dtype=np.uint8)
+        pad[: first.shape[0], : first.shape[1]] = first
+        first = pad
+
+    def fctl(seq, w, h):
+        return struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, delay_ms, 1000, 1, 0)
+
+    seq = 0
+    parts = [_SIGNATURE,
+             _chunk(b"IHDR", struct.pack(">IIBBBBB", cw, ch, 8, color_type, 0, 0, 0)),
+             _chunk(b"acTL", struct.pack(">II", len(frames), 0)),
+             _chunk(b"fcTL", fctl(seq, cw, ch))]
+    seq += 1
+    parts.append(_chunk(b"IDAT", _compress_frame(first)))
+    for f in frames[1:]:
+        parts.append(_chunk(b"fcTL", fctl(seq, f.shape[1], f.shape[0])))
+        seq += 1
+        parts.append(_chunk(b"fdAT", struct.pack(">I", seq) + _compress_frame(f)))
+        seq += 1
+    parts.append(_chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def is_apng(data: bytes) -> bool:
+    """True when the blob is a PNG carrying an acTL animation control."""
+    return data[:8] == _SIGNATURE and b"acTL" in data[:256]
+
+
+def decode_apng(data: bytes) -> tuple[list[np.ndarray], list[float]]:
+    """Decode an animated PNG into composited full-canvas frames.
+
+    Implements the APNG compose model for the codec's color types (0/2, no
+    alpha): fcTL sub-rectangle placement, dispose_op 0 (none) / 1 (clear
+    region to background) / 2 (revert to previous), blend_op source (over
+    degenerates to source without an alpha channel). Returns (frames,
+    per-frame delays in seconds).
+    """
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    cw = ch = color_type = None
+    controls = []          # (fctl fields, payload bytearray)
+    pending = None
+    seen_idat_without_fctl = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos: pos + 4])
+        tag = data[pos + 4: pos + 8]
+        payload = data[pos + 8: pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            cw, ch, depth, color_type, _c, _f, inter = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or color_type not in (0, 2) or inter != 0:
+                raise ValueError("unsupported APNG pixel format")
+        elif tag == b"fcTL":
+            f = struct.unpack(">IIIIIHHBB", payload)
+            pending = (f, bytearray())
+            controls.append(pending)
+        elif tag == b"IDAT":
+            if pending is None:
+                seen_idat_without_fctl = True  # static default image
+            else:
+                pending[1].extend(payload)
+        elif tag == b"fdAT":
+            if pending is None:
+                raise ValueError("fdAT before any fcTL")
+            pending[1].extend(payload[4:])  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if cw is None or not controls:
+        raise ValueError("not an animated PNG")
+    channels = 1 if color_type == 0 else 3
+    canvas = np.zeros((ch, cw, channels), dtype=np.uint8)
+    frames, delays = [], []
+    for (seqno, w, h, x, y, dnum, dden, dispose, _blend), blob in controls:
+        if x + w > cw or y + h > ch:
+            raise ValueError("frame region outside canvas")
+        raw = np.frombuffer(zlib.decompress(bytes(blob)), dtype=np.uint8)
+        rows = raw.reshape(h, 1 + w * channels)
+        region = _unfilter(rows, h, w * channels, channels).reshape(h, w, channels)
+        saved = canvas[y: y + h, x: x + w].copy() if dispose == 2 else None
+        canvas[y: y + h, x: x + w] = region  # blend: source (no alpha)
+        frame = canvas.copy()
+        frames.append(frame[:, :, 0] if channels == 1 else frame)
+        delays.append((dnum / (dden or 100.0)))
+        if dispose == 1:
+            canvas[y: y + h, x: x + w] = 0
+        elif dispose == 2:
+            canvas[y: y + h, x: x + w] = saved
+    return frames, delays

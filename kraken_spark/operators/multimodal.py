@@ -320,20 +320,22 @@ def x_page_knn(spark, sf):
 
 
 def x_frame_sample(spark, sf):
-    """Video-style frame sampling over opaque binary media blobs (task
+    """Video-style frame sampling over real animated-media blobs (task
     brief: multimodal columns as binary + typed metadata, decode /
     frame-sample as Arrow-batched UDFs): consecutive corpus pages are
-    packed into 4-frame MPGZ 'clips' (sources/pdf.pack_multipage — the
-    container plumbing is real; a production deployment swaps the frame
-    decoder for an actual video codec), frames are EXPLODED to rows,
-    every 2nd frame is sampled (the standard stride sampler), and each
-    sampled frame gets the tile embedding + dHash features. Emits per-clip
-    frame counts and per-sampled-frame feature stats."""
+    transcoded into 4-frame animated-PNG clips (APNG acTL/fcTL/fdAT,
+    kernels/png.encode_apng — a real multi-frame container standard), the
+    clip is decoded with full compose semantics (sub-rect placement +
+    dispose ops, png.decode_apng), every 2nd composited frame is sampled
+    (the standard stride sampler), and each sampled frame gets the tile
+    embedding + dHash features. Emits per-clip frame counts and
+    per-sampled-frame feature stats. A production deployment swaps the
+    APNG codec for a hardware video codec without touching the plan."""
     from typing import Iterator as _It
 
-    from ..sources.pdf import pack_multipage
-
     def pack(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        from ..kernels import png
+
         schema = pa.schema(
             [
                 pa.field("clip_url", pa.string()),
@@ -344,12 +346,15 @@ def x_frame_sample(spark, sf):
         for batch in batches:
             out = []
             for r in batch.to_pylist():
-                frames = [f["html"] for f in r["frames"]]
+                # transcode the member pages into ONE animated-PNG clip
+                # (real APNG container: acTL/fcTL/fdAT, kernels/png.py)
+                imgs = [png.to_grayscale(png.decode_png(f["html"]))
+                        for f in r["frames"]]
                 out.append(
                     {
                         "clip_url": r["first_url"] + "/clip",
-                        "n_frames": len(frames),
-                        "media": pack_multipage(frames),
+                        "n_frames": len(imgs),
+                        "media": png.encode_apng(imgs),
                     }
                 )
             if out:
@@ -357,7 +362,6 @@ def x_frame_sample(spark, sf):
 
     def sample(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
         from ..kernels import png
-        from ..sources.pdf import unpack_pages
 
         schema = pa.schema(
             [
@@ -373,9 +377,9 @@ def x_frame_sample(spark, sf):
         for batch in batches:
             out = []
             for r in batch.to_pylist():
-                frames = unpack_pages(r["media"])
+                frames, _delays = png.decode_apng(r["media"])
                 for i in range(0, len(frames), 2):  # stride-2 frame sampler
-                    img = png.to_grayscale(png.decode_png(frames[i]))
+                    img = png.to_grayscale(frames[i])
                     emb = page_embedding(img)
                     out.append(
                         {

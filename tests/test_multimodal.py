@@ -185,3 +185,63 @@ def test_simhash_plan_has_no_bit_explode(spark):
 
     plan = dedup_simhash(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") <= 1
+
+
+def test_apng_codec_roundtrip_and_compose():
+    """APNG kernel: frame round-trip, sub-rect composition with dispose
+    ops (none/background/previous), and truncation/garbage rejection."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kraken_spark.kernels.png import (_chunk, _compress_frame, _SIGNATURE,
+                                          decode_apng, encode_apng, is_apng)
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 255, (24, 17), dtype=np.uint8) for _ in range(6)]
+    blob = encode_apng(frames, delay_ms=40)
+    assert is_apng(blob)
+    out, delays = decode_apng(blob)
+    assert len(out) == 6
+    assert all(np.array_equal(a, b) for a, b in zip(out, frames))
+    assert delays == [0.04] * 6
+    # RGB frames
+    rgb = [rng.integers(0, 255, (8, 9, 3), dtype=np.uint8) for _ in range(2)]
+    out_rgb, _ = decode_apng(encode_apng(rgb))
+    assert all(np.array_equal(a, b) for a, b in zip(out_rgb, rgb))
+    # plain PNG is not an animation
+    from kraken_spark.kernels.png import encode_png
+    assert not is_apng(encode_png(frames[0]))
+    with _pytest.raises(ValueError):
+        decode_apng(encode_png(frames[0]))
+
+    # hand-build: full first frame w/ dispose 2 (previous), then a sub-rect
+    # frame at (2,3) with dispose 0 -> third frame must see frame1 restored
+    # under a fresh sub-rect
+    def fctl(seq, w, h, x, y, dispose):
+        return _chunk(b"fcTL",
+                      struct.pack(">IIIIIHHBB", seq, w, h, x, y, 1, 10, dispose, 0))
+
+    f0 = np.full((10, 10), 100, np.uint8)
+    sub = np.full((4, 4), 7, np.uint8)
+    sub2 = np.full((4, 4), 250, np.uint8)
+    raw = (_SIGNATURE
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 10, 8, 0, 0, 0, 0))
+           + _chunk(b"acTL", struct.pack(">II", 3, 0))
+           + fctl(0, 10, 10, 0, 0, 0)
+           + _chunk(b"IDAT", _compress_frame(f0))
+           + fctl(1, 4, 4, 3, 2, 2)
+           + _chunk(b"fdAT", struct.pack(">I", 2) + _compress_frame(sub))
+           + fctl(3, 4, 4, 5, 6, 0)
+           + _chunk(b"fdAT", struct.pack(">I", 4) + _compress_frame(sub2))
+           + _chunk(b"IEND", b""))
+    got, _ = decode_apng(raw)
+    assert np.array_equal(got[0], f0)
+    # frame 1: sub composited over f0
+    exp1 = f0.copy(); exp1[2:6, 3:7] = 7
+    assert np.array_equal(got[1], exp1)
+    # frame 2: dispose=2 reverted sub region to f0, then sub2 at (5,6)
+    exp2 = f0.copy(); exp2[6:10, 5:9] = 250
+    assert np.array_equal(got[2], exp2)
