@@ -2,18 +2,90 @@
 
 Re-expresses the reference's XMLPage reader
 (/root/reference/kraken/lib/xml/__init__.py:41-283, alto.py:81-331,
-page.py:63-328) on stdlib ElementTree: detects the dialect from the root
-element, extracts lines (id, bbox, baseline, boundary, text), regions, and
-reading order. Namespace handling is by local tag name, matching the
-reference's tolerance for the many ALTO/PageXML namespace versions
-(lib/xml/common.py). Coordinate parsers follow
-/root/reference/kraken/lib/xml/common.py:52-96.
+page.py:63-328, common.py:29-200) on stdlib ElementTree: dialect
+detection from the root element, region collection over the full ALTO /
+PAGE region-type vocabularies with Shape->rect->excluded coordinate
+fallback, per-line tags/languages/splits/base-direction with
+page->region->line inheritance, String/SP text assembly, explicit
+reading orders flattened to line- and region-level (String refs resolved
+through their parent lines, coordinate-less regions skipped), and the
+reference's hard failure modes (non-pixel measurement unit, missing
+image name, unparseable dimensions, zero dimensions without a resolvable
+image file) as ValueError.
+
+PAGE language values are normalised to ISO 639-3 like the reference
+(page.py:30-61 via the public iso639 tables); unknown values pass
+through unchanged. The engine-facing dict keeps the columnar schema
+shape (tags as JSON string with a 'default' fallback, language as list)
+and additionally carries the reference-shaped raw values (``tags_raw``,
+``base_dir``, ``split``, named ``orders``) for parity checks.
 """
 
 from __future__ import annotations
 
 import json
+import re
 import xml.etree.ElementTree as ET
+from itertools import groupby
+
+_ALTO_REGIONS = {"TextBlock": "text",
+                 "Illustration": "illustration",
+                 "GraphicalElement": "graphic",
+                 "ComposedBlock": "composed"}
+
+_PAGE_REGIONS = {"TextRegion": "text", "ImageRegion": "image",
+                 "LineDrawingRegion": "line drawing",
+                 "GraphicRegion": "graphic", "TableRegion": "table",
+                 "ChartRegion": "chart", "MapRegion": "map",
+                 "SeparatorRegion": "separator", "MathsRegion": "maths",
+                 "ChemRegion": "chem", "MusicRegion": "music",
+                 "AdvertRegion": "advert", "NoiseRegion": "noise",
+                 "UnknownRegion": "unknown", "CustomRegion": "custom"}
+
+# ISO 639-1 -> 639-3 for the common two-letter codes plus English language
+# names -> 639-3 (public ISO 639 tables; unknown values pass through, the
+# reference's InvalidLanguageValue behavior)
+_ISO1_TO_3 = {
+    "aa": "aar", "ab": "abk", "af": "afr", "am": "amh", "ar": "ara",
+    "az": "aze", "be": "bel", "bg": "bul", "bn": "ben", "bo": "bod",
+    "br": "bre", "bs": "bos", "ca": "cat", "cs": "ces", "cy": "cym",
+    "da": "dan", "de": "deu", "el": "ell", "en": "eng", "eo": "epo",
+    "es": "spa", "et": "est", "eu": "eus", "fa": "fas", "fi": "fin",
+    "fo": "fao", "fr": "fra", "ga": "gle", "gd": "gla", "gl": "glg",
+    "gu": "guj", "he": "heb", "hi": "hin", "hr": "hrv", "hu": "hun",
+    "hy": "hye", "id": "ind", "is": "isl", "it": "ita", "ja": "jpn",
+    "ka": "kat", "kk": "kaz", "km": "khm", "kn": "kan", "ko": "kor",
+    "ku": "kur", "ky": "kir", "la": "lat", "lb": "ltz", "lo": "lao",
+    "lt": "lit", "lv": "lav", "mk": "mkd", "ml": "mal", "mn": "mon",
+    "mr": "mar", "ms": "msa", "mt": "mlt", "my": "mya", "ne": "nep",
+    "nl": "nld", "no": "nor", "pa": "pan", "pl": "pol", "ps": "pus",
+    "pt": "por", "ro": "ron", "ru": "rus", "si": "sin", "sk": "slk",
+    "sl": "slv", "sq": "sqi", "sr": "srp", "sv": "swe", "sw": "swa",
+    "ta": "tam", "te": "tel", "th": "tha", "tl": "tgl", "tr": "tur",
+    "uk": "ukr", "ur": "urd", "uz": "uzb", "vi": "vie", "yi": "yid",
+    "zh": "zho",
+}
+_NAME_TO_3 = {
+    "arabic": "ara", "chinese": "zho", "czech": "ces", "danish": "dan",
+    "dutch": "nld", "english": "eng", "finnish": "fin", "french": "fra",
+    "german": "deu", "greek": "ell", "hebrew": "heb", "hindi": "hin",
+    "hungarian": "hun", "italian": "ita", "japanese": "jpn",
+    "korean": "kor", "latin": "lat", "norwegian": "nor", "persian": "fas",
+    "polish": "pol", "portuguese": "por", "russian": "rus",
+    "spanish": "spa", "swedish": "swe", "turkish": "tur",
+    "ukrainian": "ukr", "yiddish": "yid",
+}
+
+
+def iso639_3(value: str) -> str:
+    """Normalise a language value (two-letter code or English name) to its
+    ISO 639-3 code; anything unrecognised passes through unchanged."""
+    if not value:
+        return value
+    v = value.strip()
+    if len(v) == 2 and v.lower() in _ISO1_TO_3:
+        return _ISO1_TO_3[v.lower()]
+    return _NAME_TO_3.get(v.lower(), v)
 
 
 def _local(tag: str) -> str:
@@ -22,7 +94,13 @@ def _local(tag: str) -> str:
 
 def _tags_json(tags: dict | None, default_type: str = "default") -> str:
     """Serialize the reference's tags shape dict[str, list[dict[str,str]]]
-    (containers.py:88) to the columnar JSON-string form."""
+    (containers.py:88) to the columnar JSON-string form. Transkribus
+    bookkeeping keys (structure/readingOrder/language) are dropped from the
+    columnar form — 'type' already carries the structure label — but kept
+    in the parse output's tags_raw."""
+    if tags:
+        tags = {k: v for k, v in tags.items()
+                if k not in ("structure", "readingOrder", "language")}
     if not tags:
         tags = {"type": [{"type": default_type}]}
     return json.dumps(tags, sort_keys=True)
@@ -56,15 +134,34 @@ def _iter_local(el: ET.Element, name: str):
             yield child
 
 
-def _parse_points(s: str) -> list[list[int]]:
-    """'x0,y0 x1,y1 ...' -> [[x0,y0],...] (PageXML/ALTO points syntax,
-    cf. /root/reference/kraken/lib/xml/common.py:52-96)."""
-    pts = []
-    for tok in (s or "").split():
-        xy = tok.split(",")
-        if len(xy) == 2:
-            pts.append([int(float(xy[0])), int(float(xy[1]))])
-    return pts
+_FLOAT_RE = re.compile(r"[-+]?(\d+(\.\d*)?|\.\d+)([eE][-+]?\d+)?")
+
+
+def parse_alto_points(s: str) -> list[list[int]]:
+    """ALTO PointsType in any of its serializations ('x,y x,y', 'x y x y',
+    parenthesised) -> deduplicated point list; ValueError on garbage or an
+    odd coordinate count (common.py:52-80, parse_alto_pointstype)."""
+    try:
+        coords = [int(float(m.group())) for m in _FLOAT_RE.finditer(s)]
+    except (ValueError, TypeError):
+        raise ValueError(f"invalid points sequence: {s!r}")
+    if not coords or len(coords) % 2:
+        raise ValueError(f"odd/empty points sequence: {s!r}")
+    pts = zip(coords[::2], coords[1::2])
+    return [[x, y] for (x, y), _ in groupby(pts)]
+
+
+def parse_page_points(s: str) -> list[list[int]]:
+    """PAGE Coords points ('x,y x,y ...', strict integers) -> deduplicated
+    point list (common.py:75-79, parse_page_coords)."""
+    coords = [int(c) for tok in s.split(" ") for c in tok.split(",")]
+    pts = zip(coords[::2], coords[1::2])
+    return [[x, y] for (x, y), _ in groupby(pts)]
+
+
+_DIR_ALTO = {"ltr": "L", "rtl": "R", "ttb": "L", "btt": "R"}
+_DIR_PAGE = {"left-to-right": "L", "right-to-left": "R",
+             "top-to-bottom": "L", "bottom-to-top": "R"}
 
 
 def detect_dialect(data: bytes) -> str:
@@ -83,222 +180,541 @@ def detect_dialect(data: bytes) -> str:
     return "unknown"
 
 
-def parse_alto(data: bytes) -> dict:
-    """ALTO -> {lines, regions, text, width, height, imagename}
-    (cf. /root/reference/kraken/lib/xml/alto.py:81-331)."""
-    root = ET.fromstring(data)
-    out = {"type": "baselines", "lines": [], "regions": [], "imagename": "", "width": 0, "height": 0}
-    for fn in _iter_local(root, "fileName"):
-        out["imagename"] = fn.text or ""
-        break
-    page_lang = None
-    for page in _iter_local(root, "Page"):
-        out["width"] = int(float(page.get("WIDTH", "0")))
-        out["height"] = int(float(page.get("HEIGHT", "0")))
-        page_lang = page.get("LANG")
-        break
-    # Tags block: StructureTag/LayoutTag/OtherTag ID -> (TYPE, LABEL),
-    # referenced from TAGREFS attributes (alto.py:133-170, 227-331)
-    tag_map: dict[str, tuple[str, str]] = {}
-    for kind in ("StructureTag", "LayoutTag", "OtherTag"):
-        for tg in _iter_local(root, kind):
-            tid = tg.get("ID")
-            if tid:
-                tag_map[tid] = (tg.get("TYPE") or "type", tg.get("LABEL") or "")
+# ---------------------------------------------------------------------------
+# tagrefs / languages (ALTO)
+# ---------------------------------------------------------------------------
 
-    def tagrefs_to_tags(refs: str | None) -> dict:
-        tags: dict = {}
-        for ref in (refs or "").split():
-            ttype, label = tag_map.get(ref, (None, None))
-            if label:
-                tags.setdefault(ttype or "type", []).append({"type": label})
-        return tags
+def _alto_tagrefs(tag_map: dict, refs: str | None) -> dict:
+    """TAGREFS -> tags dict per the reference's merge semantics
+    (alto.py:27-58): labels are grouped under their tag TYPE ('type' when
+    absent), same-type refs extend the list."""
+    tags: dict = {}
+    for ref in (refs or "").split():
+        ttype, label = tag_map.get(ref, (None, None))
+        if not label:
+            continue
+        tags.setdefault(ttype or "type", []).append({"type": label})
+    return tags
 
-    for block in _iter_local(root, "TextBlock"):
-        x0 = int(float(block.get("HPOS", "0")))
-        y0 = int(float(block.get("VPOS", "0")))
-        bw = int(float(block.get("WIDTH", "0")))
-        bh = int(float(block.get("HEIGHT", "0")))
-        rid = block.get("ID", "")
-        block_tags = tagrefs_to_tags(block.get("TAGREFS"))
-        block_type = (block_tags.get("type") or [{"type": "text"}])[0]["type"]
-        block_lang = block.get("LANG") or page_lang
-        out["regions"].append(
-            {
-                "id": rid,
-                "region_type": block_type,
-                "boundary": [[x0, y0], [x0 + bw, y0], [x0 + bw, y0 + bh], [x0, y0 + bh]],
-                "rank": len(out["regions"]),
-                "tags": _tags_json(block_tags, block_type),
-                "language": [block_lang] if block_lang else [],
-            }
-        )
-        for tl in _iter_local(block, "TextLine"):
-            lx = int(float(tl.get("HPOS", "0")))
-            ly = int(float(tl.get("VPOS", "0")))
-            lw = int(float(tl.get("WIDTH", "0")))
-            lh = int(float(tl.get("HEIGHT", "0")))
-            baseline_attr = tl.get("BASELINE", "")
-            baseline = _parse_points(baseline_attr)
-            if not baseline and baseline_attr:
-                # single y-value legacy form (alto.py baseline fallback)
-                try:
-                    yb = int(float(baseline_attr))
-                    baseline = [[lx, yb], [lx + lw, yb]]
-                except ValueError:
-                    baseline = []
-            words = []
-            for st in _iter_local(tl, "String"):
-                words.append(st.get("CONTENT", ""))
-            line_tags = tagrefs_to_tags(tl.get("TAGREFS"))
-            line_type = (line_tags.get("type") or [{"type": "default"}])[0]["type"]
-            line_lang = tl.get("LANG") or block_lang
-            out["lines"].append(
-                {
-                    "id": tl.get("ID", ""),
-                    "bbox": [lx, ly, lx + lw, ly + lh],
-                    "baseline": baseline,
-                    "boundary": [
-                        [lx, ly],
-                        [lx + lw, ly],
-                        [lx + lw, ly + lh],
-                        [lx, ly + lh],
-                    ],
-                    "text": " ".join(words),
-                    "region_ids": [rid],
-                    "rank": len(out["lines"]),
-                    "tags": _tags_json(line_tags, line_type),
-                    "language": [line_lang] if line_lang else [],
-                }
-            )
+
+def _alto_langs(el: ET.Element, tag_map: dict, default) :
+    """Element languages: tagref 'language' labels + LANG attribute, else
+    the inherited default (alto.py:61-78, parse_alto_langs)."""
+    langs = []
+    tags = _alto_tagrefs(tag_map, el.get("TAGREFS"))
+    for t in tags.get("language", []):
+        langs.append(t["type"])
+    if (attr := el.get("LANG")) is not None:
+        langs.append(attr)
+    return langs if langs else default
+
+
+# ---------------------------------------------------------------------------
+# explicit reading-order flattening (common.py:98-200)
+# ---------------------------------------------------------------------------
+
+def _flatten_to_lines(raw, line_region, line_implicit, region_ids,
+                      string_to_line, missing):
+    out = []
+    for ref in raw:
+        if ref in line_region:
+            out.append(ref)
+        elif ref in region_ids:
+            out.extend(lid for lid in line_implicit if line_region[lid] == ref)
+        elif ref in missing:
+            continue
+        elif ref in string_to_line:
+            parent = string_to_line[ref]
+            if not out or out[-1] != parent:
+                out.append(parent)
     return out
 
 
-def parse_pagexml(data: bytes) -> dict:
-    """PageXML -> {lines, regions, text, width, height, imagename}
-    (cf. /root/reference/kraken/lib/xml/page.py:63-328)."""
-    root = ET.fromstring(data)
-    out = {"type": "baselines", "lines": [], "regions": [], "imagename": "", "width": 0, "height": 0}
-    page_lang = None
-    for page in _iter_local(root, "Page"):
-        out["imagename"] = page.get("imageFilename", "")
-        out["width"] = int(float(page.get("imageWidth", "0")))
-        out["height"] = int(float(page.get("imageHeight", "0")))
-        page_lang = page.get("primaryLanguage")
-        break
-    for region in _iter_local(root, "TextRegion"):
-        rid = region.get("id", "")
-        boundary: list[list[int]] = []
-        for child in region:
-            if _local(child.tag) == "Coords":
-                boundary = _parse_points(child.get("points", ""))
-                break
-        # Transkribus custom attribute: structure type + language
-        # (page.py:124-147 via parse_page_custom)
-        reg_custom = parse_page_custom(region.get("custom", ""))
-        reg_type = region.get("type") or ""
-        if not reg_type and "structure" in reg_custom:
-            reg_type = reg_custom["structure"][0].get("type", "")
-        reg_type = reg_type or "text"
-        reg_lang = region.get("primaryLanguage") or page_lang
-        if "language" in reg_custom and reg_custom["language"][0]:
-            reg_lang = next(iter(reg_custom["language"][0].values()), reg_lang)
-        out["regions"].append(
-            {
-                "id": rid,
-                "region_type": reg_type,
-                "boundary": boundary,
-                "rank": len(out["regions"]),
-                "tags": _tags_json({"type": [{"type": reg_type}]}),
-                "language": [reg_lang] if reg_lang else [],
-            }
-        )
-        for tl in _iter_local(region, "TextLine"):
-            boundary_l: list[list[int]] = []
-            baseline: list[list[int]] = []
-            text = ""
-            for child in tl:
-                name = _local(child.tag)
-                if name == "Coords":
-                    boundary_l = _parse_points(child.get("points", ""))
-                elif name == "Baseline":
-                    baseline = _parse_points(child.get("points", ""))
-                elif name == "TextEquiv":
-                    for u in _iter_local(child, "Unicode"):
-                        text = u.text or ""
-                        break
-            if boundary_l:
-                xs = [p[0] for p in boundary_l]
-                ys = [p[1] for p in boundary_l]
-                bbox = [min(xs), min(ys), max(xs), max(ys)]
-            else:
-                bbox = [0, 0, 0, 0]
-            line_custom = parse_page_custom(tl.get("custom", ""))
-            ltype = "default"
-            if "structure" in line_custom:
-                ltype = line_custom["structure"][0].get("type", "default") or "default"
-            line_lang = tl.get("primaryLanguage") or reg_lang
-            if "language" in line_custom and line_custom["language"][0]:
-                line_lang = next(iter(line_custom["language"][0].values()), line_lang)
-            out["lines"].append(
-                {
-                    "id": tl.get("id", ""),
-                    "bbox": bbox,
-                    "baseline": baseline,
-                    "boundary": boundary_l,
-                    "text": text,
-                    "region_ids": [rid],
-                    "rank": len(out["lines"]),
-                    "tags": _tags_json({"type": [{"type": ltype}]}),
-                    "language": [line_lang] if line_lang else [],
-                }
-            )
-    # explicit reading order: ReadingOrder/OrderedGroup/RegionRefIndexed
-    # (page.py:273-316) — region-id order expanded to line indices by
-    # membership, exposed as an ALTERNATIVE order (Segmentation.line_orders);
-    # the lines list keeps document (implicit) order like the reference
-    refs: list[str] = []
-    for ro_el in _iter_local(root, "ReadingOrder"):
+def _flatten_to_regions(raw, line_region, region_ids, string_to_line, missing):
+    out = []
 
-        def _walk(el: ET.Element) -> None:
-            kids = list(el)
-            indexed = []
-            for i, k in enumerate(kids):
+    def push(rid):
+        if rid and (not out or out[-1] != rid):
+            out.append(rid)
+
+    for ref in raw:
+        if ref in region_ids:
+            push(ref)
+        elif ref in missing:
+            continue
+        elif ref in line_region:
+            push(line_region[ref])
+        elif ref in string_to_line:
+            push(line_region.get(string_to_line[ref]))
+    return out
+
+
+def _validate_clean(order, valid):
+    seen = set()
+    out = []
+    for ref in order:
+        if ref in valid and ref not in seen:
+            seen.add(ref)
+            out.append(ref)
+    return out
+
+
+def _walk_ro_groups(ro_el: ET.Element, leaf_attrs: tuple[str, ...]):
+    """ReadingOrder -> [(order_id, [refs], is_total)]. A single top-level
+    UnorderedGroup unwraps into multiple partial orders (alto.py:278-305,
+    page.py:276-316). Indexed leaves sort by their index attribute, ties
+    by document order."""
+    groups = list(ro_el)
+    unwrapped_partial = False
+    if len(groups) == 1 and _local(groups[0].tag).startswith("UnorderedGroup"):
+        groups = list(groups[0])
+        unwrapped_partial = True
+
+    def leaf_ref(el):
+        for a in leaf_attrs:
+            if el.get(a):
+                return el.get(a)
+        return None
+
+    def walk(el):
+        name = _local(el.tag)
+        if name.startswith(("OrderedGroup", "UnorderedGroup")):
+            kids = []
+            for i, k in enumerate(list(el)):
                 try:
                     idx = int(k.get("index", i))
                 except (TypeError, ValueError):
                     idx = i
-                indexed.append((idx, i, k))
-            for _, _, k in sorted(indexed, key=lambda t: (t[0], t[1])):
-                if _local(k.tag) in ("OrderedGroup", "UnorderedGroup"):
-                    _walk(k)
-                else:
-                    rr = k.get("regionRef")
-                    if rr:
-                        refs.append(rr)
+                kids.append((idx, i, k))
+            refs = []
+            for _, _, k in sorted(kids, key=lambda t: (t[0], t[1])):
+                refs.extend(walk(k))
+            return refs
+        ref = leaf_ref(el)
+        return [ref] if ref else []
 
-        _walk(ro_el)
-        break
-    if refs:
-        order = [
-            i
-            for rid in refs
-            for i, l in enumerate(out["lines"])
-            if l["region_ids"] and l["region_ids"][0] == rid
-        ]
-        seen = set(order)
-        order += [i for i in range(len(out["lines"])) if i not in seen]
-        out["line_orders"] = [order]
+    out = []
+    for g in groups:
+        gid = g.get("ID") or g.get("id")
+        refs = walk(g) if _local(g.tag).startswith(("OrderedGroup",
+                                                    "UnorderedGroup")) else \
+            ([leaf_ref(g)] if leaf_ref(g) else [])
+        out.append((gid, refs, not unwrapped_partial))
     return out
 
 
-def parse_segmentation(data: bytes) -> dict:
+def _resolve_zero_dims(w, h, imagename, base_path):
+    if w and h:
+        return w, h
+    if base_path and imagename:
+        import os
+
+        p = os.path.join(base_path, imagename)
+        try:
+            from .png import read_dimensions
+
+            with open(p, "rb") as fp:
+                return read_dimensions(fp.read())
+        except (OSError, ValueError) as e:
+            raise ValueError(
+                f"zero page dimensions and unreadable image {p}: {e}")
+    raise ValueError(f"invalid page dimensions ({w}, {h}) and no image to "
+                     "read them from")
+
+
+# ---------------------------------------------------------------------------
+# ALTO
+# ---------------------------------------------------------------------------
+
+def parse_alto(data: bytes, linetype: str = "baselines",
+               base_path: str | None = None) -> dict:
+    """ALTO -> segmentation dict
+    (cf. /root/reference/kraken/lib/xml/alto.py:81-331)."""
+    root = ET.fromstring(data)
+    for mu in _iter_local(root, "MeasurementUnit"):
+        if (mu.text or "").strip() != "pixel":
+            raise ValueError(
+                f"measurement unit is {(mu.text or '').strip()!r}, not 'pixel'")
+        break
+    imagename = None
+    for fn in _iter_local(root, "fileName"):
+        imagename = (fn.text or "").strip()
+        break
+    if not imagename:
+        raise ValueError("no valid image filename in ALTO document")
+    page = next(_iter_local(root, "Page"), None)
+    if page is None:
+        raise ValueError("no Page element in ALTO document")
+    try:
+        w, h = int(page.get("WIDTH")), int(page.get("HEIGHT"))
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"invalid page dimensions: {e}")
+    w, h = _resolve_zero_dims(w, h, imagename, base_path)
+    page_lang = page.get("LANG")
+
+    tag_map: dict[str, tuple[str, str]] = {}
+    for kind in ("StructureTag", "LayoutTag", "OtherTag"):
+        for tg in _iter_local(root, kind):
+            if tg.get("ID"):
+                tag_map[tg.get("ID")] = (tg.get("TYPE"), tg.get("LABEL"))
+
+    out = {"type": linetype, "lines": [], "regions": [],
+           "imagename": imagename, "width": w, "height": h}
+    line_region: dict[str, str] = {}      # line id -> region id ('' if none)
+    line_implicit: list[str] = []
+    region_implicit: list[str] = []
+    missing_regions: set[str] = set()
+    string_to_line: dict[str, str] = {}
+
+    region_els = [el for el in root.findall(
+        "./{*}Layout/{*}Page/{*}PrintSpace/*")
+        if _local(el.tag) in _ALTO_REGIONS]
+    for region in region_els:
+        rid = region.get("ID") or ""
+        region_dir = _DIR_ALTO.get(region.get("BASEDIRECTION"))
+        boundary = None
+        shape = region.find("./{*}Shape/{*}Polygon")
+        if shape is not None:
+            try:
+                boundary = parse_alto_points(shape.get("POINTS") or "")
+            except ValueError:
+                boundary = None
+        if boundary is None:
+            try:
+                x0, y0, bw, bh = (int(float(region.get(a)))
+                                  for a in ("HPOS", "VPOS", "WIDTH", "HEIGHT"))
+                boundary = [[x0, y0], [x0, y0 + bh], [x0 + bw, y0 + bh],
+                            [x0 + bw, y0]]
+            except (TypeError, ValueError):
+                boundary = None
+        has_coords = boundary is not None
+
+        reg_tags = _alto_tagrefs(tag_map, region.get("TAGREFS"))
+        tag_type = reg_tags.pop("region", None) or reg_tags.pop("type", None)
+        if (attr_type := region.get("TYPE")) is not None:
+            rtype = [{"type": attr_type}]
+        else:
+            rtype = tag_type or [{"type": _ALTO_REGIONS[_local(region.tag)]}]
+        reg_tags["type"] = rtype
+        reg_lang = _alto_langs(region, tag_map,
+                               [page_lang] if page_lang else None)
+        if has_coords:
+            out["regions"].append({
+                "id": rid,
+                "region_type": rtype[0]["type"],
+                "boundary": boundary,
+                "rank": len(out["regions"]),
+                "tags": _tags_json(reg_tags, rtype[0]["type"]),
+                "tags_raw": reg_tags,
+                "language": list(reg_lang) if reg_lang else [],
+            })
+            region_implicit.append(rid)
+        else:
+            missing_regions.add(rid)
+
+        for tl in region.iterfind("./{*}TextLine"):
+            lid = tl.get("ID") or ""
+            baseline: list[list[int]] | None = None
+            boundary_l: list[list[int]] | None = None
+            bbox = None
+            if linetype == "baselines":
+                try:
+                    baseline = parse_alto_points(tl.get("BASELINE") or "")
+                except ValueError:
+                    continue  # reference drops baseline-less lines
+                pol = tl.find("./{*}Shape/{*}Polygon")
+                if pol is not None:
+                    try:
+                        boundary_l = parse_alto_points(pol.get("POINTS") or "")
+                    except ValueError:
+                        boundary_l = None
+            try:
+                lx, ly, lw, lh = (int(float(tl.get(a)))
+                                  for a in ("HPOS", "VPOS", "WIDTH", "HEIGHT"))
+                bbox = [lx, ly, lx + lw, ly + lh]
+            except (TypeError, ValueError):
+                if linetype == "bbox":
+                    continue  # reference drops box-less lines in bbox mode
+            if bbox is None and boundary_l:
+                xs = [p[0] for p in boundary_l]
+                ys = [p[1] for p in boundary_l]
+                bbox = [min(xs), min(ys), max(xs), max(ys)]
+            if bbox is None and baseline:
+                xs = [p[0] for p in baseline]
+                ys = [p[1] for p in baseline]
+                bbox = [min(xs), min(ys), max(xs), max(ys)]
+
+            text = ""
+            for el in tl.iter():
+                name = _local(el.tag)
+                if name in ("String", "SP"):
+                    text += el.get("CONTENT") or (" " if name == "SP" else "")
+            for st in tl.iterfind("./{*}String"):
+                if st.get("ID"):
+                    string_to_line[st.get("ID")] = lid
+
+            line_tags = _alto_tagrefs(tag_map, tl.get("TAGREFS"))
+            line_langs = _alto_langs(tl, tag_map, reg_lang)
+            split = None
+            if (sp := line_tags.get("split")) is not None and len(sp) == 1:
+                split = sp[0]["type"]
+                line_tags.pop("split")
+            line_dir = _DIR_ALTO.get(tl.get("BASEDIRECTION"))
+            if line_dir is None and region_dir:
+                line_dir = region_dir
+
+            out["lines"].append({
+                "id": lid,
+                "bbox": bbox or [0, 0, 0, 0],
+                "baseline": baseline or [],
+                "boundary": boundary_l
+                or ([[bbox[0], bbox[1]], [bbox[2], bbox[1]],
+                     [bbox[2], bbox[3]], [bbox[0], bbox[3]]] if bbox else []),
+                "text": text,
+                "region_ids": [rid] if has_coords else [],
+                "rank": len(out["lines"]),
+                "tags": _tags_json(line_tags),
+                "tags_raw": line_tags if line_tags else None,
+                "language": list(line_langs) if line_langs else [],
+                "base_dir": line_dir,
+                "split": split,
+            })
+            line_region[lid] = rid if has_coords else ""
+            line_implicit.append(lid)
+
+    _attach_orders(out, root, ("REF",), line_region, line_implicit,
+                   region_implicit, missing_regions, string_to_line)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PAGE
+# ---------------------------------------------------------------------------
+
+def parse_pagexml(data: bytes, linetype: str = "baselines",
+                  base_path: str | None = None) -> dict:
+    """PageXML -> segmentation dict
+    (cf. /root/reference/kraken/lib/xml/page.py:63-328)."""
+    root = ET.fromstring(data)
+    page = next(_iter_local(root, "Page"), None)
+    if page is None or not page.get("imageFilename"):
+        raise ValueError("no valid image filename in PageXML document")
+    imagename = page.get("imageFilename")
+    try:
+        w, h = int(page.get("imageWidth")), int(page.get("imageHeight"))
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"invalid page dimensions: {e}")
+    w, h = _resolve_zero_dims(w, h, imagename, base_path)
+    page_dir = _DIR_PAGE.get(page.get("readingDirection"))
+    page_lang = _page_langs(page, None)
+
+    out = {"type": linetype, "lines": [], "regions": [],
+           "imagename": imagename, "width": w, "height": h}
+    line_region: dict[str, str] = {}
+    line_implicit: list[str] = []
+    region_implicit: list[str] = []
+    missing_regions: set[str] = set()
+    tr_region_order: list[tuple[str, int]] = []
+    tr_line_order: dict[int, list[tuple[int, str]]] = {}
+
+    for region in page:
+        if _local(region.tag) not in _PAGE_REGIONS:
+            continue
+        rid = region.get("id") or ""
+        coords_el = region.find("./{*}Coords")
+        boundary = None
+        try:
+            boundary = parse_page_points(coords_el.get("points"))
+        except Exception:
+            boundary = None
+        has_coords = boundary is not None
+        reg_lang = _page_langs(region, page_lang)
+        reg_tags: dict = {}
+        rtype = region.get("type")
+        reg_custom = parse_page_custom(region.get("custom") or "")
+        if not rtype and "structure" in reg_custom:
+            rtype = reg_custom["structure"][0].get("type")
+        if (reg_ro := reg_custom.get("readingOrder")) is not None and \
+                (ro_idx := reg_ro[0].get("index")) is not None and has_coords:
+            tr_region_order.append((rid, int(ro_idx)))
+        reg_tags.update(reg_custom)
+        rtype = rtype or _PAGE_REGIONS[_local(region.tag)]
+        reg_tags["type"] = [{"type": rtype}]
+        reg_dir = _DIR_PAGE.get(region.get("readingDirection"))
+        if has_coords:
+            out["regions"].append({
+                "id": rid,
+                "region_type": rtype,
+                "boundary": boundary,
+                "rank": len(out["regions"]),
+                "tags": _tags_json(reg_tags, rtype),
+                "tags_raw": reg_tags,
+                "language": list(reg_lang) if reg_lang else [],
+            })
+            region_implicit.append(rid)
+        else:
+            missing_regions.add(rid)
+
+        for tl in region.iterfind("./{*}TextLine"):
+            lid = tl.get("id") or ""
+            baseline = None
+            try:
+                baseline = parse_page_points(
+                    tl.find("./{*}Baseline").get("points"))
+            except Exception:
+                if linetype == "baselines":
+                    continue
+            boundary_l = None
+            try:
+                boundary_l = parse_page_points(
+                    tl.find("./{*}Coords").get("points"))
+            except Exception:
+                if linetype == "bbox":
+                    continue
+            if boundary_l:
+                xs = [p[0] for p in boundary_l]
+                ys = [p[1] for p in boundary_l]
+                bbox = [min(xs), min(ys), max(xs), max(ys)]
+            elif baseline:
+                xs = [p[0] for p in baseline]
+                ys = [p[1] for p in baseline]
+                bbox = [min(xs), min(ys), max(xs), max(ys)]
+            else:
+                bbox = [0, 0, 0, 0]
+
+            # line-level TextEquiv wins; fall back to any Unicode below
+            text = ""
+            te = tl.find("./{*}TextEquiv")
+            scope = te if te is not None else tl
+            for u in _iter_local(scope, "Unicode"):
+                if u.text:
+                    text += u.text
+
+            line_tags: dict = {}
+            line_custom = parse_page_custom(tl.get("custom") or "")
+            if (st := line_custom.get("structure")) is not None and \
+                    st[0].get("type"):
+                line_tags["type"] = [{"type": st[0]["type"]}]
+            if (line_ro := line_custom.get("readingOrder")) is not None and \
+                    (l_idx := line_ro[0].get("index")) is not None:
+                if (reg_ro := reg_custom.get("readingOrder")) is not None and \
+                        (r_idx := reg_ro[0].get("index")) is not None and \
+                        has_coords:
+                    tr_line_order.setdefault(int(r_idx), []).append(
+                        (int(l_idx), lid))
+            line_tags.update(line_custom)
+
+            line_dir = _DIR_PAGE.get(tl.get("readingDirection"))
+            if line_dir is None and reg_dir:
+                line_dir = reg_dir
+            elif line_dir is None and page_dir:
+                line_dir = page_dir
+            line_langs = _page_langs(tl, reg_lang)
+            split = None
+            if (sp := line_tags.get("split")) is not None and len(sp) == 1:
+                split = sp[0]["type"]
+                line_tags.pop("split")
+
+            out["lines"].append({
+                "id": lid,
+                "bbox": bbox,
+                "baseline": baseline or [],
+                "boundary": boundary_l or [],
+                "text": text,
+                "region_ids": [rid] if has_coords else [],
+                "rank": len(out["lines"]),
+                "tags": _tags_json(line_tags),
+                "tags_raw": line_tags if line_tags else None,
+                "language": list(line_langs) if line_langs else [],
+                "base_dir": line_dir,
+                "split": split,
+            })
+            line_region[lid] = rid if has_coords else ""
+            line_implicit.append(lid)
+
+    _attach_orders(out, root, ("regionRef",), line_region, line_implicit,
+                   region_implicit, missing_regions, {})
+
+    # Transkribus custom-attribute orders (page.py:253-273)
+    if tr_region_order:
+        ordered = [r for r, _ in sorted(tr_region_order, key=lambda t: t[1])]
+        out.setdefault("orders", {})["region_transkribus"] = {
+            "order": ordered, "level": "region",
+            "is_total": len({r for r, _ in tr_region_order})
+            == len(tr_region_order)}
+    if tr_line_order:
+        flat = [lid for _, grp in sorted(tr_line_order.items())
+                for _, lid in sorted(grp)]
+        out.setdefault("orders", {})["line_transkribus"] = {
+            "order": flat, "level": "line", "is_total": True}
+        idx = {l["id"]: i for i, l in enumerate(out["lines"])}
+        out.setdefault("line_orders", []).append(
+            [idx[lid] for lid in flat if lid in idx])
+    return out
+
+
+def _page_langs(el: ET.Element, default):
+    """Languages of a PAGE element: custom-string language values +
+    primary/secondaryLanguage attributes, ISO-639-3-normalised
+    (page.py:30-61, parse_page_langs)."""
+    langs = []
+    cs = parse_page_custom(el.get("custom") or "")
+    for lv in cs.get("language", []):
+        if lv.get("type"):
+            langs.append(iso639_3(lv["type"]))
+    for attr in ("primaryLanguage", "secondaryLanguage"):
+        if el.get(attr):
+            langs.append(iso639_3(el.get(attr)))
+    return langs if langs else default
+
+
+def _attach_orders(out: dict, root: ET.Element, leaf_attrs, line_region,
+                   line_implicit, region_implicit, missing_regions,
+                   string_to_line) -> None:
+    """Flatten explicit ReadingOrder groups to line- and region-level
+    orders; named orders land in out['orders'], line-level ones also as
+    index lists in out['line_orders'] (lib/xml/__init__.py:157-187)."""
+    orders = {
+        "line_implicit": {"order": list(line_implicit), "level": "line",
+                          "is_total": True},
+        "region_implicit": {"order": list(region_implicit),
+                            "level": "region", "is_total": True},
+    }
+    region_ids = set(region_implicit)
+    idx_of = {lid: i for i, lid in enumerate(line_implicit)}
+    line_orders = []
+    ro_el = next(_iter_local(root, "ReadingOrder"), None)
+    if ro_el is not None:
+        for gid, refs, is_total in _walk_ro_groups(ro_el, leaf_attrs):
+            flat_l = _validate_clean(
+                _flatten_to_lines(refs, line_region, line_implicit,
+                                  region_ids, string_to_line,
+                                  missing_regions),
+                set(line_region))
+            flat_r = _validate_clean(
+                _flatten_to_regions(refs, line_region, region_ids,
+                                    string_to_line, missing_regions),
+                region_ids)
+            key = gid or f"ro_{len(orders)}"
+            orders[key] = {"order": flat_l, "level": "line",
+                           "is_total": is_total}
+            orders[f"{key}:regions"] = {"order": flat_r, "level": "region",
+                                        "is_total": is_total}
+            if flat_l:
+                line_orders.append([idx_of[lid] for lid in flat_l])
+    out["orders"] = orders
+    if line_orders:
+        out["line_orders"] = line_orders
+
+
+def parse_segmentation(data: bytes, linetype: str = "baselines",
+                       base_path: str | None = None) -> dict:
     """Dialect-dispatched parse, the XMLPage(filetype='xml') behavior
     (/root/reference/kraken/lib/xml/__init__.py:41-283). Raises ValueError
     on non-XML or unknown dialect (callers map that to guard_tripped rows)."""
     dialect = detect_dialect(data)
     if dialect == "alto":
-        return parse_alto(data)
+        return parse_alto(data, linetype=linetype, base_path=base_path)
     if dialect == "pagexml":
-        return parse_pagexml(data)
+        return parse_pagexml(data, linetype=linetype, base_path=base_path)
     raise ValueError(f"unsupported XML dialect: {dialect}")

@@ -167,8 +167,15 @@ def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
                     tags_match = [l["tags"] for l in got_lines] == [
                         l["tags"] for l in orig_lines
                     ]
+                    # the PAGE parser normalises languages to ISO 639-3
+                    # like the reference (page.py:30-61); ALTO keeps raw
+                    # codes — compare against the matching expectation
+                    from ..kernels.xmlparse import iso639_3
+
+                    norm = iso639_3 if fmt == "pagexml" else (lambda v: v)
                     lang_match = [l["language"] for l in got_lines] == [
-                        list(l["language"] or []) for l in orig_lines
+                        [norm(v) for v in (l["language"] or [])]
+                        for l in orig_lines
                     ]
                     out.append(
                         {

@@ -121,6 +121,9 @@ def test_xml_tag_language_parsing():
 
     alto = b"""<?xml version="1.0"?>
 <alto xmlns="http://www.loc.gov/standards/alto/ns-v4#">
+ <Description><MeasurementUnit>pixel</MeasurementUnit>
+  <sourceImageInformation><fileName>x.png</fileName></sourceImageInformation>
+ </Description>
  <Tags><OtherTag ID="T1" TYPE="type" LABEL="heading"/></Tags>
  <Layout><Page WIDTH="100" HEIGHT="50" LANG="de">
   <PrintSpace><TextBlock ID="b0" HPOS="0" VPOS="0" WIDTH="100" HEIGHT="50">
@@ -148,7 +151,8 @@ def test_xml_tag_language_parsing():
     seg = parse_segmentation(page)
     assert seg["regions"][0]["region_type"] == "paragraph"
     assert json.loads(seg["lines"][0]["tags"]) == {"type": [{"type": "heading"}]}
-    assert seg["lines"][0]["language"] == ["en"]
+    # PAGE languages are ISO-639-3-normalised like the reference
+    assert seg["lines"][0]["language"] == ["eng"]
 
 
 def test_explode_pages_flags_undecodable_blob(spark, tmp_path):
