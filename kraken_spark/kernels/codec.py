@@ -63,52 +63,72 @@ class Codec:
     def decode(
         self, labels: list[tuple[int, int, int, float]]
     ) -> list[tuple[str, int, int, float]]:
-        """Decode (label, start, end, conf) runs to (char, start, end, conf),
-        longest-match over label tuples, merging geometry/confidence
-        (codec.py:148-195)."""
+        """Decode (label, start, end, conf) runs to per-CODE-POINT tuples
+        (codec.py:148-195): a matched grapheme string of n characters emits
+        n tuples, each carrying the whole match's extent (first label's
+        start, last label's end) and mean confidence. Single-label graphemes
+        take a fast path; multi-label sequences match in codec insertion
+        order. Undecodable labels are skipped (or raise in strict mode)."""
         out: list[tuple[str, int, int, float]] = []
         seq = [l[0] for l in labels]
+        single = {k[0]: v for k, v in self.l2c.items() if len(k) == 1}
         i = 0
-        maxlen = max((len(k) for k in self.l2c), default=1)
         while i < len(seq):
-            for j in range(min(maxlen, len(seq) - i), 0, -1):
-                key = tuple(seq[i : i + j])
-                if key in self.l2c:
-                    chunk = labels[i : i + j]
-                    out.append(
-                        (
-                            self.l2c[key],
-                            min(c[1] for c in chunk),
-                            max(c[2] for c in chunk),
-                            float(sum(c[3] for c in chunk) / len(chunk)),
-                        )
-                    )
-                    i += j
+            if seq[i] in single:
+                code = single[seq[i]]
+                _, s, e, c = labels[i]
+                out.extend((ch, s, e, c) for ch in code)
+                i += 1
+                continue
+            for key, code in self.l2c.items():
+                if len(key) > 1 and tuple(seq[i: i + len(key)]) == key:
+                    s = labels[i][1]
+                    e = labels[i + len(key) - 1][2]
+                    c = float(sum(x[3] for x in labels[i: i + len(key)])
+                              / len(key))
+                    out.extend((ch, s, e, c) for ch in code)
+                    i += len(key)
                     break
             else:
+                if self.strict:
+                    raise CodecError(
+                        f"non-decodable label sequence at {seq[i:i + 5]}")
                 i += 1  # undecodable label dropped (non-strict)
         return out
 
-    def merge(self, other: "Codec") -> tuple["Codec", set[str]]:
-        """Union of self and other's graphemes; returns (new codec, graphemes
-        dropped from self)."""
-        merged = dict(self.c2l)
-        dropped = set()
-        next_label = max(self.max_label(), 0)
-        for ch in other.c2l:
-            if ch not in merged:
-                next_label += 1
-                merged[ch] = [next_label]
-        for ch in list(merged):
-            if ch not in other.c2l and ch not in self.c2l:
-                dropped.add(ch)
-        return Codec(merged, strict=self.strict), dropped
+    def merge(self, other: "Codec") -> tuple["Codec", set[int]]:
+        """Transform this codec towards ``other``, reusing labels
+        (codec.py:197-240): graphemes absent from ``other`` are dropped
+        (their labels returned, unless still used by a kept mapping), the
+        label space is compacted to close the holes, and ``other``-only
+        graphemes are appended with fresh sequential labels ordered by
+        their labels in ``other``."""
+        kept = {ch: list(v) for ch, v in self.c2l.items() if ch in other.c2l}
+        removed = [lab for ch, v in self.c2l.items()
+                   if ch not in other.c2l for lab in v]
+        in_use = {lab for v in kept.values() for lab in v}
+        removed = [lab for lab in removed if lab not in in_use]
+        # close holes left by the removed labels
+        for shifted in (v - i for i, v in enumerate(sorted(set(removed)))):
+            kept = {ch: [lab - 1 if lab > shifted else lab for lab in v]
+                    for ch, v in kept.items()}
+        added = {ch: v for ch, v in other.c2l.items() if ch not in self.c2l}
+        start = max((lab for v in kept.values() for lab in v), default=0) + 1
+        renumber = {old: new for new, old in enumerate(
+            sorted({lab for v in added.values() for lab in v}), start)}
+        for ch, v in added.items():
+            kept[ch] = [renumber[lab] for lab in v]
+        return Codec(kept, strict=self.strict), set(removed)
 
-    def add_labels(self, chars: list[str]) -> "Codec":
+    def add_labels(self, charset: dict | list[str] | str) -> "Codec":
+        """Extend with new graphemes (codec.py:242-264): dicts merge as
+        given; strings/lists get sequential labels after the current max,
+        in sorted order."""
         merged = dict(self.c2l)
-        next_label = self.max_label()
-        for ch in chars:
-            if ch not in merged:
-                next_label += 1
-                merged[ch] = [next_label]
+        if isinstance(charset, dict):
+            merged.update(charset)
+        else:
+            merged.update({ch: [lab] for lab, ch in
+                           enumerate(sorted(charset),
+                                     start=self.max_label() + 1)})
         return Codec(merged, strict=self.strict)

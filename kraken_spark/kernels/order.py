@@ -66,7 +66,13 @@ def partial_order(
 
 
 def topsort(order: np.ndarray) -> list[int]:
-    """Deterministic Kahn topological sort (lowest index first on ties)."""
+    """Deterministic Kahn topological sort (lowest index first on ties).
+
+    Self-loops on the diagonal are ignored — the reference's DFS topsort
+    (lib/segmentation.py:154-175) tolerates order[i,i]=1 matrices and some
+    callers produce them."""
+    order = np.asarray(order).copy()
+    np.fill_diagonal(order, 0)
     n = order.shape[0]
     indeg = order.sum(axis=0).astype(np.int64)
     out: list[int] = []

@@ -156,16 +156,23 @@ def test_codec_encode_decode_multilabel():
     c = Codec({"a": [1], "ch": [2, 3], "x": [4]})
     assert c.encode("achx") == [1, 2, 3, 4]
     decoded = c.decode([(1, 0, 0, 0.9), (2, 1, 1, 0.8), (3, 2, 2, 0.6), (4, 3, 3, 1.0)])
-    assert [d[0] for d in decoded] == ["a", "ch", "x"]
-    ch = decoded[1]
-    assert ch[1] == 1 and ch[2] == 2 and abs(ch[3] - 0.7) < 1e-6
+    # per-code-point emission (reference codec.py:148-195): 'ch' yields two
+    # tuples sharing the whole match's extent and mean confidence
+    assert [d[0] for d in decoded] == ["a", "c", "h", "x"]
+    for d in decoded[1:3]:
+        assert d[1] == 1 and d[2] == 2 and abs(d[3] - 0.7) < 1e-6
 
 
 def test_codec_merge():
+    # reference merge semantics (codec.py:197-240): transform a TOWARDS b —
+    # 'a' is dropped (label 1 returned), surviving labels compact down,
+    # b-only graphemes get fresh labels
     a = Codec("abc")
     b = Codec("bcd")
-    merged, _ = a.merge(b)
-    assert set(merged.c2l) == {"a", "b", "c", "d"}
+    merged, removed = a.merge(b)
+    assert set(merged.c2l) == {"b", "c", "d"}
+    assert removed == {1}
+    assert merged.c2l == {"b": [1], "c": [2], "d": [3]}
 
 
 def test_ctc_greedy_collapses_and_drops_blanks():
