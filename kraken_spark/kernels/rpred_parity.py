@@ -463,3 +463,86 @@ class MultiModelDispatcher:
                     self.im, ln["baseline"], ln["boundary"], pad=self.pad,
                     bidi_reordering=self.bidi_reordering)
             yield dict(r, id=ln.get("id"), tag=tag, model=net)
+
+
+def _aligned_record(recognizer, ts, text, pad, box_w, base_dir=None):
+    """Shared tail of forced alignment: viterbi-align the display-order
+    text against the prepared line tensor's activations and build a
+    display-order record dict (reference align.py:85-130)."""
+    from .align import ctc_viterbi_align
+    from .bidi import get_display
+
+    do_text, _ = get_display(text, base_dir if base_dir in ("L", "R") else None)
+    labels = recognizer.codec.encode(do_text)
+    if not labels:
+        raise ValueError(f"text {text!r} encodes to an empty label sequence")
+    if pad:
+        fill = 255.0 if ts.max() > 1.0 else 1.0
+        ts = np.pad(ts, ((0, 0), (pad, pad)), constant_values=fill)
+    ts = ts.max() - ts
+    if ts.max() == ts.min():
+        return {"prediction": "", "cuts": [], "confidences": [],
+                "display_order": True}
+    probs = recognizer.net.forward(ts.astype(np.float32))
+    if probs.shape[0] < 2 * len(labels):
+        # reference: log a warning, emit an empty record (align.py:111-115)
+        return {"prediction": "", "cuts": [], "confidences": [],
+                "display_order": True}
+    ali = ctc_viterbi_align(probs, list(labels))
+    if ali is None:
+        raise ValueError(f"could not align {text!r}")
+    net_scale = ts.shape[1] / probs.shape[0]
+    in_scale = box_w / (ts.shape[1] - 2 * pad)
+
+    def scale_val(v):
+        return int(round(min(max((v * net_scale - pad) * in_scale, 0),
+                             box_w - 1)))
+
+    cuts = [(scale_val(f0), scale_val(f1)) for _, f0, f1, _ in ali]
+    confs = [float(p) for _, _, _, p in ali]
+    n = min(len(do_text), len(cuts))
+    return {"prediction": do_text[:n], "cuts": cuts[:n],
+            "confidences": confs[:n], "display_order": True}
+
+
+def align_baseline(recognizer, img, baseline, boundary, text, pad: int = 16,
+                   base_dir=None, legacy: bool | None = None) -> dict:
+    """Forced alignment of ground-truth text to a baseline line through a
+    LOADED trained model (reference align.py forced_align): same line
+    preparation as recognition, but the decode step is a CTC viterbi
+    alignment of the encoded display-order text. Raises ValueError for
+    unencodable text; emits an empty record when the activation sequence
+    is too short to carry the labels."""
+    if legacy is None:
+        legacy = recognizer.bundle.legacy_polygons
+    pl = np.asarray(boundary)
+    bl = np.asarray(baseline, dtype=np.float64)
+    h, w = img.shape
+    if (pl < 0).any() or pl[:, 0].max() >= w or pl[:, 1].max() >= h or \
+            (bl < 0).any() or bl[:, 0].max() >= w or bl[:, 1].max() >= h:
+        return {"prediction": "", "cuts": [], "confidences": [],
+                "display_order": True}
+    patch = extract_polygon_legacy(img, bl, pl) if legacy \
+        else extract_polygon_new(img, bl, pl)
+    nzr = np.nonzero(patch.any(axis=1))[0] if patch.size else []
+    nzc = np.nonzero(patch.any(axis=0))[0] if patch.size else []
+    if len(nzr) == 0 or len(nzc) == 0:
+        return {"prediction": "", "cuts": [], "confidences": [],
+                "display_order": True}
+    patch = patch[nzr[0]: nzr[-1] + 1, nzc[0]: nzc[-1] + 1]
+    resized = fixed_resize(patch, (recognizer.height, 0))
+    ts = resized.astype(np.float32) / 255.0
+    return _aligned_record(recognizer, ts, text, pad, patch.shape[1],
+                           base_dir)
+
+
+def forced_align_segmentation(recognizer, img, seg: dict, pad: int = 16,
+                              base_dir=None) -> list[dict]:
+    """Reference forced_align over a segmentation dict: one aligned record
+    per line, in order; empty input yields an empty list."""
+    out = []
+    for ln in seg.get("lines", []):
+        rec = align_baseline(recognizer, img, ln["baseline"], ln["boundary"],
+                             ln.get("text") or "", pad=pad, base_dir=base_dir)
+        out.append(dict(rec, id=ln.get("id")))
+    return out

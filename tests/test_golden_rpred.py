@@ -352,3 +352,47 @@ def test_mm_rpred_nobidi_golden(overfit, line_img):
             defaultdict(lambda: overfit), line_img, _simple_seg(kind),
             bidi_reordering=False))
         assert [r["prediction"] for r in recs] == [golden]
+
+
+# -- forced alignment through trained weights (test_align.py:32-172) ---------
+
+BL_LINE = {"id": "foo", "baseline": [[0, 10], [2543, 10]],
+           "boundary": [[0, 0], [2543, 0], [2543, 155], [0, 155]]}
+
+
+def test_forced_align_trained_simple(overfit, line_img):
+    """Aligning encodable text against the real line yields per-character
+    positions/confidences in display order (test_forced_align_simple /
+    _records_are_baseline_ocr / _display_order)."""
+    from kraken_spark.kernels.rpred_parity import align_baseline
+
+    rec = align_baseline(overfit, line_img, BL_LINE["baseline"],
+                         BL_LINE["boundary"], "ܡ")
+    assert len(rec["prediction"]) > 0
+    assert len(rec["cuts"]) > 0 and len(rec["confidences"]) > 0
+    assert rec["display_order"] is True
+    assert all(0 <= a <= b for a, b in rec["cuts"])
+
+
+def test_forced_align_trained_record_count(overfit, line_img):
+    """One aligned record per input line; empty segmentation -> empty
+    (test_forced_align_record_count / _empty_segmentation)."""
+    from kraken_spark.kernels.rpred_parity import forced_align_segmentation
+
+    seg = {"type": "baselines",
+           "lines": [dict(BL_LINE, id="l1", text="ܡ"),
+                     dict(BL_LINE, id="l2", text="ܡ")]}
+    recs = forced_align_segmentation(overfit, line_img, seg)
+    assert len(recs) == 2 and [r["id"] for r in recs] == ["l1", "l2"]
+    assert forced_align_segmentation(overfit, line_img,
+                                     {"type": "baselines", "lines": []}) == []
+
+
+def test_forced_align_trained_unencodable_raises(overfit, line_img):
+    """Text the model codec cannot encode at all raises ValueError
+    (test_forced_align_unencodable_text / _xml_document)."""
+    from kraken_spark.kernels.rpred_parity import align_baseline
+
+    with pytest.raises(ValueError):
+        align_baseline(overfit, line_img, BL_LINE["baseline"],
+                       BL_LINE["boundary"], "Z" * 47)
