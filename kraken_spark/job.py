@@ -66,6 +66,15 @@ def main(argv: list[str] | None = None) -> int:
         help="print a kraken-style OCR accuracy report (requires a ground-"
         "truth `text` column on the input documents)",
     )
+    ap.add_argument(
+        "--export-dataset",
+        default=None,
+        metavar="PATH",
+        help="additionally compile a binary line-training dataset from the "
+        "input documents: a single reference-format Arrow IPC file when "
+        "PATH ends in .arrow, else a directory of per-partition shards "
+        "with a manifest (sources/arrow_dataset.py)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -103,6 +112,19 @@ def main(argv: list[str] | None = None) -> int:
         )
     done = spark.read.parquet(args.output)
     print(f"[kraken_spark] committed {done.count()} extraction rows -> {args.output}")
+    if args.export_dataset:
+        from kraken_spark.sources.arrow_dataset import (build_binary_dataset,
+                                                        line_dataset,
+                                                        write_ipc_shards)
+
+        all_docs = spark.read.parquet(args.input)
+        if args.export_dataset.endswith(".arrow"):
+            counts = build_binary_dataset(all_docs, args.export_dataset)
+        else:
+            counts = write_ipc_shards(line_dataset(all_docs), args.export_dataset)
+        print(f"[kraken_spark] exported {counts['all']} training lines "
+              f"({counts['train']}/{counts['validation']}/{counts['test']} "
+              f"train/val/test) -> {args.export_dataset}")
     if args.report:
         all_docs = spark.read.parquet(args.input)
         if "text" not in all_docs.columns:
