@@ -319,3 +319,57 @@ def load_kraken_model(path: str) -> list[KrakenModelBundle]:
         raise
     except Exception as e:
         raise ValueError(f"{path}: not a parseable kraken model file: {e}") from e
+
+
+_ST_NAMES = {v: k for k, v in _ST_DTYPES.items()}
+
+
+def write_safetensors(path: str, tensors: dict[str, np.ndarray],
+                      metadata: dict[str, str] | None = None) -> None:
+    """Serialize tensors to the safetensors container format (8-byte LE
+    header length + JSON header + contiguous little-endian tensor data) —
+    the write twin of read_safetensors, producing files the reference's
+    safetensors loader (loaders.py:46-152) reads back unchanged."""
+    header: dict = {}
+    if metadata:
+        header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
+    payloads = []
+    offset = 0
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name])
+        le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+        dt_name = _ST_NAMES.get(np.dtype(le.dtype.str))
+        if dt_name is None:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name}")
+        raw = le.tobytes()
+        header[name] = {"dtype": dt_name, "shape": list(arr.shape),
+                        "data_offsets": [offset, offset + len(raw)]}
+        payloads.append(raw)
+        offset += len(raw)
+    hjson = json.dumps(header, sort_keys=True).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for raw in payloads:
+            f.write(raw)
+
+
+def save_kraken_model(path: str, bundle: KrakenModelBundle,
+                      prefix: str = "model_0",
+                      dtype: str | None = None) -> None:
+    """Write a model bundle as a kraken-layout safetensors file: weights
+    under '<prefix>.nn.<name>', VGSL/codec/metadata in the kraken_meta
+    model map — loadable by load_safetensors (and the reference's loader).
+    ``dtype``: optional 'F16'/'F32' cast for the float weights."""
+    tensors = {}
+    for name, w in bundle.weights.items():
+        arr = np.asarray(w)
+        if dtype and arr.dtype.kind == "f":
+            arr = arr.astype(_ST_DTYPES[dtype])
+        tensors[f"{prefix}.nn.{name}"] = arr
+    model_data = dict(bundle.metadata or {})
+    model_data["vgsl"] = bundle.vgsl
+    if bundle.codec is not None:
+        model_data["codec"] = bundle.codec
+    meta = {"kraken_meta": json.dumps({prefix: model_data})}
+    write_safetensors(path, tensors, meta)

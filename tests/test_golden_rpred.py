@@ -396,3 +396,57 @@ def test_forced_align_trained_unencodable_raises(overfit, line_img):
     with pytest.raises(ValueError):
         align_baseline(overfit, line_img, BL_LINE["baseline"],
                        BL_LINE["boundary"], "Z" * 47)
+
+
+# -- safetensors write/read round-trip (test_loaders.py:276-320) -------------
+
+def test_safetensors_write_read_roundtrip(tmp_path, line_img):
+    """Saving a loaded model and reloading reproduces weights byte-for-byte
+    and the same prediction; an F16 save reloads as the f16-quantized
+    weights (reference round-trip expectations)."""
+    import numpy as np
+
+    from kraken_spark.kernels.modelio import (load_kraken_model,
+                                              load_safetensors,
+                                              save_kraken_model)
+    from kraken_spark.kernels.rpred_parity import LoadedRecognizer
+
+    src = load_kraken_model(f"{RES}/overfit_bl.safetensors")[0]
+    p32 = str(tmp_path / "rt32.safetensors")
+    save_kraken_model(p32, src)
+    rt = load_safetensors(p32)[0]
+    assert rt.vgsl == src.vgsl and rt.codec == src.codec
+    assert set(rt.weights) == set(src.weights)
+    assert all(np.array_equal(rt.weights[k], src.weights[k])
+               for k in src.weights)
+    args = (line_img, [[0, 10], [2543, 10]],
+            [[0, 0], [2543, 0], [2543, 155], [0, 155]])
+    want = LoadedRecognizer(src).recognize_baseline(*args, pad=16)
+    got = LoadedRecognizer(rt).recognize_baseline(*args, pad=16)
+    assert got["prediction"] == want["prediction"]
+    # F16 cast round-trip: values equal their f16 quantization
+    p16 = str(tmp_path / "rt16.safetensors")
+    save_kraken_model(p16, src, dtype="F16")
+    rt16 = load_safetensors(p16)[0]
+    for k, w in src.weights.items():
+        assert np.array_equal(rt16.weights[k],
+                              np.asarray(w).astype(np.float16).astype(np.float32))
+
+
+def test_safetensors_writer_rejects_bad_meta(tmp_path):
+    """A file without a kraken_meta model map is rejected by the kraken
+    loader but still parses as raw safetensors
+    (test_loaders.py:151-166 class of failure)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kraken_spark.kernels.modelio import (load_safetensors,
+                                              read_safetensors,
+                                              write_safetensors)
+
+    p = str(tmp_path / "plain.safetensors")
+    write_safetensors(p, {"w": np.arange(6, dtype=np.float32).reshape(2, 3)})
+    tensors, meta = read_safetensors(p)
+    assert tensors["w"].shape == (2, 3) and meta == {}
+    with _pytest.raises(ValueError):
+        load_safetensors(p)
