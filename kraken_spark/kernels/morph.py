@@ -170,3 +170,46 @@ def select_regions(mask: np.ndarray, score, min_score: float = 0.0, nbest: int =
     for i in keep:
         lut[i] = 1
     return lut[labels]
+
+
+def fast_component_count(mask: np.ndarray) -> int:
+    """Exact 4-connected component count via run-based union-find.
+
+    Rows are decomposed into horizontal runs (vectorized); runs in
+    consecutive rows that overlap are unioned. Orders of magnitude faster
+    than full pixel labeling for the admission-guard use
+    (reference pageseg.py:381-391 counts background components against an
+    area cap before segmenting).
+    """
+    b = np.ascontiguousarray(mask).astype(bool)
+    if not b.any():
+        return 0
+    h, w = b.shape
+    starts = b.copy()
+    starts[:, 1:] &= ~b[:, :-1]
+    # run id per pixel (global, row-major): cumsum over start flags
+    run_id = np.cumsum(starts.ravel()).reshape(h, w) - 1
+    n_runs = int(starts.sum())
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    both = b[1:] & b[:-1]
+    if both.any():
+        ov_start = both.copy()
+        ov_start[:, 1:] &= ~both[:, :-1]
+        ys, xs = np.nonzero(ov_start)
+        pairs = np.unique(run_id[ys, xs] * np.int64(n_runs)
+                          + run_id[ys + 1, xs])
+        merges = 0
+        for p in pairs.tolist():
+            ru, rv = find(p // n_runs), find(p % n_runs)
+            if ru != rv:
+                parent[ru] = rv
+                merges += 1
+        return n_runs - merges
+    return n_runs

@@ -451,3 +451,42 @@ def test_seam_extraction_byte_identical():
         strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
         recs = recognize_page(model, codec, strips, base_dir="R" if rtl else "L")
         assert "\n".join(r["prediction"] for r in recs) == d["text"], (i, d["lang"])
+
+
+def test_segment_real_scan_bw_png():
+    """The reference's real scanned test page (bw.png, ~30 lines) must
+    pass the admission guard and segment to the reference's expected line
+    count band (test_pageseg.py:28-40: 30 +/- 5), with every box inside
+    the page."""
+    from pathlib import Path
+
+    res = Path("/root/reference/tests/resources/bw.png")
+    if not res.exists():
+        import pytest as _pytest
+
+        _pytest.skip("reference fixtures unavailable")
+    from kraken_spark.kernels import binarize, png
+
+    img = png.decode_png(res.read_bytes())
+    mask = binarize.nlbin(img)
+    seg = pageseg.segment(mask, url="bw.png")
+    assert not seg["guard_tripped"]
+    assert abs(len(seg["lines"]) - 30) <= 5
+    h, w = img.shape
+    for l in seg["lines"]:
+        x0, y0, x1, y1 = l["bbox"]
+        assert 0 <= x0 < x1 <= w and 0 <= y0 < y1 <= h
+
+
+def test_fast_component_count_matches_label():
+    """Run-union-find component count equals full labeling on random and
+    structured masks."""
+    from kraken_spark.kernels import morph
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    for density in (0.05, 0.3, 0.6):
+        m = (rng.random((120, 90)) < density).astype(np.uint8)
+        assert morph.fast_component_count(m) == morph.label(m)[1]
+        assert morph.fast_component_count(1 - m) == morph.label((1 - m).astype(np.uint8))[1]
+    assert morph.fast_component_count(np.zeros((5, 5), np.uint8)) == 0
+    assert morph.fast_component_count(np.ones((5, 5), np.uint8)) == 1
