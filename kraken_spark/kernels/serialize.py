@@ -703,6 +703,53 @@ def register_serializer(fmt: str, fn) -> None:
     SERIALIZERS[fmt] = fn
 
 
+def row_with_polygon_sections(row) -> dict:
+    """Upgrade an extraction row's lines to full polygon-section geometry
+    (serialize with ``serialize(row_with_polygon_sections(row), 'alto')``
+    to get the reference-template String/SP/Glyph Shape output on the
+    engine's own rows).
+
+    Engine lines carry per-char x-span cuts plus baseline+boundary; for
+    lines with both, the spans become baseline-distance pairs (exact for
+    the engine's horizontal baselines: distance = x - baseline_x0) and a
+    records.BaselineOCRRecord computes the orthogonal polygon sections.
+    Lines without geometry (or with mismatched cut counts) pass through
+    unchanged on the legacy span path."""
+    from .records import BaselineOCRRecord
+
+    out = {k: _row_get(row, k) for k in
+           ("url", "width", "height", "regions")}
+    lines = []
+    seg_i = char_i = 0
+    for raw in (_row_get(row, "lines", []) or []):
+        l = _line_fields(raw)
+        pred = l["prediction"]
+        ok = (l["baseline"] and l["boundary"] and l["cuts"]
+              and len(l["cuts"]) == len(pred)
+              and len(l["confidences"]) == len(pred)
+              and all(len(c) == 2 and not isinstance(c[0], (list, tuple))
+                      for c in l["cuts"]))
+        if not ok:
+            lines.append(raw)
+            continue
+        x0 = min(p[0] for p in l["baseline"])
+        dist_cuts = [[max(a - x0, 0), max(b - x0, 0)] for a, b in l["cuts"]]
+        rec = BaselineOCRRecord(
+            prediction=pred, cuts=dist_cuts, confidences=l["confidences"],
+            line={"type": "baselines", "id": l["id"],
+                  "baseline": l["baseline"], "boundary": l["boundary"],
+                  "text": None, "base_dir": None, "imagename": None,
+                  "tags": None, "split": None, "regions": l["region_ids"],
+                  "language": l["language"]})
+        d, seg_i, char_i = line_dict_from_record(rec, seg_i, char_i)
+        d["tags"] = l["tags"]
+        d["language"] = l["language"]
+        d["region_ids"] = l["region_ids"]
+        lines.append(d)
+    out["lines"] = lines
+    return out
+
+
 def serialize(row, fmt: str, created: str = PINNED_CREATED) -> str:
     """Dispatch like the reference's serialize(..., template=fmt)
     (/root/reference/kraken/serialization.py:80-113)."""

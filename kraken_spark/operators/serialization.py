@@ -90,7 +90,8 @@ def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import os
 
-        from ..kernels.serialize import serialize
+        from ..kernels.serialize import (row_with_polygon_sections,
+                                         serialize)
         from ..kernels.xsdcheck import validate_xml
 
         schema = pa.schema(
@@ -105,9 +106,16 @@ def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:
         for batch in batches:
             out = []
             for r in batch.to_pylist():
-                for fmt in fmts:
-                    doc = serialize(r, fmt)
-                    xsd = xsd_for.get(fmt)
+                for fmt in fmts + ("alto_sections",):
+                    # alto_sections: the same row upgraded to full
+                    # polygon-section String/SP/Glyph Shape geometry
+                    # (kernels/serialize.row_with_polygon_sections)
+                    if fmt == "alto_sections":
+                        doc = serialize(row_with_polygon_sections(r), "alto")
+                        xsd = xsd_for["alto"]
+                    else:
+                        doc = serialize(r, fmt)
+                        xsd = xsd_for.get(fmt)
                     valid = (
                         not validate_xml(doc, xsd)
                         if xsd and os.path.exists(xsd)

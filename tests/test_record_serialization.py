@@ -178,3 +178,29 @@ def test_bbox_record_line_dict_roundtrip():
     assert [s.get("CONTENT") for s in strings] == words
     # bbox records: no Shape under String
     assert all(s.find("a:Shape", NS) is None for s in strings)
+
+
+def test_engine_rows_upgrade_to_polygon_sections():
+    """The production integration: an engine extraction row (span cuts +
+    baseline/boundary) upgrades to record-backed polygon-section geometry,
+    serializes to XSD-valid ALTO with String/SP/Glyph Shapes, and the text
+    still round-trips."""
+    from kraken_spark.kernels import png as _png
+    from kraken_spark.kernels import render
+    from kraken_spark.kernels.serialize import (row_with_polygon_sections,
+                                                serialize)
+    from kraken_spark.kernels.xmlparse import parse_alto
+
+    d = render.render_document(1234, 7)
+    from kraken_spark.stages import extract_document
+
+    r = extract_document(_png.encode_png(d["img"]), "u7", d["lang"],
+                         gt_text=d["text"])
+    up = row_with_polygon_sections(r)
+    assert all(l.get("segments") is not None for l in up["lines"])
+    doc = serialize(up, "alto")
+    assert doc.count("<Glyph") > 0 and doc.count("<Shape>") > 0
+    validate_xml(doc, f"{RES}/alto-4-3.xsd")
+    seg = parse_alto(doc.encode())
+    assert [l["text"] for l in seg["lines"]] == \
+        [l["prediction"] for l in r["lines"]]

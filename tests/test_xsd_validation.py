@@ -163,7 +163,16 @@ def test_x_serialize_all_reports_xsd_valid():
     rows = x_serialize_all(spark, "sf0.001").collect()
     assert rows
     for r in rows:
-        if r.fmt in ("alto", "pagexml"):
+        if r.fmt in ("alto", "pagexml", "alto_sections"):
             assert r.xsd_valid is True, (r.url, r.fmt)
         else:
             assert r.xsd_valid is None, (r.url, r.fmt)
+    # the polygon-section variant emits real sub-line Shape geometry and
+    # is strictly larger than the plain ALTO of the same page
+    by_url: dict = {}
+    for r in rows:
+        by_url.setdefault(r.url, {})[r.fmt] = r
+    for url, fmts in by_url.items():
+        sec = fmts["alto_sections"].document
+        assert "<Glyph" in sec and "<Shape>" in sec
+        assert fmts["alto_sections"].n_bytes > fmts["alto"].n_bytes
