@@ -365,6 +365,58 @@ class VGSLModel:
             self.weights[layer["name"] + ".b"] = np.zeros(layer["classes"], np.float32)
         return c, h
 
+    # -- fine-tuning surgery ------------------------------------------------
+    def append(self, idx: int, spec: str, seed: int = 42) -> "VGSLModel":
+        """Split the model after layer ``idx`` (1-based over non-input
+        blocks) and append the bracketed ``spec``'s layers, keeping the
+        retained layers' weights and initializing only the new ones
+        (reference TorchVGSLModel.append, lib/vgsl/model.py:245-269).
+        Mutates self and returns it."""
+        blocks = self.spec[1:-1].split()
+        new_blocks = blocks[: idx + 1] + spec.strip()[1:-1].split()
+        new = VGSLModel("[" + " ".join(new_blocks) + "]", codec=self.codec)
+        new.init_random(seed)
+        for k, v in self.weights.items():
+            if k in new.weights and new.weights[k].shape == v.shape:
+                new.weights[k] = v
+        self.__dict__.update(new.__dict__)
+        return self
+
+    def resize_output(self, output_size: int,
+                      del_indices=None, seed: int = 42) -> "VGSLModel":
+        """Resize the final output layer with minimal disturbance
+        (reference lib/vgsl/layers.py:753-783 LinSoftmax.resize + model.py
+        :548-568): rows at ``del_indices`` are removed, surviving rows keep
+        their weights, new rows are Xavier-uniform with zero bias, and the
+        spec's output block is rewritten. Pairs with Codec.merge for
+        fine-tuning vocabulary surgery."""
+        layer = self.layers[-1] if self.layers else None
+        if not layer or layer["kind"] != "out":
+            raise ValueError("last layer is not an output layer")
+        wk, bk = layer["name"] + ".w", layer["name"] + ".b"
+        if wk not in self.weights:
+            raise ValueError("output layer has no weights (init first)")
+        W, b = self.weights[wk], self.weights[bk]
+        drop = set(del_indices or [])
+        keep = [i for i in range(W.shape[0]) if i not in drop]
+        if len(keep) > output_size:
+            raise ValueError(
+                f"cannot shrink {len(keep)} surviving outputs into "
+                f"{output_size}")
+        rng = np.random.Generator(np.random.PCG64(seed))
+        extra = output_size - len(keep)
+        limit = float(np.sqrt(6.0 / (W.shape[1] + output_size)))
+        self.weights[wk] = np.concatenate(
+            [W[keep], rng.uniform(-limit, limit,
+                                  (extra, W.shape[1])).astype(np.float32)])
+        self.weights[bk] = np.concatenate(
+            [b[keep], np.zeros(extra, np.float32)])
+        layer["classes"] = output_size
+        self.spec = re.sub(r"(O(?P<dim>[012])(?P<t>[lsc])a?)\d+(\s*\]$)",
+                           lambda m: m.group(1) + str(output_size) + m.group(4),
+                           self.spec)
+        return self
+
     # -- inference ----------------------------------------------------------
     def forward(self, x: np.ndarray) -> np.ndarray:
         """x: (C,H,W) or (H,W) float32 -> (T, classes) activations."""

@@ -490,3 +490,54 @@ def test_fast_component_count_matches_label():
         assert morph.fast_component_count(1 - m) == morph.label((1 - m).astype(np.uint8))[1]
     assert morph.fast_component_count(np.zeros((5, 5), np.uint8)) == 0
     assert morph.fast_component_count(np.ones((5, 5), np.uint8)) == 1
+
+
+# ------------------------------------------------- vgsl surgery (reference
+# test_vgsl.py:43-95 expectations, adapted to the engine's unnamed specs)
+def test_vgsl_append():
+    m = VGSLModel("[1,48,0,1 Lbx10 Do O1c57]").init_random()
+    m.append(1, "[Cr1,1,2 Gn2 Cr3,3,4]")
+    assert m.spec == "[1,48,0,1 Lbx10 Cr1,1,2 Gn2 Cr3,3,4]"
+    # the retained LSTM kept its trained weights, new layers initialized
+    assert "lstm0.wih_f" in m.weights or any(
+        k.startswith("lstm0") for k in m.weights)
+
+
+def test_vgsl_resize_output():
+    m = VGSLModel("[1,48,0,1 Lbx10 Do O1c57]").init_random()
+    name = m.layers[-1]["name"]
+    w_before = m.weights[name + ".w"].copy()
+    m.resize_output(80)
+    assert m.layers[-1]["classes"] == 80
+    assert m.weights[name + ".w"].shape[0] == 80
+    assert m.spec.endswith("O1c80]")
+    # original 57 rows preserved verbatim
+    assert np.array_equal(m.weights[name + ".w"][:57], w_before)
+    out = m.forward(np.zeros((48, 30), np.float32))
+    assert out.shape[1] == 80
+
+
+def test_vgsl_resize_output_with_deletion():
+    m = VGSLModel("[1,48,0,1 Lbx10 Do O1c57]").init_random()
+    name = m.layers[-1]["name"]
+    w_before = m.weights[name + ".w"].copy()
+    dels = [2, 4, 5, 6, 7, 12, 25]
+    m.resize_output(80, dels)
+    assert m.weights[name + ".w"].shape[0] == 80
+    survivors = [i for i in range(57) if i not in dels]
+    assert np.array_equal(m.weights[name + ".w"][: len(survivors)],
+                          w_before[survivors])
+    # appended rows have zero bias
+    assert (m.weights[name + ".b"][len(survivors):] == 0).all()
+
+
+def test_vgsl_nested_serial_and_parallel_inequal():
+    # nested serial inside parallel builds and forwards
+    m = VGSLModel(
+        "[1,48,0,1 ([Cr3,3,2 Do Cr3,3,2] [Cr3,3,2 Cr3,3,2 Do]) "
+        "Lbx2 O1c5]").init_random()
+    out = m.forward(np.zeros((48, 64), np.float32))
+    assert out.shape[1] == 5
+    # parallel branches with unequal output shapes raise
+    with pytest.raises(ValueError):
+        VGSLModel("[1,48,0,1 (Cr3,3,2 Cr3,3,4) Lbx2]").init_random()
