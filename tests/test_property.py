@@ -262,3 +262,78 @@ def test_column_seam_is_connected_and_optimalish(h, w, seed):
     seam_cost = float(sum(energy[y, x] for x, y in enumerate(ys)))
     best_row = float(energy.sum(axis=1).min())
     assert seam_cost <= best_row + 1e-4
+
+
+@given(
+    st.integers(1, 400).map(lambda n: n),
+    st.sampled_from([8, 16, 32, -32]),
+    st.sampled_from([1, 2]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_random(n, bits, channels, seed):
+    """WAV codec: any PCM payload round-trips within the depth's
+    quantization bound; stereo averages to the channel mean."""
+    from kraken_spark.kernels.wav import read_wav, write_wav
+
+    rng = np.random.default_rng(seed)
+    x = np.clip(rng.standard_normal(n * channels) * 0.4, -1, 1)
+    sr, y = read_wav(write_wav(x, 8000, bits=bits, channels=channels))
+    assert sr == 8000
+    frames = x[: len(x) // channels * channels].reshape(-1, channels)
+    want = frames.mean(axis=1)
+    tol = {8: 1 / 64, 16: 1 / 16384, 32: 1e-8, -32: 1e-6}[bits]
+    assert len(y) == len(want)
+    assert np.max(np.abs(y - want)) <= tol
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(4, 40),
+    st.integers(4, 40),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_apng_roundtrip_random(n_frames, h, w, seed):
+    """APNG: same-size frame stacks round-trip exactly."""
+    from kraken_spark.kernels.png import decode_apng, encode_apng
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8)
+              for _ in range(n_frames)]
+    out, delays = decode_apng(encode_apng(frames))
+    assert len(out) == n_frames and len(delays) == n_frames
+    assert all(np.array_equal(a, b) for a, b in zip(out, frames))
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_record_slice_invariants(data):
+    """BaselineOCRRecord slicing: any slice's prediction equals the string
+    slice, confidence is the slice mean, and the polygon-section cut stays
+    inside the boundary's bounding box."""
+    from kraken_spark.kernels.records import BaselineOCRRecord
+
+    n = data.draw(st.integers(1, 12))
+    text = data.draw(st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=n, max_size=n))
+    w = 40 + 20 * n
+    step = w // (n + 1)
+    cuts = [[step * (i + 1), step * (i + 1) + max(step - 2, 1)]
+            for i in range(n)]
+    confs = [round(data.draw(st.floats(0.01, 1.0)), 4) for _ in range(n)]
+    rec = BaselineOCRRecord(
+        prediction=text, cuts=cuts, confidences=confs,
+        line={"type": "baselines", "id": "l", "text": None,
+              "base_dir": None, "imagename": None, "tags": None,
+              "split": None, "regions": [], "language": None,
+              "baseline": [[0, 20], [w, 20]],
+              "boundary": [[0, 0], [w, 0], [w, 40], [0, 40]]})
+    lo = data.draw(st.integers(0, n - 1))
+    hi = data.draw(st.integers(lo + 1, n))
+    pred, cut, conf = rec[lo:hi]
+    assert pred == text[lo:hi]
+    assert abs(conf - np.mean(confs[lo:hi])) < 1e-9
+    assert all(-1 <= x <= w + 1 and -1 <= y <= 41 for x, y in cut)
+    assert len(rec.cuts) == n
