@@ -413,7 +413,7 @@ class MultiModelDispatcher:
     """
 
     def __init__(self, nets, im, seg, pad: int = 16, bidi_reordering=True,
-                 tags_ignore=None):
+                 tags_ignore=None, no_legacy_polygons: bool = False):
         from collections import defaultdict
 
         self.nets = nets
@@ -421,6 +421,7 @@ class MultiModelDispatcher:
         self.seg = seg
         self.pad = pad
         self.bidi_reordering = bidi_reordering
+        self.no_legacy_polygons = no_legacy_polygons
         self.tags_ignore = list(tags_ignore or [])
         self.have_tags = bool(seg.get("script_detection"))
         self._is_dd = isinstance(nets, defaultdict)
@@ -459,9 +460,12 @@ class MultiModelDispatcher:
                 r = net.recognize_bbox(self.im, ln["bbox"], pad=self.pad,
                                        bidi_reordering=self.bidi_reordering)
             else:
+                # legacy-extractor choice per model metadata, overridable
+                # by no_legacy_polygons (rpred.py:343-353)
+                legacy = net.bundle.legacy_polygons and                     not self.no_legacy_polygons
                 r = net.recognize_baseline(
                     self.im, ln["baseline"], ln["boundary"], pad=self.pad,
-                    bidi_reordering=self.bidi_reordering)
+                    bidi_reordering=self.bidi_reordering, legacy=legacy)
             yield dict(r, id=ln.get("id"), tag=tag, model=net)
 
 

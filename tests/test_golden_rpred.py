@@ -450,3 +450,32 @@ def test_safetensors_writer_rejects_bad_meta(tmp_path):
     assert tensors["w"].shape == (2, 3) and meta == {}
     with _pytest.raises(ValueError):
         load_safetensors(p)
+
+
+def test_mm_rpred_no_legacy_polygons_forcing(overfit, line_img):
+    """no_legacy_polygons forces the NEW extractor on an old model
+    (test_newpolygons.py rpred trio): on a non-rectangular boundary the
+    two extractors produce different predictions, so forcing must change
+    the output while the default honors the model metadata."""
+    from collections import defaultdict
+
+    from kraken_spark.kernels.rpred_parity import MultiModelDispatcher
+
+    poly = [[300, 75], [500, 25], [2200, 25], [2400, 75], [2200, 130],
+            [500, 130]]
+    seg = {"type": "baselines", "script_detection": False,
+           "lines": [{"id": "foo", "baseline": [[300, 80], [2400, 80]],
+                      "boundary": poly, "tags": None}]}
+    assert overfit.bundle.legacy_polygons is True
+    default = next(iter(MultiModelDispatcher(
+        defaultdict(lambda: overfit), line_img, seg)))
+    forced = next(iter(MultiModelDispatcher(
+        defaultdict(lambda: overfit), line_img, seg,
+        no_legacy_polygons=True)))
+    want_legacy = overfit.recognize_baseline(
+        line_img, seg["lines"][0]["baseline"], poly, legacy=True)
+    want_new = overfit.recognize_baseline(
+        line_img, seg["lines"][0]["baseline"], poly, legacy=False)
+    assert default["prediction"] == want_legacy["prediction"]
+    assert forced["prediction"] == want_new["prediction"]
+    assert default["prediction"] != forced["prediction"]
