@@ -132,6 +132,9 @@ def _lsh_tables(e):
     expected recall; the flip side is weak pruning (each table's bucket
     holds ~N/8), which is intrinsic to hyperplane LSH at mid similarity —
     the IVF variant below prunes better on this data."""
+    # quantize ONCE into a column; the 24 plane dots and the post-explode
+    # consumers all reference it instead of re-evaluating the transform
+    e = e.withColumn("_vq", F.expr(_QUANT))
     tables = []
     for ti in range(N_TABLES):
         sig_parts = []
@@ -141,8 +144,8 @@ def _lsh_tables(e):
             # exact and engine-independent, so the bucket assignment is
             # oracle-checkable (no float sign boundary)
             dot = F.expr(
-                f"""aggregate(zip_with(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-                      sequence(0, size(embedding) - 1),
+                f"""aggregate(zip_with(_vq,
+                      sequence(0, size(_vq) - 1),
                       (v, d) -> v * (CASE WHEN substr(md5(concat('{j}', ':', d)), 1, 1) < '8' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
                       CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
             )
@@ -166,7 +169,7 @@ def ann_lsh_cosine(spark, sf):
     in tests/test_similarity_recall.py.
     """
     e = _lsh_tables(t(spark, sf)).select(
-        "vec_id", "tbl", "bucket", F.expr(_QUANT).alias("vq")
+        "vec_id", "tbl", "bucket", F.col("_vq").alias("vq")
     ).withColumn("n2", F.expr(_IDOT.format(a="vq", b="vq")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("vq").alias("q_emb"),

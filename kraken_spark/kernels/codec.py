@@ -106,8 +106,14 @@ class Codec:
         kept = {ch: list(v) for ch, v in self.c2l.items() if ch in other.c2l}
         removed = [lab for ch, v in self.c2l.items()
                    if ch not in other.c2l for lab in v]
-        in_use = {lab for v in kept.values() for lab in v}
-        removed = [lab for lab in removed if lab not in in_use]
+        # reference codec.py:222-228 prunes in-use labels by MUTATING the
+        # list mid-iteration, which skips the element following each
+        # removal — reproduced verbatim, quirk and all, so merge results
+        # match when several removal candidates share one kept mapping
+        for v in kept.values():
+            for lab in removed:
+                if lab in v:
+                    removed.remove(lab)
         # close holes left by the removed labels
         for shifted in (v - i for i, v in enumerate(sorted(set(removed)))):
             kept = {ch: [lab - 1 if lab > shifted else lab for lab in v]

@@ -74,11 +74,14 @@ def segments_for_record(rec, seg_idx0: int = 0, char_idx0: int = 0):
             continue
         lo, hi = off, off + len(piece)
         seg_cuts = cuts[lo:hi]
+        # records with fewer cuts/confidences than code points (no length
+        # validation upstream, matching the reference containers) degrade
+        # to a zero box instead of crashing the serialization batch
         seg = {
             "text": piece,
             "is_space": piece.isspace(),
             "index": seg_idx,
-            "bbox": _max_bbox(seg_cuts),
+            "bbox": _max_bbox(seg_cuts) if seg_cuts else [0, 0, 0, 0],
             "confidences": list(rec.confidences[lo:hi]),
             "glyphs": [
                 {"text": ch, "bbox": _max_bbox([cut]),
@@ -89,7 +92,7 @@ def segments_for_record(rec, seg_idx0: int = 0, char_idx0: int = 0):
                     range(char_idx, char_idx + len(piece)))
             ],
         }
-        if rec.kind == "baselines":
+        if rec.kind == "baselines" and seg_cuts:
             seg["boundary"] = [list(p) for p in rec[lo:hi][1]]
         segs.append(seg)
         seg_idx += 1
@@ -315,7 +318,9 @@ def to_alto(row, created: str = PINNED_CREATED) -> str:
                             f'VPOS="{sy}" WIDTH="{sw}" HEIGHT="{sh}"/>\n'
                         )
                         continue
-                    wc = round(sum(seg["confidences"]) / len(seg["confidences"]), 4)
+                    wc = (round(sum(seg["confidences"])
+                                / len(seg["confidences"]), 4)
+                          if seg["confidences"] else 0.0)
                     parts.append(
                         f'\t\t\t\t\t\t<String ID="segment_{seg["index"]}" '
                         f'CONTENT={quoteattr(seg["text"])} HPOS="{sx}" VPOS="{sy}" '

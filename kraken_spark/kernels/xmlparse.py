@@ -137,16 +137,18 @@ def _iter_local(el: ET.Element, name: str):
 _FLOAT_RE = re.compile(r"[-+]?(\d+(\.\d*)?|\.\d+)([eE][-+]?\d+)?")
 
 
-def parse_alto_points(s: str) -> list[list[int]]:
+def parse_alto_points(s: str | None) -> list[list[int]]:
     """ALTO PointsType in any of its serializations ('x,y x,y', 'x y x y',
-    parenthesised) -> deduplicated point list; ValueError on garbage or an
-    odd coordinate count (common.py:52-80, parse_alto_pointstype)."""
+    parenthesised) -> deduplicated point list; ValueError on a missing
+    attribute or an odd coordinate count; an EMPTY string is a valid empty
+    point list (common.py:52-80, parse_alto_pointstype — finditer of ''
+    yields no points)."""
     try:
         coords = [int(float(m.group())) for m in _FLOAT_RE.finditer(s)]
     except (ValueError, TypeError):
         raise ValueError(f"invalid points sequence: {s!r}")
-    if not coords or len(coords) % 2:
-        raise ValueError(f"odd/empty points sequence: {s!r}")
+    if len(coords) % 2:
+        raise ValueError(f"odd points sequence: {s!r}")
     pts = zip(coords[::2], coords[1::2])
     return [[x, y] for (x, y), _ in groupby(pts)]
 
@@ -376,7 +378,7 @@ def parse_alto(data: bytes, linetype: str = "baselines",
         shape = region.find("./{*}Shape/{*}Polygon")
         if shape is not None:
             try:
-                boundary = parse_alto_points(shape.get("POINTS") or "")
+                boundary = parse_alto_points(shape.get("POINTS")) or None
             except ValueError:
                 boundary = None
         if boundary is None:
@@ -419,13 +421,13 @@ def parse_alto(data: bytes, linetype: str = "baselines",
             bbox = None
             if linetype == "baselines":
                 try:
-                    baseline = parse_alto_points(tl.get("BASELINE") or "")
+                    baseline = parse_alto_points(tl.get("BASELINE"))
                 except ValueError:
                     continue  # reference drops baseline-less lines
                 pol = tl.find("./{*}Shape/{*}Polygon")
                 if pol is not None:
                     try:
-                        boundary_l = parse_alto_points(pol.get("POINTS") or "")
+                        boundary_l = parse_alto_points(pol.get("POINTS")) or None
                     except ValueError:
                         boundary_l = None
             try:
@@ -448,7 +450,9 @@ def parse_alto(data: bytes, linetype: str = "baselines",
             for el in tl.iter():
                 name = _local(el.tag)
                 if name in ("String", "SP"):
-                    text += el.get("CONTENT") or (" " if name == "SP" else "")
+                    # reference alto.py:223-225: a String (or SP) without
+                    # CONTENT contributes a space, not nothing
+                    text += el.get("CONTENT") or " "
             for st in tl.iterfind("./{*}String"):
                 if st.get("ID"):
                     string_to_line[st.get("ID")] = lid

@@ -152,6 +152,13 @@ def _trained_dispatch_rows(spark, schema_str: str):
     scenario; text_exact=true means byte-identical predictions."""
     import pyarrow as pa
 
+    import os
+
+    if not (os.path.exists("/root/reference/tests/resources/overfit.mlmodel")
+            and os.path.exists("/root/reference/tests/resources/000236.png")):
+        # reference assets absent (production host): degrade to zero
+        # trained rows instead of failing the whole query
+        return spark.createDataFrame([], schema_str)
     scenarios = ["bbox_ignore", "bl_ignore", "bbox_default", "bl_default",
                  "bl_nobidi", "bbox_nobidi"]
     cases = spark.createDataFrame([(s,) for s in scenarios], "case string").coalesce(1)

@@ -404,7 +404,10 @@ def x_frame_sample(spark, sf):
         "lang",
         (page_idx / 4).cast("long").alias("clip_no"),
         page_idx.alias("page_idx"),
-    )
+    ).filter(F.col("page_idx").isNotNull())
+    # ^ documents whose urls don't carry a page index (e.g. curved-* docs)
+    # are not clip members — without the filter they'd all collapse into
+    # one unbounded null-keyed group per lang
     grouped = keyed.groupBy("lang", "clip_no").agg(
         F.min("url").alias("first_url"),
         F.sort_array(F.collect_list(F.struct("page_idx", "html"))).alias("frames"),

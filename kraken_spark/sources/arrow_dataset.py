@@ -178,19 +178,30 @@ def write_ipc_shards(line_df, output_dir: str, split=(0.8, 0.1, 0.1),
                      ds_type: str = "kraken_recognition_baseline") -> dict:
     """Scale path: every partition writes its own IPC shard (no driver
     bottleneck); a manifest.json carries the merged metadata."""
+    import glob
     import os
 
     os.makedirs(output_dir, exist_ok=True)
+    # a re-run over a directory that previously had MORE partitions must
+    # not leave stale shards for directory-scanning readers
+    for stale in glob.glob(os.path.join(output_dir, "shard-*.arrow")):
+        os.unlink(stale)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(output_dir, f"shard-{pid:05d}.arrow")
+        # task-commit safety: write under an attempt-unique name and
+        # os.rename into place — concurrent speculative/retried attempts
+        # produce identical deterministic content and the atomic rename
+        # makes last-writer-wins safe (no interleaved partial writes)
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}"
         counts = {"all": 0, "train": 0, "validation": 0, "test": 0}
         langs: set[str] = set()
         wrote = False
-        with pa.OSFile(path, "wb") as sink, \
+        with pa.OSFile(tmp, "wb") as sink, \
                 pa.ipc.new_file(sink, DATASET_SCHEMA) as writer:
             for batch in batches:
                 rows = batch.to_pylist()
@@ -204,8 +215,9 @@ def write_ipc_shards(line_df, output_dir: str, split=(0.8, 0.1, 0.1),
                     langs.update(r["language"] or [])
                 writer.write(_dataset_batch(rows))
         if not wrote:
-            os.unlink(path)
+            os.unlink(tmp)
             return
+        os.rename(tmp, path)
         yield pa.RecordBatch.from_pylist(
             [{"shard": path, "n_all": counts["all"],
               "n_train": counts["train"], "n_validation": counts["validation"],
