@@ -227,10 +227,11 @@ def load_coreml(path: str) -> list[KrakenModelBundle]:
     """CoreML .mlmodel load (models/loaders.py:155-254 + _coreml.py).
 
     Extracts the VGSL spec + codec from the userDefined metadata and the
-    conv / groupnorm / linear weights from the NeuralNetwork layers. LSTM
-    CoreML layers (uni/biDirectionalLSTM) are not deserialized — no asset
-    in the reference repo exercises them (the bundled LSTM models are LFS
-    stubs); recurrent models load through the safetensors path."""
+    conv / groupnorm / linear / LSTM weights from the NeuralNetwork
+    layers (uni/biDirectionalLSTM per the reference's gate layout,
+    models/_coreml.py:21-58 — no reference asset exercises them since the
+    bundled LSTM .mlmodels are LFS stubs, so the golden is a
+    save_coreml->load_coreml round-trip with forward equivalence)."""
     with open(path, "rb") as f:
         blob = f.read()
     top = _pb_map(blob)
@@ -292,10 +293,29 @@ def load_coreml(path: str) -> list[KrakenModelBundle]:
                 weights[f"{name}.layer.weight"] = _weight_floats(wp[0]).reshape(in_c)
                 weights[f"{name}.layer.bias"] = _weight_floats(wp[1]).reshape(in_c)
         elif 420 in lm or 430 in lm:
-            raise ValueError(
-                f"{path}: CoreML LSTM layer {name} not supported — "
-                "use the safetensors form of this model"
-            )
+            # uni/biDirectionalLSTM (models/_coreml.py:21-58 semantics):
+            # gate matrices (input, forget, blockInput, output) stack into
+            # torch weight_ih/weight_hh; gate biases land in bias_hh with
+            # bias_ih zeroed
+            rm = _pb_map(lm.get(420, lm.get(430))[0])
+            base = name.removesuffix("_transposed")
+            hidden = rm[2][0]
+            for di, wp_buf in enumerate(rm.get(20, [])):
+                sfx = "_reverse" if di else ""
+                pm = _pb_map(wp_buf)
+
+                def gates(fnos):
+                    return np.concatenate(
+                        [_weight_floats(pm[f][0]) for f in fnos])
+
+                weights[f"{base}.layer.weight_ih_l0{sfx}"] = \
+                    gates((1, 2, 3, 4)).reshape(4 * hidden, -1)
+                weights[f"{base}.layer.weight_hh_l0{sfx}"] = \
+                    gates((20, 21, 22, 23)).reshape(4 * hidden, hidden)
+                bias = gates((40, 41, 42, 43)).reshape(-1)
+                weights[f"{base}.layer.bias_hh_l0{sfx}"] = bias
+                weights[f"{base}.layer.bias_ih_l0{sfx}"] = \
+                    np.zeros_like(bias)
         # activation (130) / softmax (175) / pooling carry no weights; the
         # VGSL spec is authoritative for the activation functions.
     return [KrakenModelBundle(vgsl=vgsl, codec=codec, weights=weights, metadata=kraken_meta)]
@@ -373,3 +393,143 @@ def save_kraken_model(path: str, bundle: KrakenModelBundle,
         model_data["codec"] = bundle.codec
     meta = {"kraken_meta": json.dumps({prefix: model_data})}
     write_safetensors(path, tensors, meta)
+
+
+# ---------------------------------------------------------------------------
+# CoreML protobuf WRITER (+ LSTM layer support)
+# ---------------------------------------------------------------------------
+# Wire-format emit helpers. Field numbers follow the public coremltools
+# Model.proto / NeuralNetwork.proto (Model.description=2/.neuralNetwork=500;
+# Metadata.userDefined=100; NeuralNetworkLayer.convolution=100/
+# innerProduct=140/uniDirectionalLSTM=420/biDirectionalLSTM=430/custom=500;
+# LSTMWeightParams gate matrices 1-4, recursion 20-23, biases 40-43;
+# WeightParams.floatValue=1) — the same map the reader above consumes.
+
+def _pb_emit_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_field_varint(fno: int, v: int) -> bytes:
+    return _pb_emit_varint(fno << 3) + _pb_emit_varint(v)
+
+
+def _pb_field_len(fno: int, payload: bytes) -> bytes:
+    return (_pb_emit_varint((fno << 3) | 2)
+            + _pb_emit_varint(len(payload)) + payload)
+
+
+def _pb_weightparams(arr: np.ndarray) -> bytes:
+    return _pb_field_len(1, np.ascontiguousarray(
+        arr, dtype="<f4").tobytes())
+
+
+def _coreml_lstm_weightparams(weights: dict, name: str,
+                              suffix: str) -> bytes:
+    """One LSTMWeightParams message from torch-layout tensors. Gate order
+    in torch weight_ih/hh is (i, f, g, o); CoreML stores them as separate
+    matrices with biases merged into the recursion-side vector (the
+    reference's deserializer reads them back into bias_hh with bias_ih
+    zeroed, models/_coreml.py:30-43 — summing ih+hh biases preserves the
+    forward function)."""
+    wih = weights[f"{name}.layer.weight_ih_l0{suffix}"]
+    whh = weights[f"{name}.layer.weight_hh_l0{suffix}"]
+    bih = weights.get(f"{name}.layer.bias_ih_l0{suffix}")
+    bhh = weights.get(f"{name}.layer.bias_hh_l0{suffix}")
+    hidden = whh.shape[1]
+    bias = np.zeros(4 * hidden, np.float32)
+    if bih is not None:
+        bias = bias + np.asarray(bih, np.float32)
+    if bhh is not None:
+        bias = bias + np.asarray(bhh, np.float32)
+    gates_ih = np.asarray(wih, np.float32).reshape(4, hidden, -1)
+    gates_hh = np.asarray(whh, np.float32).reshape(4, hidden, hidden)
+    gates_b = bias.reshape(4, hidden)
+    out = b""
+    for fno, g in zip((1, 2, 3, 4), gates_ih):
+        out += _pb_field_len(fno, _pb_weightparams(g))
+    for fno, g in zip((20, 21, 22, 23), gates_hh):
+        out += _pb_field_len(fno, _pb_weightparams(g))
+    for fno, g in zip((40, 41, 42, 43), gates_b):
+        out += _pb_field_len(fno, _pb_weightparams(g))
+    return out
+
+
+def save_coreml(path: str, bundle: KrakenModelBundle) -> None:
+    """Serialize a model bundle as a CoreML .mlmodel the reader above (and
+    the reference's loader layout) understands: VGSL/codec/metadata in the
+    userDefined metadata, conv/innerProduct/groupnorm-custom/LSTM layers
+    carrying the weights (reference models/_coreml.py layer conventions)."""
+    layers = b""
+    names = sorted({k.split(".")[0] for k in bundle.weights})
+    for name in names:
+        w = bundle.weights
+        if f"{name}.co.weight" in w:
+            cw = np.asarray(w[f"{name}.co.weight"], np.float32)
+            out_c, in_c, ky, kx = cw.shape
+            body = (_pb_field_varint(1, out_c) + _pb_field_varint(2, in_c)
+                    + _pb_field_len(20, _pb_emit_varint(ky) + _pb_emit_varint(kx))
+                    + _pb_field_len(90, _pb_weightparams(cw))
+                    + _pb_field_len(91, _pb_weightparams(
+                        np.asarray(w[f"{name}.co.bias"], np.float32))))
+            layers += _pb_field_len(1, _pb_field_len(
+                1, f"{name}_conv".encode()) + _pb_field_len(100, body))
+        elif f"{name}.lin.weight" in w:
+            lw = np.asarray(w[f"{name}.lin.weight"], np.float32)
+            out_c, in_c = lw.shape
+            body = (_pb_field_varint(1, in_c) + _pb_field_varint(2, out_c)
+                    + _pb_field_len(20, _pb_weightparams(lw))
+                    + _pb_field_len(21, _pb_weightparams(
+                        np.asarray(w[f"{name}.lin.bias"], np.float32))))
+            layers += _pb_field_len(1, _pb_field_len(
+                1, f"{name}_lin".encode()) + _pb_field_len(140, body))
+        elif f"{name}.layer.weight_ih_l0" in w:
+            in_c = np.asarray(w[f"{name}.layer.weight_ih_l0"]).shape[1]
+            hidden = np.asarray(w[f"{name}.layer.weight_hh_l0"]).shape[1]
+            bidi = f"{name}.layer.weight_ih_l0_reverse" in w
+            body = _pb_field_varint(1, in_c) + _pb_field_varint(2, hidden)
+            body += _pb_field_len(
+                20, _coreml_lstm_weightparams(w, name, ""))
+            if bidi:
+                body += _pb_field_len(
+                    20, _coreml_lstm_weightparams(w, name, "_reverse"))
+            layers += _pb_field_len(1, _pb_field_len(
+                1, name.encode())
+                + _pb_field_len(430 if bidi else 420, body))
+        elif f"{name}.layer.weight" in w:
+            gw = np.asarray(w[f"{name}.layer.weight"], np.float32)
+            param = _pb_field_len(1, b"in_channels") + _pb_field_len(
+                2, _pb_field_varint(30, gw.shape[0]))
+            body = (_pb_field_len(10, b"groupnorm")
+                    + _pb_field_len(20, _pb_weightparams(gw))
+                    + _pb_field_len(20, _pb_weightparams(
+                        np.asarray(w[f"{name}.layer.bias"], np.float32)))
+                    + _pb_field_len(30, param))
+            layers += _pb_field_len(1, _pb_field_len(
+                1, name.encode()) + _pb_field_len(500, body))
+
+    kraken_meta = dict(bundle.metadata or {})
+    kraken_meta["vgsl"] = bundle.vgsl
+    if bundle.codec is not None:
+        kraken_meta["codec"] = bundle.codec
+    user = {"vgsl": bundle.vgsl,
+            "kraken_meta": json.dumps(kraken_meta)}
+    if bundle.codec is not None:
+        user["codec"] = json.dumps(bundle.codec)
+    meta = b""
+    for k, v in user.items():
+        meta += _pb_field_len(100, _pb_field_len(1, k.encode())
+                              + _pb_field_len(2, v.encode()))
+    desc = _pb_field_len(100, meta)
+    blob = (_pb_field_varint(1, 1)
+            + _pb_field_len(2, desc)
+            + _pb_field_len(500, layers))
+    with open(path, "wb") as f:
+        f.write(blob)

@@ -479,3 +479,72 @@ def test_mm_rpred_no_legacy_polygons_forcing(overfit, line_img):
     assert default["prediction"] == want_legacy["prediction"]
     assert forced["prediction"] == want_new["prediction"]
     assert default["prediction"] != forced["prediction"]
+
+
+# -- CoreML container write/read round-trip ----------------------------------
+
+def test_coreml_write_read_roundtrip(tmp_path, line_img):
+    """save_coreml emits a .mlmodel the loader reads back: conv/gn/linear
+    weights and metadata byte-compatible on the real overfit bundle, with
+    identical predictions through the round-tripped model."""
+    import numpy as np
+
+    from kraken_spark.kernels.modelio import (load_coreml, load_kraken_model,
+                                              save_coreml)
+    from kraken_spark.kernels.rpred_parity import LoadedRecognizer
+
+    src = load_kraken_model(f"{RES}/overfit.mlmodel")[0]
+    p = str(tmp_path / "rt.mlmodel")
+    save_coreml(p, src)
+    rt = load_coreml(p)[0]
+    assert rt.vgsl == src.vgsl and rt.codec == src.codec
+    assert set(rt.weights) == set(src.weights)
+    assert all(np.allclose(rt.weights[k], src.weights[k])
+               for k in src.weights)
+    assert rt.legacy_polygons == src.legacy_polygons
+    r = LoadedRecognizer(rt).recognize_bbox(line_img, [0, 0, 2544, 156],
+                                            pad=1)
+    assert r["prediction"] == GOLDEN_BBOX
+
+
+def test_coreml_lstm_roundtrip():
+    """Bidirectional-LSTM layers serialize to CoreML gate matrices and
+    read back forward-equivalent (the reference gate layout: ih/hh biases
+    merge into the recursion-side vector with bias_ih zeroed)."""
+    import numpy as np
+
+    from kraken_spark.kernels.modelio import (KrakenModelBundle, load_coreml,
+                                              save_coreml)
+    from kraken_spark.kernels.torchvgsl import TorchVGSL
+
+    rng = np.random.default_rng(9)
+    H = 8
+    w = {}
+    for sfx in ("", "_reverse"):
+        w[f"L_0.layer.weight_ih_l0{sfx}"] = \
+            rng.standard_normal((4 * H, 1)).astype(np.float32)
+        w[f"L_0.layer.weight_hh_l0{sfx}"] = \
+            rng.standard_normal((4 * H, H)).astype(np.float32)
+        w[f"L_0.layer.bias_ih_l0{sfx}"] = \
+            rng.standard_normal(4 * H).astype(np.float32)
+        w[f"L_0.layer.bias_hh_l0{sfx}"] = \
+            rng.standard_normal(4 * H).astype(np.float32)
+    w["O_1.lin.weight"] = rng.standard_normal((6, 2 * H)).astype(np.float32)
+    w["O_1.lin.bias"] = rng.standard_normal(6).astype(np.float32)
+    b = KrakenModelBundle(vgsl="[1,48,0,1 Lbys{L_0}8 O{O_1}1c6]",
+                          codec={" ": [0], "a": [1], "b": [2]},
+                          weights=w,
+                          metadata={"model_type": ["recognition"]})
+    x = rng.random((48, 40)).astype(np.float32)
+    before = TorchVGSL(b.vgsl, b.weights).forward(x)
+    import os
+
+    p = "/tmp/kraken_spark_lstm_rt.mlmodel"
+    save_coreml(p, b)
+    try:
+        rt = load_coreml(p)[0]
+        after = TorchVGSL(rt.vgsl, rt.weights).forward(x)
+        assert set(rt.weights) == set(w)
+        assert np.allclose(before, after, atol=1e-5)
+    finally:
+        os.unlink(p)
