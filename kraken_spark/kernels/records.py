@@ -29,8 +29,6 @@ in parity tests against /root/reference/tests/resources/*.pkl.
 from __future__ import annotations
 
 import pickle
-from typing import Any, Iterable, Optional
-
 import numpy as np
 
 from .bidi import get_display

@@ -191,7 +191,6 @@ def test_apng_codec_roundtrip_and_compose():
     """APNG kernel: frame round-trip, sub-rect composition with dispose
     ops (none/background/previous), and truncation/garbage rejection."""
     import struct
-    import zlib
 
     import numpy as np
     import pytest as _pytest

@@ -12,7 +12,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from kraken_spark.kernels.records import (BaselineOCRRecord, BBoxOCRRecord,
+from kraken_spark.kernels.records import (BaselineOCRRecord,
                                           load_reference_pickle,
                                           precompute_sections)
 
