@@ -721,4 +721,113 @@ def parse_segmentation(data: bytes, linetype: str = "baselines",
         return parse_alto(data, linetype=linetype, base_path=base_path)
     if dialect == "pagexml":
         return parse_pagexml(data, linetype=linetype, base_path=base_path)
+    if dialect == "hocr":
+        return parse_hocr(data)
     raise ValueError(f"unsupported XML dialect: {dialect}")
+
+
+# ---------------------------------------------------------------------------
+# hOCR
+# ---------------------------------------------------------------------------
+
+def _hocr_title(el) -> dict:
+    """hOCR title attribute -> {prop: raw value string}."""
+    out = {}
+    for prop in (el.get("title") or "").split(";"):
+        prop = prop.strip()
+        if prop:
+            key, _, val = prop.partition(" ")
+            out[key] = val.strip()
+    return out
+
+
+def parse_hocr(data: bytes) -> dict:
+    """hOCR 1.1 -> segmentation dict. The reference has no hOCR READER
+    (its XMLPage handles ALTO/PAGE only, lib/xml/__init__.py:95-107) —
+    this closes the engine's own serialize->reparse loop for the hOCR sink
+    (kernels/serialize.to_hocr / reference templates/hocr): ocr_page dims,
+    ocr_carea regions, ocr_line bbox/baseline/poly, ocrx_word text joined
+    with single spaces between word spans."""
+    root = ET.fromstring(data)
+    out = {"type": "baselines", "lines": [], "regions": [],
+           "imagename": "", "width": 0, "height": 0}
+
+    def cls_of(el):
+        return (el.get("class") or "").split()
+
+    pages = [el for el in root.iter() if "ocr_page" in cls_of(el)]
+    if not pages:
+        raise ValueError("no ocr_page element in hOCR document")
+    t = _hocr_title(pages[0])
+    if "bbox" in t:
+        _, _, w, h = (int(v) for v in t["bbox"].split())
+        out["width"], out["height"] = w, h
+    out["imagename"] = t.get("image", "")
+
+    def walk(el, region_id):
+        classes = cls_of(el)
+        if "ocr_carea" in classes or "ocrx_block" in classes:
+            region_id = el.get("id") or ""
+            t = _hocr_title(el)
+            boundary = []
+            if "poly" in t:
+                vals = [int(v) for v in t["poly"].split()]
+                boundary = [[x, y] for x, y in zip(vals[::2], vals[1::2])]
+            elif "bbox" in t:
+                x0, y0, x1, y1 = (int(v) for v in t["bbox"].split())
+                boundary = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+            out["regions"].append({
+                "id": region_id,
+                "region_type": el.get("data-region-type") or "text",
+                "boundary": boundary,
+                "rank": len(out["regions"]),
+                "tags": _tags_json(None, "text"),
+                "language": [],
+            })
+        elif "ocr_line" in classes:
+            t = _hocr_title(el)
+            bbox = [0, 0, 0, 0]
+            if "bbox" in t:
+                bbox = [int(v) for v in t["bbox"].split()]
+            baseline = []
+            if "baseline" in t and "," in t["baseline"]:
+                baseline = [[int(a), int(b)] for a, b in
+                            (p.split(",") for p in t["baseline"].split())]
+            boundary = []
+            if "poly" in t:
+                vals = [int(v) for v in t["poly"].split()]
+                boundary = [[x, y] for x, y in zip(vals[::2], vals[1::2])]
+            else:
+                x0, y0, x1, y1 = bbox
+                boundary = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+            words = [("".join(wel.itertext())) for wel in el.iter()
+                     if "ocrx_word" in cls_of(wel)]
+            if any(w.isspace() for w in words):
+                # segments-form hOCR (record-derived): whitespace runs are
+                # their own spans, so concatenation restores the text
+                text = "".join(words)
+            elif words:
+                text = " ".join(w for w in words if w)
+            else:
+                text = "".join(el.itertext()).strip()
+            out["lines"].append({
+                "id": el.get("id") or "",
+                "bbox": bbox,
+                "baseline": baseline,
+                "boundary": boundary,
+                "text": text,
+                "region_ids": [region_id] if region_id else [],
+                "rank": len(out["lines"]),
+                "tags": _tags_json(None),
+                "tags_raw": None,
+                "language": [],
+                "base_dir": None,
+                "split": None,
+            })
+            return  # words already consumed
+        for child in el:
+            walk(child, region_id)
+
+    for page in pages:
+        walk(page, "")
+    return out

@@ -204,3 +204,30 @@ def test_engine_rows_upgrade_to_polygon_sections():
     seg = parse_alto(doc.encode())
     assert [l["text"] for l in seg["lines"]] == \
         [l["prediction"] for l in r["lines"]]
+
+
+def test_hocr_roundtrip_both_forms(bl_row, bl_recs):
+    """The engine reads back its own hOCR in BOTH emissions: the legacy
+    word-span form (text/baseline/bbox restored) and the record-derived
+    segments form (whitespace spans concatenate back to the prediction)."""
+    from kraken_spark.kernels import png as _png
+    from kraken_spark.kernels import render
+    from kraken_spark.kernels.serialize import serialize
+    from kraken_spark.kernels.xmlparse import parse_segmentation
+    from kraken_spark.stages import extract_document
+
+    d = render.render_document(1234, 3)
+    r = extract_document(_png.encode_png(d["img"]), "u3", d["lang"],
+                         gt_text=d["text"])
+    seg = parse_segmentation(serialize(r, "hocr").encode())
+    assert [l["text"] for l in seg["lines"]] == \
+        [l["prediction"] for l in r["lines"]]
+    assert [l["baseline"] for l in seg["lines"]] == \
+        [[list(p) for p in l["baseline"]] for l in r["lines"]]
+    assert (seg["width"], seg["height"]) == (r["width"], r["height"])
+    # record-derived segments form, on the reference fixtures
+    from kraken_spark.kernels.serialize import to_hocr
+
+    seg2 = parse_segmentation(to_hocr(bl_row).encode())
+    assert [l["text"] for l in seg2["lines"]] == \
+        [rec.prediction for rec in bl_recs]
