@@ -179,6 +179,8 @@ def detect_dialect(data: bytes) -> str:
         return "pagexml"
     if name == "html":
         return "hocr"
+    if name == "document" and "FineReader" in (root.tag or ""):
+        return "abbyy"
     return "unknown"
 
 
@@ -723,6 +725,8 @@ def parse_segmentation(data: bytes, linetype: str = "baselines",
         return parse_pagexml(data, linetype=linetype, base_path=base_path)
     if dialect == "hocr":
         return parse_hocr(data)
+    if dialect == "abbyy":
+        return parse_abbyy(data)
     raise ValueError(f"unsupported XML dialect: {dialect}")
 
 
@@ -830,4 +834,81 @@ def parse_hocr(data: bytes) -> dict:
 
     for page in pages:
         walk(page, "")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# abbyyXML
+# ---------------------------------------------------------------------------
+
+def parse_abbyy(data: bytes) -> dict:
+    """abbyyXML (FineReader 10 schema) -> segmentation dict. Like hOCR,
+    the reference only WRITES this format (templates/abbyyxml); the reader
+    closes the engine's serialize->reparse loop. charParams restore the
+    full per-character geometry: text reassembles with spaces at wordStart
+    boundaries, cuts come back as (l, r) spans, confidences from
+    charConfidence/100."""
+    root = ET.fromstring(data)
+    if _local(root.tag) != "document":
+        raise ValueError("not an abbyyXML document")
+    out = {"type": "baselines", "lines": [], "regions": [],
+           "imagename": "", "width": 0, "height": 0}
+    page = next(_iter_local(root, "page"), None)
+    if page is None:
+        raise ValueError("no page element in abbyyXML document")
+    out["width"] = int(page.get("width") or 0)
+    out["height"] = int(page.get("height") or 0)
+    for block in _iter_local(page, "block"):
+        rid = f"block_{len(out['regions'])}"
+        l = int(block.get("l") or 0)
+        t = int(block.get("t") or 0)
+        r = int(block.get("r") or out["width"])
+        b = int(block.get("b") or out["height"])
+        out["regions"].append({
+            "id": rid,
+            "region_type": (block.get("blockType") or "Text").lower(),
+            "boundary": [[l, t], [r, t], [r, b], [l, b]],
+            "rank": len(out["regions"]),
+            "tags": _tags_json(None, "text"),
+            "language": [],
+        })
+        for line in _iter_local(block, "line"):
+            lx0 = int(line.get("l") or 0)
+            ly0 = int(line.get("t") or 0)
+            lx1 = int(line.get("r") or 0)
+            ly1 = int(line.get("b") or 0)
+            yb = int(line.get("baseline") or ly1)
+            text = ""
+            cuts = []
+            confs = []
+            langs = []
+            for fmt in _iter_local(line, "formatting"):
+                if fmt.get("lang"):
+                    langs.append(fmt.get("lang"))
+            for i, cp in enumerate(_iter_local(line, "charParams")):
+                if i > 0 and cp.get("wordStart") == "1":
+                    text += " "
+                    cuts.append([int(cp.get("l") or 0),
+                                 int(cp.get("l") or 0)])
+                    confs.append(1.0)
+                text += cp.text or ""
+                cuts.append([int(cp.get("l") or 0), int(cp.get("r") or 0)])
+                confs.append(round(
+                    int(cp.get("charConfidence") or 0) / 100.0, 2))
+            out["lines"].append({
+                "id": f"line_{len(out['lines'])}",
+                "bbox": [lx0, ly0, lx1, ly1],
+                "baseline": [[lx0, yb], [lx1, yb]],
+                "boundary": [[lx0, ly0], [lx1, ly0], [lx1, ly1], [lx0, ly1]],
+                "text": text,
+                "cuts": cuts,
+                "confidences": confs,
+                "region_ids": [rid],
+                "rank": len(out["lines"]),
+                "tags": _tags_json(None),
+                "tags_raw": None,
+                "language": langs,
+                "base_dir": None,
+                "split": None,
+            })
     return out

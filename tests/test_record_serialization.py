@@ -231,3 +231,30 @@ def test_hocr_roundtrip_both_forms(bl_row, bl_recs):
     seg2 = parse_segmentation(to_hocr(bl_row).encode())
     assert [l["text"] for l in seg2["lines"]] == \
         [rec.prediction for rec in bl_recs]
+
+
+def test_abbyy_roundtrip_with_char_geometry():
+    """abbyyXML reads back: text reassembled across wordStart boundaries,
+    per-char (l, r) cut spans and confidences restored, baselines and
+    dims intact."""
+    from kraken_spark.kernels import png as _png
+    from kraken_spark.kernels import render
+    from kraken_spark.kernels.serialize import serialize
+    from kraken_spark.kernels.xmlparse import (detect_dialect,
+                                               parse_segmentation)
+    from kraken_spark.stages import extract_document
+
+    d = render.render_document(1234, 3)
+    r = extract_document(_png.encode_png(d["img"]), "u3", d["lang"],
+                         gt_text=d["text"])
+    doc = serialize(r, "abbyyxml").encode()
+    assert detect_dialect(doc) == "abbyy"
+    seg = parse_segmentation(doc)
+    assert [l["text"] for l in seg["lines"]] == \
+        [l["prediction"] for l in r["lines"]]
+    assert (seg["width"], seg["height"]) == (r["width"], r["height"])
+    for got, orig in zip(seg["lines"], r["lines"]):
+        assert len(got["cuts"]) == len(got["text"])
+        assert len(got["confidences"]) == len(got["text"])
+        assert all(0.0 <= c <= 1.0 for c in got["confidences"])
+        assert got["baseline"][0][1] == got["baseline"][1][1]
