@@ -84,11 +84,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.getOrCreate()
 
     from kraken_spark.operators.serialization import serialize_extractions
-    from kraken_spark.pipeline import (
-        plan_extraction,
-        remaining_documents,
-        run_extraction,
-    )
+    from kraken_spark.pipeline import remaining_documents, run_extraction
 
     docs = spark.read.parquet(args.input)
     if args.resume:

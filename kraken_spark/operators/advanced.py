@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Iterator
 
 import pyarrow as pa
-import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from ..corpus import corpus_for

@@ -236,7 +236,7 @@ def report_over(ext, gt):
         out_schema += ", cer double, n_lines long, guard_tripped boolean"
 
     def counts(batches):
-        from ..kernels.metrics import align_counts, cer_case_insensitive, levenshtein, wer
+        from ..kernels.metrics import align_counts, levenshtein, wer
 
         fields = [
             ("lang", pa.string()),

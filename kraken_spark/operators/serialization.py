@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Iterator
 
 import pyarrow as pa
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .extraction import _extraction, _ordered
