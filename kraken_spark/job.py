@@ -87,20 +87,23 @@ def main(argv: list[str] | None = None) -> int:
     from kraken_spark.pipeline import remaining_documents, run_extraction
 
     docs = spark.read.parquet(args.input)
+    skip_extract = False
     if args.resume:
         docs = remaining_documents(docs, args.output)
         n = docs.count()
         print(f"[kraken_spark] resume: {n} documents remaining")
-        if n == 0:
-            return 0
-    run_extraction(
-        docs,
-        out_path=args.output,
-        metrics_path=args.metrics,
-        run_id=args.run_id,
-        num_partitions=args.partitions,
-        kraken_model_path=args.model,
-    )
+        # a fully-committed output skips extraction but still serves the
+        # sidecar stages (--serialize/--export-dataset/--report)
+        skip_extract = n == 0
+    if not skip_extract:
+        run_extraction(
+            docs,
+            out_path=args.output,
+            metrics_path=args.metrics,
+            run_id=args.run_id,
+            num_partitions=args.partitions,
+            kraken_model_path=args.model,
+        )
     if args.serialize:
         ext = spark.read.parquet(args.output)
         serialize_extractions(ext, args.serialize).write.mode("overwrite").parquet(

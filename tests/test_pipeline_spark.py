@@ -657,6 +657,15 @@ def test_job_cli_end_to_end(spark, capsys):
         rc = main(["--input", f"{tmp}/in", "--output", f"{tmp}/out", "--resume"])
         assert rc == 0
         assert "resume: 0 documents remaining" in capsys.readouterr().out
+        # --export-dataset compiles a reference-format binary line dataset
+        rc = main(["--input", f"{tmp}/in", "--output", f"{tmp}/out",
+                   "--resume", "--export-dataset", f"{tmp}/lines.arrow"])
+        assert rc == 0
+        from kraken_spark.sources.arrow_dataset import read_binary_dataset
+
+        table, meta = read_binary_dataset(f"{tmp}/lines.arrow")
+        assert len(table) == meta["counts"]["all"] > 0
+        assert "exported" in capsys.readouterr().out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
