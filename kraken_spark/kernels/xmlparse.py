@@ -145,7 +145,7 @@ def parse_alto_points(s: str | None) -> list[list[int]]:
     yields no points)."""
     try:
         coords = [int(float(m.group())) for m in _FLOAT_RE.finditer(s)]
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, OverflowError):
         raise ValueError(f"invalid points sequence: {s!r}")
     if len(coords) % 2:
         raise ValueError(f"odd points sequence: {s!r}")
@@ -287,7 +287,7 @@ def _walk_ro_groups(ro_el: ET.Element, leaf_attrs: tuple[str, ...]):
             for i, k in enumerate(list(el)):
                 try:
                     idx = int(k.get("index", i))
-                except (TypeError, ValueError):
+                except (TypeError, ValueError, OverflowError):
                     idx = i
                 kids.append((idx, i, k))
             refs = []
@@ -389,7 +389,7 @@ def parse_alto(data: bytes, linetype: str = "baselines",
                                   for a in ("HPOS", "VPOS", "WIDTH", "HEIGHT"))
                 boundary = [[x0, y0], [x0, y0 + bh], [x0 + bw, y0 + bh],
                             [x0 + bw, y0]]
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
                 boundary = None
         has_coords = boundary is not None
 
@@ -436,7 +436,7 @@ def parse_alto(data: bytes, linetype: str = "baselines",
                 lx, ly, lw, lh = (int(float(tl.get(a)))
                                   for a in ("HPOS", "VPOS", "WIDTH", "HEIGHT"))
                 bbox = [lx, ly, lx + lw, ly + lh]
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
                 if linetype == "bbox":
                     continue  # reference drops box-less lines in bbox mode
             if bbox is None and boundary_l:

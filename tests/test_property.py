@@ -337,3 +337,56 @@ def test_record_slice_invariants(data):
     assert abs(conf - np.mean(confs[lo:hi])) < 1e-9
     assert all(-1 <= x <= w + 1 and -1 <= y <= 41 for x, y in cut)
     assert len(rec.cuts) == n
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_parse_segmentation_only_raises_valueerror(payload):
+    """Any byte payload either parses or raises ValueError — never an
+    arbitrary crash (the guard-row contract for XML ingestion)."""
+    from kraken_spark.kernels.xmlparse import parse_segmentation
+
+    try:
+        parse_segmentation(payload)
+    except ValueError:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=50, deadline=None)
+def test_parse_segmentation_xmlish_fuzz(data):
+    """Attribute-mangled but well-formed documents run the full parser
+    bodies (region/line loops, points parsers, title parsers) without
+    non-ValueError crashes."""
+    from kraken_spark.kernels.xmlparse import parse_segmentation
+
+    attr = data.draw(st.text(
+        alphabet="0123456789,.- eNanxyz", max_size=18).filter(
+        lambda t: '"' not in t))
+    alto = f"""<alto><Description><MeasurementUnit>pixel</MeasurementUnit>
+      <sourceImageInformation><fileName>x.png</fileName></sourceImageInformation>
+      </Description><Layout><Page WIDTH="10" HEIGHT="10"><PrintSpace>
+      <TextBlock ID="b" HPOS="{attr}" VPOS="0" WIDTH="5" HEIGHT="5">
+      <TextLine ID="l" BASELINE="{attr}" HPOS="0" VPOS="0" WIDTH="5" HEIGHT="5">
+      <String CONTENT="a"/></TextLine></TextBlock>
+      </PrintSpace></Page></Layout></alto>"""
+    page = f"""<PcGts><Page imageFilename="x" imageWidth="10" imageHeight="10">
+      <TextRegion id="r" custom="structure {{type:{attr};}}"><Coords points="{attr}"/>
+      <TextLine id="l"><Coords points="0,0 5,0 5,5 0,5"/>
+      <Baseline points="{attr}"/><TextEquiv><Unicode>t</Unicode></TextEquiv>
+      </TextLine></TextRegion></Page></PcGts>"""
+    hocr = f"""<html><body><div class="ocr_page" title="bbox 0 0 10 10">
+      <span class="ocr_line" title="bbox 0 0 5 5; baseline {attr}">
+      <span class="ocrx_word" title="bbox 0 0 5 5; x_confs {attr}">w</span>
+      </span></div></body></html>"""
+    abbyy = ('<document xmlns="http://www.abbyy.com/FineReader_xml/'
+             'FineReader10-schema-v1.xml"><page width="10" height="10">'
+             f'<block blockType="Text"><text><par><line l="0" t="0" r="5" '
+             f'b="5" baseline="{attr or 0}"><charParams l="0" r="1" '
+             'wordStart="1" charConfidence="90">a</charParams>'
+             "</line></par></text></block></page></document>")
+    for doc in (alto, page, hocr, abbyy):
+        try:
+            parse_segmentation(doc.encode())
+        except ValueError:
+            pass
