@@ -768,15 +768,22 @@ def parse_hocr(data: bytes) -> dict:
         out["width"], out["height"] = w, h
     out["imagename"] = t.get("image", "")
 
-    def walk(el, region_id):
+    def poly_pts(raw):
+        vals = [int(v) for v in raw.split()]
+        if len(vals) % 2:
+            raise ValueError(f"odd hOCR poly coordinate count: {raw!r}")
+        return [[x, y] for x, y in zip(vals[::2], vals[1::2])]
+
+    def handle(el, region_id):
+        """Returns the (possibly updated) region id; lines consume their
+        word descendants."""
         classes = cls_of(el)
         if "ocr_carea" in classes or "ocrx_block" in classes:
             region_id = el.get("id") or ""
             t = _hocr_title(el)
             boundary = []
             if "poly" in t:
-                vals = [int(v) for v in t["poly"].split()]
-                boundary = [[x, y] for x, y in zip(vals[::2], vals[1::2])]
+                boundary = poly_pts(t["poly"])
             elif "bbox" in t:
                 x0, y0, x1, y1 = (int(v) for v in t["bbox"].split())
                 boundary = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
@@ -799,8 +806,7 @@ def parse_hocr(data: bytes) -> dict:
                             (p.split(",") for p in t["baseline"].split())]
             boundary = []
             if "poly" in t:
-                vals = [int(v) for v in t["poly"].split()]
-                boundary = [[x, y] for x, y in zip(vals[::2], vals[1::2])]
+                boundary = poly_pts(t["poly"])
             else:
                 x0, y0, x1, y1 = bbox
                 boundary = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
@@ -828,12 +834,20 @@ def parse_hocr(data: bytes) -> dict:
                 "base_dir": None,
                 "split": None,
             })
-            return  # words already consumed
-        for child in el:
-            walk(child, region_id)
+            return None  # words already consumed, skip descendants
+        return region_id
 
+    # iterative DFS in document order — recursion depth must not scale
+    # with document nesting (ValueError-only guard contract)
     for page in pages:
-        walk(page, "")
+        stack = [(page, "")]
+        while stack:
+            el, rid = stack.pop()
+            new_rid = handle(el, rid)
+            if new_rid is None:
+                continue
+            for child in reversed(list(el)):
+                stack.append((child, new_rid))
     return out
 
 
@@ -853,12 +867,13 @@ def parse_abbyy(data: bytes) -> dict:
         raise ValueError("not an abbyyXML document")
     out = {"type": "baselines", "lines": [], "regions": [],
            "imagename": "", "width": 0, "height": 0}
-    page = next(_iter_local(root, "page"), None)
-    if page is None:
+    abbyy_pages = list(_iter_local(root, "page"))
+    if not abbyy_pages:
         raise ValueError("no page element in abbyyXML document")
-    out["width"] = int(page.get("width") or 0)
-    out["height"] = int(page.get("height") or 0)
-    for block in _iter_local(page, "block"):
+    out["width"] = int(abbyy_pages[0].get("width") or 0)
+    out["height"] = int(abbyy_pages[0].get("height") or 0)
+    for page in abbyy_pages:
+      for block in _iter_local(page, "block"):
         rid = f"block_{len(out['regions'])}"
         l = int(block.get("l") or 0)
         t = int(block.get("t") or 0)
@@ -893,8 +908,10 @@ def parse_abbyy(data: bytes) -> dict:
                     confs.append(1.0)
                 text += cp.text or ""
                 cuts.append([int(cp.get("l") or 0), int(cp.get("r") or 0)])
-                confs.append(round(
-                    int(cp.get("charConfidence") or 0) / 100.0, 2))
+                # FineReader uses charConfidence="-1" as the unknown
+                # sentinel — clamp into the engine's 0..1 contract
+                conf = int(cp.get("charConfidence") or 0)
+                confs.append(round(min(max(conf, 0), 100) / 100.0, 2))
             out["lines"].append({
                 "id": f"line_{len(out['lines'])}",
                 "bbox": [lx0, ly0, lx1, ly1],

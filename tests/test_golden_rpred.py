@@ -537,14 +537,12 @@ def test_coreml_lstm_roundtrip():
                           metadata={"model_type": ["recognition"]})
     x = rng.random((48, 40)).astype(np.float32)
     before = TorchVGSL(b.vgsl, b.weights).forward(x)
-    import os
+    import tempfile
 
-    p = "/tmp/kraken_spark_lstm_rt.mlmodel"
-    save_coreml(p, b)
-    try:
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/lstm_rt.mlmodel"
+        save_coreml(p, b)
         rt = load_coreml(p)[0]
-        after = TorchVGSL(rt.vgsl, rt.weights).forward(x)
-        assert set(rt.weights) == set(w)
-        assert np.allclose(before, after, atol=1e-5)
-    finally:
-        os.unlink(p)
+    after = TorchVGSL(rt.vgsl, rt.weights).forward(x)
+    assert set(rt.weights) == set(w)
+    assert np.allclose(before, after, atol=1e-5)
