@@ -28,6 +28,9 @@ def test_extraction_queries_are_rows_only():
     import __spark_entry__ as E
 
     qs, os_ = E.queries(), E.oracle_sql()
+    # 30 queries are exactly oracle-checked as of round 3 — dropping below
+    # that is a regression, not a consolidation
+    assert len(os_) >= 30
     for name in qs:
         if name.startswith("x_"):
             assert name not in os_, f"{name} unexpectedly grew an oracle"
