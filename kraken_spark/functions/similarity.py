@@ -283,18 +283,58 @@ _PERT_QUANT = (
     "v -> CAST(round(v * 1000) AS BIGINT))"
 )
 
+# Sign-bit banding for the near-dup candidate stage: ND_TABLES hash tables
+# of ND_BITS hyperplane-sign bits each. The +-1 plane components are a
+# PYTHON-generated constant (hashlib.md5 of "nd{plane}:{dim}" — no RNG
+# state) inlined as literal arrays into BOTH engines, so there is no
+# per-row md5 in the hot path and the bucket assignment is trivially
+# engine-identical. Sizing: a 0.98/0.02 perturbed twin sits at cos ~0.999
+# (per-plane agreement p ~0.99); P(all 8 tables miss) = (1 - p^8)^8 < 1e-9,
+# while unrelated vectors (cos <= ~0.51, p ~0.66) collide in a given table
+# with p^8 ~ 0.04 — the bucket join prunes ~96% of the brute-force pairs
+# per table before the exact rerank.
+ND_TABLES = 8
+ND_BITS = 8
+EMB_BUCKET_CAP = 256
+
+
+def _nd_signs() -> list:
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"nd{j}:{d}".encode()).hexdigest()[0], 16) < 8 else -1
+            for d in range(64)
+        ]
+        for j in range(ND_TABLES * ND_BITS)
+    ]
+
+
+_ND_SIGNS = _nd_signs()
+
 
 def dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-duplicate detection — the embedding analog of
     the text dedup family. The synthetic embeddings table has no natural
     near-dups (max off-diagonal cosine ~0.51), so every 10th vector gets a
     deterministic perturbed twin (98% itself + 2% its reversal, built
-    identically in Spark and the oracle); pairs are blocked by label (the
-    standard dedup blocking key — within-block brute force, across-block
-    zero pairs, which is the partition-parallel scale path) and quantized
-    to integers so the cosine is bit-stable across engines (see
-    knn_cosine_bruteforce). A row appears once per near-duplicate with its
-    canonical (minimum-id) representative."""
+    identically in Spark and the oracle); vectors are quantized to integers
+    so the cosine is bit-stable across engines (see knn_cosine_bruteforce).
+    A row appears once per near-duplicate with its canonical (minimum-id)
+    representative.
+
+    Plan shape (the 100 TB path — replaces the former label-block all-pairs
+    join, which was quadratic in the largest label block): sign-bit LSH
+    banding (ND_TABLES x ND_BITS literal hyperplanes, integer dots) ->
+    band explode (8 rows/vector) -> ONE groupBy(tbl, bucket) with in-bucket
+    pair expansion via sorted collect_list + a codegen slice/transform (the
+    dedup_minhash_lsh shape — the quantized-vector subtree is computed
+    exactly once, no self-join) -> exact integer-cosine rerank on the
+    candidate pairs only. Hot buckets above EMB_BUCKET_CAP are dropped
+    (mirrored in the oracle) so the pair expansion stays bounded on skewed
+    data. NO join operator anywhere in the plan (guarded by
+    tests/test_plan_shapes.py). The label-equality predicate is kept as a
+    pair FILTER (same output semantics), no longer as the blocking key."""
     e = t(spark, sf)
     base = e.select("vec_id", "label", F.expr(_QUANT).alias("vq"))
     twins = e.filter(F.col("vec_id") % 10 == 0).select(
@@ -305,34 +345,91 @@ def dedup_embedding_cosine(spark, sf):
     full = base.unionByName(twins).withColumn(
         "n2", F.expr(_IDOT.format(a="vq", b="vq"))
     )
-    a = full.select(
-        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
-        F.col("vq").alias("a_vq"), F.col("n2").alias("a_n2"),
+    sgn2d = "array(" + ",".join(
+        "array(" + ",".join(str(s) for s in plane) + ")" for plane in _ND_SIGNS
+    ) + ")"
+    bits = F.expr(
+        f"transform({sgn2d}, sgn -> CASE WHEN "
+        "aggregate(zip_with(vq, sgn, (x, s) -> x * CAST(s AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END)"
     )
-    b = full.select(
-        F.col("vec_id").alias("dup_id"), F.col("label").alias("label"),
-        F.col("vq").alias("b_vq"), F.col("n2").alias("b_n2"),
+    band_structs = [
+        F.struct(
+            F.lit(ti).alias("tbl"),
+            sum(
+                F.expr(f"element_at(bits, {ti * ND_BITS + k + 1})") * (2**k)
+                for k in range(ND_BITS)
+            ).alias("bucket"),
+        )
+        for ti in range(ND_TABLES)
+    ]
+    banded = (
+        full.withColumn("bits", bits)
+        .select(
+            F.struct("vec_id", "label", "vq", "n2").alias("v"),
+            F.explode(F.array(*band_structs)).alias("tb"),
+        )
+        .select("v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
+    buckets = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("v")).alias("vecs"))
+        .filter((F.size("vecs") >= 2) & (F.size("vecs") <= EMB_BUCKET_CAP))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(vecs, (va, i) ->"
+                " transform(filter(slice(vecs, i + 2, size(vecs)),"
+                "                  vb -> vb.label = va.label), vb ->"
+                " struct(va.vec_id AS a_id, vb.vec_id AS dup_id,"
+                " vb.label AS label, va.vq AS a_vq, va.n2 AS a_n2,"
+                " vb.vq AS b_vq, vb.n2 AS b_n2))))"
+            )
+        ).alias("p")
+    ).select("p.*")
     cos = F.expr(_IDOT.format(a="a_vq", b="b_vq")) / (
         F.sqrt(F.col("a_n2").cast("double")) * F.sqrt(F.col("b_n2").cast("double"))
     )
-    pairs = (
-        a.join(b, (F.col("a_label") == F.col("label")) & (F.col("a_id") < F.col("dup_id")))
-        .withColumn("cos_r", F.round(cos, 6))
+    scored = (
+        pairs.withColumn("cos_r", F.round(cos, 6))
         .filter(F.col("cos_r") >= DEDUP_COS_THRESH)
+        # collisions in multiple tables yield duplicate pairs
+        .dropDuplicates(["a_id", "dup_id"])
     )
     return (
-        pairs.groupBy("dup_id", "label")
+        scored.groupBy("dup_id", "label")
         .agg(
             F.min("a_id").alias("rep_id"),
             F.round(F.max("cos_r"), 6).alias("max_cos"),
             F.count("*").alias("n_nbrs"),
         )
-        .orderBy("dup_id")
+        .repartition(1)
+        .sortWithinPartitions("dup_id")
     )
 
 
-DEDUP_EMB_SQL = f"""
+def _dedup_emb_sql() -> str:
+    """DuckDB twin of dedup_embedding_cosine — same literal sign matrix,
+    same integer plane dots, same band buckets, same EMB_BUCKET_CAP guard,
+    same exact-integer rerank; bit-identical by construction."""
+    bit = (
+        "CASE WHEN list_sum(list_transform(generate_series(1, len(vq)), "
+        "i -> vq[i] * ({sgn})[i])) >= 0 THEN 1 ELSE 0 END"
+    )
+    bucket_cols = ", ".join(
+        " + ".join(
+            f"({bit.format(sgn='[' + ','.join(str(s) for s in _ND_SIGNS[ti * ND_BITS + k]) + ']')}) * {2 ** k}"
+            for k in range(ND_BITS)
+        )
+        + f" AS b{ti}"
+        for ti in range(ND_TABLES)
+    )
+    tb_arms = " UNION ALL ".join(
+        f"SELECT vec_id, label, vq, n2, {ti} AS tbl, b{ti} AS bucket FROM sigs"
+        for ti in range(ND_TABLES)
+    )
+    return f"""
 WITH base AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
@@ -348,16 +445,31 @@ en AS (
   SELECT vec_id, label, vq,
          list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * vq[i])) AS n2
   FROM base),
-pairs AS (
-  SELECT b.vec_id AS dup_id, b.label, a.vec_id AS a_id,
-         ROUND(list_sum(list_transform(generate_series(1, len(a.vq)), i -> a.vq[i] * b.vq[i]))
-               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS cos_r
-  FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)
+sigs AS (SELECT vec_id, label, vq, n2, {bucket_cols} FROM en),
+tb AS ({tb_arms}),
+ok_buckets AS (
+  SELECT tbl, bucket FROM tb GROUP BY tbl, bucket
+  HAVING COUNT(*) BETWEEN 2 AND {EMB_BUCKET_CAP}),
+kept AS (SELECT tb.* FROM tb JOIN ok_buckets USING (tbl, bucket)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS dup_id, b.label,
+                  a.vq AS a_vq, a.n2 AS a_n2, b.vq AS b_vq, b.n2 AS b_n2
+  FROM kept a JOIN kept b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id AND a.label = b.label),
+scored AS (
+  SELECT a_id, dup_id, label,
+         ROUND(list_sum(list_transform(generate_series(1, len(a_vq)), i -> a_vq[i] * b_vq[i]))
+               / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE))), 6) AS cos_r
+  FROM cand)
 SELECT dup_id, label, MIN(a_id) AS rep_id, ROUND(MAX(cos_r), 6) AS max_cos,
        COUNT(*) AS n_nbrs
-FROM pairs WHERE cos_r >= {DEDUP_COS_THRESH}
+FROM scored WHERE cos_r >= {DEDUP_COS_THRESH}
 GROUP BY dup_id, label ORDER BY dup_id
 """
+
+
+DEDUP_EMB_SQL = _dedup_emb_sql()
 
 
 def _ann_oracle_sql() -> str:

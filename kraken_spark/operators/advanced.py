@@ -153,14 +153,20 @@ def _trained_dispatch_rows(spark, schema_str: str):
 
     import os
 
-    if not (os.path.exists("/root/reference/tests/resources/overfit.mlmodel")
-            and os.path.exists("/root/reference/tests/resources/000236.png")):
+    from ..refassets import resource
+
+    if not (os.path.exists(resource("overfit.mlmodel"))
+            and os.path.exists(resource("000236.png"))):
         # reference assets absent (production host): degrade to zero
         # trained rows instead of failing the whole query
         return spark.createDataFrame([], schema_str)
     scenarios = ["bbox_ignore", "bl_ignore", "bbox_default", "bl_default",
                  "bl_nobidi", "bbox_nobidi"]
     cases = spark.createDataFrame([(s,) for s in scenarios], "case string").coalesce(1)
+    # resolved DRIVER-side at plan time (env override needs no executorEnv)
+    from ..refassets import resources_dir
+
+    res = resources_dir()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from collections import defaultdict
@@ -169,7 +175,6 @@ def _trained_dispatch_rows(spark, schema_str: str):
         from ..kernels.modelio import load_kraken_model
         from ..kernels.rpred_parity import LoadedRecognizer, MultiModelDispatcher
 
-        res = "/root/reference/tests/resources"
         rec = LoadedRecognizer(load_kraken_model(f"{res}/overfit.mlmodel")[0])
         img = _png.decode_png(open(f"{res}/000236.png", "rb").read())
         g_bbox = "ܡ ܘܡ ܗ ܡܕܐ ܐ ܐܐ ܡ ܗܗܐܐܐܕ"

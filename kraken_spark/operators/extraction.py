@@ -318,17 +318,21 @@ def x_rpred_golden(spark, sf):
     sf_dir is unused: the inputs are the reference's fixed test assets."""
     import pyarrow as pa
 
+    from ..refassets import resources_dir
+
     cases = spark.createDataFrame(
         [("bbox_golden",), ("bl_golden",), ("bbox_outbounds",), ("bl_outbounds",)],
         "case string",
     ).coalesce(1)
+    # resolved DRIVER-side at plan time and captured in the closure, so the
+    # KRAKEN_SPARK_REFERENCE_ROOT override works without executorEnv plumbing
+    res = resources_dir()
 
     def fn(batches):
         from ..kernels import png as _png
         from ..kernels.modelio import load_kraken_model
         from ..kernels.rpred_parity import LoadedRecognizer
 
-        res = "/root/reference/tests/resources"
         rec = LoadedRecognizer(load_kraken_model(f"{res}/overfit.mlmodel")[0])
         img = _png.decode_png(open(f"{res}/000236.png", "rb").read())
         golden = {
@@ -384,7 +388,9 @@ def x_rpred_golden(spark, sf):
 def x_extract_metrics(spark, sf):
     """Per-partition lineage/metrics table (north-rule lineage requirement)."""
     ext = _extraction(spark, sf)
-    return metrics_table(ext, run_id="driver").drop("wall_ms").orderBy("partition_id")
+    return _ordered(
+        metrics_table(ext, run_id="driver").drop("wall_ms"), "partition_id"
+    )
 
 
 def x_extract_blla(spark, sf):

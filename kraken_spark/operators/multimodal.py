@@ -75,8 +75,12 @@ def dhash64(img: np.ndarray) -> int:
     return v - (1 << 63)  # signed 64-bit for BIGINT columns
 
 
-def x_doc_embeddings(spark, sf):
-    """Decode page -> 64-dim embedding column (array<float>)."""
+def _doc_embeddings_raw(spark, sf) -> DataFrame:
+    """Decode page -> 64-dim embedding column, UNORDERED: the mapInArrow
+    stays on the corpus's natural partitioning so downstream consumers
+    (the LSH signature stage in x_page_knn) compute in parallel. Only the
+    registered x_doc_embeddings output applies the single-partition
+    deterministic ordering."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..kernels import png
@@ -101,12 +105,14 @@ def x_doc_embeddings(spark, sf):
                 )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return _ordered(
-        _docs(spark, sf).mapInArrow(
-            fn, schema="url string, lang string, embedding array<float>"
-        ),
-        "url",
+    return _docs(spark, sf).mapInArrow(
+        fn, schema="url string, lang string, embedding array<float>"
     )
+
+
+def x_doc_embeddings(spark, sf):
+    """Decode page -> 64-dim embedding column (array<float>)."""
+    return _ordered(_doc_embeddings_raw(spark, sf), "url")
 
 
 def x_image_features(spark, sf):
@@ -182,12 +188,12 @@ def x_phash_dedup(spark, sf):
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
     hashed = _docs(spark, sf).mapInArrow(fn, schema="url string, phash bigint")
-    return (
+    return _ordered(
         hashed.groupBy("phash")
         .agg(F.count("*").alias("n_docs"), F.min("url").alias("rep"))
         .groupBy("n_docs")
-        .agg(F.count("*").alias("n_clusters"))
-        .orderBy("n_docs")
+        .agg(F.count("*").alias("n_clusters")),
+        "n_docs",
     )
 
 
@@ -276,10 +282,16 @@ def x_page_knn(spark, sf):
     stays ~N*bucket_size instead of the N^2 cartesian a brute-force page
     kNN costs at corpus scale. Recall vs exact brute force is pinned in
     tests/test_multimodal.py (same-layout pages sit at high cosine, where
-    hyperplane LSH recall is strong)."""
+    hyperplane LSH recall is strong).
+
+    Plan shape (100 TB): the signature stage runs over the UNORDERED
+    embedding DF (_doc_embeddings_raw) so the 24 plane-dot aggregates and
+    the band explode parallelize across the corpus's input partitions —
+    no single-partition exchange below the bucket join's shuffle
+    (guarded by tests/test_plan_shapes.py)."""
     from ..functions.similarity import _lsh_tables
 
-    emb = x_doc_embeddings(spark, sf)
+    emb = _doc_embeddings_raw(spark, sf)
     tabled = _lsh_tables(emb)
     a = tabled.select(
         F.col("url").alias("a_url"),
@@ -310,12 +322,13 @@ def x_page_knn(spark, sf):
     from pyspark.sql import Window
 
     w = Window.partitionBy("a_url").orderBy(F.desc("cos"), "b_url")
-    return (
+    return _ordered(
         pairs.withColumn("cos", F.round(F.expr(dot), 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("a_url", "a_lang", "b_url", "b_lang", "cos", "rk")
-        .orderBy("a_url", "rk")
+        .select("a_url", "a_lang", "b_url", "b_lang", "cos", "rk"),
+        "a_url",
+        "rk",
     )
 
 

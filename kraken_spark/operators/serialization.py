@@ -60,14 +60,6 @@ def serialize_extractions(ext: DataFrame, fmt: str) -> DataFrame:
     return ext.mapInArrow(_serialize_map(fmt), schema=_SER_DDL)
 
 
-def _mk_serialize_query(fmt: str):
-    def q(spark: SparkSession, sf: str) -> DataFrame:
-        ext = _extraction(spark, sf)
-        return serialize_extractions(ext, fmt).orderBy("url")
-
-    return q
-
-
 def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:
     """All four markup sinks in one pass (driver-window consolidation of
     x_serialize_{alto,pagexml,hocr,abbyy}): each extraction row is rendered
@@ -80,10 +72,12 @@ def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:
     by the pure-stdlib subset validator in kernels/xsdcheck.py (null for
     hOCR/ABBYY, which have no XSD). Byte-level golden/round-trip checks
     per format live in tests/test_serialization.py."""
+    from ..refassets import resource
+
     fmts = ("alto", "pagexml", "hocr", "abbyyxml")
     xsd_for = {
-        "alto": "/root/reference/tests/resources/alto-4-3.xsd",
-        "pagexml": "/root/reference/tests/resources/pagecontent.xsd",
+        "alto": resource("alto-4-3.xsd"),
+        "pagexml": resource("pagecontent.xsd"),
     }
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

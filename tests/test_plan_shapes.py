@@ -80,6 +80,34 @@ def test_lsh_ann_no_cartesian(spark):
         assert "CartesianProduct" not in plan, q.__name__
 
 
+def test_page_knn_signature_stage_parallel(spark):
+    """The LSH signature stage of x_page_knn must run over the corpus's
+    natural partitioning: the only single-partition exchange allowed in
+    the whole plan is the final deterministic-output _ordered. Feeding the
+    signature computation the repartition(1)'d x_doc_embeddings output
+    serializes the 24 plane dots + band explode into ONE task (round-3
+    verdict finding #1)."""
+    from kraken_spark.operators.multimodal import x_page_knn
+
+    plan = _plan(x_page_knn(spark, SF))
+    assert plan.count("SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_embedding_banded_no_join(spark):
+    """dedup_embedding_cosine must generate candidates via sign-bit band
+    buckets with in-bucket pair expansion — NO join operator anywhere
+    (the former label-block self-join was quadratic in the largest label
+    block; round-3 verdict finding #2)."""
+    from kraken_spark.functions.similarity import dedup_embedding_cosine
+
+    plan = _plan(dedup_embedding_cosine(spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # map-side partial aggregation on the bucket groupBy
+    assert "partial_" in plan
+
+
 def test_extraction_single_arrow_stage_no_extra_shuffle(spark):
     """The fused extraction is one mapInArrow after the explicit
     weight-salted repartition — exactly one shuffle below the Arrow eval,
