@@ -25,17 +25,21 @@ HEAVY_BYTES = 1 << 20
 
 
 def weight_salt(n: int):
-    """Weight-aware salt column: normal pages hash uniformly over n buckets,
-    heavy pages over a dedicated n//4 bucket space above them, so one
-    16x-area page never queues behind a full normal bucket (AQE handles
-    join skew, not UDF compute skew — this is the custom part, SURVEY.md
-    §4.2). Returns (salt_col, total_buckets)."""
+    """Weight-aware salt column: heavy pages hash over a dedicated n//4
+    bucket space at the LOWEST partition ids, normal pages over the n
+    buckets above them, so one 16x-area page never queues behind a full
+    normal bucket (AQE handles join skew, not UDF compute skew — this is
+    the custom part, SURVEY.md §4.2). Heavy-first ordering matters because
+    Spark launches tasks in partition-id order: the longest tasks start in
+    the first wave and overlap the normal buckets instead of becoming a
+    tail straggler after them (classic longest-processing-time
+    scheduling). Returns (salt_col, total_buckets)."""
     n_heavy = max(n // 4, 1)
     weight = F.octet_length(F.col("html"))
     salt = F.when(
         weight > F.lit(HEAVY_BYTES),
-        F.lit(n) + F.pmod(F.xxhash64("url"), F.lit(n_heavy)),
-    ).otherwise(F.pmod(F.xxhash64("url"), F.lit(n)))
+        F.pmod(F.xxhash64("url"), F.lit(n_heavy)),
+    ).otherwise(F.lit(n_heavy) + F.pmod(F.xxhash64("url"), F.lit(n)))
     return salt, n + n_heavy
 
 
