@@ -102,3 +102,26 @@ def nlbin(
     # <=> img < bg + 255*(lo + t*(hi - lo) - 1)  — one chunked full-res pass
     c = 255.0 * (lo + threshold * (hi - lo) - 1.0)
     return threshold_against_background(img, grid, tile, c)
+
+
+def otsu_threshold(values: np.ndarray) -> float:
+    """Classic Otsu threshold over a 1-D sample (maximize between-class
+    variance on the 256-bin histogram) — used by the robust extraction
+    path to separate true ink from faint bleed-through among the pixels
+    nlbin marked as foreground (nlbin normalizes LOCALLY, so isolated
+    faint structures can win their neighborhood; a global intensity gate
+    removes them)."""
+    hist = np.bincount(np.clip(values.astype(np.int64), 0, 255), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 255.0
+    w = np.cumsum(hist)
+    m = np.cumsum(hist * np.arange(256))
+    mt = m[-1]
+    w0 = w
+    w1 = total - w
+    valid = (w0 > 0) & (w1 > 0)
+    mu0 = np.where(valid, m / np.maximum(w0, 1), 0)
+    mu1 = np.where(valid, (mt - m) / np.maximum(w1, 1), 0)
+    between = np.where(valid, w0 * w1 * (mu0 - mu1) ** 2, -1)
+    return float(np.argmax(between))

@@ -129,6 +129,37 @@ def build_segmenter_ref() -> VGSLModel:
     return model
 
 
+_LEARNED_CACHE: list = [None]
+
+
+def learned_weights() -> dict | None:
+    """The in-repo TRAINED segmentation weights (kernels/seg_train.py,
+    asset written by tools/train_segmenter.py) — the trained replacement
+    for the constructed build_segmenter_ref net, standing in for the
+    reference's blla.mlmodel (an LFS stub in this snapshot). Returns None
+    when the asset is absent or KRAKEN_SPARK_BLLA_NET=constructed forces
+    the constructed net (used by divergence tests)."""
+    import os
+
+    if os.environ.get("KRAKEN_SPARK_BLLA_NET") == "constructed":
+        return None
+    if _LEARNED_CACHE[0] is None:
+        from .seg_train import load_weights
+
+        _LEARNED_CACHE[0] = load_weights() or False
+    return _LEARNED_CACHE[0] or None
+
+
+def compute_segmentation_map_learned(mask: np.ndarray, W: dict) -> np.ndarray:
+    """Forward the TRAINED net (seg_train.forward): downscale -> conv0 7x7
+    -> sigmoid -> separable conv1 5x49 -> sigmoid, (2, H/2, W/2) heatmaps
+    in the trained-model regime the reference vectorizer expects."""
+    from .seg_train import forward
+
+    small = _pool_or(mask, DOWNSCALE)
+    return forward(small.astype(np.float64), W).astype(np.float32)
+
+
 def _pool_or(mask: np.ndarray, d: int) -> np.ndarray:
     """d x d max-pool of a binary mask via strided OR (no reshape/reduce
     temporaries — ~10x cheaper than reshape().max(axis=(1,3)) at page size)."""
@@ -604,8 +635,14 @@ def segment_blla(
     of the reference's vectorize_lines (Sato ridge -> threshold 0.17 ->
     skeletonize -> endpoint-budgeted MCP joins -> Douglas-Peucker ->
     boundary extension -> separator orientation, kernels/blla_vec.py),
-    fed by the two-layer trained-regime net (build_segmenter_ref)."""
-    model = model or (build_segmenter_ref() if vectorizer == "reference" else build_segmenter())
+    fed by the in-repo TRAINED net (learned_weights/seg_train.py) when the
+    committed asset is present, else the constructed two-layer
+    trained-regime net (build_segmenter_ref)."""
+    learned = (
+        learned_weights() if vectorizer == "reference" and model is None else None
+    )
+    if model is None and learned is None:
+        model = build_segmenter_ref() if vectorizer == "reference" else build_segmenter()
     rl = text_direction.endswith("rl")
     if text_direction.startswith("vertical"):
         # vertical text: rotate 90° CCW so lines run horizontally, segment,
@@ -641,7 +678,11 @@ def segment_blla(
     if vectorizer == "reference":
         from . import blla_vec
 
-        heat = compute_segmentation_map_ref(mask, model)
+        heat = (
+            compute_segmentation_map_learned(mask, learned)
+            if learned is not None
+            else compute_segmentation_map_ref(mask, model)
+        )
         zeros = np.zeros_like(heat[0])
         # the constructed net has no start/end separator heads, so the
         # orientation stage sees empty marker maps and takes the

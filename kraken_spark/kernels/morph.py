@@ -222,3 +222,19 @@ def fast_component_count(mask: np.ndarray) -> int:
             lab = nl
         if not changed:
             return int(np.unique(lab).size)
+
+
+def despeckle(mask: np.ndarray, max_px: int = 3) -> np.ndarray:
+    """Remove 8-connected components of at most max_px pixels — the classic
+    document-cleanup pass for salt/dust noise (the reference's lineage:
+    ocropus-era binarization cleaned isolated specks the same way; glyph
+    strokes on this corpus are >= 4 px so max_px=3 can never eat real ink).
+    8-connectivity so a diagonal 2-px speck counts as ONE component."""
+    b = mask.astype(bool)
+    labels, n = label(b, connectivity=2)
+    if n == 0:
+        return mask
+    sizes = np.bincount(labels.ravel(), minlength=n + 1)
+    keep = sizes > max_px
+    keep[0] = False
+    return (keep[labels]).astype(mask.dtype)

@@ -364,6 +364,7 @@ def x_seg_quality(spark, sf):
         schema = pa.schema(
             [
                 pa.field("url", pa.string()),
+                pa.field("variant", pa.string()),
                 pa.field("segmenter", pa.string()),
                 pa.field("n_detected", pa.int32()),
                 pa.field("n_golden", pa.int32()),
@@ -401,6 +402,7 @@ def x_seg_quality(spark, sf):
                         out.append(
                             {
                                 "url": url,
+                                "variant": "clean",
                                 "segmenter": name,
                                 "n_detected": m["n_detected"],
                                 "n_golden": m["n_golden"],
@@ -410,10 +412,60 @@ def x_seg_quality(spark, sf):
                                 "footrule_vs_heuristic": fr,
                             }
                         )
+                    # degraded-scan variant (kernels/degrade.py: skew +
+                    # bleed-through + low contrast + salt/pepper) on every
+                    # 4th doc: the plain paths against the SHEARED golden
+                    # geometry, the robust path (intensity gate ->
+                    # despeckle -> deskew, kernels/deskew.py) against the
+                    # CLEAN golden — deskewing restores page geometry
+                    if doc_idx % 4 == 0:
+                        from ..kernels.degrade import degraded_document
+                        from ..kernels.deskew import robust_preprocess
+
+                        dd = degraded_document(42, doc_idx, "light")
+                        gold_sheared = [l["baseline"] for l in dd["lines"]]
+                        dmask = binarize.nlbin(dd["img"])
+                        for name, det in (
+                            (
+                                "pageseg",
+                                lambda: pageseg.segment(dmask, url=url),
+                            ),
+                            (
+                                "blla",
+                                lambda: blla.segment_blla(dmask, url=url),
+                            ),
+                            (
+                                "blla_robust",
+                                lambda: blla.segment_blla(
+                                    robust_preprocess(dd["img"], dmask),
+                                    url=url,
+                                    vectorizer="reference",
+                                ),
+                            ),
+                        ):
+                            seg = det()
+                            m = baseline_prf(
+                                [l["baseline"] for l in seg["lines"]],
+                                gold if name == "blla_robust" else gold_sheared,
+                            )
+                            out.append(
+                                {
+                                    "url": url,
+                                    "variant": "degraded",
+                                    "segmenter": name,
+                                    "n_detected": m["n_detected"],
+                                    "n_golden": m["n_golden"],
+                                    "precision": round(m["precision"], 6),
+                                    "recall": round(m["recall"], 6),
+                                    "f1": round(m["f1"], 6),
+                                    "footrule_vs_heuristic": None,
+                                }
+                            )
                 except Exception:
                     out.append(
                         {
                             "url": url,
+                            "variant": "clean",
                             "segmenter": "error",
                             "n_detected": 0,
                             "n_golden": 0,
@@ -428,10 +480,12 @@ def x_seg_quality(spark, sf):
     return _ordered(
         _docs(spark, sf).mapInArrow(
             fn,
-            schema="url string, segmenter string, n_detected int, n_golden int, "
-            "precision double, recall double, f1 double, footrule_vs_heuristic double",
+            schema="url string, variant string, segmenter string, n_detected int, "
+            "n_golden int, precision double, recall double, f1 double, "
+            "footrule_vs_heuristic double",
         ),
         "url",
+        "variant",
         "segmenter",
     )
 

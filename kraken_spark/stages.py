@@ -151,15 +151,24 @@ def extract_document(
         _check_budget("decode")
         mask = binarize.nlbin(img)
         _check_budget("binarize")
-        if segmenter in ("blla", "blla_curved", "blla_seam", "blla_ref"):
+        if segmenter in ("blla", "blla_curved", "blla_seam", "blla_ref", "blla_robust"):
             from .kernels import blla
 
+            if segmenter == "blla_robust":
+                # degraded-scan preprocessing (kernels/degrade.py corpus):
+                # bleed-through intensity gate -> despeckle -> deskew, so
+                # the template recognizer sees undistorted glyph geometry
+                from .kernels.deskew import robust_preprocess
+
+                mask = robust_preprocess(img, mask)
             seg = blla.segment_blla(
                 mask,
                 url=url,
                 text_direction=text_direction,
                 boundary_mode="seam" if segmenter == "blla_seam" else "rect",
-                vectorizer="reference" if segmenter == "blla_ref" else "analog",
+                vectorizer="reference"
+                if segmenter in ("blla_ref", "blla_robust")
+                else "analog",
             )
         else:
             seg = pageseg.segment(mask, url=url, text_direction=text_direction)

@@ -1,0 +1,133 @@
+"""Degraded-scan robustness: pinned behavior bands across seeds.
+
+The clean corpus proves byte-identical extraction; this suite pins how the
+engine behaves on the degradation model of kernels/degrade.py (slight
+skew + bleed-through + low contrast + salt/pepper — the reference's actual
+domain is degraded historical scans). Bands, not exact bytes: photometric
+noise legitimately costs characters (specks merged into a glyph corrupt
+that cell for ANY recognizer), so the pins are line-count exactness, CER
+ceilings, and seg-F1 floors — re-measured across multiple seeds so a
+regression in any path shows up as a band violation, not a vibe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels import binarize, degrade, png, render
+from kraken_spark.kernels.deskew import estimate_skew, robust_preprocess, unshear
+from kraken_spark.kernels.morph import despeckle
+from kraken_spark.kernels.seg_metrics import baseline_prf
+from kraken_spark.stages import extract_document
+
+SWEEP = [(seed, i) for seed in (1234, 7, 555) for i in (0, 1, 2)]
+
+# CER ceilings for the robust path (intensity gate -> despeckle -> deskew
+# -> neural ref chain). Residual errors are salt specks that merged into a
+# glyph (survive any size-based despeckle) — measured max across the sweep
+# was 0.048 light / 0.092 heavy; ceilings pinned with headroom.
+CER_CEIL = {"light": 0.08, "heavy": 0.13}
+
+
+def _docs(grade):
+    for seed, i in SWEEP:
+        yield seed, i, degrade.degraded_document(seed, i, grade)
+
+
+@pytest.mark.parametrize("grade", degrade.GRADES)
+def test_robust_path_line_counts_exact_and_cer_band(grade):
+    """blla_robust must find EXACTLY the golden line count on every page of
+    the sweep, with CER under the pinned ceiling and a majority of pages
+    fully byte-identical."""
+    cers = []
+    for seed, i, d in _docs(grade):
+        out = extract_document(
+            png.encode_png(d["img"]), f"u{seed}_{i}", d["lang"],
+            gt_text=d["text"], segmenter="blla_robust",
+        )
+        assert out["n_lines"] == len(d["lines"]), (grade, seed, i)
+        assert out["cer"] <= CER_CEIL[grade], (grade, seed, i, out["cer"])
+        assert not out["guard_tripped"]
+        cers.append(out["cer"])
+    assert sum(1 for c in cers if c == 0.0) >= len(cers) // 2, cers
+
+
+def test_plain_blla_seg_f1_floor_on_degraded():
+    """The analog neural chain WITHOUT robust preprocessing still localizes
+    lines on light degradation (the heatmap net is noise-tolerant even if
+    the recognizer is not): F1 vs the sheared golden baselines >= 0.95."""
+    for seed, i, d in _docs("light"):
+        from kraken_spark.kernels import blla
+
+        mask = binarize.nlbin(d["img"])
+        seg = blla.segment_blla(mask, url="u")
+        m = baseline_prf(
+            [l["baseline"] for l in seg["lines"]],
+            [l["baseline"] for l in d["lines"]],
+        )
+        assert m["f1"] >= 0.95, (seed, i, m)
+
+
+def test_deskew_recovers_shear_to_column_precision():
+    """estimate_skew must recover the true slope to ~1e-4 — close enough
+    that the integer un-shear disagrees with the exact inverse on at most
+    a few percent of columns (those residual 1-px steps are what the CER
+    ceiling absorbs; the projection profile cannot resolve finer, since a
+    1-px shift in a handful of columns moves the objective by noise)."""
+    for seed, i in ((1234, 0), (7, 1), (555, 2)):
+        d = degrade.degraded_document(seed, i, "light")
+        mask = despeckle(binarize.nlbin(d["img"]), 3)
+        s_est = estimate_skew(mask)
+        assert abs(s_est - d["slope"]) <= 1.2e-4, (seed, i, s_est, d["slope"])
+        w = d["img"].shape[1]
+        x = np.arange(w)
+        mismatch = (
+            np.round(s_est * x).astype(int) != np.round(d["slope"] * x).astype(int)
+        ).sum()
+        assert mismatch <= 0.03 * w, (seed, i, mismatch)
+
+
+def test_unshear_restores_clean_ink_geometry():
+    d0 = render.render_document(1234, 1)
+    dd = degrade.degraded_document(1234, 1, "light")
+    restored = unshear(dd["ink"], dd["slope"], fill=0)
+    assert np.array_equal(restored.astype(bool), d0["ink"].astype(bool))
+
+
+def test_despeckle_removes_specks_keeps_glyphs():
+    m = np.zeros((40, 40), dtype=np.uint8)
+    m[5, 5] = 1                       # 1-px speck
+    m[10, 10] = m[11, 11] = 1         # 2-px diagonal speck (8-connected)
+    m[20:22, 20:22] = 1               # 4-px block: real ink, must survive
+    out = despeckle(m, max_px=3)
+    assert out[5, 5] == 0 and out[10, 10] == 0 and out[11, 11] == 0
+    assert out[20:22, 20:22].all()
+
+
+def test_otsu_gate_separates_bleed_from_ink():
+    vals = np.concatenate([np.full(500, 70), np.full(200, 160)])
+    t = binarize.otsu_threshold(vals)
+    # convention: dark class is <= t, so any t in [70, 160) separates
+    assert 70 <= t < 160
+
+
+def test_robust_preprocess_noop_on_clean_page():
+    """On a clean page the robust chain must be (near-)identity: no ink
+    eaten by the gate, no skew hallucinated, specks absent."""
+    d = render.render_document(1234, 2)
+    mask = binarize.nlbin(d["img"])
+    out = robust_preprocess(d["img"], mask)
+    assert np.array_equal(out.astype(bool), mask.astype(bool))
+
+
+def test_robust_path_clean_page_still_byte_identical():
+    """blla_robust on CLEAN pages stays CER 0 — robustness costs nothing
+    when the input is good."""
+    for seed, i in ((1234, 0), (7, 1)):
+        d = render.render_document(seed, i)
+        out = extract_document(
+            png.encode_png(d["img"]), "u", d["lang"],
+            gt_text=d["text"], segmenter="blla_robust",
+        )
+        assert out["cer"] == 0.0, (seed, i, out["cer"])

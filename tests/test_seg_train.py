@@ -1,0 +1,127 @@
+"""In-repo trained segmentation net (kernels/seg_train.py): the committed
+asset must load, the numpy backprop must match numeric gradients, training
+must be bit-reproducible, and the LEARNED weights (not the constructed
+fallback) must drive the reference-vectorizer path to byte-identical
+extraction — converting the last constructed-weight stand-in (the
+reference's blla.mlmodel is an LFS stub) into trained-weight evidence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels import seg_train
+from kraken_spark.kernels.seg_train import (ASSET, C0, C1, K0, KH, KV,
+                                            forward, init_weights,
+                                            load_weights, train)
+
+
+def test_asset_present_and_well_formed():
+    W = load_weights()
+    assert W is not None, f"missing committed asset {ASSET}"
+    assert W["w0"].shape == (C0, K0, K0)
+    assert W["u"].shape == (C1, C0, KV)
+    assert W["v"].shape == (C1, C0, KH)
+    assert all(np.isfinite(W[k]).all() for k in W)
+
+
+def test_learned_net_is_live_in_blla_ref():
+    from kraken_spark.kernels import blla
+
+    blla._LEARNED_CACHE[0] = None
+    assert blla.learned_weights() is not None
+
+
+def test_backward_matches_numeric_gradient():
+    """Central-difference check of the hand-written backprop on a tiny
+    input, every parameter family."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    W = init_weights(rng)
+    x = (rng.random((12, 14)) < 0.3).astype(np.float64)
+    t = np.stack([(rng.random((12, 14)) < 0.1), (rng.random((12, 14)) < 0.4)]).astype(
+        np.float64
+    )
+
+    def loss_of(Wq):
+        y = forward(x, Wq)
+        eps = 1e-9
+        return -float(
+            (t * np.log(y + eps) + (1 - t) * np.log(1 - y + eps)).sum()
+        )
+
+    y, cache = forward(x, W, want_grad_cache=True)
+    dz1 = y - t  # unweighted BCE, sum reduction
+    g = seg_train._backward(x.shape, W, cache, dz1)
+    h = 1e-6
+    for key, idx in (
+        ("w0", (0, 3, 3)),
+        ("w0", (1, 0, 6)),
+        ("b0", (0,)),
+        ("u", (0, 1, 2)),
+        ("v", (1, 0, 24)),
+        ("b1", (1,)),
+    ):
+        Wp = {k: v.copy() for k, v in W.items()}
+        Wp[key][idx] += h
+        Wm = {k: v.copy() for k, v in W.items()}
+        Wm[key][idx] -= h
+        num = (loss_of(Wp) - loss_of(Wm)) / (2 * h)
+        ana = g[key][idx]
+        assert abs(num - ana) <= 1e-4 * max(1.0, abs(num)), (key, idx, num, ana)
+
+
+def test_training_is_bit_reproducible():
+    pages = seg_train.training_pages(n_straight=1, n_curved=1)
+    W1 = train(steps=4, batch=2, pages=pages, seed=11)
+    W2 = train(steps=4, batch=2, pages=pages, seed=11)
+    for k in W1:
+        assert np.array_equal(W1[k], W2[k]), k
+
+
+def test_learned_weights_cer_zero_sample():
+    """End-to-end byte-identical extraction THROUGH THE LEARNED WEIGHTS on
+    seeds the trainer never saw (training seeds are 881xxx/882xxx)."""
+    from kraken_spark.kernels import blla, png, render
+    from kraken_spark.stages import extract_document
+
+    blla._LEARNED_CACHE[0] = None
+    assert blla.learned_weights() is not None
+    for seed, i in ((1234, 0), (42, 3), (99, 7)):
+        d = render.render_document(seed, i)
+        out = extract_document(
+            png.encode_png(d["img"]), f"u{seed}_{i}", d["lang"],
+            gt_text=d["text"], segmenter="blla_ref",
+        )
+        assert out["cer"] == 0.0, (seed, i, out["cer"])
+
+
+def test_constructed_fallback_still_works(monkeypatch):
+    """KRAKEN_SPARK_BLLA_NET=constructed forces the constructed net — the
+    documented fallback when the asset is absent."""
+    from kraken_spark.kernels import blla, png, render
+    from kraken_spark.stages import extract_document
+
+    monkeypatch.setenv("KRAKEN_SPARK_BLLA_NET", "constructed")
+    blla._LEARNED_CACHE[0] = None
+    assert blla.learned_weights() is None
+    d = render.render_document(1234, 0)
+    out = extract_document(
+        png.encode_png(d["img"]), "u", d["lang"],
+        gt_text=d["text"], segmenter="blla_ref",
+    )
+    assert out["cer"] == 0.0
+    monkeypatch.delenv("KRAKEN_SPARK_BLLA_NET")
+    blla._LEARNED_CACHE[0] = None
+
+
+def test_gt_maps_geometry():
+    from kraken_spark.kernels import render
+
+    d = render.render_document(1234, 0)
+    x, tb, tr = seg_train.gt_maps(d)
+    assert x.shape == tb.shape == tr.shape
+    # every golden baseline midpoint is covered by the baseline target
+    for l in d["lines"]:
+        (x0, yb), (x1, _) = l["baseline"]
+        assert tb[yb // 2, ((x0 + x1) // 2) // 2] == 1.0
+    assert tr.sum() > tb.sum() > 0
