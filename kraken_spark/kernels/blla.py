@@ -151,13 +151,14 @@ def learned_weights() -> dict | None:
 
 
 def compute_segmentation_map_learned(mask: np.ndarray, W: dict) -> np.ndarray:
-    """Forward the TRAINED net (seg_train.forward): downscale -> conv0 7x7
-    -> sigmoid -> separable conv1 5x49 -> sigmoid, (2, H/2, W/2) heatmaps
-    in the trained-model regime the reference vectorizer expects."""
-    from .seg_train import forward
+    """Forward the TRAINED net (seg_train.forward_infer — float32
+    shifted-add conv, no im2col temporary): downscale -> conv0 7x7 ->
+    sigmoid -> separable conv1 5x49 -> sigmoid, (2, H/2, W/2) heatmaps in
+    the trained-model regime the reference vectorizer expects."""
+    from .seg_train import forward_infer
 
     small = _pool_or(mask, DOWNSCALE)
-    return forward(small.astype(np.float64), W).astype(np.float32)
+    return forward_infer(small.astype(np.float32), W)
 
 
 def _pool_or(mask: np.ndarray, d: int) -> np.ndarray:

@@ -125,6 +125,40 @@ def _backward(x_shape, W: dict, cache: dict, dz1: np.ndarray) -> dict:
     return g
 
 
+def forward_infer(x: np.ndarray, W: dict) -> np.ndarray:
+    """Inference-only forward in float32 with conv0 as 49 shifted adds —
+    no im2col temporary (the training forward materializes an
+    (H*W, 49) float64 matrix, ~190 MB/page at heatmap scale; this keeps
+    peak memory at a few output maps, which matters at 32-way executor
+    concurrency). Numerically float32 instead of float64: the downstream
+    vectorizer thresholds at 0.17/0.5 on sigmoid outputs that the trained
+    net saturates toward 0/1, so the precision change is inert (re-swept
+    in tests/test_seg_train.py::test_infer_forward_matches_training)."""
+    H, Wd = x.shape
+    xf = x.astype(np.float32)
+    w0 = W["w0"].astype(np.float32)
+    pad = K0 // 2
+    xp = np.pad(xf, pad)
+    a = np.empty((C0, H, Wd), dtype=np.float32)
+    for c in range(C0):
+        acc = np.full((H, Wd), np.float32(W["b0"][c]), dtype=np.float32)
+        for dy in range(K0):
+            for dx in range(K0):
+                wv = w0[c, dy, dx]
+                if wv != 0.0:
+                    acc += wv * xp[dy : dy + H, dx : dx + Wd]
+        a[c] = acc
+    a = _sigmoid(a)
+    z1 = np.empty((C1, H, Wd), dtype=np.float32)
+    for o in range(C1):
+        acc = np.full((H, Wd), np.float32(W["b1"][o]), dtype=np.float32)
+        for i in range(C0):
+            t = _corr1d(a[i], W["u"][o, i].astype(np.float32), axis=0)
+            acc += _corr1d(t, W["v"][o, i].astype(np.float32), axis=1)
+        z1[o] = acc
+    return _sigmoid(z1)
+
+
 # ------------------------------------------------------------- ground truth
 
 

@@ -114,6 +114,25 @@ def test_constructed_fallback_still_works(monkeypatch):
     blla._LEARNED_CACHE[0] = None
 
 
+def test_infer_forward_matches_training():
+    """The float32 shifted-add inference forward must agree with the
+    float64 training forward to well under the vectorizer's threshold
+    resolution, and make identical 0.17/0.5 threshold decisions on a real
+    page."""
+    from kraken_spark.kernels import render
+    from kraken_spark.kernels.blla import _pool_or
+    from kraken_spark.kernels.seg_train import forward_infer
+
+    W = load_weights()
+    d = render.render_document(1234, 0)
+    x = _pool_or(d["ink"].astype(bool), 2).astype(np.float64)
+    y64 = forward(x, W)
+    y32 = forward_infer(x, W)
+    assert np.abs(y64 - y32).max() < 1e-4
+    assert np.array_equal(y64[0] > 0.17, y32[0] > 0.17)
+    assert np.array_equal(y64[1] > 0.5, y32[1] > 0.5)
+
+
 def test_gt_maps_geometry():
     from kraken_spark.kernels import render
 
