@@ -19,6 +19,27 @@ import numpy as np
 
 Box = tuple[int, int, int, int]  # x0, y0, x1, y1
 
+HIDDEN = 16  # hidden width of the trained pairwise MLP (ro_train.py)
+
+_LEARNED_CACHE: list = [None]
+
+
+def learned_mlp():
+    """The in-repo TRAINED reading-order MLP (kernels/ro_train.py, asset
+    written by tools/train_ro.py) — the trained replacement for the
+    constructed comparator, standing in for the reference's RO checkpoints
+    (LFS stubs in this snapshot). None when the asset is absent or
+    KRAKEN_SPARK_RO_NET=constructed forces the constructed comparator."""
+    import os
+
+    if os.environ.get("KRAKEN_SPARK_RO_NET") == "constructed":
+        return None
+    if _LEARNED_CACHE[0] is None:
+        from .ro_train import load_mlp
+
+        _LEARNED_CACHE[0] = load_mlp() or False
+    return _LEARNED_CACHE[0] or None
+
 
 def extract_element_features(
     boxes: list[Box], classes: list[int] | None = None, n_classes: int = 2,
@@ -56,7 +77,7 @@ class OrderMLP:
         fv = np.tile(feats, (n, 1))
         x = np.concatenate([fu, fv], axis=1)
         hdn = np.maximum(x @ self.w1.T + self.b1, 0.0)
-        logit = hdn @ self.w2 + self.b2
+        logit = np.clip(hdn @ self.w2 + self.b2, -40.0, 40.0)
         return (1.0 / (1.0 + np.exp(-logit))).reshape(n, n).astype(np.float64)
 
 
@@ -105,7 +126,7 @@ def neural_reading_order(
     (segmentation.py:963-1016). Returns a permutation of element indices."""
     if not boxes:
         return []
-    mlp = mlp or build_order_mlp()
+    mlp = mlp or learned_mlp() or build_order_mlp()
     feats = extract_element_features(boxes, classes, w=max(w, 1), h=max(h, 1))
     return greedy_order_decode(mlp.pair_probs(feats))
 

@@ -1,0 +1,154 @@
+"""In-repo training of the neural reading-order MLP — pure numpy.
+
+The reference ships trained RO checkpoints (loaded in
+/root/reference/kraken/lib/segmentation.py:963-1016 via lib/ro/layers.py);
+they are LFS stubs in this snapshot, so earlier rounds ran a CONSTRUCTED
+top-to-bottom comparator through the real MLP forward. This module trains
+the pairwise order MLP (kernels/ro.OrderMLP: sigmoid(w2·relu(W1·[fu|fv] +
+b1) + b2)) from random init with hand-written numpy backprop on the
+renderer's exact reading-order ground truth, and ships the learned weights
+in-repo (kraken_spark/assets/ro_learned.safetensors, written by
+tools/train_ro.py — seeded, bit-reproducible).
+
+What training buys over the constructed comparator: the golden order on
+2-column pages is COLUMN-MAJOR (left column fully precedes right for LTR,
+reversed for RTL — render.py:147-157, the polygonal_reading_order
+semantics), which a pure y-then-x comparator cannot express. The pair
+features carry the centers and the element class (class 1 = RTL page), so
+the MLP learns the lexicographic (column, y) comparator with the
+direction-dependent column sign — pinned in tests/test_ro_train.py where
+the learned model orders held-out 2-column LTR and RTL pages exactly while
+the constructed comparator does not.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .ro import HIDDEN, OrderMLP, extract_element_features
+
+ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets",
+    "ro_learned.safetensors",
+)
+
+
+def page_pairs(doc: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(pair_features, labels) for one rendered document: every ordered
+    line pair (u, v), label 1 iff u precedes v in the golden order.
+    Class feature: 1 for RTL pages (the direction flips the column sign)."""
+    lines = doc["lines"]  # already in golden order
+    h, w = doc["img"].shape
+    cls = 1 if doc["base_dir"] == "R" else 0
+    boxes = [tuple(l["bbox"]) for l in lines]
+    feats = extract_element_features(boxes, [cls] * len(boxes), w=w, h=h)
+    n = len(lines)
+    fu = np.repeat(feats, n, axis=0)
+    fv = np.tile(feats, (n, 1))
+    x = np.concatenate([fu, fv], axis=1)
+    iu = np.repeat(np.arange(n), n)
+    iv = np.tile(np.arange(n), n)
+    keep = iu != iv
+    y = (iu < iv).astype(np.float64)  # lines[] is golden-ordered
+    return x[keep].astype(np.float64), y[keep]
+
+
+def training_set(n_docs: int = 40) -> tuple[np.ndarray, np.ndarray]:
+    """Straight pages from trainer-only seeds (disjoint from every
+    evaluation seed), concatenated into one pair dataset — the doc mix
+    contains 1- and 2-column pages and RTL (ar) pages by construction."""
+    from . import render
+
+    xs, ys = [], []
+    for k in range(n_docs):
+        d = render.render_document(883000 + k, k)
+        x, y = page_pairs(d)
+        xs.append(x)
+        ys.append(y)
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def train_ro(
+    steps: int = 4000,
+    lr: float = 0.02,
+    batch: int = 4096,
+    seed: int = 20240818,
+    data: tuple[np.ndarray, np.ndarray] | None = None,
+    log_every: int = 0,
+) -> OrderMLP:
+    """Adam + BCE from random init; returns the trained OrderMLP."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    X, Y = data if data is not None else training_set()
+    d2 = X.shape[1]
+    W = {
+        "w1": rng.standard_normal((HIDDEN, d2)) * (2.0 / d2) ** 0.5,
+        "b1": np.zeros(HIDDEN),
+        "w2": rng.standard_normal(HIDDEN) * (2.0 / HIDDEN) ** 0.5,
+        "b2": np.zeros(1),
+    }
+    m = {k: np.zeros_like(v) for k, v in W.items()}
+    v2 = {k: np.zeros_like(v) for k, v in W.items()}
+    b1t, b2t = 0.9, 0.999
+    lr0 = lr
+    for step in range(1, steps + 1):
+        lr = lr0 * (0.02 + 0.98 * 0.5 * (1 + np.cos(np.pi * (step - 1) / steps)))
+        idx = rng.integers(0, len(X), min(batch, len(X)))
+        x, y = X[idx], Y[idx]
+        pre = x @ W["w1"].T + W["b1"]
+        hdn = np.maximum(pre, 0.0)
+        logit = hdn @ W["w2"] + W["b2"][0]
+        p = 1.0 / (1.0 + np.exp(-np.clip(logit, -40, 40)))
+        dlogit = (p - y) / len(y)
+        g = {
+            "w2": hdn.T @ dlogit,
+            "b2": np.array([dlogit.sum()]),
+        }
+        dh = np.outer(dlogit, W["w2"]) * (pre > 0)
+        g["w1"] = dh.T @ x
+        g["b1"] = dh.sum(axis=0)
+        for k in W:
+            m[k] = b1t * m[k] + (1 - b1t) * g[k]
+            v2[k] = b2t * v2[k] + (1 - b2t) * g[k] * g[k]
+            mh = m[k] / (1 - b1t**step)
+            vh = v2[k] / (1 - b2t**step)
+            W[k] = W[k] - lr * mh / (np.sqrt(vh) + 1e-8)
+        if log_every and step % log_every == 0:
+            eps = 1e-9
+            loss = -float(
+                (y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean()
+            )
+            print(f"step {step:5d}  loss {loss:.5f}")
+    return OrderMLP(
+        W["w1"].astype(np.float32),
+        W["b1"].astype(np.float32),
+        W["w2"].astype(np.float32),
+        float(W["b2"][0]),
+    )
+
+
+def save_mlp(mlp: OrderMLP, path: str = ASSET) -> None:
+    from .modelio import write_safetensors
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_safetensors(
+        path,
+        {
+            "w1": mlp.w1.astype(np.float32),
+            "b1": mlp.b1.astype(np.float32),
+            "w2": mlp.w2.astype(np.float32),
+            "b2": np.array([mlp.b2], dtype=np.float32),
+        },
+        metadata={"arch": f"pair-mlp-h{HIDDEN}", "trainer": "ro_train.train_ro"},
+    )
+
+
+def load_mlp(path: str = ASSET) -> OrderMLP | None:
+    from .modelio import read_safetensors
+
+    if not os.path.exists(path):
+        return None
+    t, _ = read_safetensors(path)
+    return OrderMLP(t["w1"], t["b1"], t["w2"], float(t["b2"][0]))

@@ -396,7 +396,11 @@ def x_seg_quality(spark, sf):
                         if name == "pageseg":
                             boxes = [tuple(l["bbox"]) for l in seg["lines"]]
                             order = neural_reading_order(
-                                boxes, w=img.shape[1], h=img.shape[0]
+                                boxes,
+                                classes=[1 if r["lang"] == "ar" else 0]
+                                * len(boxes),
+                                w=img.shape[1],
+                                h=img.shape[0],
                             )
                             fr = spearman_footrule(order, list(range(len(boxes))))
                         out.append(

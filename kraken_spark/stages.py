@@ -267,9 +267,12 @@ def extract_document(
         if lines:
             from .kernels.ro import neural_reading_order
 
+            # class feature 1 = RTL page: the trained RO MLP
+            # (kernels/ro_train.py) flips the column-major order sign on it
             out["line_orders"] = [
                 neural_reading_order(
                     [tuple(l["bbox"]) for l in lines],
+                    classes=[1 if base_dir == "R" else 0] * len(lines),
                     w=out["width"] or 1,
                     h=out["height"] or 1,
                 )
