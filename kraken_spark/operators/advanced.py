@@ -302,16 +302,35 @@ def x_merge_segmentations(spark, sf):
 
 def x_pdf_pages(spark, sf):
     """Bundle consecutive corpus pages into 3-page multi-page blobs —
-    alternating REAL image PDFs (sources/pdf.write_pdf: Flate image
-    XObjects, parsed back without a rasterizer) and MPGZ containers —
-    explode back into page rows, and run full extraction: the reference's
-    PDF-to-page-rows ingestion (kraken/kraken.py:363-405) with per-page
-    urls (url#pN)."""
+    cycling REAL image PDFs (sources/pdf.write_pdf: Flate image XObjects,
+    parsed back without a renderer), MPGZ containers, and VECTOR-content
+    PDFs (text drawn via content-stream operators, rasterized by the
+    from-scratch renderer kernels/pdfraster.py) — explode back into page
+    rows, and run full extraction: the reference's PDF-to-page-rows
+    ingestion (kraken/kraken.py:363-405) with per-page urls (url#pN)."""
     from ..pipeline import plan_extraction
-    from ..sources.pdf import explode_pages, pack_multipage, write_pdf
+    from ..sources.pdf import (
+        explode_pages,
+        pack_multipage,
+        write_pdf,
+        write_vector_pdf,
+    )
 
     def bundle(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..kernels import png
+        from ..kernels import png, render
+
+        def vector_page(url: str) -> dict:
+            doc_idx = int(url.rsplit("-", 1)[-1])
+            d = render.render_document(42, doc_idx)
+            h, w = d["img"].shape
+            return {
+                "width": w,
+                "height": h,
+                "lines": [
+                    {"visual": l["visual"], "x0": l["bbox"][0], "y0": l["bbox"][1]}
+                    for l in d["lines"]
+                ],
+            }
 
         schema = pa.schema(
             [pa.field("url", pa.string()), pa.field("html", pa.binary())]
@@ -321,10 +340,13 @@ def x_pdf_pages(spark, sf):
             out = []
             for k in range(0, len(rows), 3):
                 grp = rows[k : k + 3]
-                if (k // 3) % 2 == 0:
+                variant = (k // 3) % 3
+                if variant == 0:
                     blob = write_pdf([png.decode_png(bytes(g["html"])) for g in grp])
-                else:
+                elif variant == 1:
                     blob = pack_multipage([g["html"] for g in grp])
+                else:
+                    blob = write_vector_pdf([vector_page(g["url"]) for g in grp])
                 out.append(
                     {
                         "url": grp[0]["url"].rsplit("/", 1)[0] + f"/bundle-{k}",

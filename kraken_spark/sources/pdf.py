@@ -2,7 +2,7 @@
 
 The reference rasterizes PDFs at 300 dpi via pyvips, emitting one temp PNG
 per page (/root/reference/kraken/kraken.py:363-405). This container ships
-no PDF rasterizer (no pyvips/poppler), so PDF support splits in two:
+no pyvips/poppler, so PDF support splits in two native paths:
 
 - **Image PDFs** (the scanned-document case kraken actually targets):
   handled natively. `write_pdf` emits a minimal valid PDF 1.4 with one
@@ -10,8 +10,12 @@ no PDF rasterizer (no pyvips/poppler), so PDF support splits in two:
   `extract_pdf_images` parses image XObjects back out of any PDF whose
   page images are raw Flate (no renderer needed — the pixels ARE the
   page). `unpack_pages` routes `%PDF-` blobs through it.
-- **Vector-content PDFs** genuinely need a rasterizer and stay STUBBED
-  behind an import-try + NotImplementedError.
+- **Vector-content PDFs** rasterize natively through the from-scratch
+  content-stream renderer (kernels/pdfraster.py) at the reference's
+  300 dpi — or at 72 dpi (1 unit = 1 px) when the producer marker
+  ``%kraken-px`` is present, which is what `write_vector_pdf` emits so
+  the engine's own vector pages rasterize pixel-exactly back into
+  corpus geometry.
 
 The Spark-side plumbing — the blob -> ARRAY<page> explode, schema,
 batching — is shared and also tested via the deterministic ``MPGZ``
@@ -68,6 +72,70 @@ def write_pdf(pages: list) -> bytes:
             + b"\nendstream"
         )
     out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+PX_MARKER = b"%kraken-px"
+
+
+def _escape_pdf_string(raw: bytes) -> bytes:
+    return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def write_vector_pdf(pages: list[dict]) -> bytes:
+    """Vector-content PDF 1.4: text drawn via content-stream text operators
+    (no image XObjects — requires a real rasterizer to read back).
+
+    Each page dict: ``{"width": W, "height": H, "lines": [{"visual": str,
+    "x0": int, "y0": int}]}`` in PIXEL units (y0 = ink-top image row, the
+    corpus renderer's contract, kernels/render.py). Glyphs are shown at
+    size 16 with char-spacing 16 (advance = CELL_W = 32) so rasterizing at
+    72 dpi (the ``%kraken-px`` producer marker) reproduces the corpus page
+    ink pixel-for-pixel. Strings are UTF-8 (the engine's documented
+    convention; real PDFs would carry font /Encoding + ToUnicode maps)."""
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kid_refs = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
+    objs.append(
+        f"<< /Type /Pages /Kids [{kid_refs}] /Count {len(pages)} >>".encode()
+    )
+    for i, pg in enumerate(pages):
+        w, h = int(pg["width"]), int(pg["height"])
+        content_n = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+                f"/Resources << /Font << /F0 << /Type /Font /Subtype /Type1 "
+                f"/BaseFont /KrakenSparkMono >> >> >> "
+                f"/Contents {content_n} 0 R >>"
+            ).encode()
+        )
+        parts = [b"BT /F0 16 Tf 16 Tc"]
+        for ln in pg.get("lines", []):
+            x0, y0 = int(ln["x0"]), int(ln["y0"])
+            s = _escape_pdf_string(str(ln["visual"]).encode("utf-8"))
+            parts.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x0, h - y0 - 16, s))
+        parts.append(b"ET")
+        draw = zlib.compress(b"\n".join(parts), 6)
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(draw)
+            + draw
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n" + PX_MARKER + b"\n")
     offsets = [0]
     for n, body in enumerate(objs, start=1):
         offsets.append(len(out))
@@ -145,9 +213,11 @@ def unpack_pages(data: bytes) -> list[bytes]:
       rasterizer output).
     - %PDF with image XObjects (scanned-document PDFs): pages extracted
       natively via extract_pdf_images and re-encoded as PNG payloads.
-    - %PDF with only vector content: requires a rasterizer; raises
-      NotImplementedError unless pyvips is importable (it is not in this
-      container) — the clearly-marked stub.
+    - %PDF with only vector content: rasterized by the from-scratch
+      content-stream renderer (kernels/pdfraster.py) at 300 dpi — the
+      reference's pyvips setting (kraken/kraken.py:372-394) — or at
+      72 dpi (1 unit = 1 px) when the ``%kraken-px`` producer marker
+      is present.
     - anything else: treated as a single-page payload.
     """
     if data[:4] == MAGIC:
@@ -161,20 +231,15 @@ def unpack_pages(data: bytes) -> list[bytes]:
             pos += ln
         return pages
     if data[:5] == b"%PDF-":
-        imgs = extract_pdf_images(data)
-        if imgs:
-            from ..kernels import png
+        from ..kernels import png
 
-            return [png.encode_png(im) for im in imgs]
-        try:
-            import pyvips  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "PDF has no extractable image XObjects; rasterizing vector "
-                "content requires pyvips (the reference renders at 300 dpi, "
-                "kraken/kraken.py:372-394), not available in this container"
-            ) from None
-        raise NotImplementedError("pyvips rasterization path not wired")
+        imgs = extract_pdf_images(data)
+        if not imgs:
+            from ..kernels.pdfraster import rasterize_pdf
+
+            dpi = 72.0 if PX_MARKER in data[:64] else 300.0
+            imgs = rasterize_pdf(data, dpi=dpi)
+        return [png.encode_png(im) for im in imgs]
     return [bytes(data)]
 
 
@@ -183,7 +248,7 @@ def explode_pages(docs: DataFrame) -> DataFrame:
     url suffixed '#p{idx}' — the Spark form of the reference's one-temp-PNG-
     per-page expansion.
 
-    Undecodable blobs (e.g. vector PDFs without a rasterizer) emit ONE
+    Undecodable blobs (malformed PDFs, truncated containers) emit ONE
     sentinel row (page_idx=-1, html=garbage bytes) instead of vanishing:
     downstream extraction commits it as a guard_tripped row, so a resumed
     job's anti-join (pipeline.remaining_documents) sees the url as done and
@@ -205,7 +270,7 @@ def explode_pages(docs: DataFrame) -> DataFrame:
             for r in batch.to_pylist():
                 try:
                     pages = unpack_pages(r["html"] or b"")
-                except (NotImplementedError, Exception):
+                except Exception:
                     pages = None
                 if pages is None or not pages:
                     out.append(

@@ -192,12 +192,15 @@ def test_model_loading_from_file(tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------- multipage
-def test_multipage_roundtrip_and_pdf_stub():
+def test_multipage_roundtrip_and_pdf_garbage():
     pages = [b"page-one-bytes", b"page-two", b""]
     blob = pack_multipage(pages)
     assert unpack_pages(blob) == pages
-    # a vector-only PDF (no image XObjects) still needs a rasterizer
-    with pytest.raises(NotImplementedError):
+    # a %PDF blob with no page tree is malformed -> PdfError (explode_pages
+    # catches it and degrades to a single-page payload)
+    from kraken_spark.kernels.pdfraster import PdfError
+
+    with pytest.raises(PdfError):
         unpack_pages(b"%PDF-1.7 fake")
     assert unpack_pages(b"plain png bytes") == [b"plain png bytes"]
 

@@ -1,0 +1,319 @@
+"""From-scratch PDF vector-content rasterizer (kernels/pdfraster.py).
+
+The reference delegates vector-PDF pages to pyvips at 300 dpi
+(/root/reference/kraken/kraken.py:363-405); this container has no
+pyvips, so the engine rasterizes natively. These tests pin the COS
+object layer, the scanline winding fill, the content-stream graphics /
+image / text operators, and the end-to-end contract: a vector PDF
+written by sources/pdf.write_vector_pdf rasterizes back to the corpus
+page with PIXEL-IDENTICAL ink geometry and extracts at CER 0.
+"""
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels import glyphs, png, render
+from kraken_spark.kernels.pdfraster import (
+    Document,
+    PdfError,
+    Ref,
+    fill_mask,
+    mat_apply,
+    mat_inv,
+    mat_mul,
+    parse_object,
+    rasterize_pdf,
+)
+from kraken_spark.sources.pdf import PX_MARKER, unpack_pages, write_vector_pdf
+
+
+def mini_pdf(content: bytes, w: int = 100, h: int = 100, extra: bytes = b"",
+             resources: bytes = b"<< >>") -> bytes:
+    """Minimal single-page PDF (no xref — the Document scan is xref-free)."""
+    return (
+        b"%PDF-1.4\n" + PX_MARKER + b"\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+        b"/Resources %s /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (w, h, resources, len(content), content)
+        + extra
+        + b"%%EOF\n"
+    )
+
+
+# ---------------------------------------------------------------- COS layer
+
+
+def test_parse_cos_objects():
+    v, _ = parse_object(b"<< /A 1 /B [2 3.5 /Nm] /C << /D (s) >> >>", 0)
+    assert v == {"A": 1, "B": [2, 3.5, ("name", "Nm")], "C": {"D": b"s"}}
+    v, _ = parse_object(b"(par\\(en\\) \\n \\101 (nested))", 0)
+    assert v == b"par(en) \n A (nested)"
+    v, _ = parse_object(b"<48656C 6C6F>", 0)
+    assert v == b"Hello"
+    v, _ = parse_object(b"<484>", 0)  # odd digit -> pad with 0
+    assert v == b"H@"
+    v, _ = parse_object(b"/Na#6de", 0)
+    assert v == ("name", "Name")
+    v, _ = parse_object(b"7 0 R", 0)
+    assert isinstance(v, Ref) and v.num == 7
+    assert parse_object(b"-3.25", 0)[0] == -3.25
+    assert parse_object(b"true", 0)[0] is True
+    assert parse_object(b"null", 0)[0] is None
+    assert parse_object(b"re", 0)[0] == ("op", "re")
+    # "5 0 Rx" is NOT a ref (keyword boundary)
+    v, _ = parse_object(b"5 0 Rx", 0)
+    assert v == 5
+
+
+def test_document_scan_streams_and_ref_cycle():
+    pdf = mini_pdf(
+        b"", extra=b"9 0 obj\n10 0 R\nendobj\n10 0 obj\n9 0 R\nendobj\n"
+    )
+    doc = Document(pdf)
+    assert doc.objs[1]["Type"] == ("name", "Catalog")
+    assert doc.stream_data(Ref(4)) == b""
+    with pytest.raises(PdfError):
+        doc.resolve(Ref(9))  # 9 -> 10 -> 9 ref cycle
+    with pytest.raises(PdfError):
+        Document(b"%PDF-1.7 fake").pages()
+
+
+def test_matrix_helpers():
+    m = mat_mul((2, 0, 0, 2, 5, 5), (1, 0, 0, -1, 0, 100))
+    assert mat_apply(m, 1, 1) == (7, 93)
+    inv = mat_inv(m)
+    x, y = mat_apply(inv, *mat_apply(m, 3.5, -2.0))
+    assert abs(x - 3.5) < 1e-9 and abs(y + 2.0) < 1e-9
+    with pytest.raises(PdfError):
+        mat_inv((1, 2, 2, 4, 0, 0))  # singular
+
+
+# ------------------------------------------------------------- winding fill
+
+
+def test_fill_mask_rectangle_pixel_centers():
+    # rect [2,5) x [1,4): covers pixel centers 2.5,3.5,4.5 / 1.5,2.5,3.5
+    m = fill_mask(6, 8, [[(2, 1), (5, 1), (5, 4), (2, 4)]])
+    exp = np.zeros((6, 8), bool)
+    exp[1:4, 2:5] = True
+    assert np.array_equal(m, exp)
+    # half-open boundary: an edge exactly on a center row does not double
+    m2 = fill_mask(4, 4, [[(0.5, 0.5), (3.5, 0.5), (3.5, 2.5), (0.5, 2.5)]])
+    assert m2.sum() == 3 * 2  # columns 1..3, rows 1..2
+
+
+def test_fill_mask_winding_rules():
+    outer = [(1, 1), (9, 1), (9, 9), (1, 9)]
+    inner_same = [(3, 3), (7, 3), (7, 7), (3, 7)]  # same winding direction
+    inner_rev = list(reversed(inner_same))
+    nz_same = fill_mask(10, 10, [outer, inner_same], evenodd=False)
+    nz_rev = fill_mask(10, 10, [outer, inner_rev], evenodd=False)
+    eo = fill_mask(10, 10, [outer, inner_same], evenodd=True)
+    assert nz_same[5, 5]          # nonzero + same winding: solid
+    assert not nz_rev[5, 5]       # nonzero + reversed: hole
+    assert not eo[5, 5] and eo[2, 2]  # even-odd: hole either way
+
+
+# ------------------------------------------------------ graphics operators
+
+
+def test_rect_fill_gray_and_color_luminance():
+    # 72 dpi + %kraken-px-style geometry: 1 unit = 1 px, y flipped
+    pg = rasterize_pdf(mini_pdf(b"0 g 10 80 20 10 re f"), dpi=72.0)[0]
+    assert pg.shape == (100, 100)
+    exp = np.full((100, 100), 255, np.uint8)
+    exp[10:20, 10:30] = 0  # y: 100-(80+10)=10 .. 100-80=20
+    assert np.array_equal(pg, exp)
+    pg = rasterize_pdf(mini_pdf(b"1 0 0 rg 0 0 100 100 re f"), dpi=72.0)[0]
+    assert (pg == int(round(0.299 * 255))).all()  # red -> luminance
+    pg = rasterize_pdf(mini_pdf(b"0 0 0 1 k 0 0 100 100 re f"), dpi=72.0)[0]
+    assert (pg == 0).all()  # K=1 -> black
+
+
+def test_dpi_scaling_default_300():
+    # no %kraken-px marker -> reference's 300 dpi (kraken/kraken.py:372-394)
+    pdf = mini_pdf(b"0 g 0 0 72 72 re f", w=144, h=72).replace(
+        PX_MARKER + b"\n", b""
+    )
+    pg = rasterize_pdf(pdf)[0]
+    assert pg.shape == (300, 600)  # 72x144 pt at 300/72 scale
+    assert (pg[:, :300] == 0).all() and (pg[:, 300:] == 255).all()
+
+
+def test_cm_transform_and_qQ_state():
+    content = b"q 2 0 0 2 10 10 cm 0 g 0 0 10 10 re f Q 0 0 5 5 re f"
+    pg = rasterize_pdf(mini_pdf(content), dpi=72.0)[0]
+    # scaled rect: user [10,30)^2 -> rows 70:90, cols 10:30, painted black
+    assert (pg[70:90, 10:30] == 0).all()
+    # after Q the fill color reverts to default black at origin (rows 95:100)
+    assert (pg[95:100, 0:5] == 0).all()
+    assert (pg[50, 50] == 255).all() if hasattr(pg[50, 50], "all") else pg[50, 50] == 255
+
+
+def test_clip_intersection():
+    content = b"20 20 60 60 re W n 0 g 0 0 100 50 re f"
+    pg = rasterize_pdf(mini_pdf(content), dpi=72.0)[0]
+    # fill covers device rows 50:100; clip covers rows 20:80, cols 20:80
+    assert (pg[50:80, 20:80] == 0).all()
+    assert (pg[50:100, 0:20] == 255).all() and (pg[85:100, 20:80] == 255).all()
+
+
+def test_stroke_thickness_and_bezier_fill():
+    pg = rasterize_pdf(mini_pdf(b"4 w 0 G 10 50 m 90 50 l S"), dpi=72.0)[0]
+    col = pg[:, 50]
+    assert (col[48:52] == 0).all() and col[44] == 255 and col[55] == 255
+    # full circle from 4 cubic beziers (k = 0.5523 * r), r=30 @ (50,50)
+    k = 16.569
+    c = (
+        b"0 g 80 50 m "
+        b"80 %f %f 80 50 80 c %f 80 20 %f 20 50 c "
+        b"20 %f %f 20 50 20 c %f 20 80 %f 80 50 c f"
+        % (50 + k, 50 + k, 50 - k, 50 + k, 50 - k, 50 - k, 50 + k, 50 - k)
+    )
+    pg = rasterize_pdf(mini_pdf(c), dpi=72.0)[0]
+    area = int((pg == 0).sum())
+    assert abs(area - np.pi * 30 * 30) / (np.pi * 900) < 0.02
+    assert pg[50, 50] == 0 and pg[5, 5] == 255
+
+
+def test_image_xobject_placement_and_mask():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 17
+    res = (
+        b"<< /XObject << /Im0 9 0 R /Msk 10 0 R >> >>"
+    )
+    extra = (
+        b"9 0 obj\n<< /Subtype /Image /Width 4 /Height 4 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 16 >>\n"
+        b"stream\n" + img.tobytes() + b"\nendstream\nendobj\n"
+        b"10 0 obj\n<< /Subtype /Image /ImageMask true /Width 8 /Height 1 "
+        b"/Decode [1 0] /Length 1 >>\nstream\n" + bytes([0b10100000])
+        + b"\nendstream\nendobj\n"
+    )
+    content = (
+        b"q 40 0 0 40 10 50 cm /Im0 Do Q "
+        b"q 0.5 g 8 0 0 1 50 10 cm /Msk Do Q"
+    )
+    pg = rasterize_pdf(mini_pdf(content, resources=res, extra=extra), dpi=72.0)[0]
+    # image: unit square -> cols 10:50, rows 10:50 (y flip), 10x10 px/cell,
+    # image row 0 at TOP
+    up = np.kron(img, np.ones((10, 10), np.uint8))
+    assert np.array_equal(pg[10:50, 10:50], up)
+    # mask with Decode [1 0]: sample=1 paints; bits 10100000 -> cols 50,52
+    row = pg[89, 50:58]
+    assert row[0] == 128 and row[2] == 128
+    assert row[1] == 255 and (row[3:] == 255).all()
+
+
+def test_form_xobject_with_matrix():
+    res = b"<< /XObject << /Fm 9 0 R >> >>"
+    inner = b"0 g 0 0 10 10 re f"
+    extra = (
+        b"9 0 obj\n<< /Subtype /Form /Matrix [2 0 0 2 20 20] /Length %d >>\n"
+        b"stream\n%s\nendstream\nendobj\n" % (len(inner), inner)
+    )
+    pg = rasterize_pdf(mini_pdf(b"/Fm Do", resources=res, extra=extra), dpi=72.0)[0]
+    assert (pg[60:80, 20:40] == 0).all()  # user [20,40)^2, y flipped
+    assert pg[50, 50] == 255
+
+
+def test_malformed_content_is_skipped_not_fatal():
+    # bad operands + unknown operators + truncated dict must not raise
+    pg = rasterize_pdf(
+        mini_pdf(b"/BadName garbage_op 1 2 unknowns re f Q Q Q 0 g 0 0 5 5 re f <<"),
+        dpi=72.0,
+    )[0]
+    assert (pg[95:100, 0:5] == 0).all()
+
+
+# ----------------------------------------------------------------- text ops
+
+
+def _glyph_expect(h, w, placements, size=16):
+    """Compose expected page: glyph 8x8 bitmap scaled size/8, ink-top at y0."""
+    exp = np.full((h, w), 255, np.uint8)
+    s = size // 8
+    for cp, x0, y0 in placements:
+        bm = np.kron(glyphs.glyph_bitmap(cp), np.ones((s, s), np.uint8))
+        sl = exp[y0 : y0 + 8 * s, x0 : x0 + 8 * s]
+        sl[bm.astype(bool)] = 0
+    return exp
+
+
+def test_text_show_and_advances():
+    content = b"BT /F0 16 Tf 16 Tc 1 0 0 1 10 74 Tm (AB) Tj ET"
+    pg = rasterize_pdf(mini_pdf(content), dpi=72.0)[0]
+    # baseline math from write_vector_pdf: Tm y = h - y0 - 16 -> y0 = 10
+    exp = _glyph_expect(100, 100, [(ord("A"), 10, 10), (ord("B"), 42, 10)])
+    assert np.array_equal(pg, exp)
+
+
+def test_text_render_mode_invisible_and_TJ_kerning():
+    pg = rasterize_pdf(
+        mini_pdf(b"BT /F0 16 Tf 3 Tr 1 0 0 1 10 74 Tm (A) Tj ET"), dpi=72.0
+    )[0]
+    assert (pg == 255).all()  # Tr 3 = invisible
+    # TJ: -1000 advances exactly one font size (16 px) extra
+    content = b"BT /F0 16 Tf 16 Tc 1 0 0 1 10 74 Tm [(A) -1000 (B)] TJ ET"
+    pg = rasterize_pdf(mini_pdf(content), dpi=72.0)[0]
+    exp = _glyph_expect(100, 100, [(ord("A"), 10, 10), (ord("B"), 58, 10)])
+    assert np.array_equal(pg, exp)
+
+
+def test_text_leading_Td_Tstar():
+    content = (
+        b"BT /F0 16 Tf 24 TL 1 0 0 1 10 74 Tm (A) Tj T* (B) Tj "
+        b"10 -24 Td (C) Tj ET"
+    )
+    pg = rasterize_pdf(mini_pdf(content), dpi=72.0)[0]
+    exp = _glyph_expect(
+        100, 100, [(ord("A"), 10, 10), (ord("B"), 10, 34), (ord("C"), 20, 58)]
+    )
+    assert np.array_equal(pg, exp)
+
+
+# -------------------------------------------------- end-to-end corpus round
+
+
+@pytest.mark.parametrize("doc_idx", [0, 7])
+def test_vector_pdf_ink_geometry_exact(doc_idx):
+    """write_vector_pdf -> rasterize: ink mask PIXEL-IDENTICAL to the corpus
+    renderer's golden ink (kernels/render.py contract)."""
+    d = render.render_document(42, doc_idx)
+    h, w = d["img"].shape
+    page = {
+        "width": w,
+        "height": h,
+        "lines": [
+            {"visual": l["visual"], "x0": l["bbox"][0], "y0": l["bbox"][1]}
+            for l in d["lines"]
+        ],
+    }
+    payloads = unpack_pages(write_vector_pdf([page, page]))
+    assert len(payloads) == 2
+    im = png.decode_png(payloads[0])
+    assert im.shape == (h, w)
+    assert np.array_equal(im < 128, d["ink"].astype(bool))
+
+
+def test_vector_pdf_extracts_cer0():
+    """Full loop: vector PDF -> rasterize -> binarize -> segment -> recognize
+    -> byte-identical text (the north rule's per-url invariant)."""
+    from kraken_spark.stages import extract_document
+
+    d = render.render_document(42, 5)
+    h, w = d["img"].shape
+    page = {
+        "width": w,
+        "height": h,
+        "lines": [
+            {"visual": l["visual"], "x0": l["bbox"][0], "y0": l["bbox"][1]}
+            for l in d["lines"]
+        ],
+    }
+    payload = unpack_pages(write_vector_pdf([page]))[0]
+    out = extract_document(payload, "u", d["lang"], gt_text=d["text"])
+    assert out["cer"] == 0.0
+    assert out["text"] == d["text"]
