@@ -21,6 +21,7 @@ from typing import Iterator
 
 import pyarrow as pa
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..corpus import corpus_for
 from .extraction import _ordered
@@ -366,6 +367,65 @@ def x_pdf_pages(spark, sf):
     return _ordered(ext.select("url", "n_lines", "guard_tripped"), "url")
 
 
+def x_extract_html(spark, sf):
+    """Main-content extraction over web-HTML payloads — the brief's "HTML
+    boilerplate strip / DOM heuristics" leg (kernels/htmlparse.py: stack
+    DOM + jusText/Boilerpipe-style block classification; the reference
+    engine is image-only, so the parity target is the brief's per-url
+    byte-identity rule, not a reference code path).
+
+    Each corpus doc's ground-truth text is wrapped in a deterministic
+    full web page (header/nav, cookie banner, sidebar + related-links
+    chrome, comments, footer, script/style noise, entity escapes —
+    write_boilerplate_page) and routed through the SAME plan_extraction
+    as every other payload type; stages.extract_document sniffs web HTML
+    and strips the chrome. cer==0.0 on every row IS the byte-identity
+    evidence (pinned in tests/test_htmlparse.py); n_lines = one line per
+    surviving content block."""
+    from ..pipeline import plan_extraction
+
+    def wrap(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels.htmlparse import write_boilerplate_page
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("html", pa.binary()),
+                pa.field("text", pa.string()),
+                pa.field("lang", pa.string()),
+            ]
+        )
+        for batch in batches:
+            out = [
+                {
+                    "url": r["url"],
+                    "html": write_boilerplate_page(r["text"], r["lang"], r["url"]),
+                    "text": r["text"],
+                    "lang": r["lang"],
+                }
+                for r in batch.to_pylist()
+            ]
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    pages = _docs(spark, sf).mapInArrow(
+        wrap, schema="url string, html binary, text string, lang string"
+    )
+    ext = plan_extraction(
+        pages, num_partitions=spark.sparkContext.defaultParallelism
+    )
+    return _ordered(
+        ext.select(
+            "url",
+            "lang",
+            "n_lines",
+            "n_regions",
+            F.round("cer", 9).alias("cer"),
+            "text",
+        ),
+        "url",
+    )
+
+
 def x_seg_quality(spark, sf):
     """Baseline-detection P/R/F1 of BOTH segmentation paths against the
     renderer's golden baselines (kernels/seg_metrics.py; the reference's
@@ -517,6 +577,7 @@ def x_seg_quality(spark, sf):
 
 
 QUERIES = {
+    "x_extract_html": (x_extract_html, None),
     "x_multimodel_dispatch": (x_multimodel_dispatch, None),
     "x_seg_quality": (x_seg_quality, None),
     "x_merge_segmentations": (x_merge_segmentations, None),

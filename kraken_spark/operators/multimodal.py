@@ -9,11 +9,10 @@ the whole chain is real and tested:
 
 - x_image_features: one decode pass emitting the 64-dim tile-intensity
   embedding per page (8x8 block means — the embedding feeding ANN/cosine
-  queries, exposed array-typed via x_doc_embeddings) AND the 64x64
+  queries, exposed array-typed via x_doc_embeddings), the 64x64
   block-mean thumbnail PNG (the "resize/frame-sample" plumbing: schema,
-  batching, binary-out UDF).
-- x_phash_dedup: 64-bit perceptual dHash over the decoded page ->
-  exact-collision clustering (image near-dup dedup, the visual analog of
+  batching, binary-out UDF), AND the 64-bit perceptual dHash with its
+  collision-cluster size (image near-dup dedup, the visual analog of
   functions/dedup.py).
 - x_forced_align: CTC trellis alignment of the recognized text back onto
   each line (kernels/align.py; /root/reference/kraken/align.py:42-85),
@@ -116,13 +115,16 @@ def x_doc_embeddings(spark, sf):
 
 
 def x_image_features(spark, sf):
-    """Decode each page ONCE and emit both multimodal feature families
-    (driver-window consolidation of x_doc_embeddings + x_thumbnails):
-    the 64-dim tile-intensity embedding (serialized to JSON — the driver's
-    canonicalization cannot sort array cells; the array-typed form feeding
-    ANN lives in x_doc_embeddings/x_page_knn) and the 64x64 block-mean
-    thumbnail PNG (reported as size + md5 so the binary round-trip is
-    value-checked without shipping bytes through the driver's sorter)."""
+    """Decode each page ONCE and emit every multimodal feature family
+    (driver-window consolidation of x_doc_embeddings + x_thumbnails +
+    the former x_phash_dedup): the 64-dim tile-intensity embedding
+    (serialized to JSON — the driver's canonicalization cannot sort array
+    cells; the array-typed form feeding ANN lives in x_doc_embeddings/
+    x_page_knn), the 64x64 block-mean thumbnail PNG (reported as size +
+    md5 so the binary round-trip is value-checked without shipping bytes
+    through the driver's sorter), and the 64-bit perceptual dHash with its
+    cluster size (n_same_phash: a window count over the hash — the
+    perceptual-dedup signal, one tiny shuffle on the 8-byte key)."""
     import hashlib
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -138,6 +140,7 @@ def x_image_features(spark, sf):
                 pa.field("emb_norm", pa.float64()),
                 pa.field("thumb_bytes", pa.int32()),
                 pa.field("thumb_md5", pa.string()),
+                pa.field("phash", pa.int64()),
             ]
         )
         for batch in batches:
@@ -157,43 +160,23 @@ def x_image_features(spark, sf):
                         "emb_norm": round(float(np.linalg.norm(emb)), 6),
                         "thumb_bytes": len(tb),
                         "thumb_md5": hashlib.md5(tb).hexdigest(),
+                        "phash": dhash64(img),
                     }
                 )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
+    from pyspark.sql import Window
+
+    feats = _docs(spark, sf).mapInArrow(
+        fn,
+        schema="url string, lang string, src_w int, src_h int, emb_json string, "
+        "emb_norm double, thumb_bytes int, thumb_md5 string, phash bigint",
+    )
     return _ordered(
-        _docs(spark, sf).mapInArrow(
-            fn,
-            schema="url string, lang string, src_w int, src_h int, emb_json string, "
-            "emb_norm double, thumb_bytes int, thumb_md5 string",
+        feats.withColumn(
+            "n_same_phash", F.count("*").over(Window.partitionBy("phash"))
         ),
         "url",
-    )
-
-
-def x_phash_dedup(spark, sf):
-    """Perceptual-hash clustering: dHash per page, group by hash value."""
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..kernels import png
-
-        schema = pa.schema(
-            [pa.field("url", pa.string()), pa.field("phash", pa.int64())]
-        )
-        for batch in batches:
-            out = []
-            for r in batch.to_pylist():
-                img = png.to_grayscale(png.decode_png(r["html"]))
-                out.append({"url": r["url"], "phash": dhash64(img)})
-            yield pa.RecordBatch.from_pylist(out, schema=schema)
-
-    hashed = _docs(spark, sf).mapInArrow(fn, schema="url string, phash bigint")
-    return _ordered(
-        hashed.groupBy("phash")
-        .agg(F.count("*").alias("n_docs"), F.min("url").alias("rep"))
-        .groupBy("n_docs")
-        .agg(F.count("*").alias("n_clusters")),
-        "n_docs",
     )
 
 
@@ -499,7 +482,6 @@ def audio_features(docs: DataFrame, frame: int = 512) -> DataFrame:
 QUERIES = {
     "x_image_features": (x_image_features, None),
     "x_page_knn": (x_page_knn, None),
-    "x_phash_dedup": (x_phash_dedup, None),
     "x_forced_align": (x_forced_align, None),
     "x_frame_sample": (x_frame_sample, None),
 }

@@ -123,6 +123,16 @@ def extract_document(
     }
     try:
         if html[:1] in (b"<", b"\xef") or html[:5].lstrip()[:1] == b"<":
+            from .kernels.htmlparse import looks_like_html, seg_from_html
+
+            if looks_like_html(html):
+                # web-HTML payload: main-content extraction (boilerplate
+                # strip via DOM heuristics + jusText-style block
+                # classification, kernels/htmlparse.py) — the brief's
+                # "HTML boilerplate strip / DOM heuristics" leg. hOCR is
+                # HTML too and keeps routing to the XML dialect parser
+                # (looks_like_html rejects ocr-system/ocr_page markers).
+                return _extract_from_seg(seg_from_html(html, lang), out, gt_text, t0)
             # XML payload (ALTO/PageXML): pre-segmented input path — parse
             # lines/regions/text directly, no OCR (the reference's -f xml
             # input, /root/reference/kraken/kraken.py:200-207; SURVEY §3.4)

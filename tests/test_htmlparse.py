@@ -1,0 +1,212 @@
+"""HTML main-content extraction (kernels/htmlparse.py): boilerplate strip
+via DOM heuristics + jusText/Boilerpipe-style block classification — the
+brief's web-HTML leg. The reference engine is image-only, so the pinned
+target is the brief's per-url byte-identity rule: ground-truth text wrapped
+in deterministic chrome (write_boilerplate_page) must extract back exactly.
+"""
+
+import pytest
+
+from kraken_spark.kernels import htmlparse as H
+from kraken_spark.kernels import render
+from kraken_spark.stages import extract_document
+
+
+def _page_for(idx: int, seed: int = 42):
+    d = render.render_document(seed, idx)
+    url = f"https://example.org/{d['lang']}/doc-{idx:08d}"
+    return d, url, H.write_boilerplate_page(d["text"], d["lang"], url, seed=seed)
+
+
+# ------------------------------------------------------------------ tokenizer
+
+
+def test_tokenizer_basics():
+    toks = list(
+        H.tokenize(
+            b"<!DOCTYPE html><!-- c --><p class=a data-x='1 2'>Hi &amp; lo</p>"
+            b"<br/><img src=x>tail"
+        )
+    )
+    assert toks[0] == ("open", "p", {"class": "a", "data-x": "1 2"}, False)
+    assert toks[1] == ("text", "Hi &amp; lo")  # entity decode happens in DOM
+    assert toks[2] == ("close", "p")
+    assert ("open", "br", {}, True) in toks and ("open", "img", {"src": "x"}, True) in toks
+    assert toks[-1] == ("text", "tail")
+
+
+def test_tokenizer_rawtext_and_stray_lt():
+    # '<p>' inside script is NOT markup (HTML5 rawtext state); a stray '<'
+    # that opens no tag is literal text
+    toks = list(H.tokenize(b"<script>if (a<b) { x = '<p>no'; }</script>1 < 2"))
+    assert ("open", "p", {}, False) not in toks
+    assert toks[-1][0] == "text" and toks[-1][1].strip() == "1 < 2"
+    # CDATA and processing instructions are dropped
+    assert list(H.tokenize(b"<?xml v?><![CDATA[<p>]]>ok"))[-1] == ("text", "ok")
+
+
+def test_dom_implied_end_tags():
+    root = H.parse_html(b"<ul><li>one<li>two</ul><p>a<p>b<div>c</div>")
+    ul = root.children[0]
+    assert [c.tag for c in ul.children] == ["li", "li"]  # li auto-closes li
+    tags = [c.tag for c in root.children]
+    assert tags == ["ul", "p", "p", "div"]  # p closed by p and by div
+    # mismatched close tags are ignored, not fatal
+    r2 = H.parse_html(b"<div><span>x</div></b></span>")
+    assert r2.children[0].tag == "div"
+
+
+# ------------------------------------------------------------------- blocks
+
+
+def test_blocks_link_density_and_ancestors():
+    page = (
+        b"<html><body><nav><p>Home About Contact Pricing</p></nav>"
+        b'<article><p>Body text here, long enough to matter for everyone.</p>'
+        b'<p>See <a href="/x">this link</a> for more.</p></article>'
+        b"<script>junk()</script></body></html>"
+    )
+    blks = H.blocks(H.parse_html(page))
+    texts = {b["text"]: b for b in blks}
+    nav = texts["Home About Contact Pricing"]
+    assert nav["in_boiler"] and not nav["in_content"]
+    body = texts["Body text here, long enough to matter for everyone."]
+    assert body["in_content"] and body["link_density"] == 0.0
+    linked = texts["See this link for more."]
+    ld = linked["link_density"]
+    assert abs(ld - len("this link") / len("See this link for more.")) < 1e-9
+    assert not any("junk" in t for t in texts)  # script subtree skipped
+
+
+def test_classification_rules_and_context_revision():
+    # chrome dies by ancestry; link-walls die by density even when long;
+    # stopword-dense prose survives without an <article>; a short caption
+    # between good blocks is absorbed (jusText revision), an isolated
+    # short between bad neighbors is not
+    page = (
+        b"<html><body>"
+        b"<footer><p>Copyright twenty twenty six all rights reserved</p></footer>"
+        b'<div><a href="/1">one long related story</a> <a href="/2">two long'
+        b" related story</a> <a href=\"/3\">three long related story</a></div>"
+        b"<div>It was the best of times and it was the worst of times and"
+        b" all of us had everything before us in the season of light.</div>"
+        b"<div>tiny caption</div>"
+        b"<div>He was walking to the shore with all the others and they were"
+        b" all of them happy to be there on that day of the year.</div>"
+        b"<div>lost fragment</div>"
+        b'<div><a href="/4">four long related story</a> <a href="/5">five'
+        b" long related story</a></div>"
+        b"</body></html>"
+    )
+    blks = H.classify_blocks(H.blocks(H.parse_html(page)), lang="en")
+    by_text = {b["text"][:12]: b for b in blks}
+    assert by_text["Copyright tw"]["cls"] == "bad"       # footer ancestry
+    assert by_text["one long rel"]["cls"] == "bad"       # link wall
+    assert by_text["It was the b"]["cls"] == "good"      # stopword-dense
+    assert by_text["tiny caption"]["cls"] == "good"      # absorbed between goods
+    assert by_text["He was walki"]["cls"] == "good"
+    assert by_text["lost fragmen"]["cls"] == "bad"       # next decided = bad
+
+
+def test_stop_density():
+    assert H._stop_density("the cat sat on the mat", "en") == pytest.approx(3 / 6)
+    assert H._stop_density("zzz qqq", "en") == 0.0
+    assert H._stop_density("anything", "xx") == 0.0  # unknown lang -> feature off
+
+
+# ------------------------------------------------------- byte-identity round
+
+
+@pytest.mark.parametrize("idx", [0, 1, 2, 5, 7])
+def test_roundtrip_byte_identical(idx):
+    d, url, page = _page_for(idx)
+    main, blks = H.extract_main_text(page, d["lang"])
+    assert main == d["text"]
+    # chrome actually existed and was stripped (not a trivially-clean page)
+    assert sum(1 for b in blks if b["cls"] == "bad") >= 8
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_roundtrip_across_seeds(seed):
+    for idx in (0, 3):
+        d, url, page = _page_for(idx, seed=seed)
+        assert H.extract_main_text(page, d["lang"])[0] == d["text"]
+
+
+def test_writer_is_deterministic_and_escapes():
+    d, url, p1 = _page_for(4)
+    _, _, p2 = _page_for(4)
+    assert p1 == p2
+    text = 'a < b & "c" > d\ntag <p> literal'
+    page = H.write_boilerplate_page(text, "en", "u://x", seed=1)
+    assert b"<p>a &lt; b &amp;" in page
+    assert H.extract_main_text(page, "en")[0] == text
+
+
+# -------------------------------------------------------------- seg adapter
+
+
+def test_seg_from_html_contract():
+    d, url, page = _page_for(0)
+    seg = H.seg_from_html(page, d["lang"])
+    n = len(d["text"].split("\n"))
+    assert len(seg["lines"]) == n
+    assert [l["rank"] for l in seg["lines"]] == list(range(n))
+    for l in seg["lines"]:
+        x0, y0, x1, y1 = l["bbox"]
+        assert x0 < x1 and y0 < y1
+        assert l["region_ids"] == ["html_region_0"]
+    assert seg["regions"][0]["region_type"] == "text"
+    assert seg["width"] > 0 and seg["height"] > 0
+    # chrome-only page -> ValueError (maps to guard_tripped upstream)
+    chrome = b"<html><body><nav><p>Home About</p></nav></body></html>"
+    with pytest.raises(ValueError):
+        H.seg_from_html(chrome, "en")
+
+
+def test_looks_like_html_sniff():
+    assert H.looks_like_html(b"<!DOCTYPE html><html><body>x</body></html>")
+    assert H.looks_like_html(b"  <html lang=en><p>y</p></html>")
+    # hOCR is HTML but must keep routing to the XML dialect parser
+    hocr = (
+        b'<!DOCTYPE html><html><head><meta name="ocr-system" content="x"/>'
+        b'</head><body><div class="ocr_page">z</div></body></html>'
+    )
+    assert not H.looks_like_html(hocr)
+    assert not H.looks_like_html(b"\x89PNG\r\n\x1a\n")
+    assert not H.looks_like_html(b'<?xml version="1.0"?><alto></alto>')
+
+
+# ------------------------------------------------------------ stage routing
+
+
+def test_extract_document_html_path_cer0():
+    d, url, page = _page_for(6)
+    out = extract_document(page, url, d["lang"], gt_text=d["text"])
+    assert out["cer"] == 0.0 and out["text"] == d["text"]
+    assert out["n_lines"] == len(d["text"].split("\n"))
+    assert out["n_regions"] == 1 and not out["guard_tripped"]
+
+
+def test_extract_document_hocr_still_routes_to_xml():
+    from kraken_spark.kernels import png
+    from kraken_spark.kernels.serialize import serialize
+
+    d = render.render_document(42, 0)
+    base = extract_document(png.encode_png(d["img"]), "u", d["lang"], gt_text=d["text"])
+    hocr = serialize(base, fmt="hocr")
+    blob = hocr.encode("utf-8") if isinstance(hocr, str) else hocr
+    out = extract_document(blob, "u2", d["lang"], gt_text=d["text"])
+    # the hOCR parser (not the boilerplate stripper) reproduces the text
+    assert out["cer"] == 0.0 and out["n_lines"] == base["n_lines"]
+
+
+def test_garbage_html_guard_trips_not_crashes():
+    bad = b"<html><body><div><<<<&&&" + bytes(range(256)) + b"</html>"
+    out = extract_document(bad, "u", "en", gt_text="x")
+    # either some text survived (cer computed) or the guard tripped; never
+    # an exception
+    assert out["guard_tripped"] in (True, False)
+    chrome_only = b"<html><body><nav><a href='/'>Home</a></nav></body></html>"
+    out2 = extract_document(chrome_only, "u", "en", gt_text="x")
+    assert out2["guard_tripped"] is True
