@@ -123,11 +123,49 @@ _ATTR_RE = re.compile(
 _WS_RUN = re.compile(r"[ \t\r\n\f]+")
 
 
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?([-\w:.]+)|content\s*=\s*["'][^"']*charset=([-\w:.]+))""",
+    re.IGNORECASE,
+)
+
+
+def sniff_encoding(raw: bytes) -> str:
+    """HTML5 encoding prescan (WHATWG 13.2.3.2, simplified): BOM first,
+    then a <meta charset=...> / http-equiv content-type declaration in the
+    first 1024 bytes, else UTF-8. Unknown or UTF-16 meta labels fall back
+    to UTF-8 (a meta can't honestly declare UTF-16: the prescan that read
+    it was ASCII-compatible)."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if raw[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if raw[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    m = _META_CHARSET.search(raw[:1024])
+    if m:
+        import codecs
+
+        label = (m.group(1) or m.group(2)).decode("ascii", "replace").strip().lower()
+        if not label.startswith("utf-16"):
+            try:
+                return codecs.lookup(label).name
+            except LookupError:
+                pass
+    return "utf-8"
+
+
 def _decode(raw: bytes) -> str:
+    enc = sniff_encoding(raw)
+    try:
+        return raw.decode(enc)
+    except (UnicodeDecodeError, LookupError):
+        pass
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
-        return raw.decode("latin-1")
+        # windows-1252 is the HTML5 fallback for unlabeled non-UTF-8 bytes
+        # (latin-1's C1 range is remapped to printable punctuation there)
+        return raw.decode("windows-1252", errors="replace")
 
 
 def tokenize(data: bytes):

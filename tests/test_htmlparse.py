@@ -210,3 +210,30 @@ def test_garbage_html_guard_trips_not_crashes():
     chrome_only = b"<html><body><nav><a href='/'>Home</a></nav></body></html>"
     out2 = extract_document(chrome_only, "u", "en", gt_text="x")
     assert out2["guard_tripped"] is True
+
+
+def test_encoding_prescan():
+    """HTML5 encoding sniff: BOM > meta charset > UTF-8, with windows-1252
+    as the undecodable fallback (WHATWG 13.2.3.2 subset)."""
+    euro_1252 = (
+        '<html><head><meta charset=windows-1252></head><body><article>'
+        "<p>price € 99</p></article></body></html>"
+    ).encode("windows-1252")
+    assert H.sniff_encoding(euro_1252) == "cp1252"
+    assert H.extract_main_text(euro_1252, "en")[0] == "price € 99"
+    cyr = (
+        '<html><head><meta http-equiv="Content-Type" content="text/html; '
+        'charset=iso-8859-5"></head><body><article><p>добро</p></article>'
+        "</body></html>"
+    ).encode("iso-8859-5")
+    assert H.extract_main_text(cyr, "ru")[0] == "добро"
+    # UTF-16 BOM decodes; a meta claiming utf-16 is ignored (spec rule)
+    u16 = b"\xff\xfe" + "<html><body><article><p>wide text</p></article></body></html>".encode(
+        "utf-16-le"
+    )
+    assert H.sniff_encoding(u16) == "utf-16-le"
+    assert H.extract_main_text(u16, "en")[0] == "wide text"
+    assert H.sniff_encoding(b'<meta charset="utf-16">') == "utf-8"
+    # unlabeled non-UTF-8 bytes: windows-1252 fallback, no exception
+    raw = b"<html><body><article><p>caf\xe9</p></article></body></html>"
+    assert H.extract_main_text(raw, "en")[0] == "café"

@@ -120,3 +120,17 @@ def test_extraction_single_arrow_stage_no_extra_shuffle(spark):
     assert plan.count("ArrowEvalPython") + plan.count("MapInArrow") >= 1
     assert plan.count("Exchange") == 1
     assert "Sort" not in plan.split("MapInArrow")[0]
+
+
+def test_extract_html_two_arrow_stages_one_salted_exchange(spark):
+    """The web-HTML query is the page-wrap MapInArrow feeding the fused
+    extraction MapInArrow across ONE weight-salted exchange; the only
+    other exchange is the tiny-result SinglePartition sort (_ordered).
+    No global Sort may sit above the extraction Arrow stage."""
+    from kraken_spark.operators.advanced import x_extract_html
+
+    plan = _plan(x_extract_html(spark, SF))
+    assert plan.count("MapInArrow") == 2
+    assert plan.count("Exchange") == 2  # weight salt + _ordered repartition(1)
+    head = plan.split("MapInArrow")[0]
+    assert "Sort" not in head or "SinglePartition" in head

@@ -390,3 +390,46 @@ def test_parse_segmentation_xmlish_fuzz(data):
             parse_segmentation(doc.encode())
         except ValueError:
             pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=600))
+def test_htmlparse_never_crashes_on_garbage(data):
+    """The HTML pipeline's total-function contract: arbitrary bytes either
+    parse (possibly to zero blocks) or raise ValueError — never any other
+    exception (stages.extract_document maps ValueError to guard_tripped)."""
+    from kraken_spark.kernels.htmlparse import extract_main_text, seg_from_html
+
+    main, blks = extract_main_text(data, "en")
+    assert isinstance(main, str)
+    try:
+        seg = seg_from_html(data, "en")
+        assert seg["lines"]
+    except ValueError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",), exclude_characters="\r"
+        ),
+        min_size=1,
+        max_size=120,
+    ).filter(lambda t: all(l.strip() == l and l for l in t.split("\n")))
+)
+def test_htmlparse_roundtrip_arbitrary_text(text):
+    """write_boilerplate_page -> extract_main_text is byte-identical for ANY
+    gt text whose lines are nonempty and already whitespace-normal (the
+    corpus invariant) — including markup metacharacters and entities."""
+    import re as _re
+
+    from kraken_spark.kernels.htmlparse import (
+        extract_main_text,
+        write_boilerplate_page,
+    )
+
+    norm = "\n".join(_re.sub(r"[ \t\f]+", " ", l) for l in text.split("\n"))
+    page = write_boilerplate_page(norm, "en", "u://fuzz", seed=3)
+    assert extract_main_text(page, "en")[0] == norm
