@@ -702,3 +702,45 @@ def test_seam_extraction_spark_path(spark):
     assert len(rows) == 6
     assert all(r.cer == 0.0 for r in rows)
     assert all(len(l.boundary) >= 4 for r in rows for l in r.lines)
+
+
+def test_streaming_mixed_html_and_image_payloads(spark):
+    """§2.9 + the web-HTML leg: a micro-batch stream whose documents mix
+    rendered page images and raw web-HTML byte streams extracts BOTH at
+    CER 0 through the same foreachBatch plan (payload sniffing is
+    per-document inside the fused Arrow stage)."""
+    from kraken_spark.kernels.htmlparse import write_boilerplate_page
+    from kraken_spark.streaming import stream_extraction
+
+    tmp = tempfile.mkdtemp(prefix="ks_stream_html_")
+    try:
+        docs = generate_corpus_df(spark, 6).collect()
+        mixed = [
+            (
+                r.url,
+                r.warc_ts,
+                write_boilerplate_page(r.text, r.lang, r.url)
+                if i % 2
+                else r.html,
+                r.text,
+                r.lang,
+            )
+            for i, r in enumerate(docs)
+        ]
+        spark.createDataFrame(
+            mixed, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).write.mode("overwrite").parquet(f"{tmp}/in")
+        q = stream_extraction(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", num_partitions=2
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == 6
+        assert out.filter(F.col("cer") != 0.0).count() == 0
+        # the HTML docs took the pre-segmented path: exactly one region
+        html_urls = {m[0] for i, m in enumerate(mixed) if i % 2}
+        for row in out.collect():
+            if row.url in html_urls:
+                assert row.n_regions == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
