@@ -478,14 +478,24 @@ class _GState:
         return g
 
 
+# same admission cap as the page pipeline (stages.MAX_PAGE_PX, the
+# reference's Image.MAX_IMAGE_PIXELS guard, kraken/kraken.py:62): a hostile
+# MediaBox must not allocate an unbounded canvas
+MAX_CANVAS_PX = 20000 * 20000
+
+
 class Raster:
     def __init__(self, doc: Document, page: dict, dpi: float):
         self.doc = doc
-        mb = [float(doc.resolve(v)) for v in doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))]
-        x0, y0, x1, y1 = mb
+        mb = doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))
+        if not (isinstance(mb, list) and len(mb) == 4):
+            raise PdfError("bad MediaBox")
+        x0, y0, x1, y1 = (float(doc.resolve(v)) for v in mb)
         s = dpi / 72.0
         self.w = max(1, int(round((x1 - x0) * s)))
         self.h = max(1, int(round((y1 - y0) * s)))
+        if self.w * self.h > MAX_CANVAS_PX:
+            raise PdfError(f"page exceeds admission cap: {self.w}x{self.h}")
         self.canvas = np.full((self.h, self.w), 255, dtype=np.uint8)
         base = (s, 0.0, 0.0, -s, -x0 * s, y1 * s)
         self.gs = _GState(base, None)

@@ -237,3 +237,88 @@ def test_encoding_prescan():
     # unlabeled non-UTF-8 bytes: windows-1252 fallback, no exception
     raw = b"<html><body><article><p>caf\xe9</p></article></body></html>"
     assert H.extract_main_text(raw, "en")[0] == "café"
+
+
+# ------------------------------------------------- wild-page generalization
+# Hand-written pages mimicking common real-world markup families — evidence
+# the classifier generalizes beyond the engine's own writer (the jusText /
+# Boilerpipe evaluation setting: cleaned text stated independently of the
+# extractor).
+
+WILD_BLOG = b"""<!DOCTYPE html>
+<html><head><title>My Blog</title>
+<link rel="stylesheet" href="/s.css"><script src="/a.js"></script></head>
+<body>
+<div id="masthead"><nav class="menu">
+ <a href="/">Home</a> <a href="/about">About</a> <a href="/rss">RSS</a>
+</nav></div>
+<div id="content" class="post">
+ <main>
+ <p>Last week I finally finished the migration of all of our build
+ servers to the new datacenter and it went better than we had feared.</p>
+ <p>The main lesson is that you should always measure the network path
+ before you promise anyone a cutover window for the weekend.</p>
+ </main>
+</div>
+<div class="share">
+ <a href="/tw">Tweet</a> <a href="/fb">Share</a> <a href="/hn">Upvote</a>
+</div>
+<div id="footer"><p><a href="/imprint">Imprint</a> &middot;
+ <a href="/privacy">Privacy</a> &middot; <a href="/cc">License</a></p></div>
+</body></html>"""
+
+WILD_NEWS = b"""<html><head><meta charset="utf-8"></head><body>
+<header><h1>The Daily Example</h1>
+<nav><ul><li><a href="/w">World</a></li><li><a href="/b">Business</a></li>
+<li><a href="/s">Sport</a></li><li><a href="/c">Culture</a></li></ul></nav>
+</header>
+<table><tr><td class="layout">
+<div class="story">
+<p>The city council voted on Tuesday to approve the new harbour plan
+after a debate that lasted for more than six hours and ended close to
+midnight with a narrow majority of just three votes.</p>
+<p>Supporters of the plan said that it would bring thousands of jobs to
+the region over the next decade while opponents warned about the cost
+of the required dredging work in the outer basin.</p>
+</div>
+</td><td class="rail">
+<div class="promo"><a href="/sub">Subscribe today</a> and read
+<a href="/offer">three months free</a> with <a href="/app">our app</a></div>
+</td></tr></table>
+<aside class="newsletter"><p>Sign up for our newsletter</p>
+<form><input name="email"><button>Go</button></form></aside>
+<footer><p>&copy; The Daily Example</p></footer>
+</body></html>"""
+
+WILD_LINKFARM = b"""<html><body>
+<div><a href="/1">cheap flights to paris</a> <a href="/2">cheap flights to
+rome</a> <a href="/3">cheap flights to berlin</a> <a href="/4">cheap hotel
+deals</a> <a href="/5">car hire comparison</a></div>
+<div><a href="/6">insurance quotes online</a> <a href="/7">credit card
+offers</a> <a href="/8">loan calculator free</a></div>
+</body></html>"""
+
+
+def test_wild_blog_page():
+    main, _ = H.extract_main_text(WILD_BLOG, "en")
+    assert main.split("\n") == [
+        "Last week I finally finished the migration of all of our build"
+        " servers to the new datacenter and it went better than we had feared.",
+        "The main lesson is that you should always measure the network path"
+        " before you promise anyone a cutover window for the weekend.",
+    ]
+
+
+def test_wild_news_page():
+    main, _ = H.extract_main_text(WILD_NEWS, "en")
+    lines = main.split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("The city council voted on Tuesday")
+    assert lines[1].startswith("Supporters of the plan")
+    assert "Subscribe" not in main and "newsletter" not in main
+
+
+def test_wild_linkfarm_yields_nothing():
+    main, blks = H.extract_main_text(WILD_LINKFARM, "en")
+    assert main == ""
+    assert all(b["cls"] == "bad" for b in blks)

@@ -317,3 +317,38 @@ def test_vector_pdf_extracts_cer0():
     out = extract_document(payload, "u", d["lang"], gt_text=d["text"])
     assert out["cer"] == 0.0
     assert out["text"] == d["text"]
+
+
+def test_hostile_mediabox_admission_cap():
+    """A MediaBox that would allocate an unbounded canvas raises PdfError
+    (the pipeline's MAX_PAGE_PX admission guard, kraken/kraken.py:62
+    analog) instead of exhausting executor memory."""
+    with pytest.raises(PdfError):
+        rasterize_pdf(mini_pdf(b"", w=10**6, h=10**6), dpi=72.0)
+    with pytest.raises(PdfError):
+        rasterize_pdf(
+            mini_pdf(b"").replace(b"/MediaBox [0 0 100 100]", b"/MediaBox [0]"),
+            dpi=72.0,
+        )
+
+
+def test_fuzz_truncations_total_function():
+    """unpack_pages over every truncation of a valid vector PDF either
+    returns page payloads or raises PdfError/ValueError — never any other
+    exception (explode_pages maps those to the sentinel row)."""
+    d = render.render_document(42, 1)
+    h, w = d["img"].shape
+    page = {
+        "width": w,
+        "height": h,
+        "lines": [
+            {"visual": l["visual"], "x0": l["bbox"][0], "y0": l["bbox"][1]}
+            for l in d["lines"]
+        ],
+    }
+    blob = write_vector_pdf([page])
+    for cut in range(6, len(blob), max(1, len(blob) // 64)):
+        try:
+            unpack_pages(blob[:cut])
+        except ValueError:  # PdfError subclasses ValueError
+            pass
