@@ -237,7 +237,14 @@ _OBJ_HEAD = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 
 
 class Document:
-    """Whole-file object scan (xref-free) + page-tree resolution."""
+    """Whole-file object scan (xref-free) + page-tree resolution.
+
+    Objects packed into compressed object streams (/Type /ObjStm, PDF 1.5+
+    — the default layout of modern producers like pdflatex/libreoffice)
+    are expanded after the scan: the stream's First/N header gives (objnum,
+    offset) pairs, the payload is plain COS syntax. Cross-reference
+    streams themselves are unnecessary — the scan already finds every
+    top-level object."""
 
     def __init__(self, data: bytes):
         self.objs: dict[int, object] = {}
@@ -261,6 +268,28 @@ class Document:
                     end = data.find(b"endstream", start)
                     raw = data[start : end if end >= 0 else len(data)].rstrip(b"\r\n")
                 self.streams[num] = raw
+        # second pass: expand /ObjStm containers (direct objects only —
+        # a packed object never carries its own stream, per spec)
+        for num, val in list(self.objs.items()):
+            if not (isinstance(val, dict) and val.get("Type") == ("name", "ObjStm")):
+                continue
+            try:
+                payload = self.stream_data(Ref(num))
+                n = int(self.resolve(val.get("N", 0)))
+                first = int(self.resolve(val.get("First", 0)))
+                pairs = []
+                i = 0
+                for _ in range(max(0, min(n, 65536))):
+                    onum, i = parse_object(payload, i)
+                    off, i = parse_object(payload, i)
+                    pairs.append((int(onum), int(off)))
+                for onum, off in pairs:
+                    if onum in self.objs:  # top-level definitions win
+                        continue
+                    obj, _ = parse_object(payload, first + off)
+                    self.objs[onum] = obj
+            except (PdfError, IndexError, ValueError, TypeError):
+                continue
 
     def resolve(self, v):
         seen = 0
@@ -295,6 +324,11 @@ class Document:
                 if len(hx) % 2:
                     hx += b"0"
                 raw = bytes.fromhex(hx.decode("ascii"))
+            elif name == "DCTDecode":
+                # terminal image filter: return the JPEG bytes verbatim —
+                # _decode_image sniffs the SOI marker and runs the engine's
+                # own baseline codec (kernels/jpeg.py)
+                return raw
             else:
                 raise PdfError(f"unsupported filter {name}")
         return raw
@@ -585,6 +619,18 @@ class Raster:
         h = int(self.doc.resolve(d.get("Height", 0)))
         if w <= 0 or h <= 0:
             return None
+        if data[:2] == b"\xff\xd8":  # DCTDecode payload (JPEG SOI)
+            from .jpeg import decode_jpeg
+
+            try:
+                img = decode_jpeg(data)
+            except ValueError:
+                return None
+            if img.ndim == 3:
+                img = (
+                    0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+                ).astype(np.uint8)
+            return img, None
         bpc = int(self.doc.resolve(d.get("BitsPerComponent", 8)))
         cs = self.doc.resolve(d.get("ColorSpace"))
         chans = 3 if cs == ("name", "DeviceRGB") else 1

@@ -35,10 +35,12 @@ from pyspark.sql import DataFrame
 MAGIC = b"MPGZ"
 
 
-def write_pdf(pages: list) -> bytes:
+def write_pdf(pages: list, jpeg_quality: int | None = None) -> bytes:
     """Minimal valid PDF 1.4: one page per grayscale/RGB uint8 array, the
     samples Flate-compressed into an image XObject scaled to the MediaBox
-    (the inverse of the reference's rasterize-to-PNG step)."""
+    (the inverse of the reference's rasterize-to-PNG step). With
+    ``jpeg_quality`` set, grayscale pages are DCTDecode (baseline JPEG via
+    kernels/jpeg.py) — the dominant real-world scanned-PDF encoding."""
     objs: list[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     kid_refs = " ".join(f"{3 + 3 * i} 0 R" for i in range(len(pages)))
@@ -60,12 +62,19 @@ def write_pdf(pages: list) -> bytes:
         objs.append(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
         )
-        data = zlib.compress(img.tobytes(), 6)
+        if jpeg_quality is not None and not rgb:
+            from ..kernels.jpeg import encode_jpeg
+
+            data = encode_jpeg(img, jpeg_quality)
+            filt = "DCTDecode"
+        else:
+            data = zlib.compress(img.tobytes(), 6)
+            filt = "FlateDecode"
         objs.append(
             (
                 f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
                 f"/ColorSpace /Device{'RGB' if rgb else 'Gray'} "
-                f"/BitsPerComponent 8 /Filter /FlateDecode "
+                f"/BitsPerComponent 8 /Filter /{filt} "
                 f"/Length {len(data)} >>\nstream\n"
             ).encode()
             + data
@@ -185,6 +194,16 @@ def extract_pdf_images(data: bytes) -> list:
         else:
             end = body.rfind(b"endstream")
             raw = body[start:end].rstrip(b"\r\n")
+        if b"/DCTDecode" in body:
+            # JPEG-compressed image (the dominant scanned-PDF encoding):
+            # own baseline codec, kernels/jpeg.py
+            from ..kernels.jpeg import decode_jpeg
+
+            try:
+                pages.append(decode_jpeg(raw))
+            except ValueError:
+                continue
+            continue
         if b"/FlateDecode" in body:
             try:
                 raw = zlib.decompress(raw)

@@ -141,7 +141,9 @@ def extract_document(
             # JSON Segmentation payload (the reference's JSON round-trip,
             # kraken.py:179-181,215-220): same pre-segmented path
             return _extract_from_json(html, out, gt_text, t0)
-        w0, h0 = png.read_dimensions(html)
+        from .kernels import imgio
+
+        w0, h0 = imgio.read_dimensions(html)
         if w0 * h0 > MAX_PAGE_PX:
             raise ValueError(f"page exceeds admission cap: {w0}x{h0}")
         # per-document wall-clock budget (SURVEY §7.5): a pathological page
@@ -154,8 +156,7 @@ def extract_document(
             if budget_ms > 0 and (time.perf_counter() - t0) * 1000.0 > budget_ms:
                 raise TimeoutError(f"doc budget exceeded after {stage}")
 
-        img = png.decode_png(html)
-        img = png.to_grayscale(img)
+        img = png.to_grayscale(imgio.decode_image(html))
         out["n_px"] = int(img.size)
         out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
         _check_budget("decode")
