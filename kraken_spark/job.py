@@ -41,6 +41,14 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="kraken_spark extraction job")
     ap.add_argument("--input", required=True, help="documents table path (parquet)")
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="'warc': --input is a path/glob of .warc(.gz) files (the "
+        "Common-Crawl layout); records explode to documents rows via "
+        "sources/warc.py, one task per file",
+    )
     ap.add_argument("--output", required=True, help="extractions output path")
     ap.add_argument("--metrics", default=None, help="metrics table path")
     ap.add_argument("--run-id", default="run0")
@@ -86,7 +94,20 @@ def main(argv: list[str] | None = None) -> int:
     from kraken_spark.operators.serialization import serialize_extractions
     from kraken_spark.pipeline import remaining_documents, run_extraction
 
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from kraken_spark.sources.warc import explode_warc
+
+        files = spark.read.format("binaryFile").load(args.input).select(
+            "path", "content"
+        )
+        docs = explode_warc(files).withColumn(
+            "text", F.lit(None).cast("string")
+        )
+    else:
+        docs = spark.read.parquet(args.input)
+    raw_docs = docs  # pre-resume view, reused by the sidecar stages
     skip_extract = False
     if args.resume:
         docs = remaining_documents(docs, args.output)
@@ -116,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
                                                         line_dataset,
                                                         write_ipc_shards)
 
-        all_docs = spark.read.parquet(args.input)
+        all_docs = raw_docs
         if args.export_dataset.endswith(".arrow"):
             counts = build_binary_dataset(all_docs, args.export_dataset)
         else:
@@ -125,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
               f"({counts['train']}/{counts['validation']}/{counts['test']} "
               f"train/val/test) -> {args.export_dataset}")
     if args.report:
-        all_docs = spark.read.parquet(args.input)
+        all_docs = raw_docs
         if "text" not in all_docs.columns:
             print("[kraken_spark] --report skipped: input has no ground-truth text column")
             return 0

@@ -304,11 +304,13 @@ def x_merge_segmentations(spark, sf):
 def x_pdf_pages(spark, sf):
     """Bundle consecutive corpus pages into 3-page multi-page blobs —
     cycling REAL image PDFs (sources/pdf.write_pdf: Flate image XObjects,
-    parsed back without a renderer), MPGZ containers, and VECTOR-content
-    PDFs (text drawn via content-stream operators, rasterized by the
-    from-scratch renderer kernels/pdfraster.py) — explode back into page
-    rows, and run full extraction: the reference's PDF-to-page-rows
-    ingestion (kraken/kraken.py:363-405) with per-page urls (url#pN)."""
+    parsed back without a renderer), MPGZ containers, VECTOR-content PDFs
+    (text drawn via content-stream operators, rasterized by the
+    from-scratch renderer kernels/pdfraster.py), and JPEG-compressed
+    scanned PDFs (DCTDecode XObjects decoded by the engine's own baseline
+    codec, kernels/jpeg.py) — explode back into page rows, and run full
+    extraction: the reference's PDF-to-page-rows ingestion
+    (kraken/kraken.py:363-405) with per-page urls (url#pN)."""
     from ..pipeline import plan_extraction
     from ..sources.pdf import (
         explode_pages,
@@ -341,13 +343,18 @@ def x_pdf_pages(spark, sf):
             out = []
             for k in range(0, len(rows), 3):
                 grp = rows[k : k + 3]
-                variant = (k // 3) % 3
+                variant = (k // 3) % 4
                 if variant == 0:
                     blob = write_pdf([png.decode_png(bytes(g["html"])) for g in grp])
                 elif variant == 1:
                     blob = pack_multipage([g["html"] for g in grp])
-                else:
+                elif variant == 2:
                     blob = write_vector_pdf([vector_page(g["url"]) for g in grp])
+                else:
+                    blob = write_pdf(
+                        [png.decode_png(bytes(g["html"])) for g in grp],
+                        jpeg_quality=90,
+                    )
                 out.append(
                     {
                         "url": grp[0]["url"].rsplit("/", 1)[0] + f"/bundle-{k}",

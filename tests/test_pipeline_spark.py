@@ -744,3 +744,48 @@ def test_streaming_mixed_html_and_image_payloads(spark):
                 assert row.n_regions == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_job_cli_warc_input(spark, capsys):
+    """--input-format warc: a directory of .warc.gz files (Common-Crawl
+    layout) extracts through the same job — WARC-sourced HTML pages yield
+    byte-identical text per url."""
+    import os
+
+    from kraken_spark.job import main
+    from kraken_spark.kernels.htmlparse import write_boilerplate_page
+    from kraken_spark.kernels.render import render_document
+    from kraken_spark.sources.warc import write_warc_gz
+
+    tmp = tempfile.mkdtemp(prefix="ks_jobwarc_")
+    try:
+        os.makedirs(f"{tmp}/warcs")
+        gt = {}
+        for fi in range(2):
+            rows = []
+            for i in (2 * fi, 2 * fi + 1):
+                d = render_document(42, i)
+                url = f"https://example.org/{d['lang']}/doc-{i:08d}"
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": "2026-08-17T00:00:00Z",
+                        "html": write_boilerplate_page(d["text"], d["lang"], url),
+                        "lang": d["lang"],
+                    }
+                )
+                gt[url] = d["text"]
+            with open(f"{tmp}/warcs/crawl-{fi}.warc.gz", "wb") as f:
+                f.write(write_warc_gz(rows))
+        rc = main(
+            ["--input", f"{tmp}/warcs", "--input-format", "warc",
+             "--output", f"{tmp}/out", "--run-id", "warc-smoke"]
+        )
+        assert rc == 0
+        out_rows = spark.read.parquet(f"{tmp}/out").collect()
+        assert len(out_rows) == 4
+        for r in out_rows:
+            assert r.text == gt[r.url]
+            assert not r.guard_tripped
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
