@@ -102,8 +102,12 @@ def main(argv: list[str] | None = None) -> int:
         files = spark.read.format("binaryFile").load(args.input).select(
             "path", "content"
         )
-        docs = explode_warc(files).withColumn(
-            "text", F.lit(None).cast("string")
+        docs = (
+            explode_warc(files)
+            # WARC-Date is ISO-8601; the documents contract types it
+            # timestamp (BASELINE.json input_hint)
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+            .withColumn("text", F.lit(None).cast("string"))
         )
     else:
         docs = spark.read.parquet(args.input)

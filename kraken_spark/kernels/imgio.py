@@ -39,7 +39,10 @@ def read_dimensions(data: bytes) -> tuple[int, int]:
             seglen = struct.unpack(">H", data[i : i + 2])[0]
             if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                h, w = struct.unpack(">HH", data[i + 3 : i + 7])
+                try:
+                    h, w = struct.unpack(">HH", data[i + 3 : i + 7])
+                except struct.error:
+                    raise ValueError("jpeg: truncated frame header") from None
                 return w, h
             i += seglen
         raise ValueError("jpeg: no frame header")
@@ -47,22 +50,28 @@ def read_dimensions(data: bytes) -> tuple[int, int]:
         import struct as _s
 
         endian = "<" if data[:2] == b"II" else ">"
-        magic, ifd = _s.unpack(endian + "HI", data[2:8])
-        if magic == 42:
+        try:
+            magic, ifd = _s.unpack(endian + "HI", data[2:8])
             (nt,) = _s.unpack(endian + "H", data[ifd : ifd + 2])
+        except _s.error:
+            raise ValueError("tiff: truncated header") from None
+        if magic == 42:
             w = h = 0
-            for t in range(nt):
-                at = ifd + 2 + 12 * t
-                tag, typ = _s.unpack(endian + "HH", data[at : at + 4])
-                if tag in (256, 257):
-                    v = _s.unpack(
-                        endian + ("H" if typ == 3 else "I"),
-                        data[at + 8 : at + (10 if typ == 3 else 12)],
-                    )[0]
-                    if tag == 256:
-                        w = v
-                    else:
-                        h = v
+            try:
+                for t in range(nt):
+                    at = ifd + 2 + 12 * t
+                    tag, typ = _s.unpack(endian + "HH", data[at : at + 4])
+                    if tag in (256, 257):
+                        v = _s.unpack(
+                            endian + ("H" if typ == 3 else "I"),
+                            data[at + 8 : at + (10 if typ == 3 else 12)],
+                        )[0]
+                        if tag == 256:
+                            w = v
+                        else:
+                            h = v
+            except _s.error:
+                raise ValueError("tiff: truncated IFD") from None
             if w and h:
                 return w, h
             raise ValueError("tiff: missing dimensions")

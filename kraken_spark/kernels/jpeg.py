@@ -203,6 +203,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if i + 2 > n:
             raise ValueError("jpeg: truncated segment")
         seglen = struct.unpack(">H", data[i : i + 2])[0]
+        if seglen < 2:
+            raise ValueError("jpeg: bad segment length")
         seg = data[i + 2 : i + seglen]
         if marker == 0xDB:  # DQT
             j = 0
@@ -231,6 +233,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = _build_decode_table(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = tbl
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("jpeg: truncated SOF")
             _prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             comps = []
             for c in range(nc):
@@ -239,8 +243,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline sequential DCT is supported")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("jpeg: truncated DRI")
             restart = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("jpeg: truncated SOS")
             ns = seg[0]
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -106,15 +106,26 @@ def read_dimensions(data: bytes) -> tuple[int, int]:
     return int(w), int(h)
 
 
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes to a HxW (gray) or HxWx3 (RGB) uint8 array."""
+    """Decode PNG bytes to a HxW (gray) or HxWx3 (RGB) uint8 array.
+
+    Covers the full non-interlaced web-PNG surface: gray/RGB at 8 and 16
+    bit (16 truncates to the high byte), sub-byte grayscale (1/2/4 bit),
+    palette images (PLTE, 1/2/4/8-bit indices) with tRNS transparency,
+    and the alpha types 4/6 — alpha composites onto a white background
+    (the document-scan convention: paper is white). Adam7 interlacing
+    stays unsupported (ValueError -> guard row)."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     idat = bytearray()
     w = h = None
     color_type = bit_depth = None
-    while pos < len(data):
+    plte = trns = None
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
@@ -123,23 +134,78 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+            if (
+                color_type not in _CHANNELS
+                or interlace != 0
+                or bit_depth not in (1, 2, 4, 8, 16)
+                or (bit_depth < 8 and color_type not in (0, 3))
+                or (bit_depth == 16 and color_type == 3)
+            ):
                 raise ValueError(
                     f"unsupported PNG: depth={bit_depth} color={color_type} "
                     f"interlace={interlace}"
                 )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("no IHDR chunk")
-    channels = 1 if color_type == 0 else 3
-    stride = w * channels
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    rows = raw.reshape(h, 1 + stride)
-    out = _unfilter(rows, h, stride, channels)
-    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, 3)
+    channels = _CHANNELS[color_type]
+    stride = (w * channels * bit_depth + 7) // 8
+    bpp = max(1, channels * bit_depth // 8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"png: bad IDAT stream: {e}") from None
+    if raw.size < h * (1 + stride):
+        raise ValueError("png: truncated image data")
+    rows = raw[: h * (1 + stride)].reshape(h, 1 + stride)
+    out = _unfilter(rows, h, stride, bpp).reshape(h, stride)
+    if bit_depth < 8:
+        samples = np.unpackbits(out, axis=1)
+        if bit_depth > 1:
+            samples = samples.reshape(h, -1, bit_depth)
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            samples = (samples * weights).sum(axis=2)
+        samples = samples[:, :w].astype(np.uint8)
+        if color_type == 0:  # scale to full range (255 / (2^d - 1))
+            return (samples.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(
+                np.uint8
+            )
+        idx = samples
+    elif bit_depth == 16:
+        px = out.reshape(h, w, channels, 2)[..., 0]  # high byte
+        idx = None
+    else:
+        px = out.reshape(h, w, channels)
+        idx = px[..., 0] if color_type == 3 else None
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("png: palette index out of range")
+        rgb = plte[idx].astype(np.uint16)
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint16)
+            alpha[: len(trns)] = trns
+            a = alpha[idx]
+            rgb = (rgb * a[..., None] + 255 * (255 - a[..., None])) // 255
+        return rgb.astype(np.uint8)
+    if color_type == 0:
+        return px[..., 0].copy()
+    if color_type == 2:
+        return np.ascontiguousarray(px)
+    # alpha types: composite onto white
+    a = px[..., -1].astype(np.uint16)
+    rgb = px[..., :-1].astype(np.uint16)
+    comp = (rgb * a[..., None] + 255 * (255 - a[..., None])) // 255
+    comp = comp.astype(np.uint8)
+    return comp[..., 0].copy() if color_type == 4 else comp
 
 
 def to_grayscale(img: np.ndarray) -> np.ndarray:

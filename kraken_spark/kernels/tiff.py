@@ -194,7 +194,10 @@ def _read_tag_values(data: bytes, endian: str, count: int, typ: int, value_field
         (off,) = struct.unpack(endian + "I", value_field)
         raw = data[off : off + total]
     fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
-    return list(struct.unpack(endian + fmt * count, raw))
+    try:
+        return list(struct.unpack(endian + fmt * count, raw))
+    except struct.error:
+        return None  # value offset beyond the file: ignore the tag
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
@@ -206,7 +209,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
         endian = ">"
     else:
         raise ValueError("tiff: bad byte order")
-    magic, ifd_off = struct.unpack(endian + "HI", data[2:8])
+    try:
+        magic, ifd_off = struct.unpack(endian + "HI", data[2:8])
+    except struct.error:
+        raise ValueError("tiff: truncated header") from None
     if magic != 42:
         raise ValueError("tiff: bad magic")
     try:

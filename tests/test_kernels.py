@@ -541,3 +541,48 @@ def test_vgsl_nested_serial_and_parallel_inequal():
     # parallel branches with unequal output shapes raise
     with pytest.raises(ValueError):
         VGSLModel("[1,48,0,1 (Cr3,3,2 Cr3,3,4) Lbx2]").init_random()
+
+
+def test_png_web_variants_decode():
+    """Web-PNG surface beyond the engine's own writer: palette (+tRNS
+    alpha onto white), RGBA / gray-alpha composites, 16-bit high-byte
+    truncation, sub-byte grayscale — hand-built chunk fixtures with
+    independently computed expectations."""
+    import struct
+    import zlib
+
+    from kraken_spark.kernels.png import decode_png
+
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def mk(w, h, depth, ctype, rows, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            sig + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    img = decode_png(
+        mk(3, 2, 8, 3, [bytes([0, 1, 2]), bytes([2, 1, 0])],
+           chunk(b"PLTE", plte) + chunk(b"tRNS", bytes([255, 128, 0])))
+    )
+    assert img.shape == (2, 3, 3)
+    assert img[0].tolist() == [[255, 0, 0], [127, 255, 127], [255, 255, 255]]
+    img = decode_png(mk(2, 1, 8, 6, [bytes([10, 20, 30, 255, 100, 150, 200, 0])]))
+    assert img[0].tolist() == [[10, 20, 30], [255, 255, 255]]
+    assert decode_png(mk(2, 1, 8, 4, [bytes([50, 255, 80, 0])])).tolist() == [[50, 255]]
+    assert decode_png(
+        mk(3, 1, 16, 0, [struct.pack(">HHH", 0x1234, 0xFF00, 0x0001)])
+    ).tolist() == [[18, 255, 0]]
+    assert decode_png(mk(3, 1, 1, 0, [bytes([0b10100000])])).tolist() == [[255, 0, 255]]
+    with pytest.raises(ValueError):  # interlaced stays unsupported
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):  # palette image missing its PLTE
+        decode_png(mk(1, 1, 8, 3, [bytes([0])]))

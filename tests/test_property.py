@@ -433,3 +433,44 @@ def test_htmlparse_roundtrip_arbitrary_text(text):
     norm = "\n".join(_re.sub(r"[ \t\f]+", " ", l) for l in text.split("\n"))
     page = write_boilerplate_page(norm, "en", "u://fuzz", seed=3)
     assert extract_main_text(page, "en")[0] == norm
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_codec_total_functions_on_garbage(data):
+    """Every ingestion codec is a total function over bytes: ValueError on
+    junk, never any other exception (the pipeline's guard-row contract)."""
+    from kraken_spark.kernels.imgio import decode_image, read_dimensions
+    from kraken_spark.kernels.jpeg import decode_jpeg
+    from kraken_spark.kernels.tiff import decode_tiff
+    from kraken_spark.sources.warc import warc_to_documents
+
+    for fn in (decode_image, read_dimensions, decode_jpeg, decode_tiff):
+        try:
+            fn(data)
+        except ValueError:
+            pass
+    try:
+        rows = warc_to_documents(data)
+        assert isinstance(rows, list)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(max_size=300))
+def test_codec_total_functions_on_valid_prefixes(data):
+    """Magic-prefixed garbage (the adversarial case: right container, wrong
+    body) must still only ValueError."""
+    from kraken_spark.kernels.imgio import decode_image
+    from kraken_spark.kernels.pdfraster import rasterize_pdf
+
+    for prefix in (b"\xff\xd8", b"II\x2a\x00", b"MM\x00\x2a", b"\x89PNG\r\n\x1a\n"):
+        try:
+            decode_image(prefix + data)
+        except ValueError:
+            pass
+    try:
+        rasterize_pdf(b"%PDF-1.4\n" + data)
+    except ValueError:  # PdfError subclasses ValueError
+        pass
