@@ -136,7 +136,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     done = spark.read.parquet(args.output)
     print(f"[kraken_spark] committed {done.count()} extraction rows -> {args.output}")
-    if args.export_dataset:
+    if args.export_dataset and args.input_format == "warc":
+        # WARC records carry no ground-truth transcription; the synthesized
+        # NULL text column must not reach the line-dataset compiler
+        print("[kraken_spark] --export-dataset skipped: warc input has no ground truth")
+    elif args.export_dataset:
         from kraken_spark.sources.arrow_dataset import (build_binary_dataset,
                                                         line_dataset,
                                                         write_ipc_shards)
@@ -151,7 +155,7 @@ def main(argv: list[str] | None = None) -> int:
               f"train/val/test) -> {args.export_dataset}")
     if args.report:
         all_docs = raw_docs
-        if "text" not in all_docs.columns:
+        if "text" not in all_docs.columns or args.input_format == "warc":
             print("[kraken_spark] --report skipped: input has no ground-truth text column")
             return 0
         import pyspark.sql.functions as F

@@ -489,6 +489,8 @@ def looks_like_html(data: bytes) -> bool:
     """Web-HTML sniff for payload routing: an <html>/<!doctype html>
     prologue WITHOUT hOCR markers (hOCR is HTML too — meta name=ocr-system
     / ocr_page classes — and must keep routing to the hOCR parser)."""
+    if data[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM (bytes.lstrip won't remove it)
+        data = data[3:]
     head = data[:512].lstrip().lower()
     if not (head.startswith(b"<!doctype html") or head.startswith(b"<html")):
         return False

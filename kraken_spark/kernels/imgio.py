@@ -47,22 +47,20 @@ def read_dimensions(data: bytes) -> tuple[int, int]:
             i += seglen
         raise ValueError("jpeg: no frame header")
     if data[:2] in (b"II", b"MM"):
-        import struct as _s
-
         endian = "<" if data[:2] == b"II" else ">"
         try:
-            magic, ifd = _s.unpack(endian + "HI", data[2:8])
-            (nt,) = _s.unpack(endian + "H", data[ifd : ifd + 2])
-        except _s.error:
+            magic, ifd = struct.unpack(endian + "HI", data[2:8])
+            (nt,) = struct.unpack(endian + "H", data[ifd : ifd + 2])
+        except struct.error:
             raise ValueError("tiff: truncated header") from None
         if magic == 42:
             w = h = 0
             try:
                 for t in range(nt):
                     at = ifd + 2 + 12 * t
-                    tag, typ = _s.unpack(endian + "HH", data[at : at + 4])
+                    tag, typ = struct.unpack(endian + "HH", data[at : at + 4])
                     if tag in (256, 257):
-                        v = _s.unpack(
+                        v = struct.unpack(
                             endian + ("H" if typ == 3 else "I"),
                             data[at + 8 : at + (10 if typ == 3 else 12)],
                         )[0]
@@ -70,7 +68,7 @@ def read_dimensions(data: bytes) -> tuple[int, int]:
                             w = v
                         else:
                             h = v
-            except _s.error:
+            except struct.error:
                 raise ValueError("tiff: truncated IFD") from None
             if w and h:
                 return w, h

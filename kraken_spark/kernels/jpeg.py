@@ -101,6 +101,8 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> value, canonical assignment (T.81 C.2)."""
+    if sum(bits) > len(vals):
+        raise ValueError("jpeg: truncated DHT value list")
     table = {}
     code = 0
     k = 0
@@ -129,8 +131,12 @@ def _lut_from_table(table: dict[tuple[int, int], int]) -> np.ndarray:
 
 class _BitReader:
     """MSB-first reader over entropy-coded bytes. FF00 stuffing is removed
-    up front; `peek16[i]` precomputes the 16 bits starting at bit i, so
-    both Huffman decode (one LUT index) and raw-bit reads are O(1)."""
+    up front (one vectorized pass); reads go through a 32-bit accumulator
+    refilled bytewise — O(1) amortized per symbol and O(n) total memory
+    (a precomputed 16-wide per-bit window table would be a ~500x memory
+    amplification on multi-MB scan JPEGs)."""
+
+    __slots__ = ("data", "n", "byte", "acc", "nacc")
 
     def __init__(self, data: bytes):
         arr = np.frombuffer(data, dtype=np.uint8)
@@ -139,31 +145,48 @@ class _BitReader:
             stuffed = np.zeros(arr.size, dtype=bool)
             stuffed[1:] = (arr[:-1] == 0xFF) & (arr[1:] == 0x00)
             arr = arr[~stuffed]
-        bits = np.unpackbits(arr)
-        self.nbits = bits.size
-        padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
-        win = np.lib.stride_tricks.sliding_window_view(padded, 16)[: self.nbits + 1]
-        pw = (1 << np.arange(15, -1, -1)).astype(np.uint32)
-        self.peek16 = (win.astype(np.uint32) @ pw).astype(np.uint32).tolist()
-        self.pos = 0
+        self.data = arr.tobytes()
+        self.n = len(self.data)
+        self.byte = 0  # next byte to load
+        self.acc = 0  # right-aligned bit accumulator
+        self.nacc = 0  # valid bits in acc
+
+    def _fill(self) -> None:
+        data, byte, n = self.data, self.byte, self.n
+        while self.nacc <= 24 and byte < n:
+            self.acc = (self.acc << 8) | data[byte]
+            byte += 1
+            self.nacc += 8
+        self.byte = byte
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.nbits:
-            raise ValueError("jpeg: bitstream exhausted")
-        v = self.peek16[self.pos] >> (16 - n)
-        self.pos += n
+        if self.nacc < n:
+            self._fill()
+            if self.nacc < n:
+                raise ValueError("jpeg: bitstream exhausted")
+        self.nacc -= n
+        v = (self.acc >> self.nacc) & ((1 << n) - 1)
+        self.acc &= (1 << self.nacc) - 1
         return v
 
     def read_huff(self, lut) -> int:
-        if self.pos >= self.nbits:
+        if self.nacc < 16:
+            self._fill()
+        nacc = self.nacc
+        if nacc >= 16:
+            window = (self.acc >> (nacc - 16)) & 0xFFFF
+        elif nacc > 0:
+            window = (self.acc << (16 - nacc)) & 0xFFFF
+        else:
             raise ValueError("jpeg: bitstream exhausted")
-        e = lut[self.peek16[self.pos]]
+        e = lut[window]
         ln = e & 0xFF
-        if ln == 0 or self.pos + ln > self.nbits:
+        if ln == 0 or ln > nacc:
             raise ValueError("jpeg: invalid Huffman code")
-        self.pos += ln
+        self.nacc = nacc - ln
+        self.acc &= (1 << self.nacc) - 1
         return e >> 8
 
 
@@ -260,6 +283,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         i += seglen
     if scan_at < 0 or not comps or w <= 0 or h <= 0:
         raise ValueError("jpeg: no scan")
+    for c in comps:
+        if "td" not in c or "ta" not in c:
+            raise ValueError("jpeg: SOS component does not match SOF")
+        if c["td"] not in huff_dc or c["ta"] not in huff_ac or c["tq"] not in qt:
+            raise ValueError("jpeg: scan references an undefined table")
+        if not (1 <= c["hs"] <= 4 and 1 <= c["vs"] <= 4):
+            raise ValueError("jpeg: bad sampling factors")
     # entropy-coded data runs to EOI; restart markers handled by splitting
     end = data.rfind(b"\xff\xd9")
     ecs = data[scan_at : end if end > scan_at else n]

@@ -249,6 +249,7 @@ class Document:
     def __init__(self, data: bytes):
         self.objs: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
+        pending: list[tuple[int, dict, int]] = []
         for m in _OBJ_HEAD.finditer(data):
             num = int(m.group(1))
             try:
@@ -258,16 +259,30 @@ class Document:
             self.objs[num] = val
             sm = re.match(rb"\s*stream\r?\n", data[j : j + 16])
             if sm and isinstance(val, dict):
-                start = j + sm.end()
+                pending.append((num, val, j + sm.end()))
+        # slice stream payloads only AFTER the whole object table exists:
+        # an indirect /Length (the pdftex convention, 'N 0 R') may point at
+        # an object defined later in the file
+        for num, val, start in pending:
+            try:
                 ln = self.resolve(val.get("Length"))
-                if isinstance(ln, int) and data[start + ln : start + ln + 20].lstrip().startswith(
-                    b"endstream"
-                ):
-                    raw = data[start : start + ln]
-                else:
-                    end = data.find(b"endstream", start)
-                    raw = data[start : end if end >= 0 else len(data)].rstrip(b"\r\n")
-                self.streams[num] = raw
+            except PdfError:
+                ln = None
+            if isinstance(ln, int) and data[start + ln : start + ln + 20].lstrip().startswith(
+                b"endstream"
+            ):
+                raw = data[start : start + ln]
+            else:
+                end = data.find(b"endstream", start)
+                raw = data[start : end if end >= 0 else len(data)]
+                # the spec puts ONE EOL between stream data and the keyword
+                # — strip at most that (rstrip would eat real 0x0A tail
+                # bytes of a Flate stream)
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith((b"\n", b"\r")):
+                    raw = raw[:-1]
+            self.streams[num] = raw
         # second pass: expand /ObjStm containers (direct objects only —
         # a packed object never carries its own stream, per spec)
         for num, val in list(self.objs.items()):
@@ -920,5 +935,14 @@ def rasterize_pdf(data: bytes, dpi: float = 300.0) -> list[np.ndarray]:
     for page in doc.pages():
         r = Raster(doc, page, dpi)
         r.run(doc.content_bytes(page))
-        out.append(r.canvas)
+        canvas = r.canvas
+        # /Rotate (inherited, clockwise display rotation in 90deg steps):
+        # viewers/pyvips emit the rotated raster, so must we
+        try:
+            rot = int(doc.resolve(page.get("Rotate", 0)) or 0) % 360
+        except (PdfError, TypeError, ValueError):
+            rot = 0
+        if rot in (90, 180, 270):
+            canvas = np.ascontiguousarray(np.rot90(canvas, k=-(rot // 90)))
+        out.append(canvas)
     return out

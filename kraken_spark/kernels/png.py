@@ -100,7 +100,7 @@ def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 def read_dimensions(data: bytes) -> tuple[int, int]:
     """(width, height) from the IHDR without decompressing the image —
     lets callers enforce admission caps before paying decode cost."""
-    if data[:8] != _SIGNATURE or data[12:16] != b"IHDR":
+    if data[:8] != _SIGNATURE or data[12:16] != b"IHDR" or len(data) < 24:
         raise ValueError("not a PNG (bad signature)")
     w, h = struct.unpack(">II", data[16:24])
     return int(w), int(h)
@@ -131,8 +131,10 @@ def decode_png(data: bytes) -> np.ndarray:
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if len(payload) < 13:
+                raise ValueError("png: truncated IHDR")
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
+                ">IIBBBBB", payload[:13]
             )
             if (
                 color_type not in _CHANNELS

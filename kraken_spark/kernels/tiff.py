@@ -88,7 +88,7 @@ _CLEAR, _EOI_CODE = 256, 257
 
 
 def lzw_decode(data: bytes, expected: int) -> bytes:
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    padded = data + b"\x00\x00\x00"  # 24-bit window overrun pad
     out = bytearray()
     table: list[bytes] = []
 
@@ -100,11 +100,12 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
     width = 9
     pos = 0
     prev: bytes | None = None
-    nbits = bits.size
+    nbits = 8 * len(data)
     while pos + width <= nbits and len(out) < expected:
-        code = 0
-        for b in bits[pos : pos + width]:
-            code = (code << 1) | int(b)
+        # windowed read: 3 bytes always cover a <=12-bit code at any phase
+        byte = pos >> 3
+        v = int.from_bytes(padded[byte : byte + 3], "big")
+        code = (v >> (24 - (pos & 7) - width)) & ((1 << width) - 1)
         pos += width
         if code == _CLEAR:
             reset()

@@ -322,3 +322,14 @@ def test_wild_linkfarm_yields_nothing():
     main, blks = H.extract_main_text(WILD_LINKFARM, "en")
     assert main == ""
     assert all(b["cls"] == "bad" for b in blks)
+
+
+def test_bom_prefixed_html_routes_to_boilerplate_strip():
+    """A UTF-8 BOM before <!doctype html> (common on the wild web) must
+    reach the HTML path, not the XML parser (review finding: bytes.lstrip
+    does not remove a BOM)."""
+    d, url, page = _page_for(3)
+    bom_page = b"\xef\xbb\xbf" + page
+    assert H.looks_like_html(bom_page)
+    out = extract_document(bom_page, url, d["lang"], gt_text=d["text"])
+    assert out["cer"] == 0.0 and not out["guard_tripped"]

@@ -352,3 +352,95 @@ def test_fuzz_truncations_total_function():
             unpack_pages(blob[:cut])
         except ValueError:  # PdfError subclasses ValueError
             pass
+
+
+def test_objstm_packed_objects():
+    """PDF 1.5+ object streams (/Type /ObjStm): the page tree lives inside
+    a Flate-compressed container — the default layout of modern producers
+    (pdflatex, libreoffice). The scan expands it; top-level definitions
+    win on number collisions."""
+    import zlib as _z
+
+    packed = (
+        b"<< /Type /Catalog /Pages 2 0 R >> "
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >> "
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 40 20] "
+        b"/Resources << >> /Contents 5 0 R >>"
+    )
+    offs = [0, 34, 76]  # byte offsets of the three objects above
+    assert packed[offs[1] : offs[1] + 2] == b"<<" and packed[offs[2] : offs[2] + 2] == b"<<"
+    header = b"1 0 2 34 3 76 "
+    payload = header + packed
+    comp = _z.compress(payload, 6)
+    content = b"0 g 0 0 20 20 re f"
+    pdf = (
+        b"%PDF-1.5\n" + PX_MARKER + b"\n"
+        b"4 0 obj\n<< /Type /ObjStm /N 3 /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n" % (len(header), len(comp))
+        + comp
+        + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+        + b"%%EOF\n"
+    )
+    pages = rasterize_pdf(pdf, dpi=72.0)
+    assert len(pages) == 1 and pages[0].shape == (20, 40)
+    assert (pages[0][:, :20] == 0).all() and (pages[0][:, 20:] == 255).all()
+    # a corrupt ObjStm payload degrades to "no Catalog", not a crash
+    bad = pdf.replace(comp, b"\x00" * len(comp))
+    with pytest.raises(PdfError):
+        rasterize_pdf(bad, dpi=72.0)
+
+
+def test_rotate_pages_render_rotated():
+    """/Rotate (clockwise display rotation) must be applied like the
+    reference's pyvips render would; inherited via the page tree."""
+    base = mini_pdf(b"0 g 0 90 10 10 re f", w=100, h=50)  # top-left square
+    for rot, shape, probe in (
+        (0, (50, 100), lambda im: im[0:10, 0:10]),
+        (90, (100, 50), lambda im: im[0:10, 40:50]),    # CW: TL -> TR
+        (180, (50, 100), lambda im: im[40:50, 90:100]),  # TL -> BR
+        (270, (100, 50), lambda im: im[90:100, 0:10]),   # TL -> BL
+    ):
+        pdf = base.replace(
+            b"/Type /Page ", b"/Type /Page /Rotate %d " % rot
+        )
+        # MediaBox is 100x50 but content drawn for h=100? keep geometry:
+        pdf = pdf  # content at (0,90) is outside a h=50 page for rot tests
+        imgs = rasterize_pdf(mini_pdf(b"0 g 0 40 10 10 re f", w=100, h=50).replace(
+            b"/Type /Page ", b"/Type /Page /Rotate %d " % rot
+        ), dpi=72.0)
+        assert imgs[0].shape == shape, rot
+        assert (probe(imgs[0]) == 0).all(), rot
+
+
+def test_indirect_length_with_flate_tail_newline():
+    """An indirect /Length (the pdftex convention) whose Flate stream ends
+    in 0x0A must decode exactly — the length object is defined AFTER the
+    stream in the file (review finding: forward-scan resolution fell back
+    to an endstream search that rstripped real stream bytes)."""
+    import zlib as _z
+
+    # find a content whose compressed form ends with \n (stored-block
+    # deflate: the tail is the adler32, tunable via a trailing comment)
+    for i in range(256):
+        content = b"0 g 10 10 30 30 re f % " + str(i).encode()
+        comp = _z.compress(content, 0)
+        if comp.endswith(b"\n"):
+            break
+    else:
+        pytest.fail("no newline-tailed flate stream found in 256 tries")
+    pdf = (
+        b"%PDF-1.4\n" + PX_MARKER + b"\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 50 50] "
+        b"/Resources << >> /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R /Filter /FlateDecode >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n"
+        b"5 0 obj\n%d\nendobj\n%%%%EOF\n" % len(comp)
+    )
+    pg = rasterize_pdf(pdf, dpi=72.0)[0]
+    assert (pg[10:40, 10:40] == 0).all()
+    assert pg[5, 5] == 255

@@ -779,9 +779,15 @@ def test_job_cli_warc_input(spark, capsys):
                 f.write(write_warc_gz(rows))
         rc = main(
             ["--input", f"{tmp}/warcs", "--input-format", "warc",
-             "--output", f"{tmp}/out", "--run-id", "warc-smoke"]
+             "--output", f"{tmp}/out", "--run-id", "warc-smoke",
+             "--report", "--export-dataset", f"{tmp}/lines.arrow"]
         )
         assert rc == 0
+        # warc records carry no ground truth: both sidecars must skip
+        # cleanly, not crash on the synthesized NULL text column
+        msgs = capsys.readouterr().out
+        assert "--report skipped" in msgs
+        assert "--export-dataset skipped" in msgs
         out_rows = spark.read.parquet(f"{tmp}/out").collect()
         assert len(out_rows) == 4
         for r in out_rows:
