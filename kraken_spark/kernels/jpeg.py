@@ -199,25 +199,169 @@ def _extend(v: int, t: int) -> int:
 # decoder
 # --------------------------------------------------------------------------
 
+# end of a scan's entropy-coded segment: 0xFF followed by anything that is
+# not byte stuffing (0x00), a restart marker (D0-D7), or a fill 0xFF
+_ECS_END = __import__("re").compile(rb"\xff[^\x00\xd0-\xd7\xff]")
+
+
+def _decode_block(br, flat, base, si, preds, dlut, alut, Ss, Se, Ah, Al, eobrun):
+    """Decode one block's contribution for the current scan into the flat
+    zigzag coefficient store; returns the updated EOB run. Covers all four
+    T.81 procedures (G.2): DC first/refine, AC first/refine — a sequential
+    scan is the Ss=0, Se=63, Ah=Al=0 special case (EOB == EOBRUN of 1)."""
+    if Ss == 0:
+        if Ah == 0:
+            t = br.read_huff(dlut)
+            preds[si] += _extend(br.read(t), t)
+            flat[base] = preds[si] << Al
+        elif br.read(1):
+            flat[base] |= 1 << Al
+        if Se == 0:
+            return eobrun
+    k = Ss if Ss > 0 else 1
+    if Ah == 0:  # first (or sequential) AC scan, F.2.2.2 / G.1.2.2
+        if eobrun > 0:
+            return eobrun - 1
+        while k <= Se:
+            rs = br.read_huff(alut)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read(r)
+                return eobrun - 1
+            k += r
+            if k > Se:
+                raise ValueError("jpeg: AC overflow")
+            flat[base + k] = _extend(br.read(s), s) << Al
+            k += 1
+        return eobrun
+    # AC refinement scan, G.1.2.3 (the jdphuff-style correction-bit walk)
+    p1, m1 = 1 << Al, -1 << Al
+    if eobrun == 0:
+        while k <= Se:
+            rs = br.read_huff(alut)
+            r, s = rs >> 4, rs & 0xF
+            sval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15: advance over 16 zero-history coefficients
+            else:
+                sval = p1 if br.read(1) else m1
+            while k <= Se:
+                c0 = flat[base + k]
+                if c0 != 0:
+                    if br.read(1) and not (c0 & p1):
+                        flat[base + k] = c0 + (p1 if c0 >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= Se:
+                flat[base + k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            c0 = flat[base + k]
+            if c0 != 0:
+                if br.read(1) and not (c0 & p1):
+                    flat[base + k] = c0 + (p1 if c0 >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(ecs, scomps, Ss, Se, Ah, Al, restart, coefs, mcus_x, mcus_y):
+    """Entropy-decode one scan. scomps: (ci, comp, dlut, alut) in scan
+    order. Interleaved (ns>1) scans traverse frame MCUs; single-component
+    scans traverse the component's own block grid (T.81 A.2.2). Returns
+    (any_block_decoded, scan_completed) — a truncated tail keeps the
+    decoded area (total-function; for progressive that IS the format's
+    coarse-first contract)."""
+    interleaved = len(scomps) > 1
+    if interleaved:
+        total = mcus_x * mcus_y
+    else:
+        c0 = scomps[0][1]
+        total = c0["sbx"] * c0["sby"]
+    if restart:
+        import re as _re
+
+        intervals = _re.split(b"\xff[\xd0-\xd7]", ecs)
+    else:
+        intervals = [ecs]
+    mcu = 0
+    any_dec = False
+    for chunk in intervals:
+        br = _BitReader(chunk)
+        preds = [0] * len(scomps)
+        eobrun = 0
+        limit = mcu + restart if restart else total
+        try:
+            while mcu < min(limit, total):
+                if interleaved:
+                    my, mx = divmod(mcu, mcus_x)
+                    for si, (ci, c, dlut, alut) in enumerate(scomps):
+                        flat, nbx, vs, hs = coefs[ci], c["nbx"], c["vs"], c["hs"]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                base = ((my * vs + by) * nbx + (mx * hs + bx)) * 64
+                                eobrun = _decode_block(
+                                    br, flat, base, si, preds, dlut, alut,
+                                    Ss, Se, Ah, Al, eobrun,
+                                )
+                else:
+                    ci, c, dlut, alut = scomps[0]
+                    by, bx = divmod(mcu, c["sbx"])
+                    base = (by * c["nbx"] + bx) * 64
+                    eobrun = _decode_block(
+                        br, coefs[ci], base, 0, preds, dlut, alut, Ss, Se, Ah, Al, eobrun
+                    )
+                mcu += 1
+                any_dec = True
+        except ValueError:
+            return any_dec, False
+    return any_dec, mcu >= total
+
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 array, (H, W) grayscale or (H, W, 3) RGB."""
+    """JPEG bytes -> uint8 array, (H, W) grayscale or (H, W, 3) RGB.
+
+    Baseline/extended sequential (SOF0/1) and progressive (SOF2: spectral
+    selection + successive approximation, multi-scan with per-scan DHT and
+    restart intervals) — the two Huffman-coded processes that cover the
+    web's JPEGs. Arithmetic-coded, lossless and hierarchical processes
+    raise ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    dc_luts: dict[int, list] = {}
+    ac_luts: dict[int, list] = {}
     comps: list[dict] = []
+    coefs: list[list] = []
     w = h = 0
+    hmax = vmax = mcus_x = mcus_y = 0
     restart = 0
+    progressive = False
+    decoded_any = False
     i = 2
     n = len(data)
-    scan_at = -1
     while i < n - 1:
         if data[i] != 0xFF:
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -245,7 +389,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = np.zeros(64)
                 tbl[ZIGZAG] = vals  # stored in zigzag order
                 qt[tq] = tbl.reshape(8, 8)
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (progressive files redefine per scan)
             j = 0
             while j + 17 <= len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0xF
@@ -253,122 +397,92 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cnt = sum(bits)
                 vals = list(seg[j + 17 : j + 17 + cnt])
                 j += 17 + cnt
-                tbl = _build_decode_table(bits, vals)
-                (huff_ac if tc else huff_dc)[th] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+                lut = _lut_from_table(_build_decode_table(bits, vals)).tolist()
+                (ac_luts if tc else dc_luts)[th] = lut
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if comps:
+                raise ValueError("jpeg: multiple frames")
             if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
                 raise ValueError("jpeg: truncated SOF")
+            progressive = marker == 0xC2
             _prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
-            comps = []
+            if w <= 0 or h <= 0 or nc == 0:
+                raise ValueError("jpeg: bad frame header")
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential DCT is supported")
+            for c in comps:
+                if not (1 <= c["hs"] <= 4 and 1 <= c["vs"] <= 4):
+                    raise ValueError("jpeg: bad sampling factors")
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                # MCU-padded coefficient grid; single-component scans
+                # traverse only the component's own sbx*sby sub-grid
+                c["nbx"] = mcus_x * c["hs"]
+                c["nby"] = mcus_y * c["vs"]
+                c["sbx"] = (-(-(w * c["hs"]) // hmax) + 7) // 8
+                c["sby"] = (-(-(h * c["vs"]) // vmax) + 7) // 8
+                coefs.append([0] * (c["nbx"] * c["nby"] * 64))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only Huffman sequential/progressive DCT is supported")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("jpeg: truncated DRI")
             restart = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
-            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0] if seg else 0
+            if ns == 0 or len(seg) < 4 + 2 * ns:
                 raise ValueError("jpeg: truncated SOS")
-            ns = seg[0]
+            Ss, Se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                Ss, Se, Ah, Al = 0, 63, 0, 0  # T.81: ignored in sequential
+            if Ss > Se or Se > 63 or (Ss > 0 and ns != 1):
+                raise ValueError("jpeg: bad scan header")
+            scomps = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                for comp in comps:
-                    if comp["id"] == cid:
-                        comp["td"], comp["ta"] = tt >> 4, tt & 0xF
+                td, ta = tt >> 4, tt & 0xF
+                match = [(ci, comp) for ci, comp in enumerate(comps) if comp["id"] == cid]
+                if not match:
+                    raise ValueError("jpeg: SOS component does not match SOF")
+                ci, comp = match[0]
+                if Ss == 0 and Ah == 0 and td not in dc_luts:
+                    raise ValueError("jpeg: scan references an undefined table")
+                if Se > 0 and ta not in ac_luts:
+                    raise ValueError("jpeg: scan references an undefined table")
+                scomps.append((ci, comp, dc_luts.get(td), ac_luts.get(ta)))
             scan_at = i + seglen
-            break
+            m = _ECS_END.search(data, scan_at)
+            ecs_end = m.start() if m else n
+            any_dec, completed = _decode_scan(
+                data[scan_at:ecs_end], scomps, Ss, Se, Ah, Al, restart,
+                coefs, mcus_x, mcus_y,
+            )
+            decoded_any = decoded_any or any_dec
+            if not completed:
+                break  # truncated tail: keep the area decoded so far
+            i = ecs_end
+            continue
         i += seglen
-    if scan_at < 0 or not comps or w <= 0 or h <= 0:
+    if not comps or not decoded_any:
         raise ValueError("jpeg: no scan")
-    for c in comps:
-        if "td" not in c or "ta" not in c:
-            raise ValueError("jpeg: SOS component does not match SOF")
-        if c["td"] not in huff_dc or c["ta"] not in huff_ac or c["tq"] not in qt:
-            raise ValueError("jpeg: scan references an undefined table")
-        if not (1 <= c["hs"] <= 4 and 1 <= c["vs"] <= 4):
-            raise ValueError("jpeg: bad sampling factors")
-    # entropy-coded data runs to EOI; restart markers handled by splitting
-    end = data.rfind(b"\xff\xd9")
-    ecs = data[scan_at : end if end > scan_at else n]
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    dc_luts = {k: _lut_from_table(t).tolist() for k, t in huff_dc.items()}
-    ac_luts = {k: _lut_from_table(t).tolist() for k, t in huff_ac.items()}
-    # entropy pass: collect zigzag coefficient rows + block origins per
-    # component; all numeric heavy lifting is batched afterwards
-    coef_rows: list[list] = [[] for _ in comps]
-    origins: list[list] = [[] for _ in comps]
-    # split on restart markers (FFD0-FFD7): each interval restarts DC=0
-    if restart:
-        import re as _re
-
-        intervals = _re.split(b"\xff[\xd0-\xd7]", ecs)
-    else:
-        intervals = [ecs]
-    mcu = 0
-    total_mcus = mcus_x * mcus_y
-    for chunk in intervals:
-        br = _BitReader(chunk)
-        pred = [0] * len(comps)
-        limit = mcu + restart if restart else total_mcus
-        try:
-            while mcu < min(limit, total_mcus):
-                my, mx = divmod(mcu, mcus_x)
-                for ci, c in enumerate(comps):
-                    dlut, alut = dc_luts[c["td"]], ac_luts[c["ta"]]
-                    for by in range(c["vs"]):
-                        for bx in range(c["hs"]):
-                            t = br.read_huff(dlut)
-                            pred[ci] += _extend(br.read(t), t)
-                            coef = [0] * 64
-                            coef[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = br.read_huff(alut)
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += rs >> 4
-                                s = rs & 0xF
-                                if k > 63:
-                                    raise ValueError("jpeg: AC overflow")
-                                coef[k] = _extend(br.read(s), s)
-                                k += 1
-                            coef_rows[ci].append(coef)
-                            origins[ci].append(
-                                ((my * c["vs"] + by) * 8, (mx * c["hs"] + bx) * 8)
-                            )
-                mcu += 1
-        except ValueError:
-            if mcu == 0:
-                raise
-            break  # truncated tail: keep decoded area (total-function)
-    planes = []
-    for ci, c in enumerate(comps):
-        plane = np.full(
-            (mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8), 128.0, dtype=np.float64
-        )
-        if coef_rows[ci]:
-            zz = np.asarray(coef_rows[ci], dtype=np.float64)  # (nblk, 64)
-            blocks = np.zeros_like(zz)
-            blocks[:, ZIGZAG] = zz  # inverse zigzag, batched
-            blocks = blocks.reshape(-1, 8, 8) * qt[c["tq"]]
-            px = np.einsum("ij,njk,kl->nil", _DCT_A.T, blocks, _DCT_A) + 128.0
-            ys = np.asarray([o[0] for o in origins[ci]])
-            xs = np.asarray([o[1] for o in origins[ci]])
-            for n_, (y0, x0) in enumerate(zip(ys, xs)):
-                plane[y0 : y0 + 8, x0 : x0 + 8] = px[n_]
-        planes.append(plane)
     outs = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        if c["tq"] not in qt:
+            raise ValueError("jpeg: scan references an undefined table")
+        zz = np.asarray(coefs[ci], dtype=np.float64).reshape(-1, 64)
+        blocks = np.zeros_like(zz)
+        blocks[:, ZIGZAG] = zz  # inverse zigzag, batched
+        blocks = blocks.reshape(-1, 8, 8) * qt[c["tq"]]
+        px = np.einsum("ij,njk,kl->nil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        nby, nbx = c["nby"], c["nbx"]
+        p = px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if c["hs"] != hmax or c["vs"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1)
         outs.append(p[:h, :w])
@@ -473,16 +587,278 @@ def _entropy_block(zzc, lnz, pred, dc_enc, ac_enc, codes, lens) -> int:
     return zzc[0]
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG bytes
-    (Annex-K tables; color as 4:4:4 YCbCr, all components on table 0)."""
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad a (h, w) float plane up to (ph, pw)."""
+    h, w = plane.shape
+    if h == ph and w == pw:
+        return plane
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    if ph > h:
+        padded[h:, :w] = plane[h - 1 : h, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean chroma downsample (odd dims edge-replicated first)."""
+    h, w = plane.shape
+    p = _pad_to(plane, h + (h & 1), w + (w & 1))
+    return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+
+
+# ---- progressive entropy emission (T.81 Annex G encode procedures) -------
+
+
+class _FreqEmit:
+    """Pass-1 emitter: gathers per-(kind, table-id) symbol frequencies so
+    each scan ships an optimized Huffman table — required in progressive
+    mode, where EOBn codes (r<<4, r>0) are absent from the Annex-K
+    standard tables."""
+
+    counting = True
+
+    def __init__(self):
+        self.freq: dict[tuple[str, int], dict[int, int]] = {}
+
+    def sym(self, kind: str, tid: int, s: int) -> None:
+        t = self.freq.setdefault((kind, tid), {})
+        t[s] = t.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _CodeEmit:
+    """Pass-2 emitter: resolves symbols through the scan's tables into the
+    (code, length) streams `_pack_bits` consumes."""
+
+    counting = False
+
+    def __init__(self, tables: dict[tuple[str, int], dict[int, tuple[int, int]]]):
+        self.tables = tables
+        self.codes: list[int] = []
+        self.lens: list[int] = []
+
+    def sym(self, kind: str, tid: int, s: int) -> None:
+        ln, code = self.tables[(kind, tid)][s]
+        self.codes.append(code)
+        self.lens.append(ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.codes.append(v)
+            self.lens.append(n)
+
+
+def _optimal_huffman(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Symbol frequencies -> (BITS[16], HUFFVAL) per T.81 K.2: Huffman
+    merge for code sizes (reserving the all-ones codepoint via a dummy
+    symbol 256), K.11 length cap at 16, canonical assignment by
+    (code size, symbol value)."""
+    import heapq
+
+    f = {int(s): int(c) for s, c in freq.items() if c > 0}
+    f[256] = 1  # reserves the all-1-bits code
+    depth = {s: 0 for s in f}
+    heap = [(c, -s, (s,)) for s, c in f.items()]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        c1, t1, g1 = heapq.heappop(heap)
+        c2, t2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, max(t1, t2), g1 + g2))
+    maxd = max(depth.values())
+    bits = [0] * (max(17, maxd + 1))
+    for s, d in depth.items():
+        bits[d] += 1
+    i = len(bits) - 1  # K.11 Adjust_BITS: fold lengths > 16 down
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    del bits[17:]
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the dummy's slot from the longest length
+    syms = sorted((s for s in f if s != 256), key=lambda s: (depth[s], s))
+    assert sum(bits[1:]) == len(syms)
+    return bits[1:], syms
+
+
+def _dc_scan(em, scomps, sampling, nbxs, mcus_x, mcus_y, zzs, Ah, Al) -> None:
+    """Interleaved DC scan: first pass (Ah=0) codes the point-transformed
+    differences; refinement emits one raw bit per block."""
+    preds = [0] * len(scomps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for si, (ci, tid) in enumerate(scomps):
+                hs, vs = sampling[ci]
+                nbx = nbxs[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = zzs[ci][(my * vs + by) * nbx + (mx * hs + bx)][0]
+                        if Ah:
+                            em.bits((v >> Al) & 1, 1)
+                            continue
+                        v >>= Al  # arithmetic shift, per G.1.2.1
+                        diff = v - preds[si]
+                        preds[si] = v
+                        t = _category(diff)
+                        em.sym("dc", tid, t)
+                        if t:
+                            em.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _ac_first_scan(em, tid, zz, sbx, sby, nbx, Ss, Se, Al) -> None:
+    """Single-component AC first scan with EOB-run coding (G.1.2.2)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            em.sym("ac", tid, r << 4)
+            em.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by in range(sby):
+        for bx in range(sbx):
+            row = zz[by * nbx + bx]
+            r = 0
+            for k in range(Ss, Se + 1):
+                c = row[k]
+                v = (-c if c < 0 else c) >> Al
+                if v == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    em.sym("ac", tid, 0xF0)
+                    r -= 16
+                t = v.bit_length()
+                em.sym("ac", tid, (r << 4) | t)
+                em.bits((v if c > 0 else ~v) & ((1 << t) - 1), t)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _ac_refine_scan(em, tid, zz, sbx, sby, nbx, Ss, Se, Al) -> None:
+    """Single-component AC refinement scan (G.1.2.3): newly-significant
+    coefficients as (run, 1) symbols + sign bit, correction bits for
+    already-significant ones buffered and emitted after the next symbol
+    (or with the pending EOB run) — the exact stream the refinement
+    decoder's correction-bit walk consumes."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owned by the pending EOB run
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            em.sym("ac", tid, r << 4)
+            em.bits(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in pending:
+                em.bits(b, 1)
+            pending.clear()
+
+    for by in range(sby):
+        for bx in range(sbx):
+            row = zz[by * nbx + bx]
+            vals = [0] * (Se + 1)
+            eobpos = 0
+            for k in range(Ss, Se + 1):
+                c = row[k]
+                v = (-c if c < 0 else c) >> Al
+                vals[k] = v
+                if v == 1:
+                    eobpos = k
+            r = 0
+            cur: list[int] = []  # correction bits since the last symbol
+            for k in range(Ss, Se + 1):
+                v = vals[k]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    flush()
+                    em.sym("ac", tid, 0xF0)
+                    r -= 16
+                    for b in cur:
+                        em.bits(b, 1)
+                    cur = []
+                if v > 1:
+                    cur.append(v & 1)
+                    continue
+                flush()
+                em.sym("ac", tid, (r << 4) | 1)
+                em.bits(0 if row[k] < 0 else 1, 1)
+                r = 0
+                for b in cur:
+                    em.bits(b, 1)
+                cur = []
+            if r > 0 or cur:
+                eobrun += 1
+                pending.extend(cur)
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _progressive_script(nc: int):
+    """(component indices, Ss, Se, Ah, Al) per scan — the standard
+    libjpeg-style script: interleaved DC first, banded luma AC, full-band
+    chroma AC, then successive-approximation refinements."""
+    if nc == 1:
+        return [
+            ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    *,
+    progressive: bool = False,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> JPEG bytes.
+
+    Baseline by default (Annex-K tables, the fixture writer); with
+    progressive=True emits an SOF2 stream through the standard
+    spectral-selection + successive-approximation script with per-scan
+    optimized Huffman tables. subsampling="4:2:0" enables 2x2 chroma
+    subsampling (color only) — together these produce the wild web's
+    dominant JPEG shapes for decoder cross-validation."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects uint8 (H,W) or (H,W,3)")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("encode_jpeg: subsampling must be 4:4:4 or 4:2:0")
     color = img.ndim == 3
     h, w = img.shape[:2]
     qtab = _quality_table(quality)
-    dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
     if color:
         r, g, b = (img[..., c].astype(np.float64) for c in range(3))
         planes = [
@@ -492,31 +868,101 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         ]
     else:
         planes = [img.astype(np.float64)]
+    sub = color and subsampling == "4:2:0"
+    if sub:
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _box2(planes[1]), _box2(planes[2])]
+    else:
+        sampling = [(1, 1)] * len(planes)
     nc = len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zzs, lnzs, nbxs, sgrids = [], [], [], []
+    for (hs, vs), plane in zip(sampling, planes):
+        padded = _pad_to(plane, mcus_y * vs * 8, mcus_x * hs * 8)
+        rows, last_nz = _block_rows(padded, qtab)
+        zzs.append(rows)
+        lnzs.append(last_nz)
+        nbxs.append(mcus_x * hs)
+        # the sub-grid single-component scans traverse (T.81 A.2.2)
+        sgrids.append(((-(-(w * hs) // hmax) + 7) // 8, (-(-(h * vs) // vmax) + 7) // 8))
     out = bytearray(b"\xff\xd8")  # SOI
     zzq = qtab.reshape(-1)[ZIGZAG].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zzq.tobytes()
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
-    for c in range(nc):
-        out += bytes([c + 1, 0x11, 0])  # 1x1 sampling, qtable 0
-    for tc, (bits, vals) in ((0, (DC_LUMA_BITS, DC_LUMA_VALS)), (1, (AC_LUMA_BITS, AC_LUMA_VALS))):
-        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
-        out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
-    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
-    for c in range(nc):
-        out += bytes([c + 1, 0x00])
-    out += bytes([0, 63, 0])
-    per_comp = [_block_rows(p, qtab) for p in planes]
-    codes: list[int] = []
-    lens: list[int] = []
-    preds = [0] * nc
-    nblocks = len(per_comp[0][0])
-    for bi in range(nblocks):  # interleaved MCU order (1x1 sampling)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
+    for ci in range(nc):
+        hs, vs = sampling[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, 0])  # all on qtable 0
+    if not progressive:
+        dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+        for tc, (bits, vals) in (
+            (0, (DC_LUMA_BITS, DC_LUMA_VALS)),
+            (1, (AC_LUMA_BITS, AC_LUMA_VALS)),
+        ):
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
         for ci in range(nc):
-            rows, last_nz = per_comp[ci]
-            preds[ci] = _entropy_block(
-                rows[bi], last_nz[bi], preds[ci], dc_enc, ac_enc, codes, lens
-            )
-    out += _pack_bits(codes, lens)
+            out += bytes([ci + 1, 0x00])
+        out += bytes([0, 63, 0])
+        codes: list[int] = []
+        lens: list[int] = []
+        preds = [0] * nc
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    hs, vs = sampling[ci]
+                    nbx = nbxs[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * nbx + (mx * hs + bx)
+                            preds[ci] = _entropy_block(
+                                zzs[ci][bi], lnzs[ci][bi], preds[ci],
+                                dc_enc, ac_enc, codes, lens,
+                            )
+        out += _pack_bits(codes, lens)
+        out += b"\xff\xd9"
+        return bytes(out)
+    # progressive: two passes per scan — gather frequencies, build optimal
+    # tables, emit DHT + SOS + entropy data
+    for comp_idx, Ss, Se, Ah, Al in _progressive_script(nc):
+        scomps = [(ci, 0 if ci == 0 else 1) for ci in comp_idx]
+
+        def run_scan(em):
+            if Ss == 0:
+                _dc_scan(em, scomps, sampling, nbxs, mcus_x, mcus_y, zzs, Ah, Al)
+            else:
+                ci, tid = scomps[0]
+                sbx, sby = sgrids[ci]
+                if Ah == 0:
+                    _ac_first_scan(em, tid, zzs[ci], sbx, sby, nbxs[ci], Ss, Se, Al)
+                else:
+                    _ac_refine_scan(em, tid, zzs[ci], sbx, sby, nbxs[ci], Ss, Se, Al)
+
+        fe = _FreqEmit()
+        run_scan(fe)
+        tables = {}
+        dht = bytearray()
+        for (kind, tid), freq in sorted(fe.freq.items()):
+            bits, vals = _optimal_huffman(freq)
+            tables[(kind, tid)] = _build_encode_table(bits, vals)
+            dht += bytes([(0 if kind == "dc" else 1) << 4 | tid])
+            dht += bytes(bits) + bytes(vals)
+        if dht:
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+        ce = _CodeEmit(tables)
+        run_scan(ce)
+        ns = len(scomps)
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ns) + bytes([ns])
+        for ci, tid in scomps:
+            out += bytes([ci + 1, (tid << 4) | tid])
+        out += bytes([Ss, Se, (Ah << 4) | Al])
+        if ce.codes:
+            out += _pack_bits(ce.codes, ce.lens)
     out += b"\xff\xd9"
     return bytes(out)

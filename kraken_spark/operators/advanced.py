@@ -306,9 +306,11 @@ def x_pdf_pages(spark, sf):
     cycling REAL image PDFs (sources/pdf.write_pdf: Flate image XObjects,
     parsed back without a renderer), MPGZ containers, VECTOR-content PDFs
     (text drawn via content-stream operators, rasterized by the
-    from-scratch renderer kernels/pdfraster.py), and JPEG-compressed
+    from-scratch renderer kernels/pdfraster.py), JPEG-compressed
     scanned PDFs (DCTDecode XObjects decoded by the engine's own baseline
-    codec, kernels/jpeg.py) — explode back into page rows, and run full
+    codec, kernels/jpeg.py), and MPGZ bundles of PROGRESSIVE (SOF2)
+    JPEG scans (multi-scan successive approximation, the wild web's other
+    dominant JPEG shape) — explode back into page rows, and run full
     extraction: the reference's PDF-to-page-rows ingestion
     (kraken/kraken.py:363-405) with per-page urls (url#pN)."""
     from ..pipeline import plan_extraction
@@ -343,17 +345,30 @@ def x_pdf_pages(spark, sf):
             out = []
             for k in range(0, len(rows), 3):
                 grp = rows[k : k + 3]
-                variant = (k // 3) % 4
+                variant = (k // 3) % 5
                 if variant == 0:
                     blob = write_pdf([png.decode_png(bytes(g["html"])) for g in grp])
                 elif variant == 1:
                     blob = pack_multipage([g["html"] for g in grp])
                 elif variant == 2:
                     blob = write_vector_pdf([vector_page(g["url"]) for g in grp])
-                else:
+                elif variant == 3:
                     blob = write_pdf(
                         [png.decode_png(bytes(g["html"])) for g in grp],
                         jpeg_quality=90,
+                    )
+                else:
+                    # the wild web's other dominant JPEG shape: progressive
+                    # (SOF2) page scans, bundled in an MPGZ container
+                    from ..kernels.jpeg import encode_jpeg
+
+                    blob = pack_multipage(
+                        [
+                            encode_jpeg(
+                                png.decode_png(bytes(g["html"])), 90, progressive=True
+                            )
+                            for g in grp
+                        ]
                     )
                 out.append(
                     {

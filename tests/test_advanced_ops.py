@@ -335,3 +335,22 @@ def test_doc_time_budget(monkeypatch):
     monkeypatch.delenv("KRAKEN_SPARK_DOC_BUDGET_MS")
     out = extract_document(payload, "u", d["lang"], gt_text=d["text"])
     assert not out["guard_tripped"] and out["cer"] == 0.0
+
+
+def test_progressive_jpeg_mpgz_bundle_extracts_cer0():
+    """The x_pdf_pages progressive variant: an MPGZ bundle of SOF2
+    (progressive) JPEG page scans explodes and extracts byte-identically,
+    like its baseline-JPEG PDF twin."""
+    from kraken_spark.kernels.jpeg import encode_jpeg
+    from kraken_spark.stages import extract_document
+
+    docs = [render.render_document(42, i) for i in (0, 3, 7)]
+    blob = pack_multipage(
+        [encode_jpeg(d["img"], 90, progressive=True) for d in docs]
+    )
+    payloads = unpack_pages(blob)
+    assert len(payloads) == 3
+    for payload, d in zip(payloads, docs):
+        assert payload[:2] == b"\xff\xd8" and b"\xff\xc2" in payload[:256]
+        out = extract_document(payload, "u", d["lang"], gt_text=d["text"])
+        assert out["cer"] == 0.0 and not out["guard_tripped"]

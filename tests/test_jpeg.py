@@ -85,10 +85,10 @@ def test_malformed_inputs_raise_valueerror():
         decode_jpeg(b"not a jpeg")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
-    # progressive (SOF2) is explicitly unsupported, not silently wrong
+    # arithmetic coding (SOF9) is explicitly unsupported, not silently wrong
     blob = bytearray(encode_jpeg(_gradient(16, 16), 90))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2
+    blob[sof + 1] = 0xC9
     with pytest.raises(ValueError):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
@@ -160,3 +160,81 @@ def test_dctdecode_pdf_extracts_cer0():
     assert [im.shape for im in imgs] == [d0["img"].shape, d1["img"].shape]
     # rasterized placement reproduces the decoded JPEG samples 1:1
     assert np.abs(imgs[0].astype(int) - d0["img"].astype(int)).max() <= 32
+
+# -------------------------------------------------------------- progressive
+
+
+def test_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) streams carry the same quantized coefficients as
+    baseline through a disjoint entropy path (EOB runs, spectral bands,
+    successive-approximation refinement, per-scan optimized tables) —
+    decode of both must agree pixel-for-pixel."""
+    rng = np.random.default_rng(7)
+    cases = [
+        _gradient(70, 90),
+        rng.integers(0, 256, (64, 64), dtype=np.uint8),
+        np.full((33, 47), 130, np.uint8),
+        rng.integers(0, 256, (50, 70, 3), dtype=np.uint8),
+        rng.integers(0, 256, (17, 23, 3), dtype=np.uint8),
+    ]
+    for img in cases:
+        for sub in ("4:4:4", "4:2:0"):
+            if img.ndim == 2 and sub == "4:2:0":
+                continue
+            base = encode_jpeg(img, 85, subsampling=sub)
+            prog = encode_jpeg(img, 85, progressive=True, subsampling=sub)
+            assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog
+            assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_progressive_subsampled_noninterleaved_grid():
+    """4:2:0 with dims straddling the MCU boundary: the luma AC scans
+    traverse ceil(w/8) x ceil(h/8) blocks (NOT the MCU-padded grid) — a
+    wrong sub-grid desynchronizes the whole scan."""
+    rng = np.random.default_rng(11)
+    for hw in ((24, 40), (23, 39), (17, 25), (40, 24)):
+        img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        base = encode_jpeg(img, 80, subsampling="4:2:0")
+        prog = encode_jpeg(img, 80, progressive=True, subsampling="4:2:0")
+        assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_progressive_truncation_keeps_coarse_image():
+    """A progressive stream cut mid-file still yields the full-size image
+    refined only by the scans received — the format's coarse-first
+    contract (and this engine's total-function guarantee)."""
+    img = _gradient(64, 80)
+    blob = encode_jpeg(img, 90, progressive=True)
+    full = decode_jpeg(blob).astype(np.float64)
+    got_partial = False
+    for frac in (0.35, 0.6, 0.85):
+        cut = decode_jpeg(blob[: int(len(blob) * frac)])
+        assert cut.shape == (64, 80)
+        # coarse approximation only: bounded error vs the full decode
+        err = np.abs(cut.astype(np.float64) - full).mean()
+        assert err < 24.0
+        got_partial = got_partial or err > 0
+    assert got_partial  # at least one cut actually lost refinement scans
+
+
+def test_progressive_payload_extracts_cer0():
+    """A progressive-JPEG page payload routes through imgio and extracts
+    byte-identically, like its baseline twin."""
+    from kraken_spark.stages import extract_document
+
+    d = render.render_document(42, 2)
+    blob = encode_jpeg(d["img"], 90, progressive=True)
+    assert imgio.read_dimensions(blob) == (d["img"].shape[1], d["img"].shape[0])
+    out = extract_document(blob, "u", d["lang"], gt_text=d["text"])
+    assert out["cer"] == 0.0 and out["text"] == d["text"]
+
+
+def test_progressive_fuzz_truncations_total_function():
+    """Every truncation point either decodes or raises ValueError — never
+    hangs, never throws anything else."""
+    blob = encode_jpeg(_gradient(32, 32), 85, progressive=True)
+    for cut in range(0, len(blob), 7):
+        try:
+            decode_jpeg(blob[:cut])
+        except ValueError:
+            pass
