@@ -1,6 +1,6 @@
 """Format-dispatched image payload IO: PNG (own codec, kernels/png.py),
-baseline JPEG (kernels/jpeg.py) or TIFF (kernels/tiff.py), selected by
-magic bytes.
+JPEG (kernels/jpeg.py, baseline + progressive), TIFF (kernels/tiff.py)
+or GIF (kernels/gif.py), selected by magic bytes.
 
 The reference opens page images through PIL, which accepts both formats
 transparently (kraken/kraken.py input handling); this is the engine's
@@ -24,6 +24,10 @@ def read_dimensions(data: bytes) -> tuple[int, int]:
     (no full decode of a potentially hostile payload)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return png.read_dimensions(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import read_dimensions as gif_dims
+
+        return gif_dims(data)
     if data[:2] == JPEG_SOI:
         i, n = 2, len(data)
         while i < n - 1:
@@ -88,4 +92,8 @@ def decode_image(data: bytes) -> np.ndarray:
         from .tiff import decode_tiff
 
         return decode_tiff(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError("unsupported image payload")

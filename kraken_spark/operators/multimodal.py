@@ -339,18 +339,29 @@ def x_frame_sample(spark, sf):
                 pa.field("media", pa.binary()),
             ]
         )
+        from ..kernels import gif
+
         for batch in batches:
             out = []
             for r in batch.to_pylist():
-                # transcode the member pages into ONE animated-PNG clip
-                # (real APNG container: acTL/fcTL/fdAT, kernels/png.py)
+                # transcode the member pages into ONE animated clip —
+                # alternating by doc index between the two real container
+                # standards: APNG (acTL/fcTL/fdAT, kernels/png.py) and
+                # animated GIF (GCE frames + GIF-LZW, kernels/gif.py);
+                # both compose to identical frames, so the downstream
+                # features are container-invariant
                 imgs = [png.to_grayscale(png.decode_png(f["html"]))
                         for f in r["frames"]]
+                doc_idx = int(r["first_url"].rsplit("-", 1)[-1])
+                if doc_idx % 2:
+                    media = gif.encode_gif([{"img": im} for im in imgs])
+                else:
+                    media = png.encode_apng(imgs)
                 out.append(
                     {
                         "clip_url": r["first_url"] + "/clip",
                         "n_frames": len(imgs),
-                        "media": png.encode_apng(imgs),
+                        "media": media,
                     }
                 )
             if out:
@@ -370,10 +381,16 @@ def x_frame_sample(spark, sf):
                 pa.field("dhash", pa.int64()),
             ]
         )
+        from ..kernels import gif
+
         for batch in batches:
             out = []
             for r in batch.to_pylist():
-                frames, _delays = png.decode_apng(r["media"])
+                media = bytes(r["media"])
+                if media[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = gif.gif_frames(media)
+                else:
+                    frames, _delays = png.decode_apng(media)
                 for i in range(0, len(frames), 2):  # stride-2 frame sampler
                     img = png.to_grayscale(frames[i])
                     emb = page_embedding(img)
