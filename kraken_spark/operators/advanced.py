@@ -390,51 +390,76 @@ def x_pdf_pages(spark, sf):
 
 
 def x_extract_html(spark, sf):
-    """Main-content extraction over web-HTML payloads — the brief's "HTML
-    boilerplate strip / DOM heuristics" leg (kernels/htmlparse.py: stack
-    DOM + jusText/Boilerpipe-style block classification; the reference
-    engine is image-only, so the parity target is the brief's per-url
-    byte-identity rule, not a reference code path).
+    """Main-content extraction over web-HTML payloads THROUGH the WARC
+    ingestion path — the brief's "HTML boilerplate strip / DOM heuristics"
+    leg (kernels/htmlparse.py: stack DOM + jusText/Boilerpipe-style block
+    classification; the reference engine is image-only, so the parity
+    target is the brief's per-url byte-identity rule, not a reference
+    code path).
 
     Each corpus doc's ground-truth text is wrapped in a deterministic
     full web page (header/nav, cookie banner, sidebar + related-links
     chrome, comments, footer, script/style noise, entity escapes —
-    write_boilerplate_page) and routed through the SAME plan_extraction
-    as every other payload type; stages.extract_document sniffs web HTML
-    and strips the chrome. cer==0.0 on every row IS the byte-identity
-    evidence (pinned in tests/test_htmlparse.py); n_lines = one line per
-    surviving content block."""
+    write_boilerplate_page), packed into a member-per-record .warc.gz
+    with full HTTP response framing (ONE WARC file per input partition —
+    the Common-Crawl layout; sources/warc.write_warc_gz), read back with
+    the production `explode_warc` Spark face (gzip member scan, WARC
+    named-field headers, HTTP unwrap, Content-Language → lang), and
+    routed through the SAME plan_extraction as every other payload type;
+    stages.extract_document sniffs web HTML and strips the chrome.
+    cer==0.0 on every row IS the byte-identity evidence that the whole
+    container→HTTP→DOM→boilerplate chain is lossless (pinned in
+    tests/test_htmlparse.py + tests/test_warc.py); n_lines = one line per
+    surviving content block. The ground-truth join is fixture-only
+    plumbing: production WARC corpora carry no gt column."""
     from ..pipeline import plan_extraction
+    from ..sources.warc import explode_warc
 
-    def wrap(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..kernels.htmlparse import write_boilerplate_page
+        from ..sources.warc import write_warc_gz
 
         schema = pa.schema(
-            [
-                pa.field("url", pa.string()),
-                pa.field("html", pa.binary()),
-                pa.field("text", pa.string()),
-                pa.field("lang", pa.string()),
-            ]
+            [pa.field("path", pa.string()), pa.field("content", pa.binary())]
         )
+        rows = []
         for batch in batches:
-            out = [
-                {
-                    "url": r["url"],
-                    "html": write_boilerplate_page(r["text"], r["lang"], r["url"]),
-                    "text": r["text"],
-                    "lang": r["lang"],
-                }
-                for r in batch.to_pylist()
-            ]
-            yield pa.RecordBatch.from_pylist(out, schema=schema)
+            for r in batch.to_pylist():
+                rows.append(
+                    {
+                        "url": r["url"],
+                        "warc_ts": f"{r['warc_ts']:%Y-%m-%dT%H:%M:%SZ}"
+                        if r.get("warc_ts")
+                        else None,
+                        "html": write_boilerplate_page(
+                            r["text"], r["lang"], r["url"]
+                        ),
+                        "lang": r["lang"],
+                    }
+                )
+        if rows:
+            rows.sort(key=lambda r: r["url"])
+            yield pa.RecordBatch.from_pylist(
+                [
+                    {
+                        "path": f"synthetic://{rows[0]['url']}.warc.gz",
+                        "content": write_warc_gz(rows),
+                    }
+                ],
+                schema=schema,
+            )
 
-    pages = _docs(spark, sf).mapInArrow(
-        wrap, schema="url string, html binary, text string, lang string"
+    docs = _docs(spark, sf)
+    par = spark.sparkContext.defaultParallelism
+    warc_files = docs.repartition(par, "url").mapInArrow(
+        pack, schema="path string, content binary"
     )
-    ext = plan_extraction(
-        pages, num_partitions=spark.sparkContext.defaultParallelism
+    pages = explode_warc(warc_files)
+    gt = docs.select("url", F.col("text").alias("gt_text"))
+    joined = pages.join(gt, "url").select(
+        "url", "html", F.col("gt_text").alias("text"), "lang"
     )
+    ext = plan_extraction(joined, num_partitions=par)
     return _ordered(
         ext.select(
             "url",

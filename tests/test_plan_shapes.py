@@ -122,15 +122,24 @@ def test_extraction_single_arrow_stage_no_extra_shuffle(spark):
     assert "Sort" not in plan.split("MapInArrow")[0]
 
 
-def test_extract_html_two_arrow_stages_one_salted_exchange(spark):
-    """The web-HTML query is the page-wrap MapInArrow feeding the fused
-    extraction MapInArrow across ONE weight-salted exchange; the only
-    other exchange is the tiny-result SinglePartition sort (_ordered).
-    No global Sort may sit above the extraction Arrow stage."""
+def test_extract_html_warc_shape(spark):
+    """The web-HTML query runs THROUGH the WARC container: page-wrap+pack
+    MapInArrow (one .warc.gz per partition) -> explode_warc MapInArrow ->
+    fused extraction MapInArrow. Exactly three shuffles — the per-file
+    url partitioning, the weight-salted extraction exchange, and the
+    tiny-result SinglePartition sort (_ordered); the ground-truth join is
+    a BroadcastHashJoin (never a sort-merge shuffle), and its scan prunes
+    to the two joined columns. No global Sort above the Arrow stages."""
     from kraken_spark.operators.advanced import x_extract_html
 
     plan = _plan(x_extract_html(spark, SF))
-    assert plan.count("MapInArrow") == 2
-    assert plan.count("Exchange") == 2  # weight salt + _ordered repartition(1)
+    assert plan.count("MapInArrow") == 3  # pack, explode_warc, extract_map
+    assert (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange SinglePartition")
+        == 3
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "struct<url:string,text:string>" in plan  # pruned gt scan
     head = plan.split("MapInArrow")[0]
     assert "Sort" not in head or "SinglePartition" in head

@@ -124,3 +124,20 @@ def test_explode_warc_to_extraction_cer0():
     for r in ext.collect():
         assert r.text == gt[r.url]
         assert not r.guard_tripped
+
+
+def test_registered_query_routes_through_warc_cer0():
+    """The driver-registered x_extract_html query packs its pages into
+    real .warc.gz containers and reads them back via explode_warc — every
+    url must come out cer 0 (container + HTTP + boilerplate chain is
+    lossless), with one row per corpus doc."""
+    pytest.importorskip("pyspark")
+    from kraken_spark.operators.advanced import x_extract_html
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="test-warc", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = x_extract_html(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 12
+    assert all(r.cer == 0.0 for r in rows)
+    assert [r.url for r in rows] == sorted(r.url for r in rows)
