@@ -7,12 +7,12 @@ standard container of institutional document scans — so the engine's
 codec layer covers it natively alongside PNG/JPEG (kernels/imgio.py
 dispatches on the II*/MM* magic).
 
-Deliberately out of scope: CCITT G3/G4 fax compression. Its decode
-tables (T.4/T.6) cannot be independently validated inside this container
-(no second TIFF implementation exists here to produce ground truth), and
-an unverifiable from-memory table transcription is worse than a clear
-error — those files raise ValueError("tiff: unsupported compression"),
-which the pipeline maps to a guard row.
+CCITT G3/G4 fax compression (Compression 2/3/4 — the dominant encoding
+of institutional bilevel scans) decodes through kernels/ccitt.py, a
+from-scratch ITU-T T.4/T.6 implementation whose Huffman tables are proven
+entry-by-entry against the container's system libtiff via ctypes
+(tests/test_ccitt.py; see the ccitt module docstring for the exhaustive
+sweep protocol).
 
 encode_tiff (the fixture writer) emits single-strip gray-8 or bilevel
 files with any supported compression, so every decode path round-trips
@@ -29,6 +29,7 @@ import numpy as np
 _W, _H = 256, 257
 _BPS, _COMP, _PHOTO = 258, 259, 262
 _STRIP_OFFS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
+_T4_OPTIONS, _T6_OPTIONS = 292, 293
 _PREDICTOR = 317
 
 
@@ -245,10 +246,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
     predictor = tags.get(_PREDICTOR, [1])[0]
     if spp != 1 or bps not in (1, 8):
         raise ValueError("tiff: only 1-sample 1/8-bit images supported")
-    if comp in (2, 3, 4):
-        raise ValueError("tiff: unsupported compression (CCITT G3/G4)")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 32773):
         raise ValueError("tiff: unsupported compression")
+    if comp in (2, 3, 4):
+        if bps != 1:
+            raise ValueError("tiff: CCITT strips must be bilevel")
+        t4opts = tags.get(_T4_OPTIONS, [0])[0]
+        t6opts = tags.get(_T6_OPTIONS, [0])[0]
+        if (comp == 3 and t4opts & 2) or (comp == 4 and t6opts & 2):
+            raise ValueError("tiff: CCITT uncompressed mode not supported")
     row_bytes = w if bps == 8 else (w + 7) // 8
     rows = []
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -263,6 +269,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
             strip = raw[:expected]
         elif comp == 32773:
             strip = packbits_decode(raw, expected)
+        elif comp == 2:
+            from . import ccitt
+
+            strip = ccitt.decode_g3(raw, w, nrows, rle=True)
+        elif comp == 3:
+            from . import ccitt
+
+            strip = ccitt.decode_g3(raw, w, nrows, two_d=bool(t4opts & 1))
+        elif comp == 4:
+            from . import ccitt
+
+            strip = ccitt.decode_g4(raw, w, nrows)
         else:
             strip = lzw_decode(raw, expected)
         arr = np.frombuffer(strip, dtype=np.uint8).reshape(nrows, row_bytes)
@@ -293,14 +311,34 @@ def encode_tiff(
     bilevel: bool = False,
     big_endian: bool = False,
     predictor: int = 1,
+    t4_2d: bool = False,
 ) -> bytes:
     """uint8 (H, W) -> single-strip TIFF (BlackIsZero). With bilevel=True
-    the image is thresholded at 128 into 1-bit rows."""
+    the image is thresholded at 128 into 1-bit rows. CCITT compressions
+    (2 = MH-RLE, 3 = G3 1D — or 2D with t4_2d — and 4 = G4) imply bilevel
+    and write photometric 0 (WhiteIsZero, the fax sense: coded 1 = black =
+    dark pixel < 128)."""
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("encode_tiff expects uint8 grayscale")
     endian = ">" if big_endian else "<"
     h, w = img.shape
-    if bilevel:
+    photo = 1
+    t4opts = None
+    if compression in (2, 3, 4):
+        from . import ccitt
+
+        bilevel = True
+        photo = 0  # fax sense: 1-bit = black ink
+        packed = np.packbits(img < 128, axis=1).tobytes()
+        if compression == 2:
+            payload = ccitt.encode_g3(packed, w, h, rle=True)
+        elif compression == 3:
+            t4opts = 1 if t4_2d else 0
+            payload = ccitt.encode_g3(packed, w, h, two_d=t4_2d)
+        else:
+            payload = ccitt.encode_g4(packed, w, h)
+        bps = 1
+    elif bilevel:
         payload = np.packbits(img >= 128, axis=1).tobytes()
         bps = 1
     else:
@@ -316,18 +354,25 @@ def encode_tiff(
         payload = packbits_encode(payload)
     elif compression == 5:
         payload = lzw_encode(payload)
-    elif compression != 1:
+    elif compression not in (1, 2, 3, 4):
         raise ValueError("encode_tiff: unsupported compression")
     tags = [
         (_W, 3, 1, w),
         (_H, 3, 1, h),
         (_BPS, 3, 1, bps),
         (_COMP, 3, 1, compression),
-        (_PHOTO, 3, 1, 1),
-        (_STRIP_OFFS, 4, 1, 8 + 2 + 12 * 9 + 4),  # right after the IFD
+        (_PHOTO, 3, 1, photo),
+        (_STRIP_OFFS, 4, 1, 0),  # patched below: right after the IFD
         (_SPP, 3, 1, 1),
         (_STRIP_COUNTS, 4, 1, len(payload)),
         (_PREDICTOR, 3, 1, predictor),
+    ]
+    if t4opts is not None:
+        tags.append((_T4_OPTIONS, 4, 1, t4opts))
+    tags.sort()  # TIFF 6.0 requires ascending tag order
+    strip_off = 8 + 2 + 12 * len(tags) + 4
+    tags = [
+        (t, ty, c, strip_off if t == _STRIP_OFFS else v) for t, ty, c, v in tags
     ]
     out = bytearray()
     out += (b"II" if not big_endian else b"MM") + struct.pack(endian + "HI", 42, 8)

@@ -1,8 +1,8 @@
 """TIFF codec (kernels/tiff.py): strip-based gray/bilevel decode over
 both byte orders with None/PackBits/LZW(+predictor) compression, plus the
-imgio dispatch and the extraction e2e. CCITT G3/G4 is a documented,
-deliberate ValueError (no in-container ground truth could validate a
-from-memory T.4/T.6 table transcription).
+imgio dispatch and the extraction e2e. CCITT G3/G4 lives in
+kernels/ccitt.py and is cross-validated against the system libtiff in
+tests/test_ccitt.py; here it joins the dispatch/extraction e2e.
 """
 
 import numpy as np
@@ -89,7 +89,8 @@ def test_malformed_and_ccitt_rejected():
         decode_tiff(b"II\x2b\x00\x08\x00\x00\x00")  # BigTIFF magic
     img = np.zeros((4, 4), np.uint8)
     blob = bytearray(encode_tiff(img))
-    # flip Compression tag value to 4 (G4): must raise, not garble
+    # flip Compression tag value to 4 (G4) on an 8-bit image: must raise
+    # (CCITT strips are bilevel by definition), not garble
     comp_at = blob.find(bytes.fromhex("03010300010000000100"))
     assert comp_at > 0
     blob[comp_at + 8] = 4
@@ -108,4 +109,19 @@ def test_imgio_tiff_dispatch_and_extraction_cer0():
     out = extract_document(
         encode_tiff(d["img"], compression=5), "u", d["lang"], gt_text=d["text"]
     )
+    assert out["cer"] == 0.0 and out["text"] == d["text"]
+
+
+@pytest.mark.parametrize("comp,t4_2d", [(2, False), (3, False), (3, True), (4, False)])
+def test_ccitt_extraction_cer0(comp, t4_2d):
+    """Fax-compressed institutional scans (the dominant bilevel wire
+    format) flow through the same dispatch to byte-identical text. The
+    128-threshold at encode time is exactly the binarization the pipeline
+    itself would apply to the synthetic high-contrast pages."""
+    from kraken_spark.stages import extract_document
+
+    d = render.render_document(42, 2)
+    tb = encode_tiff(d["img"], compression=comp, t4_2d=t4_2d)
+    assert imgio.read_dimensions(tb) == (d["img"].shape[1], d["img"].shape[0])
+    out = extract_document(tb, "u", d["lang"], gt_text=d["text"])
     assert out["cer"] == 0.0 and out["text"] == d["text"]
