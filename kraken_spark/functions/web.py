@@ -1,0 +1,124 @@
+"""Web-corpus page metadata + link graph (the Common-Crawl index signals).
+
+`page_metadata` lifts per-page head/DOM signals (title, description,
+canonical, robots noindex/nofollow, <html lang>, resolved outlinks) out of
+the documents table in one Arrow-batched DOM pass (kernels/htmlparse.
+page_meta — no per-row Python, same batching discipline as extraction).
+`domain_link_graph` then turns the outlinks into a (src_domain,
+dst_domain, n_links) edge list entirely JVM-side: JSON array explode +
+regexp domain extraction + one groupBy — the shape that survives 10^12
+pages because the only shuffle is the final per-edge aggregation, and
+per-page link lists are bounded (MAX_LINKS) before the explode.
+
+The reference engine has no web leg (it is image-only); these mirror what
+its CLI metadata plumbing (kraken/kraken.py message/ProcessingStep
+surface) would need to become over a crawl corpus, per the brief's
+Common-Crawl-style north rule.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# outlink cap per page: wild pages carry up to ~10^4 anchors; an unbounded
+# explode would let one adversarial page fan out millions of edge rows
+MAX_LINKS = 512
+
+_META_SCHEMA = (
+    "url string, title string, description string, canonical string, "
+    "noindex boolean, nofollow boolean, lang_attr string, "
+    "links_json string, n_links int"
+)
+
+
+def page_metadata(docs: DataFrame) -> DataFrame:
+    """documents(url, html, ...) -> one metadata row per page. Links are
+    emitted as a JSON array string (driver-output invariant: no
+    array-typed columns), capped at MAX_LINKS in document order."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels.htmlparse import looks_like_html, page_meta
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("title", pa.string()),
+                pa.field("description", pa.string()),
+                pa.field("canonical", pa.string()),
+                pa.field("noindex", pa.bool_()),
+                pa.field("nofollow", pa.bool_()),
+                pa.field("lang_attr", pa.string()),
+                pa.field("links_json", pa.string()),
+                pa.field("n_links", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                url = r["url"]
+                html = bytes(r["html"] or b"")
+                row = {
+                    "url": url,
+                    "title": None,
+                    "description": None,
+                    "canonical": None,
+                    "noindex": False,
+                    "nofollow": False,
+                    "lang_attr": None,
+                    "links_json": "[]",
+                    "n_links": 0,
+                }
+                try:
+                    if looks_like_html(html):
+                        m = page_meta(html, base_url=url)
+                        links = m["links"][:MAX_LINKS]
+                        row.update(
+                            title=m["title"],
+                            description=m["description"],
+                            canonical=m["canonical"],
+                            noindex=m["noindex"],
+                            nofollow=m["nofollow"],
+                            lang_attr=m["lang_attr"],
+                            links_json=json.dumps(links),
+                            n_links=len(links),
+                        )
+                except Exception:
+                    pass  # malformed page: keep the empty-metadata row
+                out.append(row)
+            if out:
+                yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return docs.select("url", "html").mapInArrow(fn, schema=_META_SCHEMA)
+
+
+_DOMAIN_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//?([^/?#:]+)"
+
+
+def _domain(col):
+    """URL -> lowercased host. Pure JVM regexp (no UDF): scheme://host…"""
+    return F.lower(F.regexp_extract(col, _DOMAIN_RE, 1))
+
+
+def domain_link_graph(meta: DataFrame) -> DataFrame:
+    """page_metadata output -> (src_domain, dst_domain, n_links) edges,
+    nofollow pages excluded (their anchors are opted out of the graph).
+    All JVM-side: from_json + explode + regexp + one groupBy shuffle."""
+    links = (
+        meta.where(~F.col("nofollow"))
+        .select(
+            _domain(F.col("url")).alias("src_domain"),
+            F.explode(
+                F.from_json(F.col("links_json"), ArrayType(StringType()))
+            ).alias("link"),
+        )
+        .select("src_domain", _domain(F.col("link")).alias("dst_domain"))
+        .where((F.col("src_domain") != "") & (F.col("dst_domain") != ""))
+    )
+    return links.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_links")
+    )

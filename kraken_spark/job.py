@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
         "PATH ends in .arrow, else a directory of per-partition shards "
         "with a manifest (sources/arrow_dataset.py)",
     )
+    ap.add_argument(
+        "--export-wet",
+        default=None,
+        metavar="DIR",
+        help="additionally write the committed extractions as Common-Crawl "
+        "WET shards (WARC conversion records, one .warc.wet.gz per "
+        "partition + manifest; sources/warc.write_wet_shards)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -136,6 +144,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     done = spark.read.parquet(args.output)
     print(f"[kraken_spark] committed {done.count()} extraction rows -> {args.output}")
+    if args.export_wet:
+        from kraken_spark.sources.warc import write_wet_shards
+
+        write_wet_shards(done, args.export_wet)
+        print(f"[kraken_spark] WET shards -> {args.export_wet}")
     if args.export_dataset and args.input_format == "warc":
         # WARC records carry no ground-truth transcription; the synthesized
         # NULL text column must not reach the line-dataset compiler

@@ -485,6 +485,78 @@ def seg_from_html(data: bytes, lang: str | None = None) -> dict:
     }
 
 
+def page_meta(data: bytes, base_url: str | None = None) -> dict:
+    """HTML bytes -> page-level metadata for the web-corpus table: title,
+    meta description, canonical URL, robots noindex/nofollow flags,
+    <html lang>, and resolved outlinks (href of every <a>, urljoin'd
+    against base_url / <base href>, deduplicated in document order;
+    fragment-only, javascript: and mailto: links dropped).
+
+    This is the per-page signal set a Common-Crawl-style pipeline keys on
+    for index hygiene (noindex filtering), URL frontier expansion
+    (outlinks) and snippeting (title/description) — computed in the same
+    single DOM pass infrastructure as the boilerplate strip."""
+    from urllib.parse import urljoin
+
+    root = parse_html(data)
+    meta = {
+        "title": None,
+        "description": None,
+        "canonical": None,
+        "noindex": False,
+        "nofollow": False,
+        "lang_attr": None,
+        "links": [],
+    }
+    base = base_url or ""
+    seen = set()
+
+    def walk(node: Node):
+        nonlocal base
+        tag = node.tag
+        if tag == "html" and meta["lang_attr"] is None:
+            lang = node.attrs.get("lang")
+            if lang:
+                meta["lang_attr"] = lang.strip().lower() or None
+        elif tag == "base":
+            href = node.attrs.get("href")
+            if href:
+                base = urljoin(base_url or "", href.strip())
+        elif tag == "title" and meta["title"] is None:
+            meta["title"] = _norm_ws(
+                "".join(c.text for c in node.children if c.tag == "#text")
+            ) or None
+        elif tag == "meta":
+            name = (node.attrs.get("name") or "").strip().lower()
+            content = node.attrs.get("content") or ""
+            if name == "description" and meta["description"] is None:
+                meta["description"] = _norm_ws(content) or None
+            elif name == "robots":
+                directives = {d.strip().lower() for d in content.split(",")}
+                if "noindex" in directives or "none" in directives:
+                    meta["noindex"] = True
+                if "nofollow" in directives or "none" in directives:
+                    meta["nofollow"] = True
+        elif tag == "link":
+            rel = (node.attrs.get("rel") or "").strip().lower()
+            if rel == "canonical" and meta["canonical"] is None:
+                href = node.attrs.get("href")
+                if href:
+                    meta["canonical"] = urljoin(base, href.strip())
+        elif tag == "a":
+            href = (node.attrs.get("href") or "").strip()
+            if href and not href.startswith(("#", "javascript:", "mailto:")):
+                resolved = urljoin(base, href)
+                if resolved and resolved not in seen:
+                    seen.add(resolved)
+                    meta["links"].append(resolved)
+        for ch in node.children:
+            walk(ch)
+
+    walk(root)
+    return meta
+
+
 def looks_like_html(data: bytes) -> bool:
     """Web-HTML sniff for payload routing: an <html>/<!doctype html>
     prologue WITHOUT hOCR markers (hOCR is HTML too — meta name=ocr-system

@@ -18,6 +18,9 @@ reader/writer pair:
   HTTP response wrapping), so every parse path round-trips.
 - `explode_warc(df)`: Spark face — DataFrame of (path, warc binary) ->
   one documents-shaped row per response record via mapInArrow.
+- `write_wet_gz(rows)` / `write_wet_shards(df, dir)`: the WET sink —
+  Common-Crawl's extracted-text artifact (WARC `conversion` records,
+  text/plain payloads), one shard per partition, executor-written.
 
 Scale shape: Common-Crawl splits its corpus into ~1 GB .warc.gz files
 (tens of thousands per crawl); one task per file is the natural
@@ -229,6 +232,99 @@ def write_warc_gz(rows: list[dict]) -> bytes:
             hdrs.append(("WARC-Date", str(r["warc_ts"])))
         out += _gzip_member(record(hdrs, http))
     return bytes(out)
+
+
+def write_wet_gz(rows: list[dict], software: str = "kraken-spark-wet-writer") -> bytes:
+    """Extraction output dicts (url, text, optional warc_ts/lang/refers_to)
+    -> a .wet.gz blob: the Common-Crawl WET layout — a warcinfo record
+    followed by one WARC `conversion` record per page whose payload is the
+    extracted plain text (UTF-8, Content-Type text/plain), WARC-Refers-To
+    linking back to the source response record. Member-per-record gzip so
+    readers can split on member boundaries, same as the WARC writer."""
+
+    def record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+        head = b"WARC/1.0\r\n"
+        head += b"".join(f"{k}: {v}\r\n".encode("latin-1") for k, v in headers)
+        head += f"Content-Length: {len(payload)}\r\n".encode()
+        return head + CRLF + payload + CRLF + CRLF
+
+    out = bytearray()
+    info = f"software: {software}\r\nformat: WET File Format 1.0\r\n".encode()
+    out += _gzip_member(
+        record(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Record-ID", "<urn:uuid:wet-0>"),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            info,
+        )
+    )
+    for i, r in enumerate(rows):
+        body = (r.get("text") or "").encode("utf-8")
+        hdrs = [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", f"<urn:uuid:wet-{i + 1}>"),
+            ("WARC-Target-URI", r["url"]),
+            ("Content-Type", "text/plain"),
+        ]
+        if r.get("refers_to"):
+            hdrs.append(("WARC-Refers-To", str(r["refers_to"])))
+        if r.get("warc_ts"):
+            hdrs.append(("WARC-Date", str(r["warc_ts"])))
+        if r.get("lang"):
+            hdrs.append(("WARC-Identified-Content-Language", str(r["lang"])))
+        out += _gzip_member(record(hdrs, body))
+    return bytes(out)
+
+
+def write_wet_shards(extracted_df, out_dir: str) -> None:
+    """Spark face of the WET sink: extraction output (url, text, + any of
+    warc_ts/lang) -> one .wet.gz file per partition under out_dir, written
+    executor-side with no driver bottleneck (the write_ipc_shards pattern,
+    sources/arrow_dataset.py) — at 100 TB each task streams its partition
+    into its own shard, mirroring how Common Crawl ships one WET file per
+    WARC file. Rows are sorted by url within a shard for determinism."""
+    import os
+
+    import pyarrow as pa
+
+    cols = [c for c in ("url", "warc_ts", "text", "lang") if c in extracted_df.columns]
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        rows = []
+        for batch in batches:
+            for r in batch.to_pylist():
+                rows.append(
+                    {
+                        "url": r["url"],
+                        "text": r.get("text") or "",
+                        "warc_ts": r.get("warc_ts"),
+                        "lang": r.get("lang"),
+                    }
+                )
+        schema = pa.schema([pa.field("path", pa.string()), pa.field("n", pa.int64())])
+        if rows:
+            rows.sort(key=lambda r: r["url"])
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+            with open(path, "wb") as f:
+                f.write(write_wet_gz(rows))
+            yield pa.RecordBatch.from_pylist(
+                [{"path": path, "n": len(rows)}], schema=schema
+            )
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = extracted_df.select(*cols).mapInArrow(
+        fn, schema="path string, n bigint"
+    )
+    shards = [r.asDict() for r in manifest.collect()]  # tiny: one row/shard
+    import json
+
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({"shards": sorted(shards, key=lambda s: s["path"])}, f, indent=1)
 
 
 # --------------------------------------------------------------------------

@@ -668,6 +668,24 @@ def test_job_cli_end_to_end(spark, capsys):
         table, meta = read_binary_dataset(f"{tmp}/lines.arrow")
         assert len(table) == meta["counts"]["all"] > 0
         assert "exported" in capsys.readouterr().out
+        # --export-wet ships the committed text as Common-Crawl WET shards
+        rc = main(["--input", f"{tmp}/in", "--output", f"{tmp}/out",
+                   "--resume", "--export-wet", f"{tmp}/wet"])
+        assert rc == 0
+        import json as _json
+
+        from kraken_spark.sources.warc import warc_to_documents
+
+        shards = _json.load(open(f"{tmp}/wet/manifest.json"))["shards"]
+        assert sum(s["n"] for s in shards) == 6
+        wet_rows = [
+            d for s in shards
+            for d in warc_to_documents(open(s["path"], "rb").read())
+        ]
+        committed = {
+            r.url: r.text for r in spark.read.parquet(f"{tmp}/out").collect()
+        }
+        assert {d["url"]: d["html"].decode() for d in wet_rows} == committed
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1,0 +1,163 @@
+"""Web-corpus metadata + WET sink (functions/web.py, sources/warc.py):
+page-level head/DOM signals, the domain link graph, and the Common-Crawl
+WET conversion-record artifact with its per-partition shard writer.
+"""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from kraken_spark.kernels import render
+from kraken_spark.kernels.htmlparse import page_meta, write_boilerplate_page
+from kraken_spark.sources.warc import (
+    iter_warc_records,
+    warc_to_documents,
+    write_wet_gz,
+)
+
+_PAGE = b"""<!doctype html>
+<html lang="en-GB">
+<head>
+  <title> The  Page &amp; Title </title>
+  <base href="https://base.example.com/dir/">
+  <meta name="description" content="A &quot;demo&quot; page.">
+  <meta name="robots" content="NOINDEX, nofollow">
+  <link rel="canonical" href="../canon">
+</head>
+<body>
+  <a href="rel/one">r</a>
+  <a href="/abs/two">a</a>
+  <a href="https://other.example.net/three">x</a>
+  <a href="#frag">skip</a>
+  <a href="mailto:x@y.z">skip</a>
+  <a href="javascript:void(0)">skip</a>
+  <a href="rel/one">dup</a>
+</body></html>"""
+
+
+def test_page_meta_fields_and_link_resolution():
+    m = page_meta(_PAGE, base_url="https://fetch.example.org/fetched/page")
+    assert m["title"] == "The Page & Title"
+    assert m["description"] == 'A "demo" page.'
+    # canonical resolves against <base href>, not the fetch URL
+    assert m["canonical"] == "https://base.example.com/canon"
+    assert m["noindex"] is True and m["nofollow"] is True
+    assert m["lang_attr"] == "en-gb"
+    assert m["links"] == [
+        "https://base.example.com/dir/rel/one",
+        "https://base.example.com/abs/two",
+        "https://other.example.net/three",
+    ]
+
+
+def test_page_meta_defaults_and_robots_none():
+    m = page_meta(b"<html><body><p>x</p></body></html>")
+    assert m["title"] is None and m["canonical"] is None
+    assert m["noindex"] is False and m["nofollow"] is False and m["links"] == []
+    m2 = page_meta(b'<html><head><meta name="robots" content="none"></head></html>')
+    assert m2["noindex"] is True and m2["nofollow"] is True
+
+
+def test_wet_roundtrip_through_warc_reader():
+    rows = [
+        {
+            "url": "https://example.org/a",
+            "text": "line one\nline two",
+            "warc_ts": "2026-08-17T00:00:00Z",
+            "lang": "en",
+            "refers_to": "<urn:uuid:1>",
+        },
+        {"url": "https://example.org/b", "text": "autre texte", "lang": "fr"},
+    ]
+    blob = write_wet_gz(rows)
+    # member-per-record gzip: warcinfo + 2 conversions = 3 members
+    assert blob[:2] == b"\x1f\x8b"
+    recs = list(iter_warc_records(blob))
+    assert [h.get("warc-type") for h, _ in recs] == [
+        "warcinfo",
+        "conversion",
+        "conversion",
+    ]
+    conv = recs[1]
+    assert conv[0]["warc-target-uri"] == "https://example.org/a"
+    assert conv[0]["warc-refers-to"] == "<urn:uuid:1>"
+    assert conv[0]["content-type"] == "text/plain"
+    assert conv[1].decode() == "line one\nline two"
+    # the documents adapter surfaces conversion records too
+    docs = warc_to_documents(blob)
+    assert {d["url"]: d["html"].decode() for d in docs} == {
+        "https://example.org/a": "line one\nline two",
+        "https://example.org/b": "autre texte",
+    }
+    # plain-gzip readers that ignore member boundaries still see all text
+    assert b"autre texte" in gzip.decompress(blob)
+
+
+def test_wet_shards_spark_e2e(tmp_path):
+    """extraction output -> write_wet_shards -> explode_warc reads the
+    shards back byte-identical per url; manifest covers every row."""
+    pytest.importorskip("pyspark")
+    from kraken_spark.session import get_spark
+    from kraken_spark.sources.warc import explode_warc, write_wet_shards
+
+    spark = get_spark(app="test-wet", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = []
+    for i in range(4):
+        d = render.render_document(42, i)
+        docs.append(
+            (f"https://example.org/{d['lang']}/doc-{i:08d}", d["text"], d["lang"])
+        )
+    df = spark.createDataFrame(docs, "url string, text string, lang string")
+    out = str(tmp_path / "wet")
+    write_wet_shards(df.repartition(2), out)
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert sum(s["n"] for s in manifest["shards"]) == 4
+    files = spark.createDataFrame(
+        [(s["path"], open(s["path"], "rb").read()) for s in manifest["shards"]],
+        "path string, content binary",
+    )
+    back = {r.url: bytes(r.html).decode() for r in explode_warc(files).collect()}
+    assert back == {u: t for u, t, _ in docs}
+
+
+def test_page_metadata_and_link_graph_spark():
+    pytest.importorskip("pyspark")
+    from kraken_spark.functions.web import domain_link_graph, page_metadata
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="test-webmeta", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def page(links, nofollow=False):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        robots = '<meta name="robots" content="nofollow">' if nofollow else ""
+        return f"<!doctype html><html><head>{robots}</head><body>{body}</body></html>".encode()
+
+    rows = [
+        ("https://a.example.org/p1", page(["https://b.example.net/x", "/local"])),
+        ("https://a.example.org/p2", page(["https://b.example.net/y"])),
+        ("https://c.example.com/p3", page(["https://b.example.net/z"], nofollow=True)),
+        ("https://d.example.com/bad", b"\x00\xff not html"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, html binary")
+    meta = page_metadata(docs)
+    got = {r.url: r for r in meta.collect()}
+    assert got["https://a.example.org/p1"].n_links == 2
+    assert got["https://c.example.com/p3"].nofollow is True
+    assert got["https://d.example.com/bad"].n_links == 0
+    edges = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in domain_link_graph(meta).collect()
+    }
+    # nofollow page's links excluded; self-domain edge from the /local link
+    assert edges == {
+        ("a.example.org", "b.example.net"): 2,
+        ("a.example.org", "a.example.org"): 1,
+    }
+    # scale-shape guard: no python UDF in the link-graph plan (the only
+    # python stage is the upstream metadata mapInArrow)
+    plan = domain_link_graph(meta)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
