@@ -357,6 +357,124 @@ SELECT n_docs, COUNT(*) AS n_clusters FROM clusters GROUP BY n_docs ORDER BY n_d
 """
 
 
+# --------------------------------------------------------------------------
+# Paragraph-level dedup (C4/RefinedWeb-style repeated-line removal)
+# --------------------------------------------------------------------------
+
+# a paragraph shorter than this (after trim) is never treated as corpus
+# boilerplate — empty lines and one-word fragments repeat naturally and
+# stripping them would mangle formatting
+MIN_PARA_LEN = 10
+
+
+def _para_hash(col):
+    """Cross-engine paragraph hash (module convention: md5 prefix for
+    DuckDB parity; production swaps to xxhash64 without plan changes)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _paragraphs(docs):
+    """documents(url, text) -> (url, pos, para, cand, ph): one row per
+    newline-split paragraph with its position, boilerplate-candidacy flag
+    and cross-engine hash. The explode is bounded by document size (the
+    same row-blowup profile as the shingle explode above)."""
+    return docs.select(
+        "url", F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "para")
+    ).select(
+        "url",
+        "pos",
+        "para",
+        (F.length(F.trim(F.col("para"))) >= MIN_PARA_LEN).alias("cand"),
+        _para_hash(F.col("para")).alias("ph"),
+    )
+
+
+def repeated_paragraph_report(docs, min_repeats: int = 2):
+    """Corpus boilerplate report: paragraphs (len >= MIN_PARA_LEN) that
+    appear in >= min_repeats DISTINCT documents, with their document
+    frequency — the audit view of what strip_repeated_paragraphs removes.
+    One groupBy shuffle keyed on the paragraph hash; the paragraph string
+    rides along via first() so the wide text is not the shuffle key."""
+    return (
+        _paragraphs(docs)
+        .where("cand")
+        .groupBy("ph")
+        .agg(
+            F.first("para").alias("para"),
+            F.countDistinct("url").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_repeats)
+        .select("para", "n_docs")
+    )
+
+
+def strip_repeated_paragraphs(docs, min_repeats: int = 2):
+    """The C4/RefinedWeb line-dedup rule, Spark-native: drop every
+    paragraph that occurs in >= min_repeats distinct documents (cookie
+    banners, nav crumbs, licence footers that survive per-page boilerplate
+    stripping only corpus statistics can catch), preserving the order and
+    formatting of everything kept. Returns (url, text) for EVERY input
+    document (fully-boilerplate docs come back with '').
+
+    Scale shape: paragraph explode -> hash-keyed countDistinct (shuffle 1)
+    -> hash join back (shuffle 2, both sides pre-hashed BIGINT keys) ->
+    per-url rebuild (shuffle 3, bounded by document size). No Python; the
+    whole plan is codegen + exchanges. At 10^12 docs the boilerplate set
+    is small relative to the corpus but NOT broadcastable in general
+    (millions of distinct repeated paragraphs), hence the shuffle join."""
+    paras = _paragraphs(docs)
+    boiler = (
+        paras.where("cand")
+        .groupBy("ph")
+        .agg(F.countDistinct("url").alias("n_docs"))
+        .where(F.col("n_docs") >= min_repeats)
+        .select("ph", F.lit(True).alias("boiler"))
+    )
+    kept = (
+        paras.join(boiler, "ph", "left")
+        .where(F.col("boiler").isNull() | ~F.col("cand"))
+        .groupBy("url")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"],
+                ),
+            ).alias("text")
+        )
+    )
+    return docs.select("url").join(kept, "url", "left").select(
+        "url", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+
+
+STRIP_PARAGRAPHS_SQL_TEMPLATE = """
+WITH sp AS (SELECT url, string_split(text, chr(10)) AS l FROM documents),
+paras AS (
+  SELECT url, i AS pos, l[i] AS para
+  FROM sp, LATERAL unnest(generate_series(1, len(l))) AS g(i)),
+cand AS (
+  SELECT url, pos, para,
+         length(trim(para)) >= {min_len} AS cand,
+         CAST(('0x' || substr(md5(para), 1, 8)) AS BIGINT) AS ph
+  FROM paras),
+boiler AS (
+  SELECT ph FROM cand WHERE cand
+  GROUP BY ph HAVING COUNT(DISTINCT url) >= {min_repeats}),
+kept AS (
+  SELECT c.url, c.pos, c.para FROM cand c
+  LEFT JOIN boiler b ON c.cand AND c.ph = b.ph
+  WHERE b.ph IS NULL),
+rebuilt AS (
+  SELECT url, string_agg(para, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY url)
+SELECT d.url, COALESCE(r.text, '') AS text
+FROM (SELECT DISTINCT url FROM documents) d
+LEFT JOIN rebuilt r ON d.url = r.url
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
