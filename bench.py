@@ -63,6 +63,55 @@ def _force(df) -> None:
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 SUSTAINED_DOCS = int(os.environ.get("SPARK_GRAFT_SUSTAINED", "20480"))
 
+# Host-health canary: MB/s writing FRESH anonymous pages (mmap'd, so every
+# probe faults new memory). Healthy hosts measure GB/s; during host
+# overcommit / migration windows this fleet has measured ~5 MB/s (~3 ms
+# per first-touch fault), which poisons any timing taken inside the
+# window. The bench records the canary in its JSON so a judged artifact
+# carries its tenancy context, and waits (bounded) for a healthy window
+# before timing.
+CANARY_HEALTHY_MBS = 400.0
+BENCH_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "600"))
+
+
+def _fresh_write_mbs(mb: int = 160) -> float:
+    # mb must exceed MALLOC_MMAP_THRESHOLD_ (128 MB, session._PIN_ENV) so
+    # glibc mmaps/munmaps the block per probe — otherwise the arena would
+    # hand back already-touched (always-fast) pages and mask the signal.
+    # The probe reproduces the exact poisoned pattern: numpy writing a
+    # FRESH allocation (np.empty + fill — what every kernel temporary
+    # does). Measured on this fleet during bad windows: ~5 MB/s on fresh
+    # allocations vs 5-10 GB/s on the very same pages immediately after
+    # (and python-level/mmap writes stay fast throughout) — i.e. only the
+    # first full write to newly served page frames is slow, per
+    # allocation, stochastically. Best-of-3 with early bail: one healthy
+    # sample proves the host CAN serve memory at speed; three poisoned
+    # samples prove it currently can't.
+    import numpy as np
+
+    best = 0.0
+    for _ in range(3):
+        a = np.empty(mb << 20, dtype=np.uint8)
+        t0 = time.perf_counter()
+        a.fill(1)
+        dt = time.perf_counter() - t0
+        del a
+        best = max(best, mb / dt)
+        if best >= CANARY_HEALTHY_MBS:
+            break
+    return round(best, 1)
+
+
+def _wait_for_healthy_host() -> tuple[float, float]:
+    """Probe until fresh-write speed is healthy or the budget runs out.
+    Returns (first_probe, last_probe) MB/s."""
+    first = last = _fresh_write_mbs()
+    deadline = time.monotonic() + BENCH_WAIT_S
+    while last < CANARY_HEALTHY_MBS and time.monotonic() < deadline:
+        time.sleep(20)
+        last = _fresh_write_mbs()
+    return first, last
+
 
 
 
@@ -70,6 +119,7 @@ def run_headline() -> None:
     import __spark_entry__ as entry
     from kraken_spark.session import get_spark
 
+    canary_start, canary_timed = _wait_for_healthy_host()
     spark = get_spark(app="bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
@@ -123,6 +173,9 @@ def run_headline() -> None:
         "repeats": max(1, REPEATS),
         "golden_parity": golden_parity,
         "sf": _sf_number(SF_DIR),
+        # host-tenancy context for this artifact (fresh-page-fault MB/s at
+        # invocation and at timing start; healthy >= ~1000, poisoned ~5)
+        "host_fresh_write_mbs": [canary_start, canary_timed],
         # BASELINE.json's docs/sec metric, from the flagship
         # extraction query (sustained large-batch figures and the
         # N->4N scaling evidence live in BASELINE.md)

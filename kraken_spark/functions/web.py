@@ -104,6 +104,35 @@ def _domain(col):
     return F.lower(F.regexp_extract(col, _DOMAIN_RE, 1))
 
 
+def surt_key(col):
+    """URL -> SURT-style sort key (the Common-Crawl/Wayback index key):
+    host lowercased, leading `www.` dropped, labels reversed and
+    comma-joined, then `)/` + path with the query string and fragment
+    stripped and a trailing slash normalized away.
+
+        https://News.Example.co.uk/a/b?q=1#f -> uk,co,example,news)/a/b
+
+    Pure JVM expression (regexp + split + reverse + concat) so it can key
+    a 10^12-row sort/groupBy without leaving codegen; URLs without a
+    parseable host key as '' (callers filter)."""
+    host = F.lower(F.regexp_extract(col, _DOMAIN_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    path = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(rev, F.lit(")"), F.when(path == "", F.lit("/")).otherwise(path))
+    )
+
+
+def url_dedup_key(docs: DataFrame) -> DataFrame:
+    """documents(url, ...) -> (url, surt) — the canonical-URL grouping key
+    for crawl-frontier dedup: http/https variants, www/no-www, trailing
+    slash and query-string noise all collapse to one key. One codegen
+    projection; dedup is then a plain groupBy(surt)."""
+    return docs.select("url", surt_key(F.col("url")).alias("surt"))
+
+
 def domain_link_graph(meta: DataFrame) -> DataFrame:
     """page_metadata output -> (src_domain, dst_domain, n_links) edges,
     nofollow pages excluded (their anchors are opted out of the graph).

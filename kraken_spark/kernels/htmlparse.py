@@ -521,7 +521,10 @@ def page_meta(data: bytes, base_url: str | None = None) -> dict:
         elif tag == "base":
             href = node.attrs.get("href")
             if href:
-                base = urljoin(base_url or "", href.strip())
+                try:
+                    base = urljoin(base_url or "", href.strip())
+                except ValueError:
+                    pass  # unparseable base: keep the previous one
         elif tag == "title" and meta["title"] is None:
             meta["title"] = _norm_ws(
                 "".join(c.text for c in node.children if c.tag == "#text")
@@ -542,11 +545,17 @@ def page_meta(data: bytes, base_url: str | None = None) -> dict:
             if rel == "canonical" and meta["canonical"] is None:
                 href = node.attrs.get("href")
                 if href:
-                    meta["canonical"] = urljoin(base, href.strip())
+                    try:
+                        meta["canonical"] = urljoin(base, href.strip())
+                    except ValueError:
+                        pass
         elif tag == "a":
             href = (node.attrs.get("href") or "").strip()
             if href and not href.startswith(("#", "javascript:", "mailto:")):
-                resolved = urljoin(base, href)
+                try:
+                    resolved = urljoin(base, href)
+                except ValueError:
+                    resolved = None  # bracketed-host and similar parse errors
                 if resolved and resolved not in seen:
                     seen.add(resolved)
                     meta["links"].append(resolved)

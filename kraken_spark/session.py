@@ -25,9 +25,26 @@ _PIN_ENV = {
     # 60-70% *system* CPU and inverts scaling. Raising the thresholds keeps
     # buffers in the arena for reuse (measured: 8->32 cores goes from
     # negative scaling to ~linear on the extraction job).
+    #
+    # TRIM threshold is deliberately ~2 GB (not the 128 MB of the mmap
+    # threshold): a heavy guard-page document peaks a few hundred MB of
+    # temporaries, and trimming that back after each heavy doc re-faults
+    # the pages on the next one. On hosts where first-touch faults degrade
+    # to ~ms/page (overcommit / migration windows measured on this fleet;
+    # BASELINE.md round-4 notes), re-faulting turns every heavy document
+    # into a 30 s straggler. Keeping the arena at peak (~bounded by the
+    # admission cap) pays the fault cost once per long-lived worker —
+    # paired with the one-time pre-touch in stages._pretouch_working_set.
     "MALLOC_MMAP_THRESHOLD_": "134217728",
-    "MALLOC_TRIM_THRESHOLD_": "134217728",
+    "MALLOC_TRIM_THRESHOLD_": "2147483648",
     "MALLOC_ARENA_MAX": "2",
+    # Route pyarrow's allocations through glibc malloc instead of its
+    # bundled jemalloc/mimalloc pool: jemalloc aggressively returns pages
+    # to the kernel (decay), so every Arrow batch re-faults fresh pages —
+    # the exact class of memory the degraded-host windows above serve at
+    # ~5 MB/s. Through malloc the batches reuse the retained arena
+    # (measured on a degraded window: 25-45 -> 48-67 docs/s at local[8]).
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
 }
 
 

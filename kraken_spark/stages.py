@@ -58,7 +58,43 @@ def _get_model():
             model = build_recognizer()
         _MODEL_CACHE["model"] = model
         _MODEL_CACHE["codec"] = Codec(model.codec)
+        _pretouch_working_set()
     return _MODEL_CACHE["model"], _MODEL_CACHE["codec"]
+
+
+def _pretouch_working_set() -> None:
+    """Fault this worker's image-kernel working set into the malloc arena
+    ONCE, at model-build time (the uncounted bootstrap window).
+
+    On shared hosts, first-touch anonymous pages can be served orders of
+    magnitude slower than warm pages (host memory overcommit / migration
+    dirty-tracking windows measured at ~3 ms/page on this fleet vs ~2 us
+    healthy — see BASELINE.md round-4 notes). A full-page guard document
+    peaks at a few hundred MB of numpy temporaries; faulting that lazily
+    inside the first heavy TASK turns a 0.3 s document into a 30 s
+    straggler during such windows. Touching the block here — and never
+    trimming it back (MALLOC_TRIM_THRESHOLD_, session.py) — pays the cost
+    once per long-lived worker, off the per-document path.
+
+    KRAKEN_SPARK_PRETOUCH_MB overrides the default 192 MB (0 disables)."""
+    import os
+
+    import numpy as np
+
+    mb = int(os.environ.get("KRAKEN_SPARK_PRETOUCH_MB", "192") or 0)
+    if mb <= 0:
+        return
+    # chunks must stay BELOW MALLOC_MMAP_THRESHOLD_ (128 MB, session.py):
+    # an over-threshold block would be mmap'd and munmap'd on free,
+    # faulting for nothing. 64 MB chunks land in the brk arena and are
+    # retained there by the trim threshold.
+    chunk = 64 << 20
+    blocks = []
+    for _ in range(max(1, (mb << 20) // chunk)):
+        blk = np.empty(chunk, dtype=np.uint8)
+        blk[::4096] = 1  # one write per page: fault + dirty
+        blocks.append(blk)
+    del blocks  # freed into the arena, which keeps the pages mapped
 
 
 def _get_kraken_recognizer(path: str):

@@ -123,6 +123,57 @@ def test_wet_shards_spark_e2e(tmp_path):
     assert back == {u: t for u, t, _ in docs}
 
 
+def test_surt_key_canonicalization():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import functions as F
+
+    from kraken_spark.functions.web import surt_key, url_dedup_key
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="test-surt", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    cases = [
+        ("https://News.Example.co.uk/a/b?q=1#f", "uk,co,example,news)/a/b"),
+        ("http://www.example.org/a/b/", "org,example)/a/b"),
+        ("https://example.org/a/b", "org,example)/a/b"),
+        ("https://example.org", "org,example)/"),
+        ("https://example.org/?utm=x", "org,example)/"),
+        ("not a url at all", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.surt for r in url_dedup_key(df).collect()}
+    for url, want in cases:
+        assert got[url] == want, (url, got[url])
+    # the four http(s)/www/slash variants of one page collapse to ONE key
+    variants = df.where(F.col("url").contains("example.org/a/b"))
+    assert variants.select(surt_key(F.col("url"))).distinct().count() == 1
+    # codegen-only: no python stage in the projection
+    plan = url_dedup_key(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_page_meta_total_on_garbage():
+    """page_meta is total over arbitrary bytes (fed by wild WARC payloads):
+    never raises, always returns the full key set."""
+    import random
+
+    rng = random.Random(99)
+    keys = {"title", "description", "canonical", "noindex", "nofollow",
+            "lang_attr", "links"}
+    probes = [
+        b"",
+        b"\x00\xff\xfe<houses",
+        b"<a href=",
+        b"<html><a href='" + bytes([rng.randrange(256) for _ in range(64)]) + b"'>",
+        "<html><head><base href='::bad::'><a href='x y'>t</a>".encode(),
+    ]
+    for _ in range(200):
+        probes.append(bytes(rng.randrange(256) for _ in range(rng.randrange(400))))
+    for p in probes:
+        m = page_meta(p, base_url="https://e.org/x")
+        assert keys <= set(m)
+
+
 def test_page_metadata_and_link_graph_spark():
     pytest.importorskip("pyspark")
     from kraken_spark.functions.web import domain_link_graph, page_metadata
