@@ -485,6 +485,58 @@ def seg_from_html(data: bytes, lang: str | None = None) -> dict:
     }
 
 
+_HEADING_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
+def _block_kind(path: str) -> tuple[str, int]:
+    """Block tag-chain -> (kind, level) for structured rendering. The
+    NEAREST structural ancestor wins (a <p> inside <li> is a list item;
+    an <h2> inside <blockquote> renders as a quote heading is overkill —
+    heading outranks quote because it carries document structure)."""
+    tags = path.split(".")
+    for t in reversed(tags):
+        if t in _HEADING_TAGS:
+            return "heading", _HEADING_TAGS[t]
+    if any(t in ("li", "dd", "dt") for t in tags):
+        # nesting level = enclosing list containers (ul/ol/dl), min 1
+        return "item", max(1, sum(1 for t in tags if t in ("ul", "ol", "dl")))
+    if "blockquote" in tags:
+        return "quote", 0
+    if "pre" in tags:
+        return "pre", 0
+    return "para", 0
+
+
+def main_content_markdown(data: bytes, lang: str | None = None) -> str:
+    """Structure-preserving main-content extraction: the same classified
+    good blocks as extract_main_text, rendered as portable markdown-style
+    lines — `#`-prefixed headings (level from h1-h6), `-` list items
+    (nested lists indent two spaces per level), `>` blockquotes, 4-space
+    pre blocks, plain paragraphs. The LLM-training-corpus shape
+    (trafilatura/resiliparse-class extractors emit exactly this): document
+    structure survives the boilerplate strip without any HTML remaining.
+
+    Plain-paragraph-only pages render byte-identical to extract_main_text
+    (pinned in tests), so the CER-0 contract is a strict subset."""
+    _, blks = extract_main_text(data, lang)
+    out = []
+    for b in blks:
+        if b["cls"] != "good":
+            continue
+        kind, level = _block_kind(b["path"])
+        if kind == "heading":
+            out.append("#" * level + " " + b["text"])
+        elif kind == "item":
+            out.append("  " * (level - 1) + "- " + b["text"])
+        elif kind == "quote":
+            out.append("> " + b["text"])
+        elif kind == "pre":
+            out.append("    " + b["text"])
+        else:
+            out.append(b["text"])
+    return "\n".join(out)
+
+
 def page_meta(data: bytes, base_url: str | None = None) -> dict:
     """HTML bytes -> page-level metadata for the web-corpus table: title,
     meta description, canonical URL, robots noindex/nofollow flags,

@@ -152,6 +152,46 @@ def test_surt_key_canonicalization():
     assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
 
 
+def test_main_content_markdown_structure():
+    from kraken_spark.kernels.htmlparse import (
+        extract_main_text,
+        main_content_markdown,
+    )
+
+    page = b"""<!doctype html><html><body>
+    <nav><a href="/">Home</a><a href="/about">About</a></nav>
+    <article>
+      <h1>The Grand Unified Article Title</h1>
+      <p>This is the first real paragraph of the article and it is long
+      enough that the classifier accepts it as good content with the
+      usual words in it.</p>
+      <h2>A Second Level Heading Here</h2>
+      <ul>
+        <li>the first item of the list with enough words to be real content</li>
+        <li>the second item of the list also has enough words in it to count</li>
+        <ul><li>a nested item with enough words to be kept as content too</li></ul>
+      </ul>
+      <blockquote>a quoted passage that is long enough to be kept by the
+      classifier as content with the usual words</blockquote>
+      <pre>verbatim code block kept with enough length to be content here</pre>
+    </article>
+    <footer>Copyright chrome that should vanish</footer>
+    </body></html>"""
+    md = main_content_markdown(page, "en")
+    lines = md.split("\n")
+    assert lines[0] == "# The Grand Unified Article Title"
+    assert any(l.startswith("## A Second Level Heading") for l in lines)
+    assert any(l.startswith("- the first item") for l in lines)
+    assert any(l.startswith("  - a nested item") for l in lines)
+    assert any(l.startswith("> a quoted passage") for l in lines)
+    assert any(l.startswith("    verbatim code block") for l in lines)
+    assert "Home" not in md and "Copyright" not in md
+    # paragraph-only pages: markdown == plain extraction, byte-identical
+    plain = write_boilerplate_page("Line one of text.\nLine two of text.", "en",
+                                   "https://e.org/p")
+    assert main_content_markdown(plain, "en") == extract_main_text(plain, "en")[0]
+
+
 def test_page_meta_total_on_garbage():
     """page_meta is total over arbitrary bytes (fed by wild WARC payloads):
     never raises, always returns the full key set."""
