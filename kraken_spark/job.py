@@ -91,6 +91,14 @@ def main(argv: list[str] | None = None) -> int:
         "WET shards (WARC conversion records, one .warc.wet.gz per "
         "partition + manifest; sources/warc.write_wet_shards)",
     )
+    ap.add_argument(
+        "--export-cdx",
+        default=None,
+        metavar="DIR",
+        help="(warc input only) additionally build the Common-Crawl-style "
+        "CDXJ random-access index over the input WARC files: surt-sorted "
+        "cdx-NNNNN.gz shards + cluster.idx (sources/warc.write_cdx_shards)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -149,6 +157,14 @@ def main(argv: list[str] | None = None) -> int:
 
         write_wet_shards(done, args.export_wet)
         print(f"[kraken_spark] WET shards -> {args.export_wet}")
+    if args.export_cdx and args.input_format != "warc":
+        print("[kraken_spark] --export-cdx skipped: only warc input carries "
+              "the (file, offset, length) spans the index records")
+    elif args.export_cdx:
+        from kraken_spark.sources.warc import cdx_index, write_cdx_shards
+
+        write_cdx_shards(cdx_index(files), args.export_cdx)
+        print(f"[kraken_spark] CDX index -> {args.export_cdx}")
     if args.export_dataset and args.input_format == "warc":
         # WARC records carry no ground-truth transcription; the synthesized
         # NULL text column must not reach the line-dataset compiler

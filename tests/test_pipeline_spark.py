@@ -798,7 +798,8 @@ def test_job_cli_warc_input(spark, capsys):
         rc = main(
             ["--input", f"{tmp}/warcs", "--input-format", "warc",
              "--output", f"{tmp}/out", "--run-id", "warc-smoke",
-             "--report", "--export-dataset", f"{tmp}/lines.arrow"]
+             "--report", "--export-dataset", f"{tmp}/lines.arrow",
+             "--export-cdx", f"{tmp}/cdx"]
         )
         assert rc == 0
         # warc records carry no ground truth: both sidecars must skip
@@ -811,5 +812,18 @@ def test_job_cli_warc_input(spark, capsys):
         for r in out_rows:
             assert r.text == gt[r.url]
             assert not r.guard_tripped
+        # --export-cdx built a routable random-access index over the input
+        from kraken_spark.sources.warc import cdx_lookup, fetch_record
+
+        assert os.path.exists(f"{tmp}/cdx/cluster.idx")
+        for url in gt:
+            hits = cdx_lookup(f"{tmp}/cdx", url)
+            assert len(hits) == 1
+            h = hits[0]
+            local = "/" + h["filename"].removeprefix("file:").lstrip("/")
+            with open(local, "rb") as f:
+                f.seek(h["offset"])
+                _, payload = fetch_record(f.read(h["length"]))
+            assert h["url"] == url and payload.startswith(b"HTTP/1.1 200")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
