@@ -288,6 +288,12 @@ def blocks(root: Node) -> list[dict]:
     cur: list[str] = []
     cur_link = [0]
     state = {"path": [], "boiler": 0, "content": 0, "link": 0}
+    # table provenance (metadata only — classification and text assembly
+    # ignore it; the markdown renderer uses it to regroup cells into rows)
+    seq = {"table": 0, "row": 0, "cell": 0}
+    tstack: list[int] = []
+    rstack: list[int] = []
+    cstack: list[tuple[int, str]] = []
 
     def flush():
         text = _norm_ws("".join(cur))
@@ -301,6 +307,10 @@ def blocks(root: Node) -> list[dict]:
                     "path": ".".join(state["path"]),
                     "in_boiler": state["boiler"] > 0,
                     "in_content": state["content"] > 0,
+                    "table_id": tstack[-1] if tstack else -1,
+                    "row_id": rstack[-1] if rstack else -1,
+                    "cell_id": cstack[-1][0] if cstack else -1,
+                    "cell_tag": cstack[-1][1] if cstack else "",
                 }
             )
         cur.clear()
@@ -322,6 +332,15 @@ def blocks(root: Node) -> list[dict]:
                 state["boiler"] += 1
             if node.tag in CONTENT_TAGS:
                 state["content"] += 1
+            if node.tag == "table":
+                seq["table"] += 1
+                tstack.append(seq["table"])
+            elif node.tag == "tr":
+                seq["row"] += 1
+                rstack.append(seq["row"])
+            elif node.tag in ("td", "th"):
+                seq["cell"] += 1
+                cstack.append((seq["cell"], node.tag))
         if node.tag == "a":
             state["link"] += 1
         elif node.tag == "br":
@@ -339,6 +358,12 @@ def blocks(root: Node) -> list[dict]:
                 state["boiler"] -= 1
             if node.tag in CONTENT_TAGS:
                 state["content"] -= 1
+            if node.tag == "table":
+                tstack.pop()
+            elif node.tag == "tr":
+                rstack.pop()
+            elif node.tag in ("td", "th"):
+                cstack.pop()
 
     walk(root)
     flush()
@@ -507,6 +532,52 @@ def _block_kind(path: str) -> tuple[str, int]:
     return "para", 0
 
 
+def _table_qualifies(tblks: list[dict]) -> bool:
+    """A table renders as a pipe table when it is content, not chrome:
+    never inside a boiler ancestor; any classified-good block admits it,
+    else it needs >=2 rows of real text with aggregate link density below
+    the boilerplate threshold (layout/nav tables are link-dense)."""
+    if any(b["in_boiler"] for b in tblks):
+        return False
+    if any(b["cls"] == "good" for b in tblks):
+        return True
+    rows = {b["row_id"] for b in tblks if b["row_id"] >= 0}
+    total = sum(b["length"] for b in tblks)
+    links = sum(b["link_chars"] for b in tblks)
+    return len(rows) >= 2 and total >= 60 and links / max(1, total) < MAX_LINK_DENSITY
+
+
+def _render_table(tblks: list[dict]) -> list[str]:
+    """Table blocks (all of one table_id, doc order) -> markdown lines:
+    caption/rowless text first, then `| a | b |` rows with the separator
+    after the first row (header if its cells are <th>, else the GitHub
+    convention of first-row-as-header)."""
+    lead = [b["text"] for b in tblks if b["cell_id"] < 0]
+    rows: dict[int, dict[int, list[str]]] = {}
+    row_order: list[int] = []
+    cell_order: dict[int, list[int]] = {}
+    for b in tblks:
+        if b["cell_id"] < 0 or b["row_id"] < 0:
+            continue
+        r = rows.setdefault(b["row_id"], {})
+        if b["row_id"] not in row_order:
+            row_order.append(b["row_id"])
+        if b["cell_id"] not in r:
+            r[b["cell_id"]] = []
+            cell_order.setdefault(b["row_id"], []).append(b["cell_id"])
+        r[b["cell_id"]].append(b["text"])
+    lines = list(lead)
+    for i, rid in enumerate(row_order):
+        cells = [
+            " ".join(rows[rid][cid]).replace("|", "\\|")
+            for cid in cell_order[rid]
+        ]
+        lines.append("| " + " | ".join(cells) + " |")
+        if i == 0:
+            lines.append("|" + "---|" * len(cells))
+    return lines
+
+
 def main_content_markdown(data: bytes, lang: str | None = None) -> str:
     """Structure-preserving main-content extraction: the same classified
     good blocks as extract_main_text, rendered as portable markdown-style
@@ -517,10 +588,31 @@ def main_content_markdown(data: bytes, lang: str | None = None) -> str:
     structure survives the boilerplate strip without any HTML remaining.
 
     Plain-paragraph-only pages render byte-identical to extract_main_text
-    (pinned in tests), so the CER-0 contract is a strict subset."""
+    (pinned in tests), so the CER-0 contract is a strict subset.
+
+    Content tables (qualified by _table_qualifies — chrome/layout tables
+    stay stripped) render as GitHub pipe tables, cells regrouped into rows
+    via the blocks' table/row/cell provenance."""
     _, blks = extract_main_text(data, lang)
+    tables: dict[int, list[dict]] = {}
+    for b in blks:
+        if b["table_id"] >= 0:
+            tables.setdefault(b["table_id"], []).append(b)
+    emitted: set[int] = set()
     out = []
     for b in blks:
+        tid = b["table_id"]
+        if tid >= 0:
+            if tid in emitted:
+                continue
+            emitted.add(tid)
+            if _table_qualifies(tables[tid]):
+                out.extend(_render_table(tables[tid]))
+            else:
+                out.extend(
+                    t["text"] for t in tables[tid] if t["cls"] == "good"
+                )
+            continue
         if b["cls"] != "good":
             continue
         kind, level = _block_kind(b["path"])

@@ -192,6 +192,42 @@ def test_main_content_markdown_structure():
     assert main_content_markdown(plain, "en") == extract_main_text(plain, "en")[0]
 
 
+def test_main_content_markdown_tables():
+    from kraken_spark.kernels.htmlparse import (
+        extract_main_text,
+        main_content_markdown,
+    )
+
+    page = b"""<!doctype html><html><body><article>
+    <p>An introduction paragraph that is long enough for the classifier to
+    accept it as good content with the usual words in it.</p>
+    <table>
+      <caption>Yearly figures for the example measurements table</caption>
+      <tr><th>Year</th><th>Value | Units</th></tr>
+      <tr><td>2024</td><td>17 meters</td></tr>
+      <tr><td>2025</td><td>23 meters</td></tr>
+    </table>
+    </article>
+    <table><tr>
+      <td><a href="/a">Nav One</a></td><td><a href="/b">Nav Two</a></td>
+    </tr><tr>
+      <td><a href="/c">Nav Three</a></td><td><a href="/d">Nav Four</a></td>
+    </tr></table>
+    </body></html>"""
+    md = main_content_markdown(page, "en")
+    lines = md.split("\n")
+    ti = lines.index("| Year | Value \\| Units |")  # th header, pipe escaped
+    assert lines[ti - 1].startswith("Yearly figures")  # caption leads
+    assert lines[ti + 1] == "|---|---|"
+    assert lines[ti + 2] == "| 2024 | 17 meters |"
+    assert lines[ti + 3] == "| 2025 | 23 meters |"
+    assert "Nav One" not in md  # link-dense layout table stays stripped
+    # the plain-text extraction contract is untouched by table rendering:
+    # cells still flatten to plain lines, no pipe syntax injected
+    text, _ = extract_main_text(page, "en")
+    assert "17 meters" in text and "| 2024" not in text
+
+
 def test_page_meta_total_on_garbage():
     """page_meta is total over arbitrary bytes (fed by wild WARC payloads):
     never raises, always returns the full key set."""
