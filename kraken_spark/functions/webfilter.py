@@ -1,0 +1,216 @@
+"""Web-corpus quality filtering: the Gopher document rules and the C4
+line-level cleaning pass — the two canonical published filters an LLM
+training pipeline runs over extracted web text (Rae et al. 2021 "Scaling
+Language Models" §A1.1; Raffel et al. 2020 "Exploring the Limits of
+Transfer Learning" §2.2).
+
+Both are pure pyspark.sql built-ins (split / higher-order filter / regexp
+counts + one groupBy for the C4 reassembly) — no Python in the hot path,
+so the pass over 10^12 documents is whole-stage-codegen map work, and the
+only shuffle in c4_clean is the per-doc line regroup. Every rule has an
+exact DuckDB twin (the *_SQL templates) pinned in tests/test_webfilter.py.
+
+The reference engine has no corpus-filter stage (it is a page-image OCR
+engine); these implement the brief's LLM-training-data-pipeline operators
+over the `documents` table / extracted web text.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1)
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MAX_BULLET_LINE_FRAC = 0.9
+MAX_ELLIPSIS_LINE_FRAC = 0.3
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOP_WORD_HITS = 2
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents(id, text) -> per-doc Gopher features + rule flags +
+    `passes`. Word = whitespace token; line = newline-split. All eight
+    published rules: word-count band, mean-word-length band, symbol-to-word
+    ratio (# and ...), bullet-line and ellipsis-line fractions, alphabetic-
+    word fraction, and >=2 distinct stop words present."""
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words)
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    mean_wl = F.round(
+        F.length(F.regexp_replace("text", r"\s+", "")) / n_words, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / n_words, 6
+    )
+    sym_ratio = F.round(
+        (
+            F.expr("regexp_count(text, '#')")
+            + F.expr(r"regexp_count(text, '\\.\\.\\.')")
+        )
+        / n_words,
+        6,
+    )
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines,
+        6,
+    )
+    padded = F.concat(
+        F.lit(" "),
+        F.lower(F.regexp_replace("text", r"\s+", " ")),
+        F.lit(" "),
+    )
+    stop_hits = sum(
+        F.when(F.instr(padded, f" {w} ") > 0, 1).otherwise(0)
+        for w in GOPHER_STOP_WORDS
+    )
+    d = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_word_hits"),
+    )
+    passes = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= MAX_SYMBOL_WORD_RATIO)
+        & (F.col("bullet_line_frac") <= MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC)
+        & (F.col("stop_word_hits") >= MIN_STOP_WORD_HITS)
+    )
+    return d.withColumn("passes", passes)
+
+
+_STOP_HITS_SQL = " + ".join(
+    "CASE WHEN position(' {w} ' IN padded) > 0 THEN 1 ELSE 0 END".format(w=w)
+    for w in GOPHER_STOP_WORDS
+)
+
+GOPHER_SQL_TEMPLATE = f"""
+WITH feat AS (
+  SELECT {{id_col}},
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    regexp_split_to_array(text, '\\n') AS lines,
+    ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' AS padded,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+  FROM documents
+), f2 AS (
+  SELECT {{id_col}}, n_words,
+    ROUND(CAST(n_nonspace AS DOUBLE) / n_words, 6) AS mean_word_len,
+    ROUND(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_word_ratio,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+          / len(lines), 6) AS bullet_line_frac,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+          / len(lines), 6) AS ellipsis_line_frac,
+    ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+          / n_words, 6) AS alpha_word_frac,
+    {_STOP_HITS_SQL} AS stop_word_hits
+  FROM feat)
+SELECT *,
+  (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+   AND mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+   AND symbol_word_ratio <= {MAX_SYMBOL_WORD_RATIO}
+   AND bullet_line_frac <= {MAX_BULLET_LINE_FRAC}
+   AND ellipsis_line_frac <= {MAX_ELLIPSIS_LINE_FRAC}
+   AND alpha_word_frac >= {MIN_ALPHA_WORD_FRAC}
+   AND stop_word_hits >= {MIN_STOP_WORD_HITS}) AS passes
+FROM f2 ORDER BY {{id_col}}
+"""
+
+# C4 rules (Raffel et al. 2020 §2.2)
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+# terminal punctuation a retained line must end with
+_C4_LINE_END = r"""[.!?"”']$"""
+
+
+def c4_clean(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The C4 cleaning pass: keep only lines that end in terminal
+    punctuation, have >= 5 words, and do not mention javascript; then drop
+    whole documents that contain 'lorem ipsum' or a curly brace, or whose
+    retained text has < 3 sentences. Returns (id, text) with text rebuilt
+    from the kept lines in original order ('' when the doc is dropped —
+    every input id survives, mirroring strip_repeated_paragraphs).
+
+    Plan shape: one posexplode + codegen line filters + ONE groupBy(id)
+    rebuild — the same single-shuffle shape as the paragraph dedup."""
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.lower(F.col("text")).alias("_lc"),
+            F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+        )
+        .withColumn("tline", F.trim("line"))
+        .where(
+            F.col("tline").rlike(_C4_LINE_END)
+            & (F.size(F.split("tline", r"\s+")) >= C4_MIN_LINE_WORDS)
+            & ~F.lower("tline").contains("javascript")
+        )
+    )
+    rebuilt = lines.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tline"))),
+                lambda s: s["tline"],
+            ),
+            "\n",
+        ).alias("kept"),
+        F.first("_lc").alias("_lc"),
+    )
+    doc_ok = (
+        ~F.col("_lc").contains("lorem ipsum")
+        & ~F.col("_lc").contains("{")
+        & (F.expr("regexp_count(kept, '[.!?]')") >= C4_MIN_SENTENCES)
+    )
+    cleaned = rebuilt.select(
+        id_col, F.when(doc_ok, F.col("kept")).otherwise(F.lit("")).alias("text")
+    )
+    # every input id survives: docs with zero kept lines re-enter as ''
+    return (
+        docs.select(id_col)
+        .join(cleaned, id_col, "left")
+        .select(id_col, F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
+C4_SQL_TEMPLATE = f"""
+WITH sp AS (
+  SELECT {{id_col}}, lower(text) AS lc, string_split(text, chr(10)) AS l
+  FROM documents
+), lines AS (
+  SELECT {{id_col}}, lc, i AS pos, l[i] AS line
+  FROM sp, LATERAL unnest(generate_series(1, len(l))) AS g(i)
+), kept AS (
+  SELECT {{id_col}}, lc, trim(line) AS tline, pos FROM lines
+  WHERE regexp_matches(trim(line), '{_C4_LINE_END.replace("'", "''")}')
+    AND len(regexp_split_to_array(trim(line), '\\s+')) >= {C4_MIN_LINE_WORDS}
+    AND NOT contains(lower(trim(line)), 'javascript')
+), rebuilt AS (
+  SELECT {{id_col}}, any_value(lc) AS lc,
+         string_agg(tline, chr(10) ORDER BY pos) AS kept_text
+  FROM kept GROUP BY {{id_col}}
+)
+SELECT d.{{id_col}},
+  COALESCE(CASE WHEN NOT contains(r.lc, 'lorem ipsum')
+                 AND NOT contains(r.lc, '{{{{')
+                 AND len(regexp_extract_all(r.kept_text, '[.!?]')) >= {C4_MIN_SENTENCES}
+            THEN r.kept_text ELSE '' END, '') AS text
+FROM documents d LEFT JOIN rebuilt r USING ({{id_col}})
+ORDER BY d.{{id_col}}
+"""

@@ -1,0 +1,119 @@
+"""Gopher document rules + C4 line cleaning (functions/webfilter.py):
+rule-by-rule vectors on constructed docs, exact DuckDB parity on both the
+constructed corpus and the real sf0.001 documents table, and a JVM-only
+plan guard (no Python in the hot path).
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from kraken_spark.functions.webfilter import (
+    C4_SQL_TEMPLATE,
+    GOPHER_SQL_TEMPLATE,
+    c4_clean,
+    gopher_quality,
+)
+
+GOOD = (
+    "This is the first sentence of a perfectly ordinary document that "
+    "speaks about the weather and other things people have to deal with. "
+    * 5
+)
+DOCS = [
+    ("d01", GOOD),
+    ("d02", "too short to pass the word count rule."),
+    ("d03", " ".join(["####"] * 80)),  # symbol-heavy, no stop words
+    ("d04", "\n".join(["- bullet item with some words here"] * 40)),
+    ("d05", "\n".join([GOOD] + ["trailing thought goes on..."] * 30)),
+    ("d06", " ".join(["zq9!"] * 120)),  # words mostly non-alphabetic? (has z,q)
+    ("d07", " ".join(["12345"] * 120)),  # numeric words: alpha fraction 0
+    ("d08", GOOD + "\nlorem ipsum dolor sit amet."),
+    ("d09", "One. Two words here. No terminal\nshort line\n" + GOOD),
+    ("d10", GOOD.replace("deal", "deal {brace}")),
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from kraken_spark.session import get_spark
+
+    s = get_spark(app="test-webfilter", cores=2, shuffle_partitions=2)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_gopher_rule_vectors(spark):
+    out = {r.doc_id: r for r in gopher_quality(_df(spark)).collect()}
+    assert out["d01"].passes  # ordinary prose passes
+    assert not out["d02"].passes and out["d02"].n_words < 50
+    assert not out["d03"].passes  # symbol ratio + stop words fail
+    assert out["d03"].symbol_word_ratio > 0.1
+    assert not out["d04"].passes and out["d04"].bullet_line_frac > 0.9
+    assert not out["d05"].passes and out["d05"].ellipsis_line_frac > 0.3
+    assert not out["d07"].passes and out["d07"].alpha_word_frac == 0.0
+    assert out["d01"].stop_word_hits >= 2
+
+
+def test_c4_clean_vectors(spark):
+    out = {r.doc_id: r.text for r in c4_clean(_df(spark)).collect()}
+    assert set(out) == {d for d, _ in DOCS}  # every input id survives
+    # good doc: kept verbatim (single long line ends with '.')
+    assert out["d01"] == GOOD.strip()
+    # lorem ipsum and curly-brace docs dropped entirely
+    assert out["d08"] == "" and out["d10"] == ""
+    # < 5-word and non-terminal lines removed, rest kept in order
+    assert out["d09"] == GOOD.strip()
+    # bullet lines have >=5 words + no terminal punctuation -> dropped
+    assert out["d04"] == ""
+
+
+def _duck(rows, sql):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    return con.execute(sql.format(id_col="doc_id")).fetchall()
+
+
+def test_gopher_duckdb_parity_constructed(spark):
+    got = sorted(
+        tuple(r) for r in gopher_quality(_df(spark)).collect()
+    )
+    want = sorted(tuple(r) for r in _duck(DOCS, GOPHER_SQL_TEMPLATE))
+    assert got == want
+
+
+def test_c4_duckdb_parity_constructed(spark):
+    got = sorted((r.doc_id, r.text) for r in c4_clean(_df(spark)).collect())
+    want = sorted(tuple(r) for r in _duck(DOCS, C4_SQL_TEMPLATE))
+    assert got == want
+
+
+SF = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+def test_parity_on_real_documents_table(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    got_g = sorted(tuple(r) for r in gopher_quality(docs).collect())
+    want_g = sorted(tuple(r) for r in _duck(rows, GOPHER_SQL_TEMPLATE))
+    assert got_g == want_g
+    got_c = sorted((r.doc_id, r.text) for r in c4_clean(docs).collect())
+    want_c = sorted(tuple(r) for r in _duck(rows, C4_SQL_TEMPLATE))
+    assert got_c == want_c
+
+
+def test_plans_are_jvm_only(spark):
+    d = _df(spark)
+    for q in (gopher_quality(d), c4_clean(d)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
