@@ -459,7 +459,15 @@ def x_extract_html(spark, sf):
     joined = pages.join(gt, "url").select(
         "url", "html", F.col("gt_text").alias("text"), "lang"
     )
-    ext = plan_extraction(joined, num_partitions=par)
+    # the structure-preserving markdown render through the same WARC-read
+    # pages, computed INSIDE the fused extraction stage (markdown=True —
+    # one Arrow pass, no second WARC decode, no join): on paragraph-only
+    # boilerplate fixtures it must equal the extracted text byte-for-byte
+    # (kernels/htmlparse.main_content_markdown contract) — markdown_match
+    # carries that pin into the driver artifact
+    ext = plan_extraction(joined, num_partitions=par, markdown=True).withColumn(
+        "markdown_match", F.col("markdown") == F.col("text")
+    )
     return _ordered(
         ext.select(
             "url",
@@ -468,6 +476,7 @@ def x_extract_html(spark, sf):
             "n_regions",
             F.round("cer", 9).alias("cer"),
             "text",
+            "markdown_match",
         ),
         "url",
     )

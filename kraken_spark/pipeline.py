@@ -49,13 +49,18 @@ def plan_extraction(
     segmenter: str = "pageseg",
     text_direction: str | None = None,
     kraken_model_path: str | None = None,
+    markdown: bool = False,
 ) -> DataFrame:
     """Build the (lazy) extraction DataFrame over a documents table.
 
     kraken_model_path routes recognition through a REAL kraken model file
     (CoreML/safetensors via kernels/modelio + the rpred-parity pipeline),
     loaded once per executor — a user of the reference can point the job
-    at their trained model unchanged (ship it with spark-submit --files)."""
+    at their trained model unchanged (ship it with spark-submit --files).
+
+    markdown=True adds a `markdown` column (structure-preserving render of
+    web-HTML main content, empty for non-HTML payloads) computed inside
+    the same fused Arrow stage — no second scan, no join."""
     spark = documents.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 4
     cols = [c for c in ("url", "warc_ts", "html", "text", "lang") if c in documents.columns]
@@ -63,8 +68,8 @@ def plan_extraction(
     salt, total = weight_salt(n)
     df = df.repartition(total, salt.alias("salt"))
     return df.mapInArrow(
-        make_extract_map(segmenter, text_direction, kraken_model_path),
-        schema=EXTRACTION_DDL,
+        make_extract_map(segmenter, text_direction, kraken_model_path, markdown),
+        schema=EXTRACTION_DDL + (", markdown string" if markdown else ""),
     )
 
 

@@ -404,11 +404,22 @@ def make_extract_map(
     segmenter: str = "pageseg",
     text_direction: str | None = None,
     kraken_model_path: str | None = None,
+    markdown: bool = False,
 ):
     """mapInArrow stage body factory: documents batches -> extraction
     batches, with the segmentation path (and optionally a 4-valued or
     'vertical' text direction, and optionally a LOADED reference model
-    file for recognition) chosen at plan time."""
+    file for recognition) chosen at plan time.
+
+    markdown=True appends a `markdown string` column: the
+    structure-preserving render of the classified main content
+    (kernels/htmlparse.main_content_markdown) for web-HTML payloads,
+    empty for every other payload type — computed in the SAME Arrow pass
+    so the plan stays one fused extraction stage (no second scan of the
+    page bytes, no extra join)."""
+    out_schema = EXTRACTION_ARROW
+    if markdown:
+        out_schema = EXTRACTION_ARROW.append(pa.field("markdown", pa.string()))
 
     def extract_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -434,7 +445,19 @@ def make_extract_map(
                 )
             for r in rows:
                 r["partition_id"] = pid
-            yield pa.RecordBatch.from_pylist(rows, schema=EXTRACTION_ARROW)
+            if markdown:
+                from .kernels.htmlparse import looks_like_html, main_content_markdown
+
+                for i, r in enumerate(rows):
+                    raw = htmls[i] or b""
+                    md = ""
+                    if looks_like_html(raw):
+                        try:
+                            md = main_content_markdown(bytes(raw), langs[i])
+                        except Exception:
+                            md = ""
+                    r["markdown"] = md
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
 
     return extract_map
 

@@ -141,3 +141,6 @@ def test_registered_query_routes_through_warc_cer0():
     assert len(rows) == 12
     assert all(r.cer == 0.0 for r in rows)
     assert [r.url for r in rows] == sorted(r.url for r in rows)
+    # markdown render through the same WARC pages: byte-equal on the
+    # paragraph-only fixtures (the structured-extraction subset contract)
+    assert all(r.markdown_match for r in rows)
