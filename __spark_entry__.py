@@ -38,9 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kraken_spark.operators.advanced import QUERIES as ADV
     from kraken_spark.operators.multimodal import QUERIES as MM
     from kraken_spark.operators.serialization import QUERIES as SER
+    from kraken_spark.functions.webfilter import QUERIES as WEBF
 
     out: dict[str, Callable] = {}
-    for catalog in (REL, TEXT, DEDUP, SIM, EXTRACT, SER, MM, ADV):
+    for catalog in (REL, TEXT, DEDUP, SIM, WEBF, EXTRACT, SER, MM, ADV):
         for name, (fn, _sql) in catalog.items():
             out[name] = fn
     return out
@@ -55,9 +56,10 @@ def oracle_sql() -> dict[str, str]:
     from kraken_spark.operators.advanced import QUERIES as ADV
     from kraken_spark.operators.multimodal import QUERIES as MM
     from kraken_spark.operators.serialization import QUERIES as SER
+    from kraken_spark.functions.webfilter import QUERIES as WEBF
 
     out: dict[str, str] = {}
-    for catalog in (REL, TEXT, DEDUP, SIM, EXTRACT, SER, MM, ADV):
+    for catalog in (REL, TEXT, DEDUP, SIM, WEBF, EXTRACT, SER, MM, ADV):
         for name, (_fn, sql) in catalog.items():
             if sql is not None:
                 out[name] = sql

@@ -189,6 +189,48 @@ def c4_clean(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def web_quality_pipeline(spark, sf):
+    """The published LLM web-corpus filter chain as ONE driver-checked
+    query over the real `documents` table: per-doc Gopher features + rule
+    verdict (Rae et al. 2021), the C4-cleaned text (Raffel et al. 2020),
+    and the corpus repeated-paragraph-stripped text (C4/RefinedWeb rule,
+    functions/dedup.strip_repeated_paragraphs) — all three joined on
+    doc_id so the driver's value hash pins every rule and both rebuilt
+    texts byte-for-byte against DuckDB.
+
+    Plan shape at 10^12 docs: Gopher is pure map (zero shuffle); C4 is one
+    posexplode + one groupBy; the paragraph strip is the documented
+    3-shuffle hash-join shape; the final joins are co-keyed on doc_id."""
+    from .dedup import strip_repeated_paragraphs
+    from .text import t
+
+    d = t(spark, sf).select("doc_id", "text")
+    g = gopher_quality(d)
+    c = c4_clean(d).select("doc_id", F.col("text").alias("c4_text"))
+    p = (
+        strip_repeated_paragraphs(d.select(F.col("doc_id").alias("url"), "text"))
+        .select(F.col("url").alias("doc_id"), F.col("text").alias("nodup_text"))
+    )
+    return g.join(c, "doc_id").join(p, "doc_id").orderBy("doc_id")
+
+
+def _web_quality_pipeline_sql() -> str:
+    from .dedup import MIN_PARA_LEN, STRIP_PARAGRAPHS_SQL_TEMPLATE
+
+    gopher = GOPHER_SQL_TEMPLATE.format(id_col="doc_id")
+    c4 = C4_SQL_TEMPLATE.format(id_col="doc_id")
+    strip = STRIP_PARAGRAPHS_SQL_TEMPLATE.format(
+        min_len=MIN_PARA_LEN, min_repeats=2
+    ).replace("url", "doc_id")
+    return f"""
+SELECT g.*, c.text AS c4_text, n.text AS nodup_text
+FROM ({gopher}) g
+JOIN ({c4}) c USING (doc_id)
+JOIN ({strip}) n USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 C4_SQL_TEMPLATE = f"""
 WITH sp AS (
   SELECT {{id_col}}, lower(text) AS lc, string_split(text, chr(10)) AS l
@@ -214,3 +256,8 @@ SELECT d.{{id_col}},
 FROM documents d LEFT JOIN rebuilt r USING ({{id_col}})
 ORDER BY d.{{id_col}}
 """
+
+
+QUERIES = {
+    "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
+}

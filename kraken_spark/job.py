@@ -50,6 +50,15 @@ def main(argv: list[str] | None = None) -> int:
         "sources/warc.py, one task per file",
     )
     ap.add_argument("--output", required=True, help="extractions output path")
+    ap.add_argument(
+        "--table-format",
+        choices=["parquet", "ice"],
+        default="parquet",
+        help="'ice': commit output as atomic snapshots of a committed-"
+        "snapshot table (sources/icetable.py — Iceberg commit semantics: "
+        "crash-safe, time-travelable, resume reads the last committed "
+        "snapshot); 'parquet': plain appends",
+    )
     ap.add_argument("--metrics", default=None, help="metrics table path")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--partitions", type=int, default=None)
@@ -108,7 +117,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.getOrCreate()
 
     from kraken_spark.operators.serialization import serialize_extractions
-    from kraken_spark.pipeline import remaining_documents, run_extraction
+    from kraken_spark.pipeline import (read_output, remaining_documents,
+                                       run_extraction)
 
     if args.input_format == "warc":
         from pyspark.sql import functions as F
@@ -130,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
     raw_docs = docs  # pre-resume view, reused by the sidecar stages
     skip_extract = False
     if args.resume:
-        docs = remaining_documents(docs, args.output)
+        docs = remaining_documents(docs, args.output, args.table_format)
         n = docs.count()
         print(f"[kraken_spark] resume: {n} documents remaining")
         # a fully-committed output skips extraction but still serves the
@@ -144,13 +154,14 @@ def main(argv: list[str] | None = None) -> int:
             run_id=args.run_id,
             num_partitions=args.partitions,
             kraken_model_path=args.model,
+            table_format=args.table_format,
         )
     if args.serialize:
-        ext = spark.read.parquet(args.output)
+        ext = read_output(spark, args.output, args.table_format)
         serialize_extractions(ext, args.serialize).write.mode("overwrite").parquet(
             f"{args.output.rstrip('/')}_{args.serialize}"
         )
-    done = spark.read.parquet(args.output)
+    done = read_output(spark, args.output, args.table_format)
     print(f"[kraken_spark] committed {done.count()} extraction rows -> {args.output}")
     if args.export_wet:
         from kraken_spark.sources.warc import write_wet_shards

@@ -164,7 +164,7 @@ def x_extract_seam(spark, sf):
     )
 
 
-def x_extract_vertical(spark, sf):
+def x_extract_vertical(spark, sf, ordered=True):
     """Vertical-text extraction end-to-end: the standard corpus pages are
     rotated 90° CW in an Arrow stage (lines become vertical columns) and
     extracted with text_direction='vertical' — rotate-segment-unrotate +
@@ -194,10 +194,10 @@ def x_extract_vertical(spark, sf):
         num_partitions=spark.sparkContext.defaultParallelism,
         text_direction="vertical",
     )
-    return _ordered(
-        ext.select("url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"),
-        "url",
+    out = ext.select(
+        "url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"
     )
+    return _ordered(out, "url") if ordered else out
 
 
 def x_ocr_report(spark, sf):
@@ -418,7 +418,7 @@ def x_extract_blla(spark, sf):
     return _ordered(parts[0].unionByName(parts[1]), "vectorizer", "url")
 
 
-def x_extract_curved(spark, sf):
+def x_extract_curved(spark, sf, ordered=True):
     """Curved-baseline OCR end-to-end: a sinusoidal-baseline corpus variant
     segmented with the neural path (polyline baselines) and extracted with
     piecewise per-cell dewarping (kernels/lineextract.extract_line_dewarped
@@ -433,17 +433,33 @@ def x_extract_curved(spark, sf):
         num_partitions=spark.sparkContext.defaultParallelism,
         segmenter="blla_curved",
     )
-    return _ordered(
-        ext.select("url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"),
-        "url",
+    out = ext.select(
+        "url", "lang", "n_lines", F.round("cer", 9).alias("cer"), "text"
     )
+    return _ordered(out, "url") if ordered else out
+
+
+def x_extract_paths(spark, sf):
+    """Driver-window consolidation of the former x_extract_curved +
+    x_extract_vertical queries: both non-horizontal extraction paths in one
+    table, tagged by `path` ('curved' = sinusoidal baselines through the
+    piecewise dewarp; 'vertical' = rotate-segment-unrotate, the reference's
+    4-valued text_direction). Each leg keeps its own CER-0 pytest pin
+    (tests/test_pipeline_spark.py); the union is computed unordered and
+    sorted exactly once (no per-leg repartition(1))."""
+    a = x_extract_curved(spark, sf, ordered=False).select(
+        F.lit("curved").alias("path"), "*"
+    )
+    b = x_extract_vertical(spark, sf, ordered=False).select(
+        F.lit("vertical").alias("path"), "*"
+    )
+    return _ordered(a.unionByName(b), "path", "url")
 
 
 QUERIES = {
     "x_extract_text": (x_extract_text, None),
     "x_extract_blla": (x_extract_blla, None),
-    "x_extract_curved": (x_extract_curved, None),
-    "x_extract_vertical": (x_extract_vertical, None),
+    "x_extract_paths": (x_extract_paths, None),
     "x_extract_seam": (x_extract_seam, None),
     "x_extract_geometry": (x_extract_geometry, None),
     "x_ocr_report": (x_ocr_report, None),

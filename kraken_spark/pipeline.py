@@ -104,25 +104,54 @@ def run_extraction(
     run_id: str = "run0",
     num_partitions: int | None = None,
     kraken_model_path: str | None = None,
+    table_format: str = "parquet",
 ) -> DataFrame:
-    """Execute extraction; optionally persist results + metrics as parquet
-    (the sandbox stand-in for Iceberg snapshot commits)."""
+    """Execute extraction; optionally persist results + metrics.
+
+    table_format='parquet' appends plain parquet; table_format='ice'
+    commits an atomic snapshot to a committed-snapshot table
+    (sources/icetable.py — the in-repo Iceberg-semantics layer: data files
+    are invisible until the manifest commit, so a crashed run never leaks
+    partial output into a resume's anti-join). The snapshot summary
+    carries the run_id; per-partition metrics ride both the metrics table
+    and, under 'ice', the snapshot lineage."""
     ext = plan_extraction(documents, num_partitions, kraken_model_path=kraken_model_path)
     if out_path:
-        ext.write.mode("append").parquet(out_path)
         spark = documents.sparkSession
-        ext = spark.read.parquet(out_path)
+        if table_format == "ice":
+            from .sources import icetable
+
+            icetable.append(ext, out_path, summary={"run_id": run_id})
+            ext = icetable.read(spark, out_path)
+        else:
+            ext.write.mode("append").parquet(out_path)
+            ext = spark.read.parquet(out_path)
         if metrics_path:
             metrics_table(ext, run_id).write.mode("append").parquet(metrics_path)
     return ext
 
 
-def remaining_documents(documents: DataFrame, out_path: str) -> DataFrame:
+def read_output(spark, out_path: str, table_format: str = "parquet") -> DataFrame:
+    """Committed extraction state: the last committed snapshot under 'ice'
+    (uncommitted data files invisible), the parquet directory otherwise."""
+    if table_format == "ice":
+        from .sources import icetable
+
+        return icetable.read(spark, out_path)
+    return spark.read.parquet(out_path)
+
+
+def remaining_documents(
+    documents: DataFrame, out_path: str, table_format: str = "parquet"
+) -> DataFrame:
     """Checkpoint/resume: anti-join the committed output on url
-    (idempotent per-url writes; SURVEY.md §7.4). Returns docs still to do."""
+    (idempotent per-url writes; SURVEY.md §7.4). Returns docs still to do.
+    Under 'ice' the committed set is the last committed SNAPSHOT — a
+    writer that died after writing data files but before its metadata
+    commit contributes nothing, so its documents are (correctly) redone."""
     spark = documents.sparkSession
     try:
-        done = spark.read.parquet(out_path).select("url")
+        done = read_output(spark, out_path, table_format).select("url")
     except Exception:
         return documents
     return documents.join(done, "url", "left_anti")

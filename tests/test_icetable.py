@@ -1,0 +1,203 @@
+"""Committed-snapshot table layer (sources/icetable.py): atomic commits,
+optimistic-concurrency CAS, time travel, rollback, orphan listing, and the
+north rule's resume-from-last-committed-snapshot contract end-to-end
+through the extraction pipeline.
+"""
+
+import json
+import os
+
+import pytest
+
+from kraken_spark.sources import icetable as it
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from kraken_spark.session import get_spark
+
+    s = get_spark(app="test-icetable", cores=2, shuffle_partitions=2)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "url string, n int")
+
+
+def test_append_read_roundtrip_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sid1 = it.append(_df(spark, [("a", 1), ("b", 2)]), t, summary={"run_id": "r1"})
+    sid2 = it.append(_df(spark, [("c", 3)]), t)
+    assert (sid1, sid2) == (1, 2)
+    got = {r.url: r.n for r in it.read(spark, t).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+    h = it.history(t)
+    assert [x["snapshot_id"] for x in h] == [1, 2]
+    assert h[0]["summary"]["run_id"] == "r1"
+    assert h[1]["parent_id"] == 1
+    assert h[1]["n_rows"] == 3  # cumulative manifest rows
+
+
+def test_uncommitted_files_are_invisible(spark, tmp_path):
+    """Crash atomicity: data files staged without a snapshot commit (a
+    writer that died mid-job) never reach readers; a torn metadata tmp is
+    ignored by the head scan."""
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [("a", 1)]), t)
+    # simulate a crashed writer: data written, commit never happened
+    staged = os.path.join(t, "data", "deadbeef")
+    _df(spark, [("ghost", 99)]).write.parquet(staged)
+    # and a torn metadata write
+    with open(os.path.join(t, "metadata", "snap-00000000002.json.tmp-x"), "w") as f:
+        f.write("{ torn")
+    assert it.current_snapshot_id(t) == 1
+    got = [r.url for r in it.read(spark, t).collect()]
+    assert got == ["a"]
+    orphans = it.orphan_data_files(t)
+    assert len(orphans) >= 1 and all("deadbeef" in p for p in orphans)
+
+
+def test_commit_conflict_cas_and_retry(spark, tmp_path):
+    """Two writers racing for the same snapshot id: the loser's manifest
+    CAS fails and the retry lands on the next id with BOTH data sets
+    visible (the Iceberg optimistic-commit protocol)."""
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [("a", 1)]), t)
+
+    real_commit = it._commit
+    raced = {"done": False}
+
+    def racing_commit(path, snap):
+        # first attempt: another writer sneaks in the same snapshot id
+        if not raced["done"]:
+            raced["done"] = True
+            # a realistic rival append: parent files + nothing new
+            parent_manifest = it.snapshot(path, snap["parent_id"])["manifest"]
+            rival = dict(snap, manifest=parent_manifest, summary={"rival": True})
+            real_commit(path, rival)
+        return real_commit(path, snap)
+
+    it._commit = racing_commit
+    try:
+        sid = it.append(_df(spark, [("b", 2)]), t, retries=3)
+    finally:
+        it._commit = real_commit
+    assert sid == 3  # 2 was stolen by the rival
+    snap = it.snapshot(t)
+    assert snap["parent_id"] == 2
+    got = {r.url for r in it.read(spark, t).collect()}
+    assert got == {"a", "b"}  # retry re-based on the rival's head
+
+    # retries exhausted -> CommitConflict surfaces
+    def always_conflict(path, snap):
+        raise it.CommitConflict("stolen")
+
+    it._commit = always_conflict
+    try:
+        with pytest.raises(it.CommitConflict):
+            it.append(_df(spark, [("c", 3)]), t, retries=2)
+    finally:
+        it._commit = real_commit
+
+
+def test_time_travel_overwrite_rollback(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [("a", 1)]), t)
+    it.append(_df(spark, [("b", 2)]), t)
+    it.overwrite(_df(spark, [("z", 9)]), t)
+    assert {r.url for r in it.read(spark, t).collect()} == {"z"}
+    assert {r.url for r in it.read(spark, t, snapshot_id=2).collect()} == {"a", "b"}
+    assert {r.url for r in it.read(spark, t, snapshot_id=1).collect()} == {"a"}
+    ts2 = it.snapshot(t, 2)["timestamp_ms"]
+    assert {r.url for r in it.read(spark, t, asof_ms=ts2).collect()} >= {"a", "b"}
+    sid = it.rollback(t, 2)
+    assert sid == 4 and {r.url for r in it.read(spark, t).collect()} == {"a", "b"}
+    # history intact: the overwrite snapshot still reconstructs
+    assert {r.url for r in it.read(spark, t, snapshot_id=3).collect()} == {"z"}
+
+
+def test_empty_table_read_uses_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    it.overwrite(_df(spark, []), t)
+    df = it.read(spark, t)
+    assert df.columns == ["url", "n"] and df.count() == 0
+
+
+def test_extraction_resume_from_committed_snapshot(spark, tmp_path):
+    """North-rule e2e: first run commits a partial extraction as snapshot
+    1; the resumed run anti-joins the COMMITTED state, processes only the
+    remainder, and commits snapshot 2 — every url exactly once, per-run
+    lineage on each snapshot."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import plan_extraction
+
+    t = str(tmp_path / "extractions")
+    docs = generate_corpus_df(spark, 6)
+    first = docs.limit(3)
+
+    ext1 = plan_extraction(first, num_partitions=2).select("url", "text", "cer")
+    it.append(ext1, t, summary={"run_id": "run1"},
+              lineage=[{"stage": "extract", "n_docs": 3}])
+
+    committed = it.read(spark, t).select("url")
+    remaining = docs.join(committed, "url", "left_anti")
+    assert remaining.count() == 3
+
+    ext2 = plan_extraction(remaining, num_partitions=2).select("url", "text", "cer")
+    it.append(ext2, t, summary={"run_id": "run2"},
+              lineage=[{"stage": "extract", "n_docs": 3}])
+
+    final = it.read(spark, t).collect()
+    assert len(final) == 6
+    assert len({r.url for r in final}) == 6
+    assert all(r.cer == 0.0 for r in final)
+    runs = [h["summary"].get("run_id") for h in it.history(t)]
+    assert runs == ["run1", "run2"]
+    # lineage rides the snapshot metadata
+    assert it.snapshot(t, 1)["lineage"] == [{"stage": "extract", "n_docs": 3}]
+    # resume against the FINAL state is a no-op
+    assert docs.join(it.read(spark, t).select("url"), "url", "left_anti").count() == 0
+
+
+def test_manifest_counts_match_parquet_footers(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [(f"u{i}", i) for i in range(10)]), t)
+    snap = it.snapshot(t)
+    assert sum(e["rows"] for e in snap["manifest"]) == 10
+    for e in snap["manifest"]:
+        assert os.path.exists(os.path.join(t, e["path"]))
+        assert e["bytes"] > 0
+    # snapshot json is valid standalone (no pickles, no local paths)
+    raw = json.load(open(os.path.join(t, "metadata", "snap-00000000001.json")))
+    assert raw["operation"] == "append" and not os.path.isabs(raw["manifest"][0]["path"])
+
+
+def test_job_cli_ice_table_format(spark, tmp_path, capsys):
+    """job.main --table-format ice: the output is a committed-snapshot
+    table (snap-1), a second --resume run is a no-op (anti-join against the
+    committed snapshot), and an interrupted writer's staged files never
+    count as done."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+
+    tmp = str(tmp_path)
+    generate_corpus_df(spark, 4).write.mode("overwrite").parquet(f"{tmp}/in")
+    rc = main(["--input", f"{tmp}/in", "--output", f"{tmp}/out",
+               "--table-format", "ice", "--run-id", "ice1"])
+    assert rc == 0
+    assert "committed 4 extraction rows" in capsys.readouterr().out
+    assert it.current_snapshot_id(f"{tmp}/out") == 1
+    assert it.history(f"{tmp}/out")[0]["summary"]["run_id"] == "ice1"
+
+    # stage orphan data (simulated crash mid-write) -> resume still sees
+    # only the committed snapshot and processes 0
+    spark.createDataFrame([("u", "t", 0.0)], "url string, text string, cer double") \
+        .write.parquet(f"{tmp}/out/data/crashed")
+    rc = main(["--input", f"{tmp}/in", "--output", f"{tmp}/out",
+               "--table-format", "ice", "--resume"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resume: 0 documents remaining" in out
+    assert "committed 4 extraction rows" in out
+    assert it.current_snapshot_id(f"{tmp}/out") == 1  # no empty snapshot
