@@ -475,6 +475,155 @@ LEFT JOIN rebuilt r ON d.url = r.url
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better" — the 50-token duplicated-span rule)
+# --------------------------------------------------------------------------
+
+# the published span length: a run of >= 50 tokens shared verbatim between
+# two documents is corpus duplication, not coincidence
+EXACT_SUBSTR_K = 50
+
+
+def _gram_hash(col):
+    """60-bit cross-engine gram hash (15 md5 hex digits): collision
+    birthday bound comfortably above the 10^12-gram corpus the 32-bit
+    paragraph hash would saturate. Production swap: xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_substring_dedup(docs, k: int = EXACT_SUBSTR_K):
+    """Lee et al.'s exact-substring rule, Spark-native: any k-token window
+    that appears verbatim in >= 2 distinct documents is a duplicated span;
+    every word covered by such a window is removed from every document
+    EXCEPT the first (min url) that contains the window. Documents with no
+    covered words pass through byte-identical; rewritten documents are
+    re-joined with single spaces (the token-stream view of the paper —
+    dedup operates on the token sequence, not the raw bytes).
+
+    The reference algorithm is a corpus-wide suffix array; the
+    Spark-native equivalent is positioned k-gram hashing — the same
+    duplicated-span decision for spans of exactly the published length k
+    (a suffix array also finds longer-than-k maximal spans, which hashed
+    grams cover because a span of length m >= k contains m-k+1 duplicated
+    k-grams marking the same words).
+
+    Scale shape: gram hashing is map-side (one transform over the word
+    array, no self-join); shuffle 1 = groupBy(gh) for the duplicate set
+    (map-side partial aggs); shuffle 2 = hash join of gram occurrences
+    against the duplicate set (both sides BIGINT-keyed; the duplicate set
+    is unbounded at 10^12 docs, hence no broadcast); shuffle 3 = the
+    per-url rebuild, restricted to TOUCHED documents only. Gram
+    construction is O(n_words * k) characters per doc — the documented
+    cost of the algorithm family; stride sampling (as in the minhash pass)
+    is the production knob when k-gram recall can be traded for time."""
+    words = F.split(F.trim("text"), r"\s+")
+    base = docs.select(
+        "url", F.col("text").alias("orig"), words.alias("w"), F.size(words).alias("n")
+    )
+    starts = F.when(
+        F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    gh_arr = F.transform(
+        starts, lambda p: _gram_hash(F.concat_ws(" ", F.slice("w", p, k)))
+    )
+    grams = base.select("url", F.posexplode(gh_arr).alias("gp", "gh")).select(
+        "url", (F.col("gp") + 1).alias("p"), "gh"
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("url").alias("nd"), F.min("url").alias("keeper"))
+        .where(F.col("nd") >= 2)
+        .select("gh", "keeper")
+    )
+    covered = (
+        grams.join(dup, "gh")
+        .where(F.col("url") != F.col("keeper"))
+        .select("url", F.explode(F.sequence("p", F.col("p") + k - 1)).alias("i"))
+        .distinct()
+    )
+    word_rows = base.join(covered.select("url").distinct(), "url").select(
+        "url", F.posexplode("w").alias("wi", "word")
+    ).select("url", (F.col("wi") + 1).alias("i"), "word")
+    rebuilt = (
+        word_rows.join(covered, ["url", "i"], "left_anti")
+        .groupBy("url")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "word"))),
+                    lambda x: x["word"],
+                ),
+            ).alias("dedup_text")
+        )
+    )
+    # touched docs get the rebuilt token stream ('' when fully covered);
+    # untouched docs pass through byte-identical
+    touched = covered.select("url").distinct().withColumn("_touched", F.lit(True))
+    return (
+        base.select("url", "orig")
+        .join(touched, "url", "left")
+        .join(rebuilt, "url", "left")
+        .select(
+            "url",
+            F.when(F.col("_touched").isNotNull(), F.coalesce("dedup_text", F.lit("")))
+            .otherwise(F.col("orig"))
+            .alias("text"),
+        )
+    )
+
+
+EXACT_SUBSTRING_SQL_TEMPLATE = """
+WITH base AS (
+  SELECT url, text AS orig, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents),
+grams AS (
+  SELECT url, p,
+    CAST(('0x' || substr(md5(array_to_string(w[p:p+{k}-1], ' ')), 1, 15)) AS BIGINT) AS gh
+  FROM base, LATERAL unnest(generate_series(1, len(w) - {k} + 1)) AS g(p)),
+dup AS (
+  SELECT gh, min(url) AS keeper FROM grams
+  GROUP BY gh HAVING COUNT(DISTINCT url) >= 2),
+covered AS (
+  SELECT DISTINCT g.url, c.i
+  FROM grams g JOIN dup d USING (gh), LATERAL unnest(generate_series(g.p, g.p + {k} - 1)) AS c(i)
+  WHERE g.url <> d.keeper),
+words AS (
+  SELECT b.url, ww.i, b.w[ww.i] AS word
+  FROM base b, LATERAL unnest(generate_series(1, len(b.w))) AS ww(i)
+  WHERE b.url IN (SELECT url FROM covered)),
+kept AS (
+  SELECT wo.url, wo.i, wo.word FROM words wo
+  LEFT JOIN covered c ON wo.url = c.url AND wo.i = c.i
+  WHERE c.url IS NULL),
+rebuilt AS (
+  SELECT url, string_agg(word, ' ' ORDER BY i) AS text FROM kept GROUP BY url)
+SELECT b.url,
+  CASE WHEN b.url IN (SELECT url FROM covered)
+       THEN COALESCE(r.text, '') ELSE b.orig END AS text
+FROM base b LEFT JOIN rebuilt r USING (url)
+"""
+
+
+def duplicated_span_report(docs, k: int = EXACT_SUBSTR_K):
+    """Audit view of exact_substring_dedup: each duplicated k-gram with
+    its document frequency and keeper — one groupBy, the diagnostic a
+    corpus run records alongside the rewrite."""
+    words = F.split(F.trim("text"), r"\s+")
+    base = docs.select("url", words.alias("w"), F.size(words).alias("n"))
+    starts = F.when(
+        F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    gram_str = F.transform(starts, lambda p: F.concat_ws(" ", F.slice("w", p, k)))
+    grams = base.select("url", F.explode(gram_str).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("url").alias("n_docs"), F.min("url").alias("keeper"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

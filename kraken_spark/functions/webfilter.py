@@ -258,6 +258,88 @@ ORDER BY d.{{id_col}}
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing (the BigScience-ROOTS / FineWeb pre-release pass: replace
+# emails, IP addresses and phone-shaped numbers with stable tokens)
+# --------------------------------------------------------------------------
+
+# Patterns are written to the regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically: no lookaround, no backreferences, explicit classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+    r"(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\b"
+)
+# separator-delimited digit groups (3-5 groups total): matches
+# +1 (555) 123-4567, 555-123-9876, +44 20 7946 0958; never plain integers
+# or years (a separator is required between every group) and never inside
+# longer digit runs (leading \b, or an explicit +)
+PII_PHONE_RE = r"(\+[0-9]{1,4}|\b[0-9]{1,4})([-. ()]{1,2}[0-9]{2,4}){2,4}\b"
+
+PII_TOKENS = {"email": "[EMAIL]", "ip": "[IP]", "phone": "[PHONE]"}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, text) -> (id, text, n_emails, n_ips, n_phones): emails, IPv4
+    addresses and phone-shaped numbers replaced with stable tokens, with
+    per-doc match counts for the release audit. Order matters and is
+    fixed: emails first (their local part may contain digits), then IPs
+    (dotted quads must not be eaten by the phone rule), then phones.
+    Pure codegen regexp work — zero shuffle, map-only at any scale."""
+    # regexp_count goes through the SQL parser: backslashes in the string
+    # literal must be doubled (the module's established expr convention)
+    def _count(col_name: str, pat: str):
+        return F.expr(f"regexp_count({col_name}, '{pat.replace(chr(92), chr(92) * 2)}')")
+
+    t1 = F.regexp_replace("text", PII_EMAIL_RE, PII_TOKENS["email"])
+    d = docs.select(
+        F.col(id_col),
+        _count("text", PII_EMAIL_RE).alias("n_emails"),
+        t1.alias("_t1"),
+    )
+    t2 = F.regexp_replace("_t1", PII_IPV4_RE, PII_TOKENS["ip"])
+    d = d.select(
+        id_col, "n_emails", _count("_t1", PII_IPV4_RE).alias("n_ips"), t2.alias("_t2")
+    )
+    phone_cnt = _count("_t2", PII_PHONE_RE)
+    t3 = F.regexp_replace("_t2", PII_PHONE_RE, PII_TOKENS["phone"])
+    return d.select(
+        id_col,
+        t3.alias("text"),
+        "n_emails",
+        "n_ips",
+        phone_cnt.alias("n_phones"),
+    )
+
+
+PII_SQL_TEMPLATE = """
+WITH s1 AS (
+  SELECT {id_col},
+    len(regexp_extract_all(text, '{email}')) AS n_emails,
+    regexp_replace(text, '{email}', '[EMAIL]', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT {id_col}, n_emails,
+    len(regexp_extract_all(t1, '{ip}')) AS n_ips,
+    regexp_replace(t1, '{ip}', '[IP]', 'g') AS t2
+  FROM s1
+)
+SELECT {id_col},
+  regexp_replace(t2, '{phone}', '[PHONE]', 'g') AS text,
+  n_emails, n_ips,
+  len(regexp_extract_all(t2, '{phone}')) AS n_phones
+FROM s2 ORDER BY {id_col}
+"""
+
+
+def pii_sql(id_col: str = "doc_id") -> str:
+    # DuckDB single-quoted literals keep backslashes verbatim: patterns
+    # drop in unescaped
+    return PII_SQL_TEMPLATE.format(
+        id_col=id_col, email=PII_EMAIL_RE, ip=PII_IPV4_RE, phone=PII_PHONE_RE
+    )
+
+
 QUERIES = {
     "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
 }

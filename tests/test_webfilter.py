@@ -117,3 +117,66 @@ def test_plans_are_jvm_only(spark):
     for q in (gopher_quality(d), c4_clean(d)):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+PII_DOCS = [
+    ("p01", "Contact john.doe+spam@example-mail.co.uk or call +1 (555) 123-4567 today."),
+    ("p02", "Server at 192.168.0.1 and 8.8.8.8; version 1.2 stays, 999.999.999.999 is not an IP."),
+    ("p03", "Year 2024 and plain 1234567 are not phones; 555-123-9876 is."),
+    ("p04", "No identifiers here at all, just regular prose."),
+    ("p05", "Two mails a@b.io c@d.org and an ip 10.0.0.7 and +44 20 7946 0958."),
+]
+
+
+def test_pii_scrub_vectors(spark):
+    from kraken_spark.functions.webfilter import pii_scrub
+
+    df = spark.createDataFrame(PII_DOCS, "doc_id string, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out["p01"].n_emails == 1 and out["p01"].n_phones == 1
+    assert "[EMAIL]" in out["p01"].text and "[PHONE]" in out["p01"].text
+    assert "john.doe" not in out["p01"].text
+    assert out["p02"].n_ips == 2
+    assert "version 1.2 stays" in out["p02"].text
+    # the non-IP dotted quad is still a separator-delimited digit sequence
+    assert out["p02"].n_phones == 1 and "999.999" not in out["p02"].text
+    assert out["p03"].n_phones == 1 and "2024" in out["p03"].text
+    assert out["p04"].text == PII_DOCS[3][1]  # untouched doc byte-identical
+    assert (out["p04"].n_emails, out["p04"].n_ips, out["p04"].n_phones) == (0, 0, 0)
+    assert out["p05"].n_emails == 2 and out["p05"].n_ips == 1 and out["p05"].n_phones == 1
+
+
+def test_pii_duckdb_parity_constructed_and_real(spark):
+    from kraken_spark.functions.webfilter import pii_scrub, pii_sql
+
+    df = spark.createDataFrame(PII_DOCS, "doc_id string, text string")
+    got = sorted(map(tuple, pii_scrub(df).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", PII_DOCS)
+    want = sorted(map(tuple, con.execute(pii_sql()).fetchall()))
+    assert got == want
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    if os.path.exists(f"{sf}/documents.parquet"):
+        real = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        got = sorted(map(tuple, pii_scrub(real).collect()))
+        con2 = duckdb.connect()
+        con2.execute(
+            "CREATE VIEW documents AS SELECT doc_id, text "
+            f"FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(map(tuple, con2.execute(pii_sql()).fetchall()))
+        assert got == want
+
+
+def test_pii_plan_is_map_only(spark):
+    from kraken_spark.functions.webfilter import pii_scrub
+
+    df = spark.createDataFrame(PII_DOCS, "doc_id string, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
