@@ -189,18 +189,94 @@ def c4_clean(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Model-based quality classifier (the DCLM/FineWeb-style final filter pass):
+# logistic regression over hashed distinct-unigram presence, TRAINED IN-REPO
+# (kernels/quality_train.py, seeded; tools/train_quality.py regenerates the
+# asset bit-for-bit). Integer-quantized weights make the per-doc logit an
+# exact BIGINT sum — bit-identical across Spark and DuckDB, and the whole
+# inference is ONE whole-stage-codegen projection: zero shuffle, map-only
+# at 10^12 documents (the array literal folds to a constant).
+# --------------------------------------------------------------------------
+
+
+def _quality_model():
+    from ..kernels.quality_train import load_model
+
+    return load_model()
+
+
+def quality_classifier(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, text) -> (id, ml_logit_q, ml_pass): integer-quantized logistic-
+    regression logit over hashed DISTINCT-token presence (repetition-proof:
+    keyword stuffing cannot buy score by repeating prose words) and the
+    >= 0 verdict. Hash = the repo's cross-engine md5-prefix BIGINT."""
+    m = _quality_model()
+    d, bias = m["d"], m["bias_q"]
+    arr = "array(" + ",".join(f"{int(v)}L" for v in m["weights_q"]) + ")"
+    logit = (
+        "aggregate("
+        f"array_distinct(transform(regexp_extract_all(lower(text), '{m['token_re']}', 0),"
+        f" t -> cast(pmod(cast(conv(substr(md5(t),1,8),16,10) as bigint), {d}) as int))),"
+        f" {bias}L,"
+        f" (acc, b) -> acc + element_at({arr}, b + 1))"
+    )
+    return docs.select(
+        id_col,
+        F.expr(logit).alias("ml_logit_q"),
+    ).withColumn("ml_pass", F.col("ml_logit_q") >= 0)
+
+
+QUALITY_SQL_TEMPLATE = """
+WITH w(b, wt) AS (VALUES {values}),
+tok AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower(text), '{token_re}')) AS t
+  FROM documents
+),
+tb AS (
+  SELECT DISTINCT {id_col}, ('0x' || substr(md5(t), 1, 8))::BIGINT % {d} AS b
+  FROM tok
+),
+s AS (
+  SELECT {id_col}, CAST(SUM(wt) AS BIGINT) AS sw
+  FROM tb JOIN w USING (b) GROUP BY {id_col}
+)
+SELECT d.{id_col},
+  CAST({bias} + COALESCE(s.sw, 0) AS BIGINT) AS ml_logit_q,
+  ({bias} + COALESCE(s.sw, 0)) >= 0 AS ml_pass
+FROM documents d LEFT JOIN s USING ({id_col})
+"""
+
+
+def quality_sql(id_col: str = "doc_id") -> str:
+    m = _quality_model()
+    values = ", ".join(
+        f"({b}, {int(w)})" for b, w in enumerate(m["weights_q"])
+    )
+    return QUALITY_SQL_TEMPLATE.format(
+        values=values,
+        id_col=id_col,
+        token_re=m["token_re"],
+        d=m["d"],
+        bias=m["bias_q"],
+    )
+
+
 def web_quality_pipeline(spark, sf):
     """The published LLM web-corpus filter chain as ONE driver-checked
     query over the real `documents` table: per-doc Gopher features + rule
     verdict (Rae et al. 2021), the C4-cleaned text (Raffel et al. 2020),
-    and the corpus repeated-paragraph-stripped text (C4/RefinedWeb rule,
-    functions/dedup.strip_repeated_paragraphs) — all three joined on
-    doc_id so the driver's value hash pins every rule and both rebuilt
-    texts byte-for-byte against DuckDB.
+    the corpus repeated-paragraph-stripped text (C4/RefinedWeb rule,
+    functions/dedup.strip_repeated_paragraphs), and the IN-REPO-TRAINED
+    model-based quality score (quality_classifier — the DCLM/FineWeb-style
+    final pass) — all four joined on doc_id so the driver's value hash
+    pins every rule, both rebuilt texts, and the learned-model logits
+    byte-for-byte against DuckDB.
 
     Plan shape at 10^12 docs: Gopher is pure map (zero shuffle); C4 is one
     posexplode + one groupBy; the paragraph strip is the documented
-    3-shuffle hash-join shape; the final joins are co-keyed on doc_id."""
+    3-shuffle hash-join shape; the classifier is pure map (a folded
+    array-literal lookup); the final joins are co-keyed on doc_id."""
     from .dedup import strip_repeated_paragraphs
     from .text import t
 
@@ -211,7 +287,8 @@ def web_quality_pipeline(spark, sf):
         strip_repeated_paragraphs(d.select(F.col("doc_id").alias("url"), "text"))
         .select(F.col("url").alias("doc_id"), F.col("text").alias("nodup_text"))
     )
-    return g.join(c, "doc_id").join(p, "doc_id").orderBy("doc_id")
+    q = quality_classifier(d)
+    return g.join(c, "doc_id").join(p, "doc_id").join(q, "doc_id").orderBy("doc_id")
 
 
 def _web_quality_pipeline_sql() -> str:
@@ -222,11 +299,14 @@ def _web_quality_pipeline_sql() -> str:
     strip = STRIP_PARAGRAPHS_SQL_TEMPLATE.format(
         min_len=MIN_PARA_LEN, min_repeats=2
     ).replace("url", "doc_id")
+    quality = quality_sql("doc_id")
     return f"""
-SELECT g.*, c.text AS c4_text, n.text AS nodup_text
+SELECT g.*, c.text AS c4_text, n.text AS nodup_text,
+       q.ml_logit_q, q.ml_pass
 FROM ({gopher}) g
 JOIN ({c4}) c USING (doc_id)
 JOIN ({strip}) n USING (doc_id)
+JOIN ({quality}) q USING (doc_id)
 ORDER BY doc_id
 """
 
