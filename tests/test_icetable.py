@@ -201,3 +201,46 @@ def test_job_cli_ice_table_format(spark, tmp_path, capsys):
     assert "resume: 0 documents remaining" in out
     assert "committed 4 extraction rows" in out
     assert it.current_snapshot_id(f"{tmp}/out") == 1  # no empty snapshot
+
+
+def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
+    t = str(tmp_path / "inc")
+    sid1 = it.append(_df(spark, [("a", 1), ("b", 2)]), t)
+    sid2 = it.append(_df(spark, [("c", 3)]), t)
+    sid3 = it.append(_df(spark, [("d", 4), ("e", 5)]), t)
+    # delta (sid1, sid3] = rows of sid2+sid3 commits only
+    got = sorted(r.url for r in it.read_incremental(spark, t, sid1).collect())
+    assert got == ["c", "d", "e"]
+    # bounded range (sid1, sid2]
+    got = sorted(
+        r.url for r in it.read_incremental(spark, t, sid1, sid2).collect()
+    )
+    assert got == ["c"]
+    # genesis: everything
+    assert it.read_incremental(spark, t, 0).count() == 5
+    # the scan is metadata-pruned: only the delta's files are in the plan
+    plan = (
+        it.read_incremental(spark, t, sid2, sid3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count(".parquet") <= len(
+        it.snapshot(t, sid3)["manifest"]
+    ) - len(it.snapshot(t, sid2)["manifest"]) + 1
+
+
+def test_incremental_scan_empty_delta_and_bad_range(spark, tmp_path):
+    t = str(tmp_path / "inc2")
+    sid1 = it.append(_df(spark, [("a", 1)]), t)
+    assert it.read_incremental(spark, t, sid1).count() == 0
+    with pytest.raises(it.NoSuchSnapshot):
+        it.read_incremental(spark, t, sid1 + 5)
+
+
+def test_incremental_scan_refuses_non_append_history(spark, tmp_path):
+    t = str(tmp_path / "inc3")
+    sid1 = it.append(_df(spark, [("a", 1)]), t)
+    it.overwrite(_df(spark, [("z", 9)]), t)
+    with pytest.raises(ValueError, match="append-only"):
+        it.read_incremental(spark, t, sid1)
