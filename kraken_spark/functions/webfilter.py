@@ -423,3 +423,102 @@ def pii_sql(id_col: str = "doc_id") -> str:
 QUERIES = {
     "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
 }
+
+
+# ---------------------------------------------------------------------------
+# Token-budget stratified sampling (corpus mixing)
+
+# 2^32 — the md5-prefix uniform draws below are 32-bit
+_U32_SPAN = 4294967296.0
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    budgets: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic stratified downsample to a per-stratum token budget —
+    the corpus-mixing pass that turns a filtered crawl into a training mix
+    ("X billion tokens of en, Y of fr, ..."). Returns one row per input
+    doc: (id, stratum, n_tokens, rate, sampled) where `sampled` marks the
+    kept docs and E[sum of sampled n_tokens per stratum] == min(budget,
+    stratum total).
+
+    Sampling is a pure function of the doc id — no RNG state, so the mix
+    is reproducible across runs/retries/partitionings (exactly-once
+    semantics survive task retries, the property Bernoulli RNG sampling
+    loses). Draw: first 8 md5 hex digits of the id as a 32-bit uniform,
+    kept iff u < rate * 2^32; the cross-engine recipe pinned in
+    functions/dedup.py. `rate = least(1, budget/stratum_tokens)` is one
+    double division of two exact BIGINTs, bit-identical in any IEEE-754
+    engine — the DuckDB twin (TOKEN_BUDGET_SQL_TEMPLATE) reproduces the
+    sampled set exactly.
+
+    Scale shape: one map-only token-count projection, one groupBy over
+    the (tiny) strata vocabulary, the totals broadcast back — the 10^12-row
+    side is never shuffled. `budgets` overrides the default budget for
+    named strata (the per-language mixing weights).
+    """
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    d = docs.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        n_tok.alias("n_tokens"),
+    )
+    totals = d.groupBy("stratum").agg(
+        F.sum("n_tokens").alias("stratum_tokens")
+    )
+    b = F.lit(int(budget_tokens)).cast("bigint")
+    for k in sorted(budgets or {}):
+        b = F.when(F.col("stratum") == k, F.lit(int(budgets[k])).cast("bigint")).otherwise(b)
+    rate = F.least(
+        F.lit(1.0), b.cast("double") / F.col("stratum_tokens").cast("double")
+    )
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        d.join(F.broadcast(totals), "stratum")
+        .select(
+            F.col(id_col),
+            "stratum",
+            "n_tokens",
+            "stratum_tokens",
+            rate.alias("rate"),
+            (u.cast("double") < rate * F.lit(_U32_SPAN)).alias("sampled"),
+        )
+    )
+
+
+def token_budget_sql(
+    budget_tokens: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    budgets: dict[str, int] | None = None,
+) -> str:
+    """DuckDB twin of token_budget_sample (exact: integer token counts,
+    one double division, 32-bit md5-prefix draw)."""
+    b = f"CAST({int(budget_tokens)} AS BIGINT)"
+    for k in sorted(budgets or {}):
+        b = (
+            f"CASE WHEN stratum = '{k}' THEN CAST({int(budgets[k])} AS BIGINT) "
+            f"ELSE {b} END"
+        )
+    return f"""
+WITH d AS (
+  SELECT {id_col}, {strata_col} AS stratum,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), t AS (
+  SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS stratum_tokens
+  FROM d GROUP BY stratum
+)
+SELECT d.{id_col}, d.stratum, d.n_tokens, t.stratum_tokens,
+  LEAST(1.0, CAST({b} AS DOUBLE) / CAST(t.stratum_tokens AS DOUBLE)) AS rate,
+  CAST(CAST(('0x' || substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+    < LEAST(1.0, CAST({b} AS DOUBLE) / CAST(t.stratum_tokens AS DOUBLE)) * {_U32_SPAN}
+    AS sampled
+FROM d JOIN t USING (stratum)
+"""

@@ -180,3 +180,97 @@ def test_pii_plan_is_map_only(spark):
     df = spark.createDataFrame(PII_DOCS, "doc_id string, text string")
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Token-budget stratified sampling (corpus mixing)
+
+from kraken_spark.functions.webfilter import (  # noqa: E402
+    token_budget_sample,
+    token_budget_sql,
+)
+
+
+def _duck_docs_lang(rows, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id VARCHAR, text VARCHAR, lang VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    return con.execute(sql).fetchall()
+
+
+MIX_DOCS = [
+    (f"d{i:03d}", " ".join(f"w{j}" for j in range(10 + (i * 7) % 40)), lang)
+    for i, lang in enumerate(
+        ["en"] * 40 + ["fr"] * 12 + ["de"] * 3  # skewed strata
+    )
+]
+
+
+def _mix_df(spark):
+    return spark.createDataFrame(
+        MIX_DOCS, "doc_id string, text string, lang string"
+    )
+
+
+def test_token_budget_sample_duckdb_parity(spark):
+    for budgets in (None, {"fr": 10**9, "de": 0}):
+        got = sorted(
+            tuple(r)
+            for r in token_budget_sample(
+                _mix_df(spark), 300, budgets=budgets
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck_docs_lang(
+                MIX_DOCS, token_budget_sql(300, budgets=budgets)
+            )
+        )
+        assert got == want
+
+
+def test_token_budget_sample_semantics(spark):
+    out = token_budget_sample(_mix_df(spark), 300).collect()
+    assert len(out) == len(MIX_DOCS)  # every doc gets a verdict row
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r)
+    # tiny stratum under budget: rate 1.0, everything sampled
+    assert all(r.rate == 1.0 and r.sampled for r in by["de"])
+    # over-budget stratum: rate < 1, sampled token mass near the budget
+    en = by["en"]
+    assert all(0 < r.rate < 1 for r in en)
+    total = sum(r.n_tokens for r in en)
+    kept = sum(r.n_tokens for r in en if r.sampled)
+    assert kept < total
+    assert abs(kept - 300) < 0.5 * total ** 0.5 * 40  # loose CLT band
+    # determinism: same input -> identical sampled set
+    again = token_budget_sample(_mix_df(spark), 300).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_token_budget_sample_real_documents_parity(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+    )
+    rows = [(r.doc_id, r.text, r.lang) for r in docs.collect()]
+    got = sorted(
+        tuple(r) for r in token_budget_sample(docs, 5000).collect()
+    )
+    want = sorted(tuple(r) for r in _duck_docs_lang(rows, token_budget_sql(5000)))
+    assert got == want
+
+
+def test_token_budget_sample_plan_broadcasts_totals(spark):
+    plan = (
+        token_budget_sample(_mix_df(spark), 300)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
