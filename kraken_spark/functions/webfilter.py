@@ -522,3 +522,219 @@ SELECT d.{id_col}, d.stratum, d.n_tokens, t.stratum_tokens,
     AS sampled
 FROM d JOIN t USING (stratum)
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021, Table A1 second half)
+
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_PARA_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_DUP_PARA_CHAR_FRAC = 0.20
+MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+_BL = "bigint"
+
+
+def _wc(g):
+    # word characters of an n-gram (separator spaces excluded; split
+    # tokens themselves contain no whitespace)
+    return F.length(F.regexp_replace(g, " ", "")).cast(_BL)
+
+
+def _ngrams(words, n: int):
+    cnt = F.size(words) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def _ngram_masses(words, n: int):
+    """(top_mass, dup_mass, tot_mass) over the doc's word n-grams, where
+    mass(g) = count(g) * wordchars(g): ONE O(G log G) array_sort plus ONE
+    linear fold per row, entirely inside codegen — no shuffle, no explode,
+    so the 10^12-doc pass stays map-only (the same signals computed the
+    textbook way cost an explode + groupBy(doc, n, gram) shuffle of ~n
+    copies of the corpus)."""
+    s = F.array_sort(_ngrams(words, n))
+    zero = F.lit(0).cast(_BL)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup"),
+        zero.alias("best"),
+    )
+
+    def merge(st, x):
+        same = st["prev"].isNotNull() & (st["prev"] == x)
+        mass = F.when(st["prev"].isNull(), zero).otherwise(
+            st["run"] * _wc(st["prev"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, st["run"] + F.lit(1).cast(_BL)).otherwise(
+                F.lit(1).cast(_BL)
+            ).alias("run"),
+            F.when(same, st["dup"]).otherwise(
+                st["dup"] + F.when(st["run"] > 1, mass).otherwise(zero)
+            ).alias("dup"),
+            F.when(same, st["best"]).otherwise(
+                F.greatest(st["best"], mass)
+            ).alias("best"),
+        )
+
+    def finish(st):
+        mass = F.when(st["prev"].isNull(), zero).otherwise(
+            st["run"] * _wc(st["prev"])
+        )
+        return F.struct(
+            (st["dup"] + F.when(st["run"] > 1, mass).otherwise(zero)).alias("dup"),
+            F.greatest(st["best"], mass).alias("best"),
+        )
+
+    closed = F.aggregate(s, init, merge, finish)
+    tot = F.aggregate(s, zero, lambda a, x: a + _wc(x))
+    frac = lambda num: F.when(tot > 0, F.round(num / tot, 6)).otherwise(F.lit(0.0))
+    return frac(closed["best"]), frac(closed["dup"])
+
+
+def _dup_array_stats(arr):
+    n = F.size(arr)
+    nd = F.size(F.array_distinct(arr))
+    zero = F.lit(0).cast(_BL)
+    sl = F.aggregate(arr, zero, lambda a, x: a + F.length(x).cast(_BL))
+    sld = F.aggregate(
+        F.array_distinct(arr), zero, lambda a, x: a + F.length(x).cast(_BL)
+    )
+    frac = F.round((n - nd) / n, 6)
+    cfrac = F.when(sl > 0, F.round((sl - sld) / sl, 6)).otherwise(F.lit(0.0))
+    return frac, cfrac
+
+
+def gopher_repetition(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents(id, text) -> the Gopher repetition signals + `passes_repetition`
+    (Rae et al. 2021 Table A1, repetition half): duplicate line / paragraph
+    fractions and their character fractions, top-{2,3,4}-gram character
+    fractions, duplicated-{5..10}-gram character fractions.
+
+    Character fractions are occurrence-mass definitions: for n-grams,
+    mass(g) = count(g) * wordchars(g), top = max mass / total mass, dup =
+    mass of grams occurring >1 time / total mass (overlapping occurrences
+    each count — a documented, deterministic variant of the paper's
+    position-marked measure, monotone in repetition and identically
+    computable in any SQL engine); line/paragraph char fractions count
+    characters in occurrences beyond the first, over line characters.
+
+    Wholly map-only (see _ngram_masses) with an exact DuckDB twin
+    (gopher_repetition_sql) pinned on constructed + real tables.
+    """
+    words = F.split(F.trim("text"), r"\s+")
+    lines = F.split("text", "\n")
+    paras = F.split("text", r"\n{2,}")
+    dlf, dlcf = _dup_array_stats(lines)
+    dpf, dpcf = _dup_array_stats(paras)
+    cols = [
+        F.col(id_col),
+        dlf.alias("dup_line_frac"),
+        dlcf.alias("dup_line_char_frac"),
+        dpf.alias("dup_para_frac"),
+        dpcf.alias("dup_para_char_frac"),
+    ]
+    for n in sorted(MAX_TOP_NGRAM_CHAR_FRAC):
+        top, _ = _ngram_masses(words, n)
+        cols.append(top.alias(f"top_{n}gram_char_frac"))
+    for n in sorted(MAX_DUP_NGRAM_CHAR_FRAC):
+        _, dup = _ngram_masses(words, n)
+        cols.append(dup.alias(f"dup_{n}gram_char_frac"))
+    d = docs.select(*cols)
+    passes = (
+        (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("dup_para_frac") <= MAX_DUP_PARA_FRAC)
+        & (F.col("dup_para_char_frac") <= MAX_DUP_PARA_CHAR_FRAC)
+    )
+    for n, t in MAX_TOP_NGRAM_CHAR_FRAC.items():
+        passes = passes & (F.col(f"top_{n}gram_char_frac") <= t)
+    for n, t in MAX_DUP_NGRAM_CHAR_FRAC.items():
+        passes = passes & (F.col(f"dup_{n}gram_char_frac") <= t)
+    return d.withColumn("passes_repetition", passes)
+
+
+def gopher_repetition_sql(id_col: str = "doc_id") -> str:
+    """DuckDB twin of gopher_repetition (exact; the small-data oracle uses
+    the textbook unnest + GROUP BY shape the Spark fold avoids)."""
+    ns = sorted(MAX_TOP_NGRAM_CHAR_FRAC) + sorted(MAX_DUP_NGRAM_CHAR_FRAC)
+    values = ",".join(f"({n})" for n in ns)
+    piv_cols, out_cols, conds = [], [], [
+        f"dup_line_frac <= {MAX_DUP_LINE_FRAC}",
+        f"dup_line_char_frac <= {MAX_DUP_LINE_CHAR_FRAC}",
+        f"dup_para_frac <= {MAX_DUP_PARA_FRAC}",
+        f"dup_para_char_frac <= {MAX_DUP_PARA_CHAR_FRAC}",
+    ]
+    for n in sorted(MAX_TOP_NGRAM_CHAR_FRAC):
+        piv_cols.append(
+            f"MAX(CASE WHEN n={n} THEN CASE WHEN tot>0 THEN "
+            f"ROUND(CAST(best AS DOUBLE)/tot, 6) ELSE 0.0 END END) AS top_{n}"
+        )
+        out_cols.append(f"COALESCE(top_{n}, 0.0) AS top_{n}gram_char_frac")
+        conds.append(
+            f"COALESCE(top_{n}, 0.0) <= {MAX_TOP_NGRAM_CHAR_FRAC[n]}"
+        )
+    for n in sorted(MAX_DUP_NGRAM_CHAR_FRAC):
+        piv_cols.append(
+            f"MAX(CASE WHEN n={n} THEN CASE WHEN tot>0 THEN "
+            f"ROUND(CAST(dup AS DOUBLE)/tot, 6) ELSE 0.0 END END) AS dup_{n}"
+        )
+        out_cols.append(f"COALESCE(dup_{n}, 0.0) AS dup_{n}gram_char_frac")
+        conds.append(
+            f"COALESCE(dup_{n}, 0.0) <= {MAX_DUP_NGRAM_CHAR_FRAC[n]}"
+        )
+    return f"""
+WITH d AS (
+  SELECT {id_col},
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    regexp_split_to_array(text, '\\n') AS lines,
+    regexp_split_to_array(text, '\\n{{2,}}') AS paras
+  FROM documents
+), base AS (
+  SELECT {id_col},
+    ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
+    CASE WHEN COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) > 0
+      THEN ROUND(CAST(COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+                    - COALESCE(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0) AS DOUBLE)
+               / COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0), 6)
+      ELSE 0.0 END AS dup_line_char_frac,
+    ROUND(CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE) / len(paras), 6) AS dup_para_frac,
+    CASE WHEN COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0) > 0
+      THEN ROUND(CAST(COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0)
+                    - COALESCE(list_aggregate(list_transform(list_distinct(paras), x -> length(x)), 'sum'), 0) AS DOUBLE)
+               / COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0), 6)
+      ELSE 0.0 END AS dup_para_char_frac
+  FROM d
+), ng0 AS (
+  SELECT {id_col}, n, words,
+         unnest(generate_series(1, greatest(len(words) - n + 1, 0))) AS pos
+  FROM d, (VALUES {values}) ns(n)
+), cnt AS (
+  SELECT {id_col}, n, array_to_string(words[pos:pos+n-1], ' ') AS g, COUNT(*) AS c
+  FROM ng0 GROUP BY 1, 2, 3
+), agg AS (
+  SELECT {id_col}, n,
+    SUM(c * length(replace(g, ' ', ''))) AS tot,
+    COALESCE(SUM(CASE WHEN c > 1 THEN c * length(replace(g, ' ', '')) END), 0) AS dup,
+    MAX(c * length(replace(g, ' ', ''))) AS best
+  FROM cnt GROUP BY 1, 2
+), piv AS (
+  SELECT {id_col}, {", ".join(piv_cols)} FROM agg GROUP BY 1
+)
+SELECT b.{id_col}, b.dup_line_frac, b.dup_line_char_frac,
+       b.dup_para_frac, b.dup_para_char_frac,
+       {", ".join(out_cols)},
+       ({" AND ".join(conds)}) AS passes_repetition
+FROM base b LEFT JOIN piv USING ({id_col})
+"""

@@ -274,3 +274,81 @@ def test_token_budget_sample_plan_broadcasts_totals(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters
+
+from kraken_spark.functions.webfilter import (  # noqa: E402
+    gopher_repetition,
+    gopher_repetition_sql,
+)
+
+REP_DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog and then the quick brown fox jumps again"),
+    ("d2", "spam spam spam spam spam spam spam spam spam spam"),
+    ("d3", "line one\nline two\nline one\nline three\n\npara two\n\npara two"),
+    ("d4", ""),
+    # all-distinct words at a realistic (post-length-gate) size: no signal
+    # may fire — top-ngram fractions are only meaningful past ~50 words
+    ("d5", " ".join(f"word{i:02d}" for i in range(60))),
+    ("d6", "a b\na b\na b\na b"),
+    ("d7", "x"),
+    ("d8", "alpha beta gamma delta " * 6),  # 4-word cycle: heavy n-gram dup
+]
+
+
+def test_gopher_repetition_signal_values(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id string, text string")
+    out = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    # d6: 4 identical lines -> 3/4 dup lines, 9/12 dup chars
+    assert out["d6"].dup_line_frac == 0.75
+    assert out["d6"].dup_line_char_frac == 0.75
+    # d2: "spam" x10 -> every 5..9-gram duplicated, the single 10-gram not
+    for n in range(5, 10):
+        assert out["d2"][f"dup_{n}gram_char_frac"] == 1.0
+    assert out["d2"].top_2gram_char_frac == 1.0
+    assert out["d2"].dup_10gram_char_frac == 0.0
+    assert not out["d2"].passes_repetition
+    # clean short docs pass
+    assert out["d5"].passes_repetition
+    assert out["d4"].passes_repetition  # empty text: all signals 0
+    # d8: exact 4-word cycle -> 4 rotations split the 4-gram mass; the top
+    # one holds 6 of 21 occurrences, well above the 0.16 threshold
+    assert out["d8"].top_4gram_char_frac == pytest.approx(6 / 21, abs=1e-6)
+    assert not out["d8"].passes_repetition
+
+
+def _duck_rep(rows):
+    # NOTE: not _duck — gopher_repetition_sql() is already fully
+    # interpolated and contains regex {2,} braces .format would eat
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    return con.execute(gopher_repetition_sql()).fetchall()
+
+
+def test_gopher_repetition_duckdb_parity_constructed(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id string, text string")
+    got = sorted(tuple(r) for r in gopher_repetition(df).collect())
+    want = sorted(tuple(r) for r in _duck_rep(REP_DOCS))
+    assert got == want
+
+
+def test_gopher_repetition_parity_real_documents(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    got = sorted(tuple(r) for r in gopher_repetition(docs).collect())
+    want = sorted(tuple(r) for r in _duck_rep(rows))
+    assert got == want
+
+
+def test_gopher_repetition_plan_is_map_only(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id string, text string")
+    plan = gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: sort+fold per row
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
