@@ -269,9 +269,10 @@ def web_quality_pipeline(spark, sf):
     the corpus repeated-paragraph-stripped text (C4/RefinedWeb rule,
     functions/dedup.strip_repeated_paragraphs), and the IN-REPO-TRAINED
     model-based quality score (quality_classifier — the DCLM/FineWeb-style
-    final pass) — all four joined on doc_id so the driver's value hash
-    pins every rule, both rebuilt texts, and the learned-model logits
-    byte-for-byte against DuckDB.
+    final pass), and the Gopher repetition signals (gopher_repetition) —
+    all five joined on doc_id so the driver's value hash pins every rule,
+    both rebuilt texts, the learned-model logits, and all 13 repetition
+    fractions byte-for-byte against DuckDB.
 
     Plan shape at 10^12 docs: Gopher is pure map (zero shuffle); C4 is one
     posexplode + one groupBy; the paragraph strip is the documented
@@ -288,7 +289,14 @@ def web_quality_pipeline(spark, sf):
         .select(F.col("url").alias("doc_id"), F.col("text").alias("nodup_text"))
     )
     q = quality_classifier(d)
-    return g.join(c, "doc_id").join(p, "doc_id").join(q, "doc_id").orderBy("doc_id")
+    r = gopher_repetition(d)
+    return (
+        g.join(c, "doc_id")
+        .join(p, "doc_id")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _web_quality_pipeline_sql() -> str:
@@ -300,13 +308,27 @@ def _web_quality_pipeline_sql() -> str:
         min_len=MIN_PARA_LEN, min_repeats=2
     ).replace("url", "doc_id")
     quality = quality_sql("doc_id")
+    rep = gopher_repetition_sql("doc_id")
+    rep_cols = ", ".join(
+        f"r.{c}"
+        for c in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_para_frac",
+            "dup_para_char_frac",
+            *(f"top_{n}gram_char_frac" for n in sorted(MAX_TOP_NGRAM_CHAR_FRAC)),
+            *(f"dup_{n}gram_char_frac" for n in sorted(MAX_DUP_NGRAM_CHAR_FRAC)),
+            "passes_repetition",
+        )
+    )
     return f"""
 SELECT g.*, c.text AS c4_text, n.text AS nodup_text,
-       q.ml_logit_q, q.ml_pass
+       q.ml_logit_q, q.ml_pass, {rep_cols}
 FROM ({gopher}) g
 JOIN ({c4}) c USING (doc_id)
 JOIN ({strip}) n USING (doc_id)
 JOIN ({quality}) q USING (doc_id)
+JOIN ({rep}) r USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -418,11 +440,6 @@ def pii_sql(id_col: str = "doc_id") -> str:
     return PII_SQL_TEMPLATE.format(
         id_col=id_col, email=PII_EMAIL_RE, ip=PII_IPV4_RE, phone=PII_PHONE_RE
     )
-
-
-QUERIES = {
-    "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
-}
 
 
 # ---------------------------------------------------------------------------
@@ -738,3 +755,8 @@ SELECT b.{id_col}, b.dup_line_frac, b.dup_line_char_frac,
        ({" AND ".join(conds)}) AS passes_repetition
 FROM base b LEFT JOIN piv USING ({id_col})
 """
+
+
+QUERIES = {
+    "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
+}
