@@ -102,6 +102,80 @@ FROM clusters GROUP BY n_docs ORDER BY n_docs
 """
 
 
+def connected_components(edges, max_iter: int = 32):
+    """Distributed connected components over an undirected candidate-pair
+    graph — the cluster-formation pass every published dedup pipeline runs
+    after candidate generation (MinHash-LSH pairs -> duplicate clusters ->
+    keep one doc per cluster; RefinedWeb §3.2, FineWeb, Lee et al. 2021).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — converges
+    in O(log^2 n) rounds, each round two groupBy shuffles over the EDGE set
+    (never the corpus), no driver-side graph state, no collect. This is the
+    shape that survives 10^12 nodes; naive label propagation needs
+    O(diameter) rounds and dies on chain-shaped duplicate graphs.
+
+    `edges`: DataFrame with orderable columns (hi, lo), hi > lo per row
+    (callers canonicalize). Returns (node, cluster_id) with cluster_id =
+    the component's minimum node id — one row per non-singleton node.
+
+    Convergence is detected EXACTLY (symmetric-difference emptiness via
+    exceptAll on the star edge set), not by count/hash signatures; the edge
+    set is the tiny pair table, so the extra aggregate per round is noise.
+    localCheckpoint truncates lineage each round (swap for reliable
+    checkpoint on a cluster) so plan depth stays O(1) in iterations.
+    """
+    edges = (
+        edges.select(F.col("hi"), F.col("lo")).distinct().localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star: every node u links its strictly-larger neighbours to
+        # min(N(u) + {u}). Symmetrize, one min-aggregate, one join back.
+        sym = edges.union(edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo")))
+        sym = sym.toDF("u", "v")
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.least("u", "mn").alias("lo"))
+            .distinct()
+        )
+        # small-star: every node u links its smaller neighbours (and itself)
+        # to the minimum of that set. On (hi, lo) rows the smaller
+        # neighbourhood of hi is exactly its lo column.
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("mn"))
+        joined = large.join(mins2, "hi")
+        small = (
+            joined.select(F.col("hi"), F.col("mn").alias("lo"))
+            .union(
+                joined.where(F.col("lo") != F.col("mn")).select(
+                    F.col("lo").alias("hi"), F.col("mn").alias("lo")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if small.exceptAll(edges).isEmpty() and edges.exceptAll(small).isEmpty():
+            edges = small
+            break
+        edges = small
+    # converged: a star forest with centers = component minima.
+    return edges.select(F.col("hi").alias("node"), F.col("lo").alias("cluster_id")).union(
+        edges.select(F.col("lo").alias("node"), F.col("lo").alias("cluster_id")).distinct()
+    )
+
+
+def duplicate_clusters(pairs, a_col: str = "doc_a", b_col: str = "doc_b"):
+    """(node, cluster_id, cluster_size) from a canonical candidate-pair
+    DataFrame (a_col < b_col per row). cluster_id is the component minimum
+    — the conventional "keep the smallest id" dedup representative."""
+    comp = connected_components(
+        pairs.select(F.col(b_col).alias("hi"), F.col(a_col).alias("lo"))
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select("node", "cluster_id", "cluster_size")
+
+
 # document-frequency cap for the Jaccard self-join: a shingle present in K
 # documents generates K^2/2 candidate pairs, so one ubiquitous 7-gram (a
 # boilerplate phrase in 10^9 docs at 100 TB) would single-handedly create a
@@ -115,9 +189,13 @@ DF_CAP = 128
 
 def dedup_ngram_jaccard(spark, sf):
     """Pairwise n-gram Jaccard >= 0.5 over the df-capped shingle universe
-    (same-shingle join, ordered pairs). df=1 shingles are additionally
-    pruned from the join input (they cannot intersect) but still count
-    toward per-doc sizes."""
+    (same-shingle join, ordered pairs), plus the cluster-formation pass:
+    each pair row carries the connected-component id (component-minimum
+    doc) and component size of the >= 0.5 duplicate graph — the "keep one
+    per cluster" signal of the published dedup pipelines. Components via
+    alternating large-star/small-star (see connected_components); the
+    DuckDB twin derives the same labels with a recursive min-reachability
+    CTE — algorithm-independent agreement on min-per-component."""
     sh = _shingles(spark, sf)
     df = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= DF_CAP
@@ -134,18 +212,27 @@ def dedup_ngram_jaccard(spark, sf):
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    pairs = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
+        # the pair table feeds connected_components (an iterative consumer)
+        # AND the final join — materialize it once instead of recomputing
+        # the shingle self-join per CC round.
+        .localCheckpoint(eager=True)
+    )
+    clusters = duplicate_clusters(pairs)
+    return (
+        pairs.join(clusters.withColumnRenamed("node", "doc_a"), "doc_a")
+        .select("doc_a", "doc_b", "jaccard", "cluster_id", "cluster_size")
         .orderBy("doc_a", "doc_b")
     )
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH {_SHINGLES_CTE},
+WITH RECURSIVE {_SHINGLES_CTE},
 freq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY 1),
 capped AS (
   SELECT s.doc_id, s.shingle, freq.df
@@ -156,13 +243,29 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   WHERE a.df >= 2 AND b.df >= 2
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+-- duplicate clusters: min-reachability closure over the pair graph; the
+-- Spark side computes the same component minima with large-star/small-star
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach (n, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS nodes(u)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+comp AS (SELECT n, MIN(r) AS cluster_id FROM reach GROUP BY n),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT p.doc_a, p.doc_b, p.jaccard, c.cluster_id, s.cluster_size
+FROM pairs p
+JOIN comp c ON c.n = p.doc_a
+JOIN csize s ON s.cluster_id = c.cluster_id
 ORDER BY doc_a, doc_b
 """
 
