@@ -176,6 +176,28 @@ def duplicate_clusters(pairs, a_col: str = "doc_a", b_col: str = "doc_b"):
     return comp.join(sizes, "cluster_id").select("node", "cluster_id", "cluster_size")
 
 
+def minhash_dedup_corpus(spark, sf, min_agreement: float = 0.5):
+    """The full published dedup pipeline end-to-end: MinHash-LSH candidate
+    pairs -> signature-agreement threshold -> connected components -> keep
+    ONE document per duplicate cluster (the component-minimum doc_id).
+
+    Returns the deduplicated documents DataFrame (all original columns).
+    Every stage is the scale shape already audited for its parts: the LSH
+    pair generation never leaves the band-bucket plan, the CC rounds
+    shuffle only the pair edges, and the final keeper removal is one hash
+    anti-join against the (tiny) loser set — the 10^12-row corpus is
+    touched by exactly two passes (signatures, anti-join)."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf)
+        .where(F.col("sig_agreement") >= min_agreement)
+        .localCheckpoint(eager=True)
+    )
+    losers = duplicate_clusters(pairs).where(F.col("node") != F.col("cluster_id"))
+    return t(spark, sf).join(
+        losers.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+
+
 # document-frequency cap for the Jaccard self-join: a shingle present in K
 # documents generates K^2/2 candidate pairs, so one ubiquitous 7-gram (a
 # boilerplate phrase in 10^9 docs at 100 TB) would single-handedly create a

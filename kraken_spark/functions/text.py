@@ -176,6 +176,55 @@ ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
 """
 
 
+# --- learned-BPE token counting (library surface; not SQL-expressible) ---
+#
+# The oracle-checked token stats above use the regex proxy; this is the
+# REAL thing: counts under the in-repo-trained BPE merge table
+# (kernels/bpe.py, assets/bpe_merges.json — tools/train_bpe.py regenerates
+# bit-for-bit). Arrow-batched mapInArrow, per-executor tokenizer singleton
+# with a Zipf-friendly per-word LRU — map-only at 10^12 docs, zero shuffle.
+
+_BPE_SINGLETON = {}
+
+
+def _bpe():
+    if "t" not in _BPE_SINGLETON:
+        from pathlib import Path
+
+        from kraken_spark.kernels.bpe import BPE, load_merges
+
+        path = Path(__file__).resolve().parent.parent / "assets" / "bpe_merges.json"
+        _BPE_SINGLETON["t"] = BPE(load_merges(str(path)))
+    return _BPE_SINGLETON["t"]
+
+
+def bpe_token_counts(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, bpe_tokens, words) per document under the learned merge table.
+    bpe_tokens == words for fully-merged in-vocabulary words; unseen words
+    cost extra subword tokens — the honest corpus-budget denominator."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [(id_col, pa.int64()), ("bpe_tokens", pa.int64()), ("words", pa.int64())]
+    )
+
+    def fn(batches):
+        tok = _bpe()
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: ids,
+                    "bpe_tokens": tok.count_batch(texts),
+                    "words": [len((t or "").split()) for t in texts],
+                },
+                schema=schema,
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(fn, schema=f"{id_col} long, bpe_tokens long, words long")
+
+
 QUERIES = {
     "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (text_quality_score, QUALITY_SQL),

@@ -31,12 +31,13 @@ def spark():
     return s
 
 
-def _uf_labels(n_nodes, edges):
-    parent = list(range(n_nodes))
+def _uf_labels(edges):
+    parent = {}
 
     def find(x):
+        parent.setdefault(x, x)
         while parent[x] != x:
-            parent[x] = parent[parent[x]]
+            parent[x] = parent.setdefault(parent[x], parent[x])
             x = parent[x]
         return x
 
@@ -65,7 +66,7 @@ def _cc_spark(spark, edges):
 def test_cc_basic_shapes(spark):
     # two triangles bridged, a pair, an isolated chain
     edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (10, 11), (20, 21), (21, 22)]
-    assert _cc_spark(spark, edges) == _uf_labels(30, edges)
+    assert _cc_spark(spark, edges) == _uf_labels(edges)
 
 
 def test_cc_chain_converges_logarithmically(spark):
@@ -91,7 +92,7 @@ def test_cc_randomized_unionfind_parity(spark):
             }
         )
         edges = [(a, b) for a, b in edges]
-        assert _cc_spark(spark, edges) == _uf_labels(n, edges), f"trial {trial}"
+        assert _cc_spark(spark, edges) == _uf_labels(edges), f"trial {trial}"
 
 
 def test_duplicate_clusters_sizes(spark):
@@ -108,6 +109,28 @@ def test_duplicate_clusters_sizes(spark):
         20: (20, 2),
         21: (20, 2),
     }
+
+
+def test_minhash_dedup_corpus_end_to_end(spark):
+    """pairs -> clusters -> keep one per cluster: the kept set must contain
+    every cluster minimum, drop every non-minimum, and never retain both
+    members of a thresholded candidate pair."""
+    import pyspark.sql.functions as F
+
+    from kraken_spark.functions.dedup import dedup_minhash_lsh, minhash_dedup_corpus
+
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF).where(F.col("sig_agreement") >= 0.5).collect()
+    ]
+    kept = {r.doc_id for r in minhash_dedup_corpus(spark, SF).select("doc_id").collect()}
+    labels = _uf_labels(pairs)
+    losers = {v for v, c in labels.items() if v != c}
+    assert len(kept) == total - len(losers)
+    assert not (kept & losers)
+    for a, b in pairs:
+        assert not (a in kept and b in kept)
 
 
 def test_jaccard_query_cluster_columns_duckdb_parity(spark):
