@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--resume", action="store_true", help="anti-join committed output")
     ap.add_argument(
+        "--tail",
+        action="store_true",
+        help="(ice input AND output) one tick of the recurring incremental "
+        "job: extract only the pages committed to the input table since "
+        "the watermark recorded in the output table's own snapshots "
+        "(pipeline.tail_extraction — exactly-once, no external state)",
+    )
+    ap.add_argument(
         "--serialize",
         choices=["alto", "pagexml", "hocr", "abbyyxml", "json"],
         default=None,
@@ -118,7 +126,22 @@ def main(argv: list[str] | None = None) -> int:
 
     from kraken_spark.operators.serialization import serialize_extractions
     from kraken_spark.pipeline import (read_output, remaining_documents,
-                                       run_extraction)
+                                       run_extraction, tail_extraction)
+
+    if args.tail:
+        r = tail_extraction(
+            spark,
+            args.input,
+            args.output,
+            run_id=args.run_id,
+            num_partitions=args.partitions,
+            kraken_model_path=args.model,
+        )
+        print(
+            f"[kraken_spark] tail tick: {r['processed']} new documents "
+            f"(source snapshot {r['source_snapshot_id']}) -> {args.output}"
+        )
+        return 0
 
     if args.input_format == "warc":
         from pyspark.sql import functions as F

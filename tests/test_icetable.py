@@ -244,3 +244,89 @@ def test_incremental_scan_refuses_non_append_history(spark, tmp_path):
     it.overwrite(_df(spark, [("z", 9)]), t)
     with pytest.raises(ValueError, match="append-only"):
         it.read_incremental(spark, t, sid1)
+
+
+def test_tail_extraction_incremental_ticks(spark, tmp_path):
+    """The recurring-job pattern: each tick extracts ONLY the pages delta
+    since the watermark recorded in the output table's own commits; a tick
+    with no new source snapshot is a commit-free no-op; a crashed writer's
+    staged files never advance the watermark."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import tail_extraction
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "extractions")
+    docs = generate_corpus_df(spark, 6).localCheckpoint(eager=True)
+
+    it.append(docs.limit(4), pages)
+    r1 = tail_extraction(spark, pages, out, run_id="tick1", num_partitions=2)
+    assert r1["processed"] == 4 and r1["out_snapshot_id"] == 1
+    urls1 = {r.url for r in it.read(spark, out).select("url").collect()}
+    assert len(urls1) == 4
+
+    # no new source snapshot -> no-op, no new output commit
+    r2 = tail_extraction(spark, pages, out, run_id="tick2", num_partitions=2)
+    assert r2 == {"processed": 0, "source_snapshot_id": 1, "out_snapshot_id": None}
+    assert it.current_snapshot_id(out) == 1
+
+    # new crawl arrives: only the 2-doc delta is processed
+    all_urls = {r.url for r in docs.select("url").collect()}
+    it.append(docs.join(it.read(spark, pages).select("url"), "url", "left_anti"), pages)
+    r3 = tail_extraction(spark, pages, out, run_id="tick3", num_partitions=2)
+    assert r3["processed"] == 2 and r3["source_snapshot_id"] == 2
+    rows = it.read(spark, out).select("url", "cer").collect()
+    assert {r.url for r in rows} == all_urls and len(rows) == 6
+    assert all(r.cer == 0.0 for r in rows)
+    # watermark lineage rides each commit
+    assert it.snapshot(out, 2)["lineage"] == [
+        {"stage": "tail-extract", "from_snapshot": 1, "to_snapshot": 2}
+    ]
+
+
+def test_tail_extraction_crashed_tick_reprocesses(spark, tmp_path):
+    """A tick that wrote data files but died before its commit leaves the
+    watermark untouched: the next tick reprocesses the same delta and the
+    orphaned files stay invisible."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import plan_extraction, tail_extraction
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "extractions")
+    docs = generate_corpus_df(spark, 3).localCheckpoint(eager=True)
+    it.append(docs, pages)
+
+    # simulate the crash: stage extraction data files under the output
+    # table WITHOUT a metadata commit
+    os.makedirs(os.path.join(out, "data"), exist_ok=True)
+    plan_extraction(docs, num_partitions=2).write.parquet(
+        os.path.join(out, "data", "deadbeef")
+    )
+    assert it.current_snapshot_id(out) == 0
+
+    r = tail_extraction(spark, pages, out, run_id="retick", num_partitions=2)
+    assert r["processed"] == 3
+    assert len(it.read(spark, out).collect()) == 3
+    assert it.orphan_data_files(out)  # the dead writer's files are orphans
+
+
+def test_job_cli_tail_mode(spark, tmp_path, capsys):
+    """job.main --tail: two ticks over a growing ice pages table — the
+    second tick processes only the newly committed crawl."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+
+    tmp = str(tmp_path)
+    docs = generate_corpus_df(spark, 5).localCheckpoint(eager=True)
+    it.append(docs.limit(3), f"{tmp}/pages")
+    rc = main(["--input", f"{tmp}/pages", "--output", f"{tmp}/out",
+               "--tail", "--run-id", "t1", "--partitions", "2"])
+    assert rc == 0
+    assert "tail tick: 3 new documents" in capsys.readouterr().out
+
+    it.append(docs.join(it.read(spark, f"{tmp}/pages").select("url"), "url", "left_anti"),
+              f"{tmp}/pages")
+    rc = main(["--input", f"{tmp}/pages", "--output", f"{tmp}/out",
+               "--tail", "--run-id", "t2", "--partitions", "2"])
+    assert rc == 0
+    assert "tail tick: 2 new documents" in capsys.readouterr().out
+    assert len(it.read(spark, f"{tmp}/out").collect()) == 5
