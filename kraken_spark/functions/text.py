@@ -189,12 +189,13 @@ _BPE_SINGLETON = {}
 
 def _bpe():
     if "t" not in _BPE_SINGLETON:
-        from pathlib import Path
+        import json
 
-        from kraken_spark.kernels.bpe import BPE, load_merges
+        from kraken_spark.assets_io import asset_bytes
+        from kraken_spark.kernels.bpe import BPE
 
-        path = Path(__file__).resolve().parent.parent / "assets" / "bpe_merges.json"
-        _BPE_SINGLETON["t"] = BPE(load_merges(str(path)))
+        merges = [tuple(m) for m in json.loads(asset_bytes("bpe_merges.json").decode("utf-8"))]
+        _BPE_SINGLETON["t"] = BPE(merges)
     return _BPE_SINGLETON["t"]
 
 

@@ -344,3 +344,53 @@ def domain_pagerank(
     sinks.unpersist()
     nodes.unpersist()
     return ranks
+
+
+# --- URL-level filtering (the RefinedWeb §3.1 / C4 pre-filter family) ---
+#
+# Two published mechanisms, both pure codegen (map-only at 10^12 rows):
+# a hard domain blocklist (the UT1-blacklist pattern — the shipped list is
+# an in-repo deterministic stand-in; production swaps in the real UT1
+# categories as a broadcast table without touching the plan) and a soft
+# weighted-fragment score over the URL string (RefinedWeb's word-score
+# rule: strict fragments weigh more than ambiguous ones; a URL is dropped
+# when the summed score of matched fragments crosses the threshold).
+
+URL_BLOCK_DOMAINS = [
+    "malware-cdn.example",
+    "pill-discounts.example",
+    "spam-casino.example",
+    "warez-mirror.example",
+]
+
+URL_SOFT_WORDS = [
+    ("casino", 3.0),
+    ("lottery", 2.0),
+    ("pills", 3.0),
+    ("warez", 4.0),
+    ("xxx", 4.0),
+    ("free-download", 2.0),
+    ("win-big", 2.0),
+]
+
+URL_SCORE_THRESHOLD = 4.0
+
+
+def url_quality_filter(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, domain, domain_blocked, url_score, url_ok) per row — one
+    codegen projection, no shuffle, no Python. `url_ok` is the keep
+    verdict: domain not on the blocklist AND soft score under threshold."""
+    u = F.lower(F.col(url_col))
+    dom = _domain(F.col(url_col))
+    blocked = dom.isin(*URL_BLOCK_DOMAINS)
+    score = None
+    for w, wt in URL_SOFT_WORDS:
+        term = F.when(u.contains(w), F.lit(wt)).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return docs.select(
+        F.col(url_col).alias("url"),
+        dom.alias("domain"),
+        blocked.alias("domain_blocked"),
+        score.alias("url_score"),
+        (~blocked & (score < F.lit(URL_SCORE_THRESHOLD))).alias("url_ok"),
+    )

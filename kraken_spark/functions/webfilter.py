@@ -760,3 +760,40 @@ FROM base b LEFT JOIN piv USING ({id_col})
 QUERIES = {
     "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
 }
+
+
+# --- compression-ratio junk signal (the CCNet/corpus-audit heuristic) ---
+
+
+def compression_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, raw_bytes, zlib_bytes, compression_ratio) per document —
+    zlib-compressed size over raw UTF-8 size. Templated/repetitive
+    boilerplate compresses far below prose (ratio << 0.4); encrypted or
+    random-noise payloads barely compress (ratio ~ 1). Published corpus
+    audits use the two tails as drop candidates; this emits the raw signal
+    and leaves thresholds to the consumer.
+
+    Arrow-batched mapInArrow (zlib is per-batch C, no per-row Python
+    round-trips) — map-only, zero shuffle at 10^12 docs."""
+    import pyarrow as pa
+
+    def fn(batches):
+        import zlib
+
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            raw, comp, ratio = [], [], []
+            for t in texts:
+                b = (t or "").encode("utf-8")
+                c = len(zlib.compress(b, 6))
+                raw.append(len(b))
+                comp.append(c)
+                ratio.append(round(c / len(b), 6) if b else 0.0)
+            yield pa.RecordBatch.from_pydict(
+                {id_col: ids, "raw_bytes": raw, "zlib_bytes": comp, "compression_ratio": ratio}
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        fn, schema=f"{id_col} long, raw_bytes long, zlib_bytes long, compression_ratio double"
+    )

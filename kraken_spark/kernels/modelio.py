@@ -76,6 +76,11 @@ def read_safetensors(path: str) -> tuple[dict[str, np.ndarray], dict]:
     """Raw safetensors parse: (tensors, metadata)."""
     with open(path, "rb") as f:
         blob = f.read()
+    return parse_safetensors(blob, path)
+
+
+def parse_safetensors(blob: bytes, path: str = "<bytes>") -> tuple[dict[str, np.ndarray], dict]:
+    """Parse safetensors bytes (the zip-deploy asset path has no file)."""
     if len(blob) < 8:
         raise ValueError(f"{path}: not a safetensors file (too short)")
     (hlen,) = struct.unpack("<Q", blob[:8])

@@ -240,8 +240,13 @@ def save_model(model: dict, path: str = ASSET) -> None:
         json.dump(model, f, separators=(",", ":"))
 
 
-def load_model(path: str = ASSET) -> dict:
-    with open(path) as f:
-        m = json.load(f)
+def load_model(path: str | None = None) -> dict:
+    if path is not None:
+        with open(path) as f:
+            m = json.load(f)
+    else:  # the shipped asset: plain file OR --py-files zip entry
+        from ..assets_io import asset_bytes
+
+        m = json.loads(asset_bytes(os.path.basename(ASSET)).decode("utf-8"))
     m["weights_q"] = np.asarray(m["weights_q"], dtype=np.int64)
     return m

@@ -145,10 +145,17 @@ def save_mlp(mlp: OrderMLP, path: str = ASSET) -> None:
     )
 
 
-def load_mlp(path: str = ASSET) -> OrderMLP | None:
-    from .modelio import read_safetensors
+def load_mlp(path: str | None = None) -> OrderMLP | None:
+    from ..assets_io import asset_bytes
+    from .modelio import parse_safetensors, read_safetensors
 
-    if not os.path.exists(path):
-        return None
-    t, _ = read_safetensors(path)
+    if path is not None:
+        if not os.path.exists(path):
+            return None
+        t, _ = read_safetensors(path)
+    else:  # the shipped asset: plain file OR --py-files zip entry
+        blob = asset_bytes(os.path.basename(ASSET))
+        if blob is None:
+            return None
+        t, _ = parse_safetensors(blob, ASSET)
     return OrderMLP(t["w1"], t["b1"], t["w2"], float(t["b2"][0]))

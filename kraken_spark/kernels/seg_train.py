@@ -309,10 +309,17 @@ def save_weights(W: dict, path: str = ASSET) -> None:
     )
 
 
-def load_weights(path: str = ASSET) -> dict | None:
-    from .modelio import read_safetensors
+def load_weights(path: str | None = None) -> dict | None:
+    from ..assets_io import asset_bytes
+    from .modelio import parse_safetensors, read_safetensors
 
-    if not os.path.exists(path):
-        return None
-    tensors, _ = read_safetensors(path)
+    if path is not None:
+        if not os.path.exists(path):
+            return None
+        tensors, _ = read_safetensors(path)
+    else:  # the shipped asset: plain file OR --py-files zip entry
+        blob = asset_bytes(os.path.basename(ASSET))
+        if blob is None:
+            return None
+        tensors, _ = parse_safetensors(blob, ASSET)
     return {k: tensors[k].astype(np.float64) for k in ("w0", "b0", "u", "v", "b1")}
