@@ -269,15 +269,17 @@ def web_quality_pipeline(spark, sf):
     the corpus repeated-paragraph-stripped text (C4/RefinedWeb rule,
     functions/dedup.strip_repeated_paragraphs), and the IN-REPO-TRAINED
     model-based quality score (quality_classifier — the DCLM/FineWeb-style
-    final pass), and the Gopher repetition signals (gopher_repetition) —
-    all five joined on doc_id so the driver's value hash pins every rule,
-    both rebuilt texts, the learned-model logits, and all 13 repetition
-    fractions byte-for-byte against DuckDB.
+    final pass), the Gopher repetition signals (gopher_repetition), and the
+    CCNet-style LM perplexity bucket (lm_score — in-repo-trained char-3gram
+    LM, head/middle/tail) — all six joined on doc_id so the driver's value
+    hash pins every rule, both rebuilt texts, the learned-model logits, all
+    13 repetition fractions, and the LM scores byte-for-byte against DuckDB.
 
     Plan shape at 10^12 docs: Gopher is pure map (zero shuffle); C4 is one
     posexplode + one groupBy; the paragraph strip is the documented
-    3-shuffle hash-join shape; the classifier is pure map (a folded
-    array-literal lookup); the final joins are co-keyed on doc_id."""
+    3-shuffle hash-join shape; the classifier and the LM scorer are pure
+    map (folded array-literal lookups); the final joins are co-keyed on
+    doc_id."""
     from .dedup import strip_repeated_paragraphs
     from .text import t
 
@@ -290,11 +292,13 @@ def web_quality_pipeline(spark, sf):
     )
     q = quality_classifier(d)
     r = gopher_repetition(d)
+    lm = lm_score(d)
     return (
         g.join(c, "doc_id")
         .join(p, "doc_id")
         .join(q, "doc_id")
         .join(r, "doc_id")
+        .join(lm, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -321,14 +325,17 @@ def _web_quality_pipeline_sql() -> str:
             "passes_repetition",
         )
     )
+    lm = lm_sql("doc_id")
     return f"""
 SELECT g.*, c.text AS c4_text, n.text AS nodup_text,
-       q.ml_logit_q, q.ml_pass, {rep_cols}
+       q.ml_logit_q, q.ml_pass, {rep_cols},
+       l.lm_sum_q, l.lm_n_tri, l.lm_mean_q, l.lm_bucket
 FROM ({gopher}) g
 JOIN ({c4}) c USING (doc_id)
 JOIN ({strip}) n USING (doc_id)
 JOIN ({quality}) q USING (doc_id)
 JOIN ({rep}) r USING (doc_id)
+JOIN ({lm}) l USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -757,11 +764,6 @@ FROM base b LEFT JOIN piv USING ({id_col})
 """
 
 
-QUERIES = {
-    "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
-}
-
-
 # --- compression-ratio junk signal (the CCNet/corpus-audit heuristic) ---
 
 
@@ -797,3 +799,83 @@ def compression_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     return docs.select(id_col, text_col).mapInArrow(
         fn, schema=f"{id_col} long, raw_bytes long, zlib_bytes long, compression_ratio double"
     )
+
+
+# --- CCNet-style LM perplexity bucketing (Wenzek et al. 2020) -------------
+#
+# Score every document with the in-repo-trained character-trigram LM
+# (kernels/lm_train.py — quantized log-probs, seeded synthetic prose) and
+# assign the head/middle/tail corpus bucket by the per-char mean. Exactly
+# the quality_classifier execution shape: ONE whole-stage-codegen
+# projection (folded array-literal lookup), zero shuffle, map-only at
+# 10^12 documents; the DuckDB twin reproduces the BIGINT sum bit-for-bit.
+
+
+def _lm_model():
+    from ..kernels.lm_train import load_lm
+
+    return load_lm()
+
+
+def lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, lm_sum_q, lm_n_tri, lm_mean_q, lm_bucket) per document."""
+    m = _lm_model()
+    d = m["d"]
+    arr = "array(" + ",".join(f"{int(v)}L" for v in m["logp_q"]) + ")"
+    n_tri = "greatest(length(text) - 2, 1)"
+    s = (
+        "aggregate("
+        f"transform(sequence(1, {n_tri}),"
+        f" i -> cast(pmod(cast(conv(substr(md5(substr(lower(text), i, 3)),1,8),16,10) as bigint), {d}) as int)),"
+        " 0L,"
+        f" (acc, b) -> acc + element_at({arr}, b + 1))"
+    )
+    out = docs.select(
+        id_col,
+        F.expr(s).alias("lm_sum_q"),
+        F.expr(n_tri).cast("long").alias("lm_n_tri"),
+    ).withColumn("lm_mean_q", F.round(F.col("lm_sum_q") / F.col("lm_n_tri"), 6))
+    return out.withColumn(
+        "lm_bucket",
+        F.when(F.col("lm_mean_q") >= m["head_thr"], F.lit("head"))
+        .when(F.col("lm_mean_q") >= m["tail_thr"], F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+LM_SQL_TEMPLATE = """
+WITH lw(b, lp) AS (VALUES {values}),
+ltr AS (
+  SELECT {id_col}, substr(lower(text), i, 3) AS t3
+  FROM documents,
+       LATERAL unnest(generate_series(1, greatest(length(text) - 2, 1))) AS u(i)
+),
+ltb AS (
+  SELECT {id_col}, ('0x' || substr(md5(t3), 1, 8))::BIGINT % {d} AS b FROM ltr
+),
+ls AS (
+  SELECT {id_col}, CAST(SUM(lp) AS BIGINT) AS lm_sum_q, COUNT(*) AS lm_n_tri
+  FROM ltb JOIN lw USING (b) GROUP BY {id_col}
+)
+SELECT {id_col}, lm_sum_q, lm_n_tri,
+       ROUND(CAST(lm_sum_q AS DOUBLE) / lm_n_tri, 6) AS lm_mean_q,
+       CASE WHEN ROUND(CAST(lm_sum_q AS DOUBLE) / lm_n_tri, 6) >= {head_thr} THEN 'head'
+            WHEN ROUND(CAST(lm_sum_q AS DOUBLE) / lm_n_tri, 6) >= {tail_thr} THEN 'middle'
+            ELSE 'tail' END AS lm_bucket
+FROM ls
+"""
+
+
+def lm_sql(id_col: str = "doc_id") -> str:
+    m = _lm_model()
+    values = ", ".join(f"({b}, {int(v)})" for b, v in enumerate(m["logp_q"]))
+    return LM_SQL_TEMPLATE.format(
+        values=values, id_col=id_col, d=m["d"],
+        head_thr=m["head_thr"], tail_thr=m["tail_thr"],
+    )
+
+
+# materialized LAST: the SQL twins reference every definition above
+QUERIES = {
+    "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
+}
