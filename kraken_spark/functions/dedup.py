@@ -755,3 +755,81 @@ QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / The Pile / FineWeb: drop
+# training documents sharing a verbatim normalized 13-gram with an eval set)
+# --------------------------------------------------------------------------
+
+DECONTAM_K = 13  # the published overlap length (Brown et al. 2020, App. C)
+
+
+def _norm_words(col):
+    """Decontamination normalization (the published recipe): lowercase,
+    every non-alphanumeric run collapses to a single space — so case,
+    punctuation, and whitespace differences can't hide an overlap."""
+    return F.split(F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " ")
+
+
+def _norm_gram_hashes(df, id_col: str, k: int):
+    words = _norm_words(F.col("text"))
+    base = df.select(F.col(id_col), words.alias("w"), F.size(words).alias("n"))
+    starts = F.when(
+        F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    gh = F.transform(starts, lambda p: _gram_hash(F.concat_ws(" ", F.slice("w", p, k))))
+    return base.select(id_col, F.explode(gh).alias("gh"))
+
+
+def decontaminate(docs, benchmark, k: int = DECONTAM_K, id_col: str = "doc_id"):
+    """(id, n_contaminated_grams, contaminated) per training document: a
+    document is contaminated when any normalized k-gram appears verbatim
+    in the benchmark table (columns: bench_id, text).
+
+    Scale shape: both gram constructions are map-side transforms; the
+    benchmark gram set is TINY relative to the corpus (eval sets are
+    10^5-10^6 grams), so the membership test is a BROADCAST hash join
+    against the exploded corpus grams — the 10^12-row side never
+    shuffles; the only exchange is the per-doc hit count groupBy over the
+    (rare) matching grams."""
+    bench = _norm_gram_hashes(benchmark, "bench_id", k).select("gh").distinct()
+    hits = (
+        _norm_gram_hashes(docs, id_col, k)
+        .join(F.broadcast(bench), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+DECONTAM_SQL_TEMPLATE = """
+WITH nd AS (
+  SELECT {id_col},
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+  FROM documents),
+dg AS (
+  SELECT {id_col},
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+{k}-1], ' ')), 1, 15)) AS BIGINT) AS gh
+  FROM nd, LATERAL unnest(generate_series(1, greatest(len(w) - {k} + 1, 0))) AS u(i)),
+nb AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+  FROM benchmark),
+bg AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(array_to_string(w[i:i+{k}-1], ' ')), 1, 15)) AS BIGINT) AS gh
+  FROM nb, LATERAL unnest(generate_series(1, greatest(len(w) - {k} + 1, 0))) AS u(i)),
+hits AS (
+  SELECT {id_col}, COUNT(*) AS n FROM dg JOIN bg USING (gh) GROUP BY {id_col})
+SELECT d.{id_col},
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING ({id_col})
+"""
