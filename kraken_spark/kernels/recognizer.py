@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bidi import display_to_logical, resolve_levels
+from .bidi import display_to_logical
 from .codec import Codec
 from .ctc import greedy_decoder
 from .glyphs import ALPHABET, CELL_W, GLYPH_H, GLYPH_W, templates

@@ -23,7 +23,6 @@ from __future__ import annotations
 import numpy as np
 
 from .glyphs import (
-    ALPHABET,
     ARABIC_CPS,
     CELL_W,
     GLYPH_H,

@@ -203,6 +203,87 @@ def x_roundtrip_xml(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def repolygonize_xml(pages: DataFrame) -> DataFrame:
+    """contrib/repolygonize.py as a Spark operator: re-parse serialized
+    ALTO/PageXML, recompute every line's boundary polygon from the SOURCE
+    page ink (decode -> nlbin -> polygonize_line, the role the reference
+    delegates to calculate_polygonal_environment;
+    /root/reference/kraken/contrib/repolygonize.py), and re-serialize in
+    the same format.
+
+    Input: (url, document string, html binary). Output: (url, fmt,
+    n_lines, n_changed, document) with the repolygonized markup. Map-only
+    Arrow batches — one task per page bundle, no shuffle."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import binarize, imgio, png
+        from ..kernels.blla import polygonize_line
+        from ..kernels.serialize import serialize
+        from ..kernels.xmlparse import parse_segmentation
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("fmt", pa.string()),
+                pa.field("n_lines", pa.int32()),
+                pa.field("n_changed", pa.int32()),
+                pa.field("document", pa.string()),
+            ]
+        )
+        for batch in batches:
+            out = []
+            for r in batch.to_pylist():
+                doc = r["document"]
+                fmt = "alto" if "<alto" in doc[:200] else "pagexml"
+                seg = parse_segmentation(doc.encode("utf-8"))
+                img = png.to_grayscale(imgio.decode_image(r["html"]))
+                mask = binarize.nlbin(img)
+                lines, changed = [], 0
+                for ln in seg["lines"]:
+                    nb = polygonize_line(ln["baseline"], mask)
+                    if nb is not None and nb != ln.get("boundary"):
+                        changed += 1
+                    boundary = nb or ln.get("boundary") or []
+                    # plain (non-record) lines carry their geometry as the
+                    # HPOS/VPOS bbox in ALTO — derive it from the polygon
+                    xs = [p[0] for p in boundary] or [0]
+                    ys = [p[1] for p in boundary] or [0]
+                    lines.append(
+                        {
+                            "id": ln.get("id", ""),
+                            "bbox": [min(xs), min(ys), max(xs), max(ys)],
+                            "baseline": ln["baseline"],
+                            "boundary": boundary,
+                            "prediction": ln.get("text", "") or "",
+                            "tags": ln.get("tags", "") or "",
+                            "language": ln.get("language") or [],
+                            "region_ids": ln.get("region_ids") or [],
+                        }
+                    )
+                row = {
+                    "url": r["url"],
+                    "width": seg.get("width", img.shape[1]),
+                    "height": seg.get("height", img.shape[0]),
+                    "lines": lines,
+                    "regions": seg.get("regions") or [],
+                }
+                doc2 = serialize(row, fmt)
+                out.append(
+                    {
+                        "url": r["url"],
+                        "fmt": fmt,
+                        "n_lines": len(lines),
+                        "n_changed": changed,
+                        "document": doc2,
+                    }
+                )
+            yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+    return pages.select("url", "document", "html").mapInArrow(
+        fn, schema="url string, fmt string, n_lines int, n_changed int, document string"
+    )
+
+
 QUERIES = {
     "x_serialize_all": (x_serialize_all, None),
     "x_roundtrip_xml": (x_roundtrip_xml, None),
