@@ -164,6 +164,16 @@ def run_headline() -> None:
     golden_rows = qs["x_rpred_golden"](spark, SF_DIR).collect()
     golden_parity = bool(golden_rows) and all(r.match for r in golden_rows)
 
+    # web-HTML leg (the graft's main-content extraction path: boilerplate
+    # pages packed into .warc.gz -> explode_warc -> DOM strip through the
+    # same fused plan); best-of-REPEATS like the headline queries
+    web_runs = []
+    for _ in range(max(1, REPEATS)):
+        t0 = time.perf_counter()
+        _force(qs["x_extract_html"](spark, SF_DIR))
+        web_runs.append(time.perf_counter() - t0)
+    web_best = min(web_runs)
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -182,6 +192,10 @@ def run_headline() -> None:
         "extraction_docs_per_sec": round(
             docs_for_sf(SF_DIR) / timings["x_extract_text"], 3
         ),
+        # the web-tier flagship: docs/sec through WARC-pack -> explode ->
+        # DOM boilerplate strip (x_extract_html, CER-0-pinned)
+        "web_extract_sec": round(web_best, 3),
+        "web_docs_per_sec": round(docs_for_sf(SF_DIR) / web_best, 3),
     }
     # Sustained-scale figure (BASELINE.md protocol, in the per-round
     # artifact): one timed fused-extraction pass over a 20480-doc corpus at
