@@ -879,3 +879,40 @@ def lm_sql(id_col: str = "doc_id") -> str:
 QUERIES = {
     "web_quality_pipeline": (web_quality_pipeline, _web_quality_pipeline_sql()),
 }
+
+
+# --- Unicode hygiene (the standard corpus-release normalization pass) ----
+
+
+def unicode_normalize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, text, n_changed_chars) — NFC normalization + C0/C1 control
+    removal (tab/newline kept) + exotic-horizontal-whitespace collapse
+    (NBSP / en-em / ideographic spaces -> one ASCII space; plain spaces
+    untouched), the hygiene pass corpus releases run before tokenization.
+    Clean single-script ASCII passes through byte-identical.
+
+    Arrow-batched mapInArrow (unicodedata is per-batch C); map-only, zero
+    shuffle. Parity: DuckDB's nfc_normalize reproduces the NFC step
+    exactly (pinned in tests)."""
+    import pyarrow as pa
+
+    def fn(batches):
+        import re
+        import unicodedata
+
+        ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+        hspace = re.compile("[\\xa0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000]+")
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out_t, out_n = [], []
+            for t in texts:
+                t = t or ""
+                fixed = hspace.sub(" ", ctrl.sub("", unicodedata.normalize("NFC", t)))
+                out_t.append(fixed)
+                out_n.append(abs(len(t) - len(fixed)) + sum(a != b for a, b in zip(t, fixed)))
+            yield pa.RecordBatch.from_pydict({id_col: ids, "text": out_t, "n_changed_chars": out_n})
+
+    return docs.select(id_col, text_col).mapInArrow(
+        fn, schema=f"{id_col} long, text string, n_changed_chars long"
+    )

@@ -738,3 +738,36 @@ def cdx_lookup(out_dir: str, url: str) -> list[dict]:
             data = zlib.decompress(f.read(), wbits=zlib.MAX_WBITS | 16)
         hits.extend(r for r in read_cdxj(data) if r["surt"] == key)
     return hits
+
+
+def cdx_digest_dedup(cdx_df):
+    """Capture-level dedup by content digest — the Common-Crawl convention
+    (the CDX `digest` column exists for exactly this): group captures by
+    (surt, digest), keep the EARLIEST capture of each distinct content
+    body per URL, and report how many later recrawls it shadows.
+
+    Returns (surt, digest, ts, url, filename, offset, length, n_dupes) —
+    one row per distinct (page, content) pair, pointing at the canonical
+    capture's ranged-read coordinates. ONE groupBy over the index (never
+    the WARC bytes); at 10^12 captures this is the standard metadata-only
+    recrawl-collapse pass that runs before any payload is fetched."""
+    import pyspark.sql.functions as F
+
+    keyed = cdx_df.select(
+        "surt",
+        "digest",
+        F.struct("ts", "url", "filename", "offset", "length").alias("cap"),
+    )
+    kept = keyed.groupBy("surt", "digest").agg(
+        F.min("cap").alias("first"), (F.count("*") - 1).alias("n_dupes")
+    )
+    return kept.select(
+        "surt",
+        "digest",
+        F.col("first.ts").alias("ts"),
+        F.col("first.url").alias("url"),
+        F.col("first.filename").alias("filename"),
+        F.col("first.offset").alias("offset"),
+        F.col("first.length").alias("length"),
+        "n_dupes",
+    )

@@ -185,3 +185,39 @@ def test_spark_cdx_index_and_sharded_lookup(tmp_path):
         shard_lines.append(keys)
     flat = [k for keys in shard_lines for k in keys]
     assert flat == sorted(flat)
+
+
+def test_cdx_digest_dedup():
+    """Recrawl collapse by (surt, digest): identical content captured at
+    three timestamps keeps the EARLIEST capture with n_dupes=2; changed
+    content at the same URL stays a separate row."""
+    pytest.importorskip("pyspark")
+    from kraken_spark.session import get_spark
+    from kraken_spark.sources.warc import cdx_digest_dedup, cdx_index
+
+    spark = get_spark(app="test-cdx", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = _doc_rows((0, 1))
+    same = dict(rows[0])
+    # the same page recrawled later, twice (identical body -> same digest)
+    recrawl1 = dict(same, warc_ts="2026-08-18T00:00:00Z")
+    recrawl2 = dict(same, warc_ts="2026-08-19T00:00:00Z")
+    # the same URL with CHANGED content
+    changed = dict(same, warc_ts="2026-08-20T00:00:00Z",
+                   html=same["html"] + b"<!-- edited -->")
+    blobs = [
+        ("a.warc.gz", write_warc_gz([rows[0], rows[1]])),
+        ("b.warc.gz", write_warc_gz([recrawl1, changed])),
+        ("c.warc.gz", write_warc_gz([recrawl2])),
+    ]
+    files = spark.createDataFrame(blobs, "path string, content binary")
+    out = cdx_digest_dedup(cdx_index(files)).collect()
+    assert len(out) == 3  # url0-content0, url0-changed, url1
+    u0 = [r for r in out if "doc-00000000" in r.url]
+    assert len(u0) == 2
+    dup = next(r for r in u0 if r.n_dupes == 2)
+    assert dup.ts == "20260817123456" and dup.filename == "a.warc.gz"
+    uniq = next(r for r in u0 if r.n_dupes == 0)
+    assert uniq.ts == "20260820000000"
+    assert all(r.n_dupes == 0 for r in out if "doc-00000001" in r.url)

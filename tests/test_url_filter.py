@@ -111,3 +111,29 @@ def test_compression_signal_bands(spark):
     import zlib
 
     assert got[1].zlib_bytes == len(zlib.compress(prose.encode(), 6))
+
+
+def test_unicode_normalize(spark):
+    """NFC + control-strip + exotic-space collapse: clean ASCII passes
+    byte-identical; decomposed accents compose (pinned against DuckDB's
+    nfc_normalize); controls vanish; NBSP becomes a plain space."""
+    from kraken_spark.functions.webfilter import unicode_normalize
+
+    decomposed = "Café au lait"        # e + combining acute
+    rows = [
+        (1, "plain ascii text stays identical.\nwith a newline\tand tab"),
+        (2, decomposed),
+        (3, "null\x00 and bell\x07 controls dropped"),
+        (4, "non breaking space"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_changed_chars) for r in unicode_normalize(docs).collect()}
+    assert got[1] == (rows[0][1], 0)
+    import duckdb
+
+    want_nfc = duckdb.sql(f"SELECT nfc_normalize('{decomposed}')").fetchone()[0]
+    assert got[2][0] == want_nfc == "Café au lait" and got[2][1] > 0
+    assert got[3][0] == "null and bell controls dropped"
+    assert got[4][0] == "non breaking space"
+    assert got[5] == ("", 0)
