@@ -155,7 +155,9 @@ def connected_components(edges, max_iter: int = 32):
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if small.exceptAll(edges).isEmpty() and edges.exceptAll(small).isEmpty():
+        # equal-size + one-direction-empty == set equality (both sides are
+        # distinct), so convergence costs ONE set-difference, not two
+        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
             edges = small
             break
         edges = small

@@ -97,3 +97,39 @@ def test_lm_score_plan_is_map_only(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = lm_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ccnet_quality_weighted_mixing(spark):
+    """The CCNet recipe end-to-end: lm_score's head/middle/tail bucket IS
+    the stratum for token_budget_sample — head kept (large budget), tail
+    aggressively downsampled. Pure composition of two oracle-checked
+    pieces; deterministic across runs."""
+    import pyspark.sql.functions as F
+
+    from kraken_spark.functions.webfilter import lm_score, token_budget_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    lm = lm_score(docs).select("doc_id", "lm_bucket")
+    staged = docs.join(lm, "doc_id")
+    out = token_budget_sample(
+        staged,
+        budget_tokens=10_000_000,  # default: keep everything
+        strata_col="lm_bucket",
+        budgets={"tail": 200},     # tail: ~200 tokens' worth survives
+    )
+    rows = out.collect()
+    by_bucket = {}
+    for r in rows:
+        k = by_bucket.setdefault(r.stratum, [0, 0])
+        k[0] += 1
+        k[1] += int(r.sampled)
+    # every head/middle doc survives; the tail is hard-downsampled
+    for b in ("head", "middle"):
+        if b in by_bucket:
+            assert by_bucket[b][1] == by_bucket[b][0], by_bucket
+    assert "tail" in by_bucket and by_bucket["tail"][1] < by_bucket["tail"][0]
+    # deterministic: a second run keeps the identical doc set
+    again = {r.doc_id for r in token_budget_sample(
+        staged, budget_tokens=10_000_000, strata_col="lm_bucket",
+        budgets={"tail": 200}).collect() if r.sampled}
+    assert again == {r.doc_id for r in rows if r.sampled}
