@@ -128,6 +128,7 @@ def connected_components(edges, max_iter: int = 32):
     edges = (
         edges.select(F.col("hi"), F.col("lo")).distinct().localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # large-star: every node u links its strictly-larger neighbours to
         # min(N(u) + {u}). Symmetrize, one min-aggregate, one join back.
@@ -159,8 +160,16 @@ def connected_components(edges, max_iter: int = 32):
         # distinct), so convergence costs ONE set-difference, not two
         if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
             edges = small
+            converged = True
             break
         edges = small
+    if not converged:
+        # never return not-fully-propagated labels silently — a partial
+        # star forest means some cluster_id is not the component minimum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(Kiveris bound is O(log^2 n); raise max_iter)"
+        )
     # converged: a star forest with centers = component minima.
     return edges.select(F.col("hi").alias("node"), F.col("lo").alias("cluster_id")).union(
         edges.select(F.col("lo").alias("node"), F.col("lo").alias("cluster_id")).distinct()
