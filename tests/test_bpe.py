@@ -95,3 +95,23 @@ def test_spark_face_parity(spark):
     b = BPE(load_merges(str(ASSET)))
     for row in docs.select("doc_id", "text").collect():
         assert got[row.doc_id] == (b.count(row.text or ""), len((row.text or "").split()))
+
+
+def test_bpe_roundtrip_property():
+    """decode(encode(x)) == whitespace-normalized lowercase x for arbitrary
+    text — the tokenizer never loses or invents characters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kraken_spark.kernels.bpe import BPE, load_merges
+
+    b = BPE(load_merges(str(ASSET)))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300))
+    def prop(text):
+        toks = b.encode(text)
+        assert b.decode(toks) == " ".join(text.lower().split())
+        assert b.count(text) == len(toks)
+
+    prop()

@@ -137,3 +137,28 @@ def test_unicode_normalize(spark):
     assert got[3][0] == "null and bell controls dropped"
     assert got[4][0] == "non breaking space"
     assert got[5] == ("", 0)
+
+
+def test_unicode_normalize_total_on_arbitrary_text():
+    """The hygiene kernel (the pure-python core of the Arrow batch fn)
+    never crashes and is idempotent on arbitrary unicode."""
+    import re
+    import unicodedata
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    hspace = re.compile("[\\xa0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000]+")
+
+    def norm(t):
+        return hspace.sub(" ", ctrl.sub("", unicodedata.normalize("NFC", t)))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200))
+    def prop(t):
+        once = norm(t)
+        assert norm(once) == once  # idempotent
+        assert "\x00" not in once
+
+    prop()
