@@ -844,3 +844,117 @@ SELECT d.{id_col},
        COALESCE(h.n, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING ({id_col})
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a NEW crawl against an already-kept corpus (the
+# per-dump production pattern — FineWeb dedups each CommonCrawl dump
+# against itself; RefinedWeb-style pipelines dedup new data against the
+# retained corpus WITHOUT re-clustering it)
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text", stride: int = 3):
+    """(id, m0..m15, band, band_key) — the stored dedup state per document:
+    16 minhash values + the 4 LSH band keys, exactly the signature recipe
+    of dedup_minhash_lsh. Persist this (one ~160-byte row set per doc)
+    alongside the kept corpus; incremental dedup then never re-reads kept
+    TEXT, only this table."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(least(length({text_col}), {MAX_SHINGLE_CHARS}) - 6, 1),"
+                f" {stride}), i -> substr({text_col}, i, 7))"
+            )
+        ).alias("shingle"),
+    )
+    h0 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    sig = sh.select("doc_id", h0.alias("h0")).groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h0") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_PERM_AB)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{k * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)],
+                )
+            ).alias("band_key"),
+        )
+        for k in range(N_BANDS)
+    ]
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def dedup_incremental(new_docs, kept_sigs, min_agreement: float = 0.5):
+    """Dedup a new crawl against the retained corpus: returns the new docs
+    minus (a) near-duplicates of KEPT documents and (b) within-crawl
+    near-duplicates (cluster-minimum keeper among the new docs).
+
+    `new_docs`: (doc_id, text, ...); `kept_sigs`: the persisted
+    minhash_signatures table of the retained corpus. The kept corpus
+    contributes only its signature rows — one band-key hash join, no
+    re-shingling, no re-clustering, no kept-text I/O. Within-crawl pairs
+    then run the standard in-bucket expansion + connected components over
+    the NEW docs alone. At a 10^12-doc retained corpus with a 10^9-doc
+    dump, the big side is touched exactly once, by the (pre-computed,
+    sorted-on-band_key-able) signature join."""
+    new_sigs = minhash_signatures(new_docs).localCheckpoint(eager=True)
+    agree = lambda a, b: F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda t: t)
+    ) / F.lit(float(N_PERM))
+
+    # (a) new vs KEPT: band-key equi-join, agreement >= threshold
+    k = kept_sigs.select(
+        F.col("doc_id").alias("kept_id"),
+        F.col("sig").alias("kept_sig"),
+        "band",
+        "band_key",
+    )
+    vs_kept = (
+        new_sigs.join(k, ["band", "band_key"])
+        .where(agree(F.col("sig"), F.col("kept_sig")) >= min_agreement)
+        .select("doc_id")
+        .distinct()
+    )
+
+    # (b) new vs NEW: the standard bucket expansion over this crawl only
+    buckets = (
+        new_sigs.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= BUCKET_CAP))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (da, i) ->"
+                    " transform(slice(docs, i + 2, size(docs)), db ->"
+                    " struct(da.doc_id AS doc_a, db.doc_id AS doc_b,"
+                    " da.sig AS sig_a, db.sig AS sig_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .where(agree(F.col("sig_a"), F.col("sig_b")) >= min_agreement)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    within_losers = duplicate_clusters(pairs).where(
+        F.col("node") != F.col("cluster_id")
+    ).select(F.col("node").alias("doc_id"))
+
+    drop = vs_kept.union(within_losers).distinct()
+    return new_docs.join(drop, "doc_id", "left_anti")

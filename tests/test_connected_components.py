@@ -150,3 +150,31 @@ def test_jaccard_query_cluster_columns_duckdb_parity(spark):
     # cluster_id is always the component minimum, <= both pair members
     for (a, b), (_, c, s) in got.items():
         assert c <= a < b and s >= 2
+
+
+def test_dedup_incremental_new_crawl_vs_kept(spark):
+    """The per-dump production pattern: a new crawl deduped against the
+    retained corpus's PERSISTED signatures — near-dups of kept docs drop,
+    within-crawl near-dup clusters keep their minimum, fresh docs survive."""
+    from kraken_spark.functions.dedup import dedup_incremental, minhash_signatures
+
+    base = ("the quick brown fox jumps over the lazy dog while the band plays on "
+            "and the crowd cheers loudly through the long summer evening " * 4)
+    fresh1 = ("completely different content about maritime navigation charts and "
+              "the history of lighthouse construction along rocky coastlines " * 4)
+    fresh2 = ("a third topic entirely concerning the cultivation of alpine flowers "
+              "in high-altitude greenhouse environments with controlled misting " * 4)
+    kept = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    kept_sigs = minhash_signatures(kept).localCheckpoint(eager=True)
+
+    new = spark.createDataFrame(
+        [
+            (100, base + " tiny tail edit."),   # near-dup of KEPT doc 1 -> drop
+            (101, fresh1),                       # fresh -> keep
+            (102, fresh1 + " small change."),   # within-crawl near-dup of 101 -> drop (101 is min)
+            (103, fresh2),                       # fresh -> keep
+        ],
+        "doc_id long, text string",
+    )
+    kept_out = sorted(r.doc_id for r in dedup_incremental(new, kept_sigs).collect())
+    assert kept_out == [101, 103]
