@@ -1,0 +1,127 @@
+"""The full LLM-corpus production loop as one recurring, exactly-once tick
+over committed-snapshot tables — the composition every published pipeline
+runs per crawl dump (FineWeb/RefinedWeb shape):
+
+    pages delta  ->  extraction  ->  quality gate  ->  near-dup vs the
+    RETAINED corpus  ->  one atomic commit of (kept text + minhash
+    signatures + advanced watermark)
+
+Exactly-once with zero external state: the watermark (the source snapshot
+processed through) and the dedup state (16 minhash values + 4 LSH band
+keys per kept doc) both live IN the kept table's own rows/commits, so a
+tick that crashes after processing but before its commit changes nothing
+— the next tick reprocesses the same delta; a tick that finds no new
+source snapshot is a commit-free no-op.
+
+Scale shape per tick at a 10^12-doc retained corpus: the delta is a
+manifest set-difference (metadata only); extraction + quality are the
+audited map-only plans over the DELTA; the only touch of the retained
+corpus is the band-key signature join (kept TEXT is never re-read).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .functions.dedup import dedup_incremental, minhash_signatures
+from .functions.webfilter import gopher_quality, quality_classifier
+from .pipeline import extracted_text, plan_extraction
+from .sources import icetable
+
+N_BANDS = 4
+
+
+def _wide_signatures(docs, id_col: str = "url"):
+    """One row per doc: (id, sig array, band_key array) — the persisted
+    dedup state, wide so it rides the kept table's atomic commit."""
+    sigs = minhash_signatures(docs, id_col=id_col)
+    return (
+        sigs.groupBy("doc_id")
+        .agg(
+            F.first("sig").alias("sig"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "band_key"))),
+                lambda s: s["band_key"],
+            ).alias("band_keys"),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )
+
+
+def _sig_view(kept):
+    """(doc_id, sig, band, band_key) from the kept table's wide columns —
+    map-only explode, the shape dedup_incremental joins against."""
+    return kept.select(
+        F.col("url").alias("doc_id"),
+        "sig",
+        F.posexplode("band_keys").alias("band", "band_key"),
+    )
+
+
+def corpus_tick(
+    spark,
+    pages_table: str,
+    kept_table: str,
+    run_id: str = "corpus0",
+    num_partitions: int | None = None,
+    require_quality: bool = True,
+) -> dict:
+    """One tick. Returns {extracted, quality_pass, kept_new, dropped_dup,
+    source_snapshot_id, out_snapshot_id} (all counts from committed
+    metadata or cheap aggregates over the delta, never a second pass over
+    the heavy extraction)."""
+    head = icetable.current_snapshot_id(pages_table)
+    last = 0
+    for h in icetable.history(kept_table):  # [] for a not-yet-created table
+        s = h.get("summary", {}).get("source_snapshot_id")
+        if s is not None:
+            last = max(last, int(s))
+    if head <= last:
+        return {
+            "extracted": 0, "quality_pass": 0, "kept_new": 0, "dropped_dup": 0,
+            "source_snapshot_id": last, "out_snapshot_id": None,
+        }
+
+    delta = icetable.read_incremental(spark, pages_table, last, head)
+    ext = plan_extraction(delta, num_partitions)
+    docs = extracted_text(ext).localCheckpoint(eager=True)  # (url, text), one extraction pass
+    n_extracted = docs.count()
+
+    if require_quality:
+        g = gopher_quality(docs, id_col="url").where("passes").select("url")
+        q = quality_classifier(docs, id_col="url").where("ml_pass").select("url")
+        good = docs.join(g, "url").join(q, "url")
+    else:
+        good = docs
+    good = good.localCheckpoint(eager=True)
+    n_quality = good.count()
+
+    try:
+        kept_sigs = _sig_view(icetable.read(spark, kept_table))
+    except Exception:  # genesis: empty dedup state with the right schema
+        kept_sigs = _sig_view(
+            spark.createDataFrame(
+                [], "url string, text string, sig array<bigint>, band_keys array<string>"
+            )
+        )
+    new_kept = dedup_incremental(good, kept_sigs, id_col="url")
+    rows = new_kept.join(_wide_signatures(new_kept, id_col="url"), "url").select(
+        "url", "text", "sig", "band_keys"
+    )
+    sid = icetable.append(
+        rows,
+        kept_table,
+        summary={"run_id": run_id, "source_snapshot_id": head,
+                 "source_table": pages_table},
+        lineage=[{"stage": "corpus-tick", "from_snapshot": last, "to_snapshot": head,
+                  "extracted": n_extracted, "quality_pass": n_quality}],
+    )
+    n_kept = int(icetable.snapshot(kept_table, sid)["summary"]["n_new_rows"])
+    return {
+        "extracted": n_extracted,
+        "quality_pass": n_quality,
+        "kept_new": n_kept,
+        "dropped_dup": n_quality - n_kept,
+        "source_snapshot_id": head,
+        "out_snapshot_id": sid,
+    }

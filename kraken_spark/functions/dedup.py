@@ -897,7 +897,7 @@ def minhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text", str
     )
 
 
-def dedup_incremental(new_docs, kept_sigs, min_agreement: float = 0.5):
+def dedup_incremental(new_docs, kept_sigs, min_agreement: float = 0.5, id_col: str = "doc_id"):
     """Dedup a new crawl against the retained corpus: returns the new docs
     minus (a) near-duplicates of KEPT documents and (b) within-crawl
     near-duplicates (cluster-minimum keeper among the new docs).
@@ -910,7 +910,7 @@ def dedup_incremental(new_docs, kept_sigs, min_agreement: float = 0.5):
     the NEW docs alone. At a 10^12-doc retained corpus with a 10^9-doc
     dump, the big side is touched exactly once, by the (pre-computed,
     sorted-on-band_key-able) signature join."""
-    new_sigs = minhash_signatures(new_docs).localCheckpoint(eager=True)
+    new_sigs = minhash_signatures(new_docs, id_col=id_col).localCheckpoint(eager=True)
     agree = lambda a, b: F.size(
         F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda t: t)
     ) / F.lit(float(N_PERM))
@@ -956,5 +956,5 @@ def dedup_incremental(new_docs, kept_sigs, min_agreement: float = 0.5):
         F.col("node") != F.col("cluster_id")
     ).select(F.col("node").alias("doc_id"))
 
-    drop = vs_kept.union(within_losers).distinct()
-    return new_docs.join(drop, "doc_id", "left_anti")
+    drop = vs_kept.union(within_losers).distinct().withColumnRenamed("doc_id", id_col)
+    return new_docs.join(drop, id_col, "left_anti")
