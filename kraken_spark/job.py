@@ -101,6 +101,21 @@ def main(argv: list[str] | None = None) -> int:
         "with a manifest (sources/arrow_dataset.py)",
     )
     ap.add_argument(
+        "--corpus-tick",
+        action="store_true",
+        help="(ice input AND output) one tick of the full LLM-corpus "
+        "production loop over the input pages table: delta -> extraction "
+        "-> Gopher+classifier quality gate -> incremental near-dup vs the "
+        "retained output corpus -> one atomic commit of kept text + "
+        "minhash dedup state + watermark (corpus_pipeline.corpus_tick — "
+        "exactly-once, zero external state)",
+    )
+    ap.add_argument(
+        "--no-quality-gate",
+        action="store_true",
+        help="(--corpus-tick) skip the quality gate, keep all extracted",
+    )
+    ap.add_argument(
         "--export-wet",
         default=None,
         metavar="DIR",
@@ -127,6 +142,25 @@ def main(argv: list[str] | None = None) -> int:
     from kraken_spark.operators.serialization import serialize_extractions
     from kraken_spark.pipeline import (read_output, remaining_documents,
                                        run_extraction, tail_extraction)
+
+    if args.corpus_tick:
+        from kraken_spark.corpus_pipeline import corpus_tick
+
+        r = corpus_tick(
+            spark,
+            args.input,
+            args.output,
+            run_id=args.run_id,
+            num_partitions=args.partitions,
+            require_quality=not args.no_quality_gate,
+        )
+        print(
+            f"[kraken_spark] corpus tick: {r['extracted']} extracted, "
+            f"{r['quality_pass']} passed quality, {r['kept_new']} kept "
+            f"({r['dropped_dup']} near-dups dropped; source snapshot "
+            f"{r['source_snapshot_id']}) -> {args.output}"
+        )
+        return 0
 
     if args.tail:
         r = tail_extraction(

@@ -83,6 +83,44 @@ def test_kernel_empty_rows_and_edges():
         kb.member_counts(bm, np.array([0, 1, 2], dtype=np.int64), np.array([0, 3]), 2)
 
 
+@pytest.mark.parametrize("seed", [1, 2])
+def test_kernel_member_counts_property(seed):
+    """member_counts agrees with a per-row brute-force reimplementation on
+    randomized batches (random k, random row lengths incl. empties)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None, derandomize=True)
+    @given(
+        st.integers(1, 5),
+        st.lists(st.lists(st.integers(0, 511), min_size=0, max_size=6), max_size=8),
+        st.lists(st.integers(0, 511), min_size=0, max_size=40),
+    )
+    def check(k, rows, set_positions):
+        bm = kb.empty(512)
+        kb.set_bits(bm, np.array(set_positions, dtype=np.int64))
+        # each row is a list of items; give each item k positions
+        rng = random.Random(seed)
+        row_pos = [
+            [np.array([rng.randrange(512) for _ in range(k)], dtype=np.int64)
+             for _ in row]
+            for row in rows
+        ]
+        flat = (
+            np.concatenate([p for r in row_pos for p in r])
+            if any(row_pos) and sum(len(r) for r in row_pos)
+            else np.zeros(0, dtype=np.int64)
+        )
+        off = np.cumsum([0] + [len(r) * k for r in row_pos]).astype(np.int64)
+        got = kb.member_counts(bm, flat, off, k)
+        want = [
+            sum(1 for p in r if kb.get_bits(bm, p).all()) for r in row_pos
+        ]
+        assert got.tolist() == want
+
+    check()
+
+
 # ------------------------------ spark face --------------------------------
 
 

@@ -68,6 +68,23 @@ def test_two_ticks_with_incremental_dedup(spark, tmp_path):
     assert it.snapshot(kept, 2)["lineage"][0]["stage"] == "corpus-tick"
 
 
+def test_job_cli_corpus_tick_mode(spark, tmp_path, capsys):
+    """job.main --corpus-tick: the production loop runs from the
+    spark-submit entry; --no-quality-gate keeps the glyph-soup corpus."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+
+    tmp = str(tmp_path)
+    it.append(generate_corpus_df(spark, 3), f"{tmp}/pages")
+    rc = main(["--input", f"{tmp}/pages", "--output", f"{tmp}/kept",
+               "--corpus-tick", "--no-quality-gate", "--run-id", "c1",
+               "--partitions", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "corpus tick: 3 extracted" in out and "3 kept" in out
+    assert len(it.read(spark, f"{tmp}/kept").collect()) == 3
+
+
 def test_quality_gate_drops_junk(spark, tmp_path):
     """With require_quality=True the Gopher + classifier gate rejects the
     glyph-soup extraction text (no stop words, low alpha fraction), so a
