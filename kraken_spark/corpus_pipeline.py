@@ -31,10 +31,10 @@ from .sources import icetable
 N_BANDS = 4
 
 
-def _wide_signatures(docs, id_col: str = "url"):
-    """One row per doc: (id, sig array, band_key array) — the persisted
-    dedup state, wide so it rides the kept table's atomic commit."""
-    sigs = minhash_signatures(docs, id_col=id_col)
+def _widen(sigs, id_col: str = "url"):
+    """(doc_id, sig, band, band_key) signature view -> one row per doc:
+    (id, sig array, band_key array) — the persisted dedup state, wide so
+    it rides the kept table's atomic commit."""
     return (
         sigs.groupBy("doc_id")
         .agg(
@@ -104,8 +104,11 @@ def corpus_tick(
                 [], "url string, text string, sig array<bigint>, band_keys array<string>"
             )
         )
-    new_kept = dedup_incremental(good, kept_sigs, id_col="url")
-    rows = new_kept.join(_wide_signatures(new_kept, id_col="url"), "url").select(
+    # the delta is shingled exactly ONCE: the same materialized signature
+    # view feeds the dedup join AND the persisted wide dedup-state columns
+    sigs = minhash_signatures(good, id_col="url").localCheckpoint(eager=True)
+    new_kept = dedup_incremental(good, kept_sigs, id_col="url", new_sigs=sigs)
+    rows = new_kept.join(_widen(sigs, id_col="url"), "url").select(
         "url", "text", "sig", "band_keys"
     )
     sid = icetable.append(

@@ -897,7 +897,9 @@ def minhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text", str
     )
 
 
-def dedup_incremental(new_docs, kept_sigs, min_agreement: float = 0.5, id_col: str = "doc_id"):
+def dedup_incremental(
+    new_docs, kept_sigs, min_agreement: float = 0.5, id_col: str = "doc_id", new_sigs=None
+):
     """Dedup a new crawl against the retained corpus: returns the new docs
     minus (a) near-duplicates of KEPT documents and (b) within-crawl
     near-duplicates (cluster-minimum keeper among the new docs).
@@ -909,8 +911,14 @@ def dedup_incremental(new_docs, kept_sigs, min_agreement: float = 0.5, id_col: s
     then run the standard in-bucket expansion + connected components over
     the NEW docs alone. At a 10^12-doc retained corpus with a 10^9-doc
     dump, the big side is touched exactly once, by the (pre-computed,
-    sorted-on-band_key-able) signature join."""
-    new_sigs = minhash_signatures(new_docs, id_col=id_col).localCheckpoint(eager=True)
+    sorted-on-band_key-able) signature join.
+
+    `new_sigs`: optionally the new crawl's own minhash_signatures view,
+    already materialized — callers that persist the signatures anyway
+    (corpus_pipeline.corpus_tick) pass it so the delta is shingled exactly
+    once instead of twice."""
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new_docs, id_col=id_col).localCheckpoint(eager=True)
     agree = lambda a, b: F.size(
         F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda t: t)
     ) / F.lit(float(N_PERM))
