@@ -28,8 +28,6 @@ from .functions.webfilter import gopher_quality, quality_classifier
 from .pipeline import extracted_text, plan_extraction
 from .sources import icetable
 
-N_BANDS = 4
-
 
 def _widen(sigs, id_col: str = "url"):
     """(doc_id, sig, band, band_key) signature view -> one row per doc:
@@ -58,6 +56,35 @@ def _sig_view(kept):
     )
 
 
+def _processed_through(kept_table: str) -> int:
+    """Highest source snapshot id any committed tick processed through —
+    the watermark, read from the kept table's own commit summaries
+    ([] for a not-yet-created table -> 0)."""
+    last = 0
+    for h in icetable.history(kept_table):
+        s = h.get("summary", {}).get("source_snapshot_id")
+        if s is not None:
+            last = max(last, int(s))
+    return last
+
+
+def _latest_per_url(delta):
+    """Collapse within-delta recrawls to one row per url (latest warc_ts
+    wins; content-hash tiebreak keeps ties deterministic across retries).
+    Without this, a twice-crawled url multiplies through the quality joins
+    and the minhash groupBy would blend ONE signature across two texts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64("html").desc()
+    )
+    return (
+        delta.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def corpus_tick(
     spark,
     pages_table: str,
@@ -67,22 +94,20 @@ def corpus_tick(
     require_quality: bool = True,
 ) -> dict:
     """One tick. Returns {extracted, quality_pass, kept_new, dropped_dup,
-    source_snapshot_id, out_snapshot_id} (all counts from committed
-    metadata or cheap aggregates over the delta, never a second pass over
-    the heavy extraction)."""
+    source_snapshot_id, out_snapshot_id, lost_race} (all counts from
+    committed metadata or cheap aggregates over the delta, never a second
+    pass over the heavy extraction)."""
     head = icetable.current_snapshot_id(pages_table)
-    last = 0
-    for h in icetable.history(kept_table):  # [] for a not-yet-created table
-        s = h.get("summary", {}).get("source_snapshot_id")
-        if s is not None:
-            last = max(last, int(s))
+    last = _processed_through(kept_table)
     if head <= last:
         return {
             "extracted": 0, "quality_pass": 0, "kept_new": 0, "dropped_dup": 0,
-            "source_snapshot_id": last, "out_snapshot_id": None,
+            "source_snapshot_id": last, "out_snapshot_id": None, "lost_race": False,
         }
 
     delta = icetable.read_incremental(spark, pages_table, last, head)
+    if "warc_ts" in delta.columns:
+        delta = _latest_per_url(delta)
     ext = plan_extraction(delta, num_partitions)
     docs = extracted_text(ext).localCheckpoint(eager=True)  # (url, text), one extraction pass
     n_extracted = docs.count()
@@ -90,7 +115,7 @@ def corpus_tick(
     if require_quality:
         g = gopher_quality(docs, id_col="url").where("passes").select("url")
         q = quality_classifier(docs, id_col="url").where("ml_pass").select("url")
-        good = docs.join(g, "url").join(q, "url")
+        good = docs.join(g, "url", "left_semi").join(q, "url", "left_semi")
     else:
         good = docs
     good = good.localCheckpoint(eager=True)
@@ -98,7 +123,7 @@ def corpus_tick(
 
     try:
         kept_sigs = _sig_view(icetable.read(spark, kept_table))
-    except Exception:  # genesis: empty dedup state with the right schema
+    except icetable.NoSuchSnapshot:  # genesis: empty dedup state, right schema
         kept_sigs = _sig_view(
             spark.createDataFrame(
                 [], "url string, text string, sig array<bigint>, band_keys array<string>"
@@ -111,14 +136,26 @@ def corpus_tick(
     rows = new_kept.join(_widen(sigs, id_col="url"), "url").select(
         "url", "text", "sig", "band_keys"
     )
-    sid = icetable.append(
-        rows,
-        kept_table,
-        summary={"run_id": run_id, "source_snapshot_id": head,
-                 "source_table": pages_table},
-        lineage=[{"stage": "corpus-tick", "from_snapshot": last, "to_snapshot": head,
-                  "extracted": n_extracted, "quality_pass": n_quality}],
-    )
+    try:
+        sid = icetable.append(
+            rows,
+            kept_table,
+            summary={"run_id": run_id, "source_snapshot_id": head,
+                     "source_table": pages_table},
+            lineage=[{"stage": "corpus-tick", "from_snapshot": last, "to_snapshot": head,
+                      "extracted": n_extracted, "quality_pass": n_quality}],
+            # two overlapping ticks both read watermark `last` and process
+            # the same delta; the CAS retry would otherwise happily commit
+            # both copies. Re-validated on every retry, so the committed
+            # tick is provably the only one covering [last, head].
+            precondition=lambda p, _parent: _processed_through(p) < head,
+        )
+    except icetable.PreconditionFailed:
+        return {
+            "extracted": n_extracted, "quality_pass": n_quality, "kept_new": 0,
+            "dropped_dup": 0, "source_snapshot_id": head, "out_snapshot_id": None,
+            "lost_race": True,
+        }
     n_kept = int(icetable.snapshot(kept_table, sid)["summary"]["n_new_rows"])
     return {
         "extracted": n_extracted,
@@ -127,4 +164,5 @@ def corpus_tick(
         "dropped_dup": n_quality - n_kept,
         "source_snapshot_id": head,
         "out_snapshot_id": sid,
+        "lost_race": False,
     }

@@ -35,7 +35,7 @@ import numpy as np
 import pyspark.sql.functions as F
 
 from ..kernels import bloom as kb
-from .dedup import DECONTAM_K, MIN_PARA_LEN, _norm_words
+from .dedup import DECONTAM_K, MIN_PARA_LEN, _norm_gram_strings
 
 # Second xxhash64 input making h2 independent of h1 (golden-ratio constant;
 # any fixed literal works — it only has to differ from the bare-column hash)
@@ -84,9 +84,11 @@ def bloom_build(items, col: str, m_bits: int, k: int) -> bytes:
 
 def _list_to_flat(col):
     """(flat int64 values, int64 row offsets) from an Arrow list column,
-    slice- and offset-safe."""
+    slice-safe: pyarrow's ListArray.offsets is already slice-adjusted
+    (len(col)+1 entries whose first is the value-offset of the first
+    element — verified against a sliced array in tests/test_bloom.py), so
+    the only normalization needed is rebasing to off[0]."""
     off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    off = off[col.offset : col.offset + len(col) + 1]
     flat = col.values.to_numpy(zero_copy_only=False)[off[0] : off[-1]]
     return flat, off - off[0]
 
@@ -126,19 +128,6 @@ def bloom_probe(docs_items, bitmap: bytes, m_bits: int, k: int, id_col: str = "d
 # --------------------------------------------------------------------------
 
 
-def _norm_gram_strings(df, id_col: str, k: int):
-    """(id, grams array<string>): the normalized k-gram STRINGS of each
-    document — the same normalization as the exact decontaminate path, but
-    keeping the gram text so xxhash64 hashing stays JVM-side."""
-    words = _norm_words(F.col("text"))
-    base = df.select(F.col(id_col), words.alias("w"), F.size(words).alias("n"))
-    starts = F.when(
-        F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(starts, lambda p: F.concat_ws(" ", F.slice("w", p, k)))
-    return base.select(id_col, grams.alias("items"))
-
-
 def bloom_decontaminate(
     docs, benchmark, k_gram: int = DECONTAM_K, fpr: float = 0.001, id_col: str = "doc_id"
 ):
@@ -147,10 +136,13 @@ def bloom_decontaminate(
     grams. Flags are a SUPERSET of decontaminate()'s exact flags (zero
     false negatives); the sizing count runs over the benchmark side only
     (eval sets are 10^5-10^6 grams — the cheap side by construction)."""
+    # materialize the (tiny) gram set once: the sizing count and the build
+    # both read the checkpoint instead of re-running the gram construction
     bench = (
         _norm_gram_strings(benchmark, "bench_id", k_gram)
         .select(F.explode("items").alias("g"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = bench.count()
     m_bits, k = kb.params(n, fpr)

@@ -783,14 +783,25 @@ def _norm_words(col):
     return F.split(F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " ")
 
 
-def _norm_gram_hashes(df, id_col: str, k: int):
+def _norm_gram_strings(df, id_col: str, k: int):
+    """(id, items array<string>): each document's normalized k-gram
+    STRINGS — the ONE construction both the exact (hashed) and bloom
+    decontamination paths derive from, so their gram universes agree by
+    construction (the bloom superset guarantee depends on it)."""
     words = _norm_words(F.col("text"))
     base = df.select(F.col(id_col), words.alias("w"), F.size(words).alias("n"))
     starts = F.when(
         F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
     ).otherwise(F.array().cast("array<int>"))
-    gh = F.transform(starts, lambda p: _gram_hash(F.concat_ws(" ", F.slice("w", p, k))))
-    return base.select(id_col, F.explode(gh).alias("gh"))
+    grams = F.transform(starts, lambda p: F.concat_ws(" ", F.slice("w", p, k)))
+    return base.select(id_col, grams.alias("items"))
+
+
+def _norm_gram_hashes(df, id_col: str, k: int):
+    g = _norm_gram_strings(df, id_col, k)
+    return g.select(
+        id_col, F.explode(F.transform("items", lambda s: _gram_hash(s))).alias("gh")
+    )
 
 
 def decontaminate(docs, benchmark, k: int = DECONTAM_K, id_col: str = "doc_id"):

@@ -64,6 +64,12 @@ class NoSuchSnapshot(Exception):
     pass
 
 
+class PreconditionFailed(Exception):
+    """An append's validation rejected the commit against the current head
+    (Iceberg's conflict-validation analog): nothing was committed; the
+    already-written data files remain invisible orphans."""
+
+
 def _meta_dir(path: str) -> str:
     return os.path.join(path, _META)
 
@@ -176,6 +182,7 @@ def append(
     summary: dict[str, Any] | None = None,
     lineage: list[dict[str, Any]] | None = None,
     retries: int = 3,
+    precondition=None,
 ) -> int:
     """Write ``df``'s rows as new data files and commit them as a new
     snapshot; returns the committed snapshot id.
@@ -186,6 +193,15 @@ def append(
     step against the new head (Iceberg's optimistic retry). At production
     file counts the flat ``manifest`` list becomes a manifest-list tree
     (Iceberg's two-level layout); the commit protocol is unchanged.
+
+    ``precondition``: optional ``(path, parent_sid) -> bool`` validated
+    against the head IMMEDIATELY before each commit attempt and
+    re-validated on every CAS retry — since the hard-link CAS succeeds
+    only if NO snapshot intervened after the check, a commit that lands
+    is guaranteed to satisfy the precondition against its true parent
+    (Iceberg's validate-on-conflict). On failure raises
+    PreconditionFailed; nothing is committed, the written data files stay
+    invisible orphans (same crash semantics as a dead writer).
     """
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
@@ -194,6 +210,8 @@ def append(
     last: Exception | None = None
     for _ in range(max(retries, 1)):
         parent = current_snapshot_id(path)
+        if precondition is not None and not precondition(path, parent):
+            raise PreconditionFailed(f"{path}: append precondition failed at head {parent}")
         base = snapshot(path, parent)["manifest"] if (parent and operation == "append") else []
         snap = {
             "snapshot_id": parent + 1,

@@ -124,6 +124,24 @@ def test_kernel_member_counts_property(seed):
 # ------------------------------ spark face --------------------------------
 
 
+def test_list_to_flat_sliced_and_unsliced():
+    """pyarrow ListArray.offsets is slice-adjusted; _list_to_flat must not
+    re-apply col.offset (the unsliced path can't catch that — Spark's
+    mapInArrow batches are normally unsliced)."""
+    import pyarrow as pa
+
+    from kraken_spark.functions.bloom import _list_to_flat
+
+    arr = pa.array([[1, 2], [3], [4, 5, 6], [7]])
+    flat, off = _list_to_flat(arr)
+    assert flat.tolist() == [1, 2, 3, 4, 5, 6, 7]
+    assert off.tolist() == [0, 2, 3, 6, 7]
+    s = arr.slice(1, 2)  # [[3], [4, 5, 6]]
+    flat_s, off_s = _list_to_flat(s)
+    assert flat_s.tolist() == [3, 4, 5, 6]
+    assert off_s.tolist() == [0, 1, 4]
+
+
 def test_build_probe_e2e_partitioning_independent(spark):
     items = [(f"seen-{i}",) for i in range(500)]
     df = spark.createDataFrame(items, "g string")

@@ -68,6 +68,74 @@ def test_two_ticks_with_incremental_dedup(spark, tmp_path):
     assert it.snapshot(kept, 2)["lineage"][0]["stage"] == "corpus-tick"
 
 
+def test_within_delta_recrawl_collapses_to_latest(spark, tmp_path):
+    """A url crawled twice WITHIN one delta must contribute exactly one
+    kept row (latest warc_ts wins) — not multiply through the quality
+    joins or blend one minhash signature across two texts."""
+    import pyspark.sql.functions as F
+
+    from kraken_spark.corpus import generate_corpus_df
+
+    pages = str(tmp_path / "pages")
+    kept = str(tmp_path / "kept")
+    docs = generate_corpus_df(spark, 3).localCheckpoint(eager=True)
+    first = docs.limit(1)
+    recrawl = first.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    it.append(docs.union(recrawl), pages)
+    r = corpus_tick(spark, pages, kept, run_id="rc", num_partitions=2,
+                    require_quality=False)
+    assert r["extracted"] == 3  # 4 delta rows -> 3 unique urls
+    assert r["kept_new"] == 3
+    state = it.read(spark, kept).collect()
+    assert len(state) == 3
+    assert len({row.url for row in state}) == 3
+
+
+def test_concurrent_tick_loses_race_cleanly(spark, tmp_path, monkeypatch):
+    """Two overlapping ticks over the same delta: the one whose commit
+    lands second must abort via the append precondition (lost_race=True,
+    nothing committed) instead of double-ingesting the delta."""
+    import kraken_spark.corpus_pipeline as cp
+    from kraken_spark.corpus import generate_corpus_df
+
+    pages = str(tmp_path / "pages")
+    kept = str(tmp_path / "kept")
+    docs = generate_corpus_df(spark, 2).localCheckpoint(eager=True)
+    it.append(docs, pages)
+
+    # rival tick commits AFTER this tick read its watermark but BEFORE its
+    # append: inject via the dedup stage (runs mid-tick, post-watermark)
+    real = cp.dedup_incremental
+    fired = {}
+
+    def rival_then_real(*a, **kw):
+        if not fired:
+            fired["x"] = True
+            it.append(
+                spark.createDataFrame(
+                    [("rival://u", "t", [1] * 16, ["b"] * 4)],
+                    "url string, text string, sig array<bigint>, band_keys array<string>",
+                ),
+                kept,
+                summary={"run_id": "rival", "source_snapshot_id": 1},
+            )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cp, "dedup_incremental", rival_then_real)
+    r = corpus_tick(spark, pages, kept, run_id="loser", num_partitions=2,
+                    require_quality=False)
+    assert r["lost_race"] and r["out_snapshot_id"] is None and r["kept_new"] == 0
+    # only the rival's commit exists; the delta was NOT double-ingested
+    assert it.current_snapshot_id(kept) == 1
+    assert {row.url for row in it.read(spark, kept).collect()} == {"rival://u"}
+    # and the next tick is a clean no-op (watermark already at head)
+    r2 = corpus_tick(spark, pages, kept, run_id="after", num_partitions=2,
+                     require_quality=False)
+    assert r2["out_snapshot_id"] is None and not r2["lost_race"]
+
+
 def test_job_cli_corpus_tick_mode(spark, tmp_path, capsys):
     """job.main --corpus-tick: the production loop runs from the
     spark-submit entry; --no-quality-gate keeps the glyph-soup corpus."""

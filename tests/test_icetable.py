@@ -309,6 +309,30 @@ def test_tail_extraction_crashed_tick_reprocesses(spark, tmp_path):
     assert it.orphan_data_files(out)  # the dead writer's files are orphans
 
 
+def test_append_precondition(spark, tmp_path):
+    """A failing precondition aborts the commit (nothing becomes visible,
+    the staged files are orphans); a passing one commits; the predicate
+    sees the head the commit will actually build on."""
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [("a", 1)]), t)
+    seen = []
+
+    def pre(path, parent):
+        seen.append(parent)
+        return False
+
+    with pytest.raises(it.PreconditionFailed):
+        it.append(_df(spark, [("b", 2)]), t, precondition=pre)
+    assert seen == [1]  # evaluated against the true head, no retries after
+    assert it.current_snapshot_id(t) == 1
+    assert {r.url for r in it.read(spark, t).collect()} == {"a"}
+    assert len(it.orphan_data_files(t)) > 0  # staged files stay invisible
+
+    sid = it.append(_df(spark, [("b", 2)]), t, precondition=lambda p, par: par == 1)
+    assert sid == 2
+    assert {r.url for r in it.read(spark, t).collect()} == {"a", "b"}
+
+
 def test_job_cli_tail_mode(spark, tmp_path, capsys):
     """job.main --tail: two ticks over a growing ice pages table — the
     second tick processes only the newly committed crawl."""
