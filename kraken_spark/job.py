@@ -116,6 +116,30 @@ def main(argv: list[str] | None = None) -> int:
         help="(--corpus-tick) skip the quality gate, keep all extracted",
     )
     ap.add_argument(
+        "--maintain",
+        action="store_true",
+        help="(ice output) table maintenance on the OUTPUT table instead "
+        "of an extraction run: compact small data files into a "
+        "row-preserving replace snapshot, expire all but the last "
+        "--keep-snapshots snapshots, vacuum orphans past --vacuum-grace-ms "
+        "(the Iceberg rewrite_data_files/expire_snapshots/"
+        "remove_orphan_files triad — what keeps a per-tick appending "
+        "corpus readable at 10^12 rows)",
+    )
+    ap.add_argument(
+        "--keep-snapshots", type=int, default=10,
+        help="(--maintain) snapshots to retain (default 10)",
+    )
+    ap.add_argument(
+        "--vacuum-grace-ms", type=int, default=24 * 3600 * 1000,
+        help="(--maintain) only vacuum orphans older than this (default 24h "
+        "— a LIVE writer's staged files look like orphans until it commits)",
+    )
+    ap.add_argument(
+        "--compact-target-bytes", type=int, default=512 << 20,
+        help="(--maintain) compaction output file size target",
+    )
+    ap.add_argument(
         "--export-wet",
         default=None,
         metavar="DIR",
@@ -142,6 +166,28 @@ def main(argv: list[str] | None = None) -> int:
     from kraken_spark.operators.serialization import serialize_extractions
     from kraken_spark.pipeline import (read_output, remaining_documents,
                                        run_extraction, tail_extraction)
+
+    if args.maintain:
+        from kraken_spark.sources import icetable
+
+        c = icetable.compact(
+            spark, args.output, target_bytes=args.compact_target_bytes
+        )
+        e = icetable.expire_snapshots(args.output, keep_last=args.keep_snapshots)
+        v = icetable.vacuum(args.output, grace_ms=args.vacuum_grace_ms)
+        print(
+            "[kraken_spark] maintain: "
+            + (
+                f"compacted {c['compacted_files']} files "
+                f"({c['compacted_bytes']} B) into {c['n_new_files']}, "
+                if c
+                else "nothing to compact, "
+            )
+            + f"expired {len(e['expired_snapshots'])} snapshots "
+            f"(+{e['deleted_files']} unreachable files), vacuumed "
+            f"{v['deleted_files']} orphans -> {args.output}"
+        )
+        return 0
 
     if args.corpus_tick:
         from kraken_spark.corpus_pipeline import corpus_tick

@@ -105,11 +105,15 @@ def snapshot(path: str, sid: int | None = None) -> dict[str, Any]:
 
 
 def history(path: str) -> list[dict[str, Any]]:
-    """All committed snapshots, oldest first (summaries only, no file lists
-    — the audit view)."""
+    """All retained snapshots, oldest first (summaries only, no file lists
+    — the audit view). Snapshots dropped by ``expire_snapshots`` are
+    simply absent, like Iceberg's history after expiry."""
     out = []
     for sid in range(1, current_snapshot_id(path) + 1):
-        s = snapshot(path, sid)
+        try:
+            s = snapshot(path, sid)
+        except NoSuchSnapshot:  # expired
+            continue
         out.append(
             {
                 "snapshot_id": s["snapshot_id"],
@@ -304,14 +308,19 @@ def read_incremental(
     each run records the snapshot it processed through, and the next run
     reads only the delta — at 10^12 rows the difference between re-scanning
     the corpus and scanning one crawl's worth of new files. The delta is
-    computed driver-side as a manifest set-difference (metadata only, no
-    data I/O), then read as a plain distributed parquet scan of just the
-    new files.
+    computed driver-side per snapshot (metadata only, no data I/O), then
+    read as a plain distributed parquet scan of just the new files.
 
-    Like Iceberg, the incremental scan is only defined over append-only
-    history: if any snapshot in the range replaced or removed files
-    (overwrite/rollback), added-files-since is not "rows added since" and
-    the scan raises ValueError rather than return a wrong delta.
+    Semantics match Iceberg's incremental append scan: the delta is the
+    union of each APPEND snapshot's own added files over the range —
+    NOT a set-difference of the endpoint manifests. A 'replace' snapshot
+    (compaction — row-preserving rewrite) adds no logical rows and is
+    skipped, so routine table maintenance never breaks a tailing job; the
+    rewritten-away small files stay on disk until ``expire_snapshots``
+    drops the appends that reference them, which keeps this scan valid
+    over any un-expired range. overwrite/rollback in the range change row
+    membership, so the scan raises ValueError rather than return a wrong
+    delta (Iceberg refuses those ranges too).
     """
     head = current_snapshot_id(path)
     to_sid = head if to_snapshot_id is None else to_snapshot_id
@@ -319,25 +328,29 @@ def read_incremental(
         raise NoSuchSnapshot(
             f"{path}: from {from_snapshot_id} is after to {to_sid}"
         )
+    files: list[str] = []
     for sid in range(from_snapshot_id + 1, to_sid + 1):
-        op = snapshot(path, sid)["operation"]
+        snap = snapshot(path, sid)
+        op = snap["operation"]
+        if op == "replace":
+            continue
         if op != "append":
             raise ValueError(
                 f"{path}: snapshot {sid} is '{op}' — incremental scan is "
-                "only defined over append-only history"
+                "only defined over append/replace history"
             )
-    base = (
-        set()
-        if from_snapshot_id == 0  # genesis: everything is new
-        else {e["path"] for e in snapshot(path, from_snapshot_id)["manifest"]}
-    )
-    to_snap = snapshot(path, to_sid)
-    files = [
-        os.path.join(path, e["path"])
-        for e in to_snap["manifest"]
-        if e["path"] not in base
-    ]
+        parent_paths = (
+            {e["path"] for e in snapshot(path, snap["parent_id"])["manifest"]}
+            if snap["parent_id"]
+            else set()
+        )
+        files.extend(
+            os.path.join(path, e["path"])
+            for e in snap["manifest"]
+            if e["path"] not in parent_paths
+        )
     if not files:
+        to_snap = snapshot(path, to_sid)
         from pyspark.sql.types import StructType
 
         schema = (
@@ -349,14 +362,25 @@ def read_incremental(
     return spark.read.parquet(*files)
 
 
-def orphan_data_files(path: str) -> list[str]:
-    """Data files no snapshot references (crashed writers, aborted
-    commits) — the vacuum candidate list. Safe to delete once no reader
-    can still hold the head they were staged under."""
+def _referenced_files(path: str) -> set[str]:
+    """Every data file any RETAINED snapshot references (normalized
+    absolute paths)."""
     referenced: set[str] = set()
     for sid in range(1, current_snapshot_id(path) + 1):
-        for e in snapshot(path, sid)["manifest"]:
+        try:
+            snap = snapshot(path, sid)
+        except NoSuchSnapshot:  # expired
+            continue
+        for e in snap["manifest"]:
             referenced.add(os.path.normpath(os.path.join(path, e["path"])))
+    return referenced
+
+
+def orphan_data_files(path: str) -> list[str]:
+    """Data files no retained snapshot references (crashed writers, aborted
+    commits, expired history) — the vacuum candidate list. Safe to delete
+    once no reader can still hold the head they were staged under."""
+    referenced = _referenced_files(path)
     orphans = []
     data_root = os.path.join(path, _DATA)
     for root, _dirs, names in os.walk(data_root):
@@ -365,3 +389,167 @@ def orphan_data_files(path: str) -> list[str]:
             if n.endswith(".parquet") and full not in referenced:
                 orphans.append(full)
     return sorted(orphans)
+
+
+# --------------------------- table maintenance -----------------------------
+#
+# The corpus production loop appends one small batch per tick; at 10^12
+# rows the read side dies of the small-files problem long before anything
+# else. These three are the Iceberg maintenance triad (public API analogs:
+# rewrite_data_files, expire_snapshots, remove_orphan_files) expressed on
+# this layer's commit protocol — compaction is just another optimistic
+# commit, so it is safe to run concurrently with live writers.
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 512 << 20,
+    small_bytes: int | None = None,
+    retries: int = 3,
+) -> dict[str, Any] | None:
+    """Rewrite the head snapshot's small data files (< ``small_bytes``,
+    default ``target_bytes``) into ~``target_bytes`` files and commit the
+    swap as a row-preserving 'replace' snapshot (Iceberg's
+    rewrite_data_files). Returns the commit summary, or None when fewer
+    than two files qualify (nothing to gain).
+
+    Concurrency: the rewrite is read+write on the candidate files only;
+    the commit re-bases onto whatever head exists at commit time, keeping
+    every file the candidates' snapshot did not cover — a concurrent
+    append's files survive untouched. If a rival writer REMOVED a
+    candidate (overwrite/rollback/another compaction), the commit aborts
+    with CommitConflict instead of resurrecting replaced rows. Readers are
+    never disturbed: time travel to pre-compaction snapshots still works
+    because the small files stay on disk until ``expire_snapshots``.
+
+    The replace snapshot INHERITS the parent head's state-describing
+    summary keys (everything compaction does not itself set): a
+    row-preserving rewrite leaves the logical table state unchanged, so
+    state carried in summaries — e.g. the corpus loop's
+    ``source_snapshot_id`` watermark — must survive it. Without this, a
+    compaction followed by ``expire_snapshots(keep_last=1)`` would drop
+    every watermark-bearing snapshot and a tailing consumer would rewind
+    to genesis.
+    """
+    if current_snapshot_id(path) == 0:
+        return None
+    base_snap = snapshot(path)
+    small = small_bytes if small_bytes is not None else target_bytes
+    cand = [e for e in base_snap["manifest"] if e["bytes"] < small]
+    if len(cand) < 2:
+        return None
+    cand_paths = {e["path"] for e in cand}
+    n_rows_in = sum(e["rows"] for e in cand)
+    n_out = max(1, -(-sum(e["bytes"] for e in cand) // target_bytes))
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(path, _DATA, commit_uuid)
+    df = spark.read.parquet(*(os.path.join(path, e["path"]) for e in cand))
+    df.repartition(n_out).write.parquet(data_dir, mode="errorifexists")
+    new_files = _list_new_files(path, data_dir)
+    n_rows_out = sum(e["rows"] for e in new_files)
+    if n_rows_out != n_rows_in:  # row-preservation invariant, pre-commit
+        raise RuntimeError(
+            f"{path}: compaction rewrote {n_rows_in} rows into {n_rows_out}"
+        )
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        parent = current_snapshot_id(path)
+        head = snapshot(path, parent)
+        head_paths = {e["path"] for e in head["manifest"]}
+        if not cand_paths <= head_paths:
+            raise CommitConflict(
+                f"{path}: compaction candidates no longer in head {parent}"
+            )
+        keep = [e for e in head["manifest"] if e["path"] not in cand_paths]
+        own = {
+            "compacted_files": len(cand),
+            "compacted_bytes": sum(e["bytes"] for e in cand),
+            "n_new_files": len(new_files),
+            "n_new_rows": 0,  # row-preserving: no logical rows added
+            "rewritten_rows": n_rows_out,
+        }
+        inherited = {
+            k: v
+            for k, v in head.get("summary", {}).items()
+            if k not in own and k not in ("n_new_files", "n_new_rows")
+        }
+        snap = {
+            "snapshot_id": parent + 1,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "replace",
+            "schema_json": head.get("schema_json", ""),
+            "manifest": keep + new_files,
+            "summary": inherited | own,
+        }
+        try:
+            _commit(path, snap)
+            return snap["summary"] | {"snapshot_id": snap["snapshot_id"]}
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def expire_snapshots(
+    path: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> dict[str, Any]:
+    """Drop old snapshots and delete the data files only they referenced
+    (Iceberg's expire_snapshots). The head always survives; a snapshot
+    expires when it falls outside ``keep_last`` most-recent AND (if given)
+    is older than ``older_than_ms``. Time travel and incremental reads
+    into the expired range stop working — by design, that is what bounds
+    metadata and storage growth on a forever-appending table."""
+    head = current_snapshot_id(path)
+    sids = [
+        s
+        for s in range(1, head + 1)
+        if os.path.exists(_snap_path(path, s))
+    ]
+    expired = []
+    for sid in sids:
+        if sid == head:
+            continue
+        if keep_last is not None and sid > head - keep_last:
+            continue
+        if older_than_ms is not None:
+            if snapshot(path, sid)["timestamp_ms"] >= older_than_ms:
+                continue
+        expired.append(sid)
+    # files referenced ONLY by expiring snapshots become deletable
+    keep_refs = {
+        os.path.normpath(os.path.join(path, e["path"]))
+        for sid in sids
+        if sid not in set(expired)
+        for e in snapshot(path, sid)["manifest"]
+    }
+    deleted_files = 0
+    for sid in expired:
+        for e in snapshot(path, sid)["manifest"]:
+            full = os.path.normpath(os.path.join(path, e["path"]))
+            if full not in keep_refs and os.path.exists(full):
+                os.remove(full)
+                deleted_files += 1
+    for sid in expired:  # metadata last: crash mid-way leaves extra files,
+        os.remove(_snap_path(path, sid))  # never a snapshot missing files
+    return {"expired_snapshots": expired, "deleted_files": deleted_files}
+
+
+def vacuum(path: str, grace_ms: int = 24 * 3600 * 1000) -> dict[str, Any]:
+    """Delete orphan data files older than ``grace_ms`` (Iceberg's
+    remove_orphan_files). The grace period is the correctness guard: a
+    LIVE writer's staged-but-uncommitted files look exactly like orphans
+    until its commit lands, so only files old enough that no sane commit
+    is still in flight are removed."""
+    cutoff = time.time() - grace_ms / 1000.0
+    deleted = []
+    for full in orphan_data_files(path):
+        try:
+            if os.path.getmtime(full) <= cutoff:
+                os.remove(full)
+                deleted.append(full)
+        except FileNotFoundError:  # racing vacuum — already gone
+            continue
+    return {"deleted_files": len(deleted), "paths": deleted}

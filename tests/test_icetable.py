@@ -242,7 +242,7 @@ def test_incremental_scan_refuses_non_append_history(spark, tmp_path):
     t = str(tmp_path / "inc3")
     sid1 = it.append(_df(spark, [("a", 1)]), t)
     it.overwrite(_df(spark, [("z", 9)]), t)
-    with pytest.raises(ValueError, match="append-only"):
+    with pytest.raises(ValueError, match="only defined over append"):
         it.read_incremental(spark, t, sid1)
 
 
