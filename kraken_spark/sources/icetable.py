@@ -156,11 +156,66 @@ def _commit(path: str, snap: dict[str, Any]) -> int:
     return sid
 
 
+def _stat_value(v: Any) -> Any:
+    """JSON-storable, order-preserving form of a parquet footer stat:
+    numbers stay numbers; datetimes become ISO strings (lexicographic
+    order == chronological order for a fixed-format ISO rendering);
+    strings stay strings. Anything else is unprunable -> None."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _file_column_stats(meta) -> dict[str, list[Any]]:
+    """Per-column [min, max] over all row groups of one parquet file,
+    from footer statistics only. Parquet writers truncate long string
+    stats conservatively (min keeps a prefix <= true min; max is
+    truncate-and-increment >= true max), so these are always valid
+    PRUNING bounds even when inexact. Columns with any stat-less or
+    non-orderable chunk are omitted — absence of stats means 'cannot
+    prune', never 'can drop'."""
+    stats: dict[str, list[Any]] = {}
+    dead: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:  # nested leaves: not prunable
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                dead.add(name)
+                stats.pop(name, None)
+                continue
+            lo, hi = _stat_value(s.min), _stat_value(s.max)
+            if lo is None or hi is None:
+                dead.add(name)
+                stats.pop(name, None)
+                continue
+            if name in stats:
+                stats[name][0] = min(stats[name][0], lo)
+                stats[name][1] = max(stats[name][1], hi)
+            else:
+                stats[name] = [lo, hi]
+    return stats
+
+
 def _list_new_files(table_path: str, data_dir: str) -> list[dict[str, Any]]:
     """Manifest entries for a freshly written parquet directory: one row
-    per part file with row count + byte size (footer-only reads — the
-    driver never touches row data). Paths are table-relative so a table
-    directory is relocatable as a unit."""
+    per part file with row count + byte size + per-column min/max stats
+    (footer-only reads — the driver never touches row data; the stats are
+    what manifest-level file skipping prunes on, Iceberg's lower_bounds/
+    upper_bounds). Paths are table-relative so a table directory is
+    relocatable as a unit."""
     import pyarrow.parquet as pq
 
     entries = []
@@ -174,9 +229,45 @@ def _list_new_files(table_path: str, data_dir: str) -> list[dict[str, Any]]:
                 "path": os.path.relpath(full, start=table_path),
                 "rows": meta.num_rows,
                 "bytes": os.path.getsize(full),
+                "stats": _file_column_stats(meta),
             }
         )
     return entries
+
+
+def _prune_entries(
+    entries: list[dict[str, Any]], where: dict[str, tuple] | None
+) -> list[dict[str, Any]]:
+    """Manifest-level file skipping: keep entries whose [min, max] range
+    intersects every requested column range. ``where`` maps column ->
+    (lo, hi) (either bound None = unbounded; datetime bounds allowed).
+    A file without stats for a requested column is KEPT — pruning is an
+    optimization, never a correctness filter; the caller still applies
+    the real predicate to the scanned rows."""
+    if not where:
+        return entries
+    bounds = {
+        c: (_stat_value(lo), _stat_value(hi)) for c, (lo, hi) in where.items()
+    }
+    kept = []
+    for e in entries:
+        stats = e.get("stats") or {}
+        drop = False
+        for c, (lo, hi) in bounds.items():
+            if c not in stats:
+                continue
+            fmin, fmax = stats[c]
+            try:
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    drop = True
+                    break
+            except TypeError:  # bound/stat type mismatch: cannot prune
+                continue
+        if not drop:
+            kept.append(e)
+    return kept
 
 
 def append(
@@ -267,11 +358,21 @@ def read(
     path: str,
     snapshot_id: int | None = None,
     asof_ms: int | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Committed-state read: exactly the files in the chosen snapshot's
     manifest — uncommitted/orphaned data files are invisible by
     construction. ``snapshot_id`` / ``asof_ms`` select historical states
-    (time travel)."""
+    (time travel).
+
+    ``where`` — optional column->(lo, hi) ranges for MANIFEST-LEVEL file
+    skipping (Iceberg's scan planning against lower_bounds/upper_bounds):
+    files whose footer min/max cannot intersect the range are dropped
+    driver-side, before Spark ever lists them — at 10^12 rows the
+    difference between 'scan one crawl window' and 'open every file's
+    footer'. Pruning is conservative (stat-less files are kept); callers
+    still apply the real row predicate — parquet footer pushdown then
+    handles the kept files' row groups."""
     if asof_ms is not None:
         sid = 0
         for h in history(path):
@@ -281,7 +382,8 @@ def read(
             raise NoSuchSnapshot(f"{path}: no snapshot at or before {asof_ms}")
         snapshot_id = sid
     snap = snapshot(path, snapshot_id)
-    files = [os.path.join(path, e["path"]) for e in snap["manifest"]]
+    entries = _prune_entries(snap["manifest"], where)
+    files = [os.path.join(path, e["path"]) for e in entries]
     if not files:
         from pyspark.sql.types import StructType
 
@@ -299,6 +401,7 @@ def read_incremental(
     path: str,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Incremental append scan (Iceberg's ``incremental read``): exactly
     the rows committed AFTER ``from_snapshot_id`` up to and including
@@ -344,10 +447,10 @@ def read_incremental(
             if snap["parent_id"]
             else set()
         )
+        added = [e for e in snap["manifest"] if e["path"] not in parent_paths]
         files.extend(
             os.path.join(path, e["path"])
-            for e in snap["manifest"]
-            if e["path"] not in parent_paths
+            for e in _prune_entries(added, where)
         )
     if not files:
         to_snap = snapshot(path, to_sid)

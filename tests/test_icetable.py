@@ -230,6 +230,60 @@ def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
     ) - len(it.snapshot(t, sid2)["manifest"]) + 1
 
 
+def test_manifest_column_stats_and_file_skipping(spark, tmp_path):
+    """Manifest entries carry per-file column min/max from the parquet
+    footers; read(where=...) drops non-intersecting files driver-side
+    (Iceberg's lower_bounds/upper_bounds scan planning)."""
+    t = str(tmp_path / "stats")
+    it.append(_df(spark, [("a", 1), ("b", 5)]).coalesce(1), t)
+    it.append(_df(spark, [("c", 100), ("d", 200)]).coalesce(1), t)
+    man = it.snapshot(t)["manifest"]
+    assert [e["stats"]["n"] for e in man] == [[1, 5], [100, 200]]
+    assert man[0]["stats"]["url"] == ["a", "b"]
+    # pruning keeps only the intersecting file; rows match the predicate
+    assert len(it._prune_entries(man, {"n": (90, 300)})) == 1
+    got = {r.url for r in it.read(spark, t, where={"n": (90, 300)}).collect()}
+    assert got == {"c", "d"}
+    # open bounds, string ranges, and the empty-result path
+    assert len(it._prune_entries(man, {"n": (None, 10)})) == 1
+    assert len(it._prune_entries(man, {"url": ("c", None)})) == 1
+    empty = it.read(spark, t, where={"n": (300, 400)})
+    assert empty.count() == 0 and "url" in empty.columns  # schema kept
+    # a file without stats for the column is KEPT (prune is conservative),
+    # as is one whose stat type mismatches the bound
+    assert len(it._prune_entries([{"path": "p", "stats": {}}], {"n": (0, 1)})) == 1
+    assert (
+        len(it._prune_entries([{"path": "p", "stats": {"n": ["x", "y"]}}],
+                              {"n": (0, 1)}))
+        == 1
+    )
+    # incremental scan prunes within the delta only
+    inc = it.read_incremental(spark, t, 1, where={"n": (0, 10)})
+    assert inc.count() == 0  # snapshot 2's file can't intersect
+
+
+def test_timestamp_stats_prune_crawl_window(spark, tmp_path):
+    """The flagship use: tail a pages table by warc_ts window without
+    opening files outside it (datetime bounds vs ISO-stored stats)."""
+    import datetime
+
+    t = str(tmp_path / "ts")
+    df = spark.createDataFrame(
+        [("u1", datetime.datetime(2024, 1, 1)), ("u2", datetime.datetime(2024, 1, 2))],
+        "url string, warc_ts timestamp_ntz",
+    )
+    df2 = spark.createDataFrame(
+        [("u3", datetime.datetime(2024, 6, 1))], "url string, warc_ts timestamp_ntz"
+    )
+    it.append(df.coalesce(1), t)
+    it.append(df2.coalesce(1), t)
+    man = it.snapshot(t)["manifest"]
+    assert man[0]["stats"]["warc_ts"][0].startswith("2024-01-01")
+    w = {"warc_ts": (datetime.datetime(2024, 5, 1), None)}
+    assert len(it._prune_entries(man, w)) == 1
+    assert {r.url for r in it.read(spark, t, where=w).collect()} == {"u3"}
+
+
 def test_incremental_scan_empty_delta_and_bad_range(spark, tmp_path):
     t = str(tmp_path / "inc2")
     sid1 = it.append(_df(spark, [("a", 1)]), t)
