@@ -70,6 +70,12 @@ class PreconditionFailed(Exception):
     already-written data files remain invisible orphans."""
 
 
+class SchemaConflict(Exception):
+    """A writer's column type contradicts the table schema. Add/drop is
+    schema EVOLUTION and allowed (union-by-name, like Iceberg); silently
+    re-typing an existing column is not."""
+
+
 def _meta_dir(path: str) -> str:
     return os.path.join(path, _META)
 
@@ -270,6 +276,31 @@ def _prune_entries(
     return kept
 
 
+def _evolve_schema(table_schema, writer_schema):
+    """Union-by-name schema evolution (Iceberg's add-column semantics):
+    the committed table schema keeps every existing column in place and
+    appends the writer's NEW columns (nullable — older files read as
+    null for them). A writer may omit columns (its files read as null
+    there) but may not re-type one: that raises SchemaConflict, because
+    the union'd files would no longer be readable under one schema."""
+    from pyspark.sql.types import StructField, StructType
+
+    by_name = {f.name: f for f in table_schema.fields}
+    for f in writer_schema.fields:
+        have = by_name.get(f.name)
+        if have is not None and have.dataType != f.dataType:
+            raise SchemaConflict(
+                f"column '{f.name}': table has {have.dataType.simpleString()}"
+                f", writer has {f.dataType.simpleString()}"
+            )
+    new = [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in writer_schema.fields
+        if f.name not in by_name
+    ]
+    return StructType(list(table_schema.fields) + new)
+
+
 def append(
     df: DataFrame,
     path: str,
@@ -307,13 +338,24 @@ def append(
         parent = current_snapshot_id(path)
         if precondition is not None and not precondition(path, parent):
             raise PreconditionFailed(f"{path}: append precondition failed at head {parent}")
-        base = snapshot(path, parent)["manifest"] if (parent and operation == "append") else []
+        schema = df.schema
+        base = []
+        if parent and operation == "append":
+            parent_snap = snapshot(path, parent)
+            base = parent_snap["manifest"]
+            if parent_snap.get("schema_json"):
+                from pyspark.sql.types import StructType
+
+                schema = _evolve_schema(
+                    StructType.fromJson(json.loads(parent_snap["schema_json"])),
+                    df.schema,
+                )
         snap = {
             "snapshot_id": parent + 1,
             "parent_id": parent,
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
-            "schema_json": df.schema.json(),
+            "schema_json": schema.json(),
             "manifest": base + new_files,
             "summary": dict(summary or {}, n_new_files=len(new_files),
                             n_new_rows=sum(e["rows"] for e in new_files)),
@@ -393,6 +435,21 @@ def read(
             else "url string"
         )
         return spark.createDataFrame([], schema)
+    return _read_files(spark, snap, files)
+
+
+def _read_files(spark: SparkSession, snap: dict[str, Any], files: list[str]):
+    """Scan data files under the SNAPSHOT's schema (Iceberg reads plan
+    against the table schema, not a sampled file's): after add-column
+    evolution, older files yield null for the new columns; after a writer
+    omitted a column, its files yield null there — without this, Spark
+    infers the schema from one arbitrary file and silently drops the
+    others' columns."""
+    if snap.get("schema_json"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap["schema_json"]))
+        return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -452,8 +509,8 @@ def read_incremental(
             os.path.join(path, e["path"])
             for e in _prune_entries(added, where)
         )
+    to_snap = snapshot(path, to_sid)
     if not files:
-        to_snap = snapshot(path, to_sid)
         from pyspark.sql.types import StructType
 
         schema = (
@@ -462,7 +519,7 @@ def read_incremental(
             else "url string"
         )
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    return _read_files(spark, to_snap, files)
 
 
 def _referenced_files(path: str) -> set[str]:
@@ -547,7 +604,11 @@ def compact(
     n_out = max(1, -(-sum(e["bytes"] for e in cand) // target_bytes))
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
-    df = spark.read.parquet(*(os.path.join(path, e["path"]) for e in cand))
+    # rewrite under the table schema: candidates may predate an add-column
+    # evolution, and the compacted files must carry the full column set
+    df = _read_files(
+        spark, base_snap, [os.path.join(path, e["path"]) for e in cand]
+    )
     df.repartition(n_out).write.parquet(data_dir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
     n_rows_out = sum(e["rows"] for e in new_files)

@@ -284,6 +284,42 @@ def test_timestamp_stats_prune_crawl_window(spark, tmp_path):
     assert {r.url for r in it.read(spark, t, where=w).collect()} == {"u3"}
 
 
+def test_schema_evolution_union_by_name(spark, tmp_path):
+    """Iceberg-style schema evolution: add-column unions by name (older
+    files read null for the new column), omitted columns read null for
+    that writer's files, re-typing a column is refused, and compaction
+    rewrites old files under the evolved schema."""
+    t = str(tmp_path / "evo")
+    it.append(_df(spark, [("a", 1)]), t)
+    it.append(
+        spark.createDataFrame([("b", 2, "en")], "url string, n int, lang string"), t
+    )
+    got = it.read(spark, t)
+    assert got.columns == ["url", "n", "lang"]
+    assert {(r.url, r.n, r.lang) for r in got.collect()} == {
+        ("a", 1, None), ("b", 2, "en"),
+    }
+    # a writer omitting an existing column: its rows read as null there
+    it.append(spark.createDataFrame([("c", "fr")], "url string, lang string"), t)
+    rows = {(r.url, r.n, r.lang) for r in it.read(spark, t).collect()}
+    assert rows == {("a", 1, None), ("b", 2, "en"), ("c", None, "fr")}
+    # silently re-typing a column is a conflict; nothing commits
+    bad = spark.createDataFrame([("d", "x")], "url string, n string")
+    with pytest.raises(it.SchemaConflict, match="column 'n'"):
+        it.append(bad, t)
+    assert it.current_snapshot_id(t) == 3
+    assert it.orphan_data_files(t)  # the refused writer's staged files
+    # compaction carries the full evolved column set into rewritten files
+    assert it.compact(spark, t, target_bytes=1 << 30) is not None
+    assert {(r.url, r.n, r.lang) for r in it.read(spark, t).collect()} == rows
+    # incremental scans plan against the endpoint's evolved schema too
+    inc = it.read_incremental(spark, t, 1, 3)
+    assert inc.columns == ["url", "n", "lang"]
+    assert {(r.url, r.n, r.lang) for r in inc.collect()} == {
+        ("b", 2, "en"), ("c", None, "fr"),
+    }
+
+
 def test_incremental_scan_empty_delta_and_bad_range(spark, tmp_path):
     t = str(tmp_path / "inc2")
     sid1 = it.append(_df(spark, [("a", 1)]), t)
