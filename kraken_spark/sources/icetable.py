@@ -633,11 +633,6 @@ def compact(
             "n_new_rows": 0,  # row-preserving: no logical rows added
             "rewritten_rows": n_rows_out,
         }
-        inherited = {
-            k: v
-            for k, v in head.get("summary", {}).items()
-            if k not in own and k not in ("n_new_files", "n_new_rows")
-        }
         snap = {
             "snapshot_id": parent + 1,
             "parent_id": parent,
@@ -645,7 +640,106 @@ def compact(
             "operation": "replace",
             "schema_json": head.get("schema_json", ""),
             "manifest": keep + new_files,
-            "summary": inherited | own,
+            "summary": _inherited_summary(head, own),
+        }
+        try:
+            _commit(path, snap)
+            return snap["summary"] | {"snapshot_id": snap["snapshot_id"]}
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def _inherited_summary(head: dict[str, Any], own: dict[str, Any]) -> dict[str, Any]:
+    """State-describing summary keys carried forward through an operation
+    that preserves them (compaction preserves all state; deletion removes
+    rows but e.g. a tailing watermark still holds). Own keys win."""
+    return {
+        k: v for k, v in head.get("summary", {}).items() if k not in own
+    } | own
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune: dict[str, tuple] | None = None,
+    retries: int = 3,
+) -> dict[str, Any] | None:
+    """Copy-on-write row deletion (Iceberg's COW DELETE — the corpus
+    takedown primitive: URL removal requests, PII scrub orders): rewrite
+    the files containing matching rows WITHOUT them and commit the swap as
+    a 'delete' snapshot. ``condition`` is a SQL boolean expression over
+    the table's columns; ``prune`` optionally narrows the candidate files
+    via manifest stats (e.g. ``{"url": (u, u)}`` for a single-url takedown
+    touches only files whose url range covers it) — files outside the
+    prune ranges provably hold no matches and are left byte-untouched.
+
+    Returns the commit summary, or None when nothing matched (no commit —
+    a no-op takedown leaves no snapshot noise). Time travel to pre-delete
+    snapshots still shows the rows (takedown COMPLETION is ``expire_
+    snapshots`` + ``vacuum`` of the pre-delete history — same as Iceberg).
+    Incremental scans refuse ranges containing a delete, as row membership
+    changed. The commit re-bases over concurrent appends like compaction
+    and aborts with CommitConflict if a rival removed a candidate file.
+    """
+    if current_snapshot_id(path) == 0:
+        return None
+    base_snap = snapshot(path)
+    cand = _prune_entries(base_snap["manifest"], prune)
+    if not cand:
+        return None
+    cand_paths = {e["path"] for e in cand}
+    rows_in = sum(e["rows"] for e in cand)
+    df = _read_files(
+        spark, base_snap, [os.path.join(path, e["path"]) for e in cand]
+    )
+    from pyspark.sql import functions as F
+
+    # DELETE WHERE semantics: a NULL condition keeps the row (only TRUE
+    # deletes), hence the coalesce before negation
+    keep_df = df.where(
+        ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    )
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(path, _DATA, commit_uuid)
+    n_files = max(1, -(-sum(e["bytes"] for e in cand) // (512 << 20)))
+    keep_df.repartition(n_files).write.parquet(data_dir, mode="errorifexists")
+    new_files = _list_new_files(path, data_dir)
+    rows_out = sum(e["rows"] for e in new_files)
+    if rows_out == rows_in:  # nothing matched: drop the staged copy
+        for e in new_files:
+            os.remove(os.path.join(path, e["path"]))
+        return None
+    if rows_out > rows_in:
+        raise RuntimeError(
+            f"{path}: delete rewrote {rows_in} rows into {rows_out}"
+        )
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        parent = current_snapshot_id(path)
+        head = snapshot(path, parent)
+        head_paths = {e["path"] for e in head["manifest"]}
+        if not cand_paths <= head_paths:
+            raise CommitConflict(
+                f"{path}: delete candidates no longer in head {parent}"
+            )
+        keep = [e for e in head["manifest"] if e["path"] not in cand_paths]
+        own = {
+            "deleted_rows": rows_in - rows_out,
+            "rewritten_files": len(cand),
+            "n_new_files": len(new_files),
+            "n_new_rows": 0,
+            "condition": condition,
+        }
+        snap = {
+            "snapshot_id": parent + 1,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "delete",
+            "schema_json": head.get("schema_json", ""),
+            "manifest": keep + [e for e in new_files if e["rows"] > 0],
+            "summary": _inherited_summary(head, own),
         }
         try:
             _commit(path, snap)

@@ -141,6 +141,47 @@ def test_vacuum_grace_period(spark, tmp_path):
     assert {x.url for x in it.read(spark, t).collect()} == {"a"}
 
 
+def test_delete_where_takedown_end_to_end(spark, tmp_path):
+    """Copy-on-write row deletion — the takedown primitive: stats-pruned
+    file rewrite, time-travel visibility until expiry, and physical
+    erasure completed by expire+vacuum."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [("a", 1), ("b", 2), (None, 5)]).coalesce(1), t)
+    it.append(_df(spark, [("c", 100)]).coalesce(1), t)
+    c_files = {e["path"] for e in it.snapshot(t)["manifest"] if e["stats"].get("url", ["", ""])[0] == "c"}
+    s = it.delete_where(spark, t, "url = 'a'", prune={"url": ("a", "a")})
+    assert s["deleted_rows"] == 1 and s["rewritten_files"] == 1
+    assert it.snapshot(t)["operation"] == "delete"
+    # null-url row survives (SQL DELETE: only TRUE deletes), c untouched
+    got = {(r.url, r.n) for r in it.read(spark, t).collect()}
+    assert got == {("b", 2), (None, 5), ("c", 100)}
+    assert c_files <= {e["path"] for e in it.snapshot(t)["manifest"]}
+    # pre-delete snapshot still shows the row (time travel)
+    old = {r.url for r in it.read(spark, t, snapshot_id=2).collect()}
+    assert "a" in old
+    # incremental ranges crossing the delete are refused (row membership
+    # changed) — must check before expiry drops the range
+    with pytest.raises(ValueError):
+        it.read_incremental(spark, t, 1)
+    # no-match deletes are commit-free no-ops (pruned-away and scanned)
+    head = it.current_snapshot_id(t)
+    assert it.delete_where(spark, t, "url = 'zz'", prune={"url": ("zz", "zz")}) is None
+    assert it.delete_where(spark, t, "url = 'zz'") is None
+    assert it.current_snapshot_id(t) == head
+    # takedown COMPLETION: expire the pre-delete history, vacuum the files
+    it.expire_snapshots(t, keep_last=1)
+    it.vacuum(t, grace_ms=0)
+    for f in glob.glob(os.path.join(t, "data", "**", "*.parquet"), recursive=True):
+        tbl = pq.read_table(f)
+        if "url" in tbl.column_names:
+            assert "a" not in tbl.column("url").to_pylist()  # physically gone
+    assert {(r.url, r.n) for r in it.read(spark, t).collect()} == got
+
+
 def test_corpus_tick_watermark_survives_maintenance(spark, tmp_path):
     """The production loop's exactly-once contract across maintenance:
     compact + expire on BOTH tables between ticks must not re-deliver old
