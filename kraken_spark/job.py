@@ -200,6 +200,13 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.partitions,
             require_quality=not args.no_quality_gate,
         )
+        if r["lost_race"]:
+            print(
+                "[kraken_spark] corpus tick: lost the commit race to a "
+                f"concurrent tick at source snapshot {r['source_snapshot_id']} "
+                "— nothing committed (the winner covered this delta)"
+            )
+            return 0
         print(
             f"[kraken_spark] corpus tick: {r['extracted']} extracted, "
             f"{r['quality_pass']} passed quality, {r['kept_new']} kept "
