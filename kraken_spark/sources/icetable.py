@@ -216,28 +216,34 @@ def _file_column_stats(meta) -> dict[str, list[Any]]:
 
 
 def _list_new_files(table_path: str, data_dir: str) -> list[dict[str, Any]]:
-    """Manifest entries for a freshly written parquet directory: one row
+    """Manifest entries for a freshly written parquet directory (walked
+    recursively — partitioned writes nest Hive-style subdirs): one row
     per part file with row count + byte size + per-column min/max stats
     (footer-only reads — the driver never touches row data; the stats are
     what manifest-level file skipping prunes on, Iceberg's lower_bounds/
-    upper_bounds). Paths are table-relative so a table directory is
-    relocatable as a unit."""
+    upper_bounds) + the partition subpath the file sits in (what keeps
+    maintenance rewrites from destroying the clustering). Paths are
+    table-relative so a table directory is relocatable as a unit."""
     import pyarrow.parquet as pq
 
     entries = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        full = os.path.join(data_dir, name)
-        meta = pq.read_metadata(full)
-        entries.append(
-            {
-                "path": os.path.relpath(full, start=table_path),
-                "rows": meta.num_rows,
-                "bytes": os.path.getsize(full),
-                "stats": _file_column_stats(meta),
-            }
-        )
+    for root, dirs, names in os.walk(data_dir):
+        dirs.sort()
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            meta = pq.read_metadata(full)
+            part = os.path.relpath(root, start=data_dir)
+            entries.append(
+                {
+                    "path": os.path.relpath(full, start=table_path),
+                    "rows": meta.num_rows,
+                    "bytes": os.path.getsize(full),
+                    "stats": _file_column_stats(meta),
+                    "partition": "" if part == "." else part,
+                }
+            )
     return entries
 
 
@@ -276,6 +282,48 @@ def _prune_entries(
     return kept
 
 
+def _partition_columns(df: DataFrame, spec: list[str]):
+    """Hidden-partitioning transforms (Iceberg's partition spec): each
+    spec entry is ``col`` (identity), ``days(col)`` or ``bucket(N, col)``.
+    Returns (df with derived ``p_*`` columns appended, derived names).
+    The derived columns exist ONLY as directory names — Spark's
+    partitionBy removes them from the data files, and reads never select
+    them (reads plan against the snapshot schema) — while the ORIGINAL
+    columns stay in the files, so a partitioned table reads identically
+    to an unpartitioned one. The win is layout: files become
+    single-partition-value, which turns the footer-stats file skipping
+    from "nothing prunable" (every file spans every value) into
+    "skip everything outside the requested value/window"."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    names = []
+    for s in spec:
+        m = re.fullmatch(r"\s*days\(\s*(\w+)\s*\)\s*", s)
+        if m:
+            name = f"p_{m.group(1)}_day"
+            df = df.withColumn(
+                name, F.date_format(F.col(m.group(1)), "yyyy-MM-dd")
+            )
+            names.append(name)
+            continue
+        m = re.fullmatch(r"\s*bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*", s)
+        if m:
+            n, col = int(m.group(1)), m.group(2)
+            name = f"p_{col}_b{n}"
+            df = df.withColumn(name, F.pmod(F.xxhash64(F.col(col)), F.lit(n)))
+            names.append(name)
+            continue
+        m = re.fullmatch(r"\s*(\w+)\s*", s)
+        if not m:
+            raise ValueError(f"unsupported partition transform: {s!r}")
+        name = f"p_{m.group(1)}"
+        df = df.withColumn(name, F.col(m.group(1)))
+        names.append(name)
+    return df, names
+
+
 def _evolve_schema(table_schema, writer_schema):
     """Union-by-name schema evolution (Iceberg's add-column semantics):
     the committed table schema keeps every existing column in place and
@@ -309,9 +357,19 @@ def append(
     lineage: list[dict[str, Any]] | None = None,
     retries: int = 3,
     precondition=None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new data files and commit them as a new
     snapshot; returns the committed snapshot id.
+
+    ``partition_by``: optional hidden-partitioning spec (see
+    ``_partition_columns`` — ``col`` / ``days(col)`` / ``bucket(N, col)``)
+    clustering the written files by partition value. The spec is recorded
+    in the snapshot and INHERITED by later appends that do not pass one
+    (Iceberg's table-level spec: a corpus tick appending to a
+    days(warc_ts)-partitioned pages table keeps the dump layout without
+    knowing about it). Maintenance rewrites preserve the clustering by
+    grouping on each file's recorded partition.
 
     operation='append' unions the new files with the parent manifest;
     operation='overwrite' makes the new files the whole table. Data files
@@ -329,9 +387,17 @@ def append(
     PreconditionFailed; nothing is committed, the written data files stay
     invisible orphans (same crash semantics as a dead writer).
     """
+    if partition_by is None and operation == "append":
+        head_now = current_snapshot_id(path)
+        if head_now:
+            partition_by = snapshot(path, head_now).get("partition_spec")
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
-    df.write.parquet(data_dir, mode="errorifexists")
+    if partition_by:
+        write_df, pcols = _partition_columns(df, partition_by)
+        write_df.write.partitionBy(*pcols).parquet(data_dir, mode="errorifexists")
+    else:
+        df.write.parquet(data_dir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
     last: Exception | None = None
     for _ in range(max(retries, 1)):
@@ -356,6 +422,7 @@ def append(
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "schema_json": schema.json(),
+            "partition_spec": partition_by or [],
             "manifest": base + new_files,
             "summary": dict(summary or {}, n_new_files=len(new_files),
                             n_new_rows=sum(e["rows"] for e in new_files)),
@@ -385,6 +452,7 @@ def rollback(path: str, to_snapshot_id: int) -> int:
             "timestamp_ms": int(time.time() * 1000),
             "operation": "rollback",
             "schema_json": old.get("schema_json", ""),
+            "partition_spec": old.get("partition_spec", []),
             "manifest": old["manifest"],
             "summary": {"rolled_back_to": to_snapshot_id},
         }
@@ -596,20 +664,31 @@ def compact(
         return None
     base_snap = snapshot(path)
     small = small_bytes if small_bytes is not None else target_bytes
-    cand = [e for e in base_snap["manifest"] if e["bytes"] < small]
-    if len(cand) < 2:
+    # bin-pack WITHIN each partition (Iceberg's rewrite keeps the spec):
+    # merging across partition values would destroy the clustering that
+    # makes file skipping selective
+    groups: dict[str, list[dict[str, Any]]] = {}
+    for e in base_snap["manifest"]:
+        if e["bytes"] < small:
+            groups.setdefault(e.get("partition", ""), []).append(e)
+    groups = {p: es for p, es in groups.items() if len(es) >= 2}
+    if not groups:
         return None
+    cand = [e for es in groups.values() for e in es]
     cand_paths = {e["path"] for e in cand}
     n_rows_in = sum(e["rows"] for e in cand)
-    n_out = max(1, -(-sum(e["bytes"] for e in cand) // target_bytes))
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
-    # rewrite under the table schema: candidates may predate an add-column
-    # evolution, and the compacted files must carry the full column set
-    df = _read_files(
-        spark, base_snap, [os.path.join(path, e["path"]) for e in cand]
-    )
-    df.repartition(n_out).write.parquet(data_dir, mode="errorifexists")
+    for part, es in sorted(groups.items()):  # "" (root) sorts first
+        n_out = max(1, -(-sum(e["bytes"] for e in es) // target_bytes))
+        gdir = os.path.join(data_dir, part) if part else data_dir
+        # rewrite under the table schema: candidates may predate an
+        # add-column evolution, and the compacted files must carry the
+        # full column set
+        df = _read_files(
+            spark, base_snap, [os.path.join(path, e["path"]) for e in es]
+        )
+        df.repartition(n_out).write.parquet(gdir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
     n_rows_out = sum(e["rows"] for e in new_files)
     if n_rows_out != n_rows_in:  # row-preservation invariant, pre-commit
@@ -639,6 +718,7 @@ def compact(
             "timestamp_ms": int(time.time() * 1000),
             "operation": "replace",
             "schema_json": head.get("schema_json", ""),
+            "partition_spec": head.get("partition_spec", []),
             "manifest": keep + new_files,
             "summary": _inherited_summary(head, own),
         }
@@ -691,20 +771,25 @@ def delete_where(
         return None
     cand_paths = {e["path"] for e in cand}
     rows_in = sum(e["rows"] for e in cand)
-    df = _read_files(
-        spark, base_snap, [os.path.join(path, e["path"]) for e in cand]
-    )
     from pyspark.sql import functions as F
 
-    # DELETE WHERE semantics: a NULL condition keeps the row (only TRUE
-    # deletes), hence the coalesce before negation
-    keep_df = df.where(
-        ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
-    )
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
-    n_files = max(1, -(-sum(e["bytes"] for e in cand) // (512 << 20)))
-    keep_df.repartition(n_files).write.parquet(data_dir, mode="errorifexists")
+    groups: dict[str, list[dict[str, Any]]] = {}
+    for e in cand:  # rewrite within partitions: clustering survives
+        groups.setdefault(e.get("partition", ""), []).append(e)
+    for part, es in sorted(groups.items()):  # "" (root) sorts first
+        df = _read_files(
+            spark, base_snap, [os.path.join(path, e["path"]) for e in es]
+        )
+        # DELETE WHERE semantics: a NULL condition keeps the row (only
+        # TRUE deletes), hence the coalesce before negation
+        keep_df = df.where(
+            ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        )
+        n_files = max(1, -(-sum(e["bytes"] for e in es) // (512 << 20)))
+        gdir = os.path.join(data_dir, part) if part else data_dir
+        keep_df.repartition(n_files).write.parquet(gdir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
     rows_out = sum(e["rows"] for e in new_files)
     if rows_out == rows_in:  # nothing matched: drop the staged copy
@@ -738,6 +823,7 @@ def delete_where(
             "timestamp_ms": int(time.time() * 1000),
             "operation": "delete",
             "schema_json": head.get("schema_json", ""),
+            "partition_spec": head.get("partition_spec", []),
             "manifest": keep + [e for e in new_files if e["rows"] > 0],
             "summary": _inherited_summary(head, own),
         }
