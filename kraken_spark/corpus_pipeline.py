@@ -92,11 +92,19 @@ def corpus_tick(
     run_id: str = "corpus0",
     num_partitions: int | None = None,
     require_quality: bool = True,
+    stage_branch: str | None = None,
 ) -> dict:
     """One tick. Returns {extracted, quality_pass, kept_new, dropped_dup,
     source_snapshot_id, out_snapshot_id, lost_race} (all counts from
     committed metadata or cheap aggregates over the delta, never a second
-    pass over the heavy extraction)."""
+    pass over the heavy extraction).
+
+    ``stage_branch``: write-audit-publish mode — the tick's kept rows are
+    committed to a BRANCH of the kept table instead of main (invisible to
+    consumers; the watermark does not advance). Audit the staged rows with
+    ``icetable.read_branch``, then ``publish_tick`` fast-forwards main
+    (with the same double-covering race guard the direct commit uses) or
+    ``icetable.drop_branch`` discards a failed tick without a trace."""
     head = icetable.current_snapshot_id(pages_table)
     last = _processed_through(kept_table)
     if head <= last:
@@ -136,6 +144,33 @@ def corpus_tick(
     rows = new_kept.join(_widen(sigs, id_col="url"), "url").select(
         "url", "text", "sig", "band_keys"
     )
+    if stage_branch is not None:
+        icetable.create_branch(kept_table, stage_branch)
+        icetable.branch_append(
+            rows,
+            kept_table,
+            stage_branch,
+            summary={"run_id": run_id, "source_snapshot_id": head,
+                     "source_table": pages_table},
+            lineage=[{"stage": "corpus-tick", "from_snapshot": last,
+                      "to_snapshot": head, "extracted": n_extracted,
+                      "quality_pass": n_quality}],
+        )
+        n_staged = int(
+            icetable.branch_snapshot(kept_table, stage_branch)["summary"][
+                "n_new_rows"
+            ]
+        )
+        return {
+            "extracted": n_extracted,
+            "quality_pass": n_quality,
+            "kept_new": n_staged,
+            "dropped_dup": n_quality - n_staged,
+            "source_snapshot_id": head,
+            "out_snapshot_id": None,
+            "staged_branch": stage_branch,
+            "lost_race": False,
+        }
     try:
         sid = icetable.append(
             rows,
@@ -145,10 +180,14 @@ def corpus_tick(
             lineage=[{"stage": "corpus-tick", "from_snapshot": last, "to_snapshot": head,
                       "extracted": n_extracted, "quality_pass": n_quality}],
             # two overlapping ticks both read watermark `last` and process
-            # the same delta; the CAS retry would otherwise happily commit
-            # both copies. Re-validated on every retry, so the committed
-            # tick is provably the only one covering [last, head].
-            precondition=lambda p, _parent: _processed_through(p) < head,
+            # overlapping deltas ([last, h1] and [last, h2] — identical when
+            # the pages table didn't move between their reads, nested when
+            # it did; either way both start at `last`). The CAS retry would
+            # otherwise happily commit both copies of the shared prefix, so
+            # the guard demands the watermark still equals the `last` this
+            # tick planned FROM. Re-validated on every retry, so the
+            # committed tick is provably the only one covering [last, ...].
+            precondition=lambda p, _parent: _processed_through(p) == last,
         )
     except icetable.PreconditionFailed:
         return {
@@ -165,4 +204,34 @@ def corpus_tick(
         "source_snapshot_id": head,
         "out_snapshot_id": sid,
         "lost_race": False,
+    }
+
+
+def publish_tick(kept_table: str, branch: str) -> dict:
+    """Publish a staged tick (WAP's third act): fast-forward main to the
+    audited branch, guarded against double-covering — the publish aborts
+    if ANY commit already advanced the watermark past the staged tick's
+    planning point (same serialization the direct commit path uses), and
+    rebases over unrelated main movement (appends commute). On success the
+    branch ref is dropped; returns {out_snapshot_id, kept_new, lost_race}."""
+    b = icetable.branch_snapshot(kept_table, branch)
+    src = b.get("summary", {}).get("source_snapshot_id")
+    planned_from = b.get("lineage", [{}])[-1].get("from_snapshot", 0)
+    try:
+        s = icetable.publish_branch(
+            kept_table,
+            branch,
+            rebase=True,
+            precondition=lambda p, _parent: src is None
+            or _processed_through(p) == planned_from,
+        )
+    except icetable.PreconditionFailed:
+        return {"out_snapshot_id": None, "kept_new": 0, "lost_race": True,
+                "source_snapshot_id": src}
+    icetable.drop_branch(kept_table, branch)
+    return {
+        "out_snapshot_id": s["snapshot_id"],
+        "kept_new": s["n_new_rows"],
+        "lost_race": False,
+        "source_snapshot_id": src,
     }

@@ -140,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
         help="(--maintain) compaction output file size target",
     )
     ap.add_argument(
+        "--inspect",
+        default=None,
+        choices=["snapshots", "files", "partitions"],
+        help="(ice output) print the OUTPUT table's metadata view as JSON "
+        "lines instead of running an extraction (Iceberg's $snapshots/"
+        "$files/$partitions audit tables — icetable.metadata_table)",
+    )
+    ap.add_argument(
         "--export-wet",
         default=None,
         metavar="DIR",
@@ -166,6 +174,14 @@ def main(argv: list[str] | None = None) -> int:
     from kraken_spark.operators.serialization import serialize_extractions
     from kraken_spark.pipeline import (read_output, remaining_documents,
                                        run_extraction, tail_extraction)
+
+    if args.inspect:
+        from kraken_spark.sources import icetable
+
+        df = icetable.metadata_table(spark, args.output, args.inspect)
+        for line in df.toJSON().collect():  # metadata-sized, never row data
+            print(line)
+        return 0
 
     if args.maintain:
         from kraken_spark.sources import icetable

@@ -590,9 +590,31 @@ def read_incremental(
     return _read_files(spark, to_snap, files)
 
 
+def _branch_referenced_files(path: str) -> set[str]:
+    """Data files referenced by any LIVE branch snapshot — staged,
+    unpublished work that vacuum/expiry must never reclaim (a dropped
+    branch's files do become orphans; that's ``drop_branch``'s contract)."""
+    referenced: set[str] = set()
+    try:
+        names = os.listdir(_meta_dir(path))
+    except FileNotFoundError:
+        return referenced
+    for fn in names:
+        if not (fn.startswith("branch-") and fn.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(_meta_dir(path), fn)) as f:
+                snap = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for e in snap.get("manifest", []):
+            referenced.add(os.path.normpath(os.path.join(path, e["path"])))
+    return referenced
+
+
 def _referenced_files(path: str) -> set[str]:
-    """Every data file any RETAINED snapshot references (normalized
-    absolute paths)."""
+    """Every data file any RETAINED snapshot (main or branch) references
+    (normalized absolute paths)."""
     referenced: set[str] = set()
     for sid in range(1, current_snapshot_id(path) + 1):
         try:
@@ -601,7 +623,7 @@ def _referenced_files(path: str) -> set[str]:
             continue
         for e in snap["manifest"]:
             referenced.add(os.path.normpath(os.path.join(path, e["path"])))
-    return referenced
+    return referenced | _branch_referenced_files(path)
 
 
 def orphan_data_files(path: str) -> list[str]:
@@ -835,6 +857,620 @@ def delete_where(
     raise last  # type: ignore[misc]
 
 
+# ------------------------------ branches -----------------------------------
+#
+# Branch refs + write-audit-publish (Iceberg's branching / WAP pattern):
+# a corpus tick STAGES its output on a branch, audits run against the
+# branch head (decontamination counts, CER metrics, row budgets), and only
+# an explicit publish fast-forwards main — a bad tick is dropped without
+# ever having been visible to consumers. Branch snapshots live in their own
+# metadata namespace (``branch-<name>-NNN.json``), so every main-path
+# operation (reads, appends, maintenance, tailing) is oblivious to staged
+# work; the same hard-link CAS protects per-branch commits.
+
+
+def _branch_path(path: str, name: str, seq: int) -> str:
+    return os.path.join(_meta_dir(path), f"branch-{name}-{seq:011d}.json")
+
+
+def _check_branch_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+        raise ValueError(f"invalid branch name {name!r}")
+
+
+def branch_head_seq(path: str, name: str) -> int:
+    """Latest branch sequence number (0 = branch does not exist)."""
+    best = 0
+    prefix = f"branch-{name}-"
+    try:
+        for fn in os.listdir(_meta_dir(path)):
+            if fn.startswith(prefix) and fn.endswith(".json"):
+                try:
+                    best = max(best, int(fn[len(prefix):-5]))
+                except ValueError:
+                    continue
+    except FileNotFoundError:
+        return 0
+    return best
+
+
+def branch_snapshot(path: str, name: str, seq: int | None = None) -> dict[str, Any]:
+    seq = seq if seq is not None else branch_head_seq(path, name)
+    try:
+        with open(_branch_path(path, name, seq)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise NoSuchSnapshot(f"{path}: branch {name!r} seq {seq}")
+
+
+def _branch_commit(path: str, name: str, snap: dict[str, Any]) -> int:
+    """Hard-link CAS on the branch's own sequence namespace — two writers
+    racing for the same branch seq: one wins, the other retries."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    target = _branch_path(path, name, snap["branch_seq"])
+    tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise CommitConflict(
+            f"{path}: branch {name!r} seq {snap['branch_seq']} already committed"
+        )
+    os.unlink(tmp)
+    return snap["branch_seq"]
+
+
+def create_branch(
+    path: str, name: str, at_snapshot_id: int | None = None
+) -> int:
+    """Create a branch at the current (or given) MAIN snapshot. The branch
+    starts with that snapshot's exact state; main never sees anything
+    committed to it until ``publish_branch``."""
+    _check_branch_name(name)
+    if branch_head_seq(path, name):
+        raise ValueError(f"{path}: branch {name!r} already exists")
+    base_sid = (
+        at_snapshot_id if at_snapshot_id is not None else current_snapshot_id(path)
+    )
+    base = snapshot(path, base_sid) if base_sid else None
+    snap = {
+        "branch": name,
+        "branch_seq": 1,
+        "base_snapshot_id": base_sid,
+        "timestamp_ms": int(time.time() * 1000),
+        "operation": "branch",
+        "schema_json": base.get("schema_json", "") if base else "",
+        "partition_spec": base.get("partition_spec", []) if base else [],
+        "manifest": base["manifest"] if base else [],
+        "summary": {"created_from": base_sid},
+    }
+    return _branch_commit(path, name, snap)
+
+
+def branch_append(
+    df: DataFrame,
+    path: str,
+    name: str,
+    summary: dict[str, Any] | None = None,
+    lineage: list[dict[str, Any]] | None = None,
+    retries: int = 3,
+) -> int:
+    """Append to a BRANCH head: identical write path to ``append`` (data
+    files distributed, inherited partition spec, union-by-name schema
+    evolution, optimistic CAS), but the commit lands in the branch
+    namespace — invisible to main readers until publish."""
+    if not branch_head_seq(path, name):
+        raise NoSuchSnapshot(f"{path}: branch {name!r} does not exist")
+    head = branch_snapshot(path, name)
+    partition_by = head.get("partition_spec") or None
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(path, _DATA, commit_uuid)
+    if partition_by:
+        write_df, pcols = _partition_columns(df, partition_by)
+        write_df.write.partitionBy(*pcols).parquet(data_dir, mode="errorifexists")
+    else:
+        df.write.parquet(data_dir, mode="errorifexists")
+    new_files = _list_new_files(path, data_dir)
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        parent = branch_snapshot(path, name)
+        schema = df.schema
+        if parent.get("schema_json"):
+            from pyspark.sql.types import StructType
+
+            schema = _evolve_schema(
+                StructType.fromJson(json.loads(parent["schema_json"])),
+                df.schema,
+            )
+        snap = {
+            "branch": name,
+            "branch_seq": parent["branch_seq"] + 1,
+            "base_snapshot_id": parent["base_snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "append",
+            "schema_json": schema.json(),
+            "partition_spec": parent.get("partition_spec", []),
+            "manifest": parent["manifest"] + new_files,
+            "summary": dict(
+                # state-describing keys accumulate along the branch so the
+                # branch HEAD carries them into publish (watermarks, run ids)
+                _inherited_summary(parent, dict(summary or {})),
+                n_new_files=len(new_files),
+                n_new_rows=sum(e["rows"] for e in new_files),
+            ),
+        }
+        if lineage is not None:
+            snap["lineage"] = lineage
+        try:
+            return _branch_commit(path, name, snap)
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def read_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    where: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Read a branch head — the audit view of staged, unpublished work.
+    Same snapshot-schema scan and manifest-stats pruning as ``read``."""
+    snap = branch_snapshot(path, name)
+    entries = _prune_entries(snap["manifest"], where)
+    files = [os.path.join(path, e["path"]) for e in entries]
+    if not files:
+        from pyspark.sql.types import StructType
+
+        schema = (
+            StructType.fromJson(json.loads(snap["schema_json"]))
+            if snap.get("schema_json")
+            else "url string"
+        )
+        return spark.createDataFrame([], schema)
+    return _read_files(spark, snap, files)
+
+
+def publish_branch(
+    path: str,
+    name: str,
+    rebase: bool = False,
+    retries: int = 3,
+    precondition=None,
+) -> dict[str, Any]:
+    """Fast-forward main to the branch head — the 'publish' of WAP. The
+    branch must be append-only (its history is 'branch' + 'append' ops;
+    content rewrites can't fast-forward). If main has NOT moved since the
+    branch base, main's new head is exactly the branch head. If main HAS
+    moved: refused with PreconditionFailed unless ``rebase=True``, which
+    re-applies the branch's ADDED files on top of the current main head
+    (Iceberg's cherry-pick for append snapshots — sound because appends
+    commute). Either way the published snapshot commits as an ordinary
+    'append' (membership only grew), so tailing incremental consumers see
+    the published rows as one normal delta. The branch ref is left in
+    place; ``drop_branch`` removes it.
+
+    ``precondition``: like ``append``'s — ``(path, parent_sid) -> bool``
+    validated immediately before each commit attempt (the WAP race guard:
+    e.g. "no other tick has published this source window"). The published
+    summary inherits main-head state keys, then the BRANCH head's state
+    keys (its watermarks/run ids describe the published content), then the
+    publish's own bookkeeping."""
+    b = branch_snapshot(path, name)
+    for seq in range(1, b["branch_seq"] + 1):
+        op = branch_snapshot(path, name, seq)["operation"]
+        if op not in ("branch", "append"):
+            raise ValueError(
+                f"{path}: branch {name!r} has non-append op {op!r} — "
+                "cannot fast-forward"
+            )
+    base_sid = b["base_snapshot_id"]
+    base_paths = (
+        {e["path"] for e in snapshot(path, base_sid)["manifest"]}
+        if base_sid
+        else set()
+    )
+    added = [e for e in b["manifest"] if e["path"] not in base_paths]
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        parent = current_snapshot_id(path)
+        if parent != base_sid and not rebase:
+            raise PreconditionFailed(
+                f"{path}: main moved {base_sid} -> {parent} since branch "
+                f"{name!r} was created; publish with rebase=True or re-audit"
+            )
+        if precondition is not None and not precondition(path, parent):
+            raise PreconditionFailed(
+                f"{path}: publish precondition failed at head {parent}"
+            )
+        head = snapshot(path, parent) if parent else None
+        schema_json = b.get("schema_json", "")
+        if rebase and head is not None and head.get("schema_json"):
+            from pyspark.sql.types import StructType
+
+            main_schema = StructType.fromJson(json.loads(head["schema_json"]))
+            branch_schema = (
+                StructType.fromJson(json.loads(b["schema_json"]))
+                if b.get("schema_json")
+                else main_schema
+            )
+            schema_json = _evolve_schema(main_schema, branch_schema).json()
+        own = {
+            "published_branch": name,
+            "published_seq": b["branch_seq"],
+            "n_new_files": len(added),
+            "n_new_rows": sum(e["rows"] for e in added),
+        }
+        # main-head state keys < branch-head state keys < publish's own
+        summary = _inherited_summary(
+            head or {}, _inherited_summary(b, dict(own))
+        )
+        snap = {
+            "snapshot_id": parent + 1,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "append",
+            "schema_json": schema_json,
+            "partition_spec": (head or b).get("partition_spec", []),
+            "manifest": (head["manifest"] if head else []) + added,
+            "summary": summary,
+        }
+        try:
+            sid = _commit(path, snap)
+            return own | {"snapshot_id": sid}
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def drop_branch(path: str, name: str) -> int:
+    """Delete a branch's metadata. Its staged-only data files become
+    orphans and are reclaimed by ``vacuum`` after the grace window — the
+    'audit failed, throw the tick away' path of WAP."""
+    n = 0
+    for seq in range(1, branch_head_seq(path, name) + 1):
+        p = _branch_path(path, name, seq)
+        if os.path.exists(p):
+            os.remove(p)
+            n += 1
+    return n
+
+
+def list_branches(path: str) -> list[str]:
+    import re
+
+    names = set()
+    try:
+        for fn in os.listdir(_meta_dir(path)):
+            m = re.fullmatch(r"branch-(.+)-\d{11}\.json", fn)
+            if m:
+                names.add(m.group(1))
+    except FileNotFoundError:
+        pass
+    return sorted(names)
+
+
+def metadata_table(
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Queryable metadata views (Iceberg's ``table$snapshots`` /
+    ``$files`` / ``$partitions``): the audit surface a corpus operator
+    uses to answer "what did tick 37 commit", "which files hold the
+    2026-01 crawl window", "how skewed are my language partitions" —
+    without touching a single data row.
+
+    Driver-built from snapshot manifests (metadata scales with FILE
+    count, not row count — the same envelope as Iceberg's metadata
+    tables, which plan from manifest lists); returned as DataFrames so
+    audits compose with the rest of the query surface (joins, filters,
+    spark.sql over a temp view).
+
+    - ``snapshots`` — one row per retained snapshot: id, parent, commit
+      timestamp, operation, file/row totals, summary JSON (lineage,
+      watermarks, run ids).
+    - ``files`` — one row per data file in the chosen snapshot (default
+      head): path, partition, rows, bytes, per-column min/max stats JSON.
+    - ``partitions`` — per-partition rollup of ``files``: file/row/byte
+      totals — the skew audit.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if kind == "snapshots":
+        schema = StructType(
+            [
+                StructField("snapshot_id", LongType()),
+                StructField("parent_id", LongType()),
+                StructField("timestamp_ms", LongType()),
+                StructField("operation", StringType()),
+                StructField("n_files", LongType()),
+                StructField("n_rows", LongType()),
+                StructField("summary", StringType()),
+            ]
+        )
+        rows = [
+            (
+                h["snapshot_id"],
+                h["parent_id"],
+                h["timestamp_ms"],
+                h["operation"],
+                h["n_files"],
+                h["n_rows"],
+                json.dumps(h["summary"], sort_keys=True),
+            )
+            for h in history(path)
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind in ("files", "partitions"):
+        schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("partition", StringType()),
+                StructField("rows", LongType()),
+                StructField("bytes", LongType()),
+                StructField("stats", StringType()),
+            ]
+        )
+        manifest = (
+            snapshot(path, snapshot_id)["manifest"]
+            if current_snapshot_id(path)
+            else []
+        )
+        rows = [
+            (
+                e["path"],
+                e.get("partition", ""),
+                e["rows"],
+                e["bytes"],
+                json.dumps(e.get("stats") or {}, sort_keys=True),
+            )
+            for e in manifest
+        ]
+        files_df = spark.createDataFrame(rows, schema)
+        if kind == "files":
+            return files_df
+        from pyspark.sql import functions as F
+
+        return files_df.groupBy("partition").agg(
+            F.count("*").alias("n_files"),
+            F.sum("rows").alias("n_rows"),
+            F.sum("bytes").alias("n_bytes"),
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} (snapshots | files | partitions)"
+    )
+
+
+def merge_by_key(
+    spark: SparkSession,
+    path: str,
+    delta_df: DataFrame,
+    key: str = "url",
+    latest_by: str | None = None,
+    retries: int = 3,
+) -> dict[str, Any] | None:
+    """Copy-on-write MERGE (Iceberg's ``MERGE INTO`` in its COW form) —
+    the recrawl-upsert primitive: fold a new crawl's captures into the
+    pages table so each url keeps exactly one current row.
+
+    Semantics per ``key`` (default ``url``):
+
+    - ``latest_by=None`` — plain upsert: every delta row is inserted and
+      every existing row sharing a delta key is replaced (WHEN MATCHED
+      THEN UPDATE / WHEN NOT MATCHED THEN INSERT).
+    - ``latest_by="warc_ts"`` — newest-capture-wins: the delta first
+      collapses to its newest row per key, then a delta row only replaces
+      existing rows when its ``latest_by`` is >= their max (ties favor the
+      delta); a STALE delta capture is dropped and the existing rows stay
+      byte-untouched. This is Common Crawl recrawl semantics: replaying an
+      old dump into a newer table is a no-op.
+
+    Scale shape: the delta's key range is ONE tiny aggregate (two scalars
+    to the driver); candidate files are pruned by manifest key stats, so
+    on a url-clustered table a merge touches only the files whose key
+    range intersects the delta — never a full-table rewrite. Matching is
+    a distributed hash join between the candidate-file scan and the delta
+    (executor-side; nothing rows-shaped crosses the driver). Survivor
+    files are rewritten WITHIN their partitions (clustering survives,
+    like ``delete_where``) and the resolved delta is written under the
+    table's inherited partition spec (like ``append``).
+
+    Commit honesty: if NO existing row was replaced (pure insert — every
+    delta key is new, or every matched delta row was stale) the commit is
+    an ordinary 'append' snapshot (candidates stay byte-untouched, staged
+    survivor copies are discarded), so a tailing ``read_incremental``
+    consumer keeps working. Only a merge that actually replaced rows
+    commits as 'merge', which incremental scans refuse — row membership
+    changed, same as delete. Returns the commit summary, or None for an
+    empty delta / fully-stale delta against unchanged candidates.
+    """
+    from pyspark.sql import functions as F
+
+    if latest_by is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.col(latest_by).desc())
+        delta1 = (
+            delta_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        delta1 = delta_df
+    head_sid = current_snapshot_id(path)
+    if head_sid == 0:
+        if delta1.isEmpty():
+            return None
+        sid = append(delta1, path, summary={"merge_key": key})
+        s = snapshot(path, sid)
+        return {
+            "snapshot_id": sid,
+            "replaced_rows": 0,
+            "inserted_rows": s["summary"]["n_new_rows"],
+            "dropped_stale_delta_rows": 0,
+            "rewritten_files": 0,
+        }
+    base_snap = snapshot(path, head_sid)
+    bounds = delta1.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:  # empty delta
+        return None
+    cand = _prune_entries(
+        base_snap["manifest"], {key: (bounds["lo"], bounds["hi"])}
+    )
+    cand_paths = {e["path"] for e in cand}
+    rows_in = sum(e["rows"] for e in cand)
+    delta1 = delta1.persist()
+    resolved = delta1
+    try:
+        # resolve the delta against the existing matched rows
+        if cand and latest_by is not None:
+            existing_all = _read_files(
+                spark, base_snap, [os.path.join(path, e["path"]) for e in cand]
+            )
+            ex_max = existing_all.groupBy(key).agg(
+                F.max(latest_by).alias("_ex_max")
+            )
+            resolved = (
+                delta1.join(ex_max, key, "left")
+                .where(
+                    F.col("_ex_max").isNull()
+                    | (F.col(latest_by) >= F.col("_ex_max"))
+                )
+                .drop("_ex_max")
+                .persist()
+            )
+        else:
+            resolved = delta1
+        commit_uuid = uuid.uuid4().hex
+        data_dir = os.path.join(path, _DATA, commit_uuid)
+        surv_dir = os.path.join(data_dir, "_survivors")
+        ins_dir = os.path.join(data_dir, "_inserts")
+        keys_df = resolved.select(key)
+        groups: dict[str, list[dict[str, Any]]] = {}
+        for e in cand:  # rewrite within partitions: clustering survives
+            groups.setdefault(e.get("partition", ""), []).append(e)
+        for part, es in sorted(groups.items()):
+            df = _read_files(
+                spark, base_snap, [os.path.join(path, e["path"]) for e in es]
+            )
+            keep_df = df.join(F.broadcast(keys_df), key, "left_anti")
+            n_files = max(1, -(-sum(e["bytes"] for e in es) // (512 << 20)))
+            gdir = os.path.join(surv_dir, part) if part else surv_dir
+            keep_df.repartition(n_files).write.parquet(
+                gdir, mode="errorifexists"
+            )
+        spec = base_snap.get("partition_spec") or []
+        if spec:
+            ins_df, pcols = _partition_columns(resolved, spec)
+            ins_df.write.partitionBy(*pcols).parquet(
+                ins_dir, mode="errorifexists"
+            )
+        else:
+            resolved.write.parquet(ins_dir, mode="errorifexists")
+        surv_files = (
+            _list_new_files(path, surv_dir) if os.path.isdir(surv_dir) else []
+        )
+        ins_files = _list_new_files(path, ins_dir)
+        rows_out = sum(e["rows"] for e in surv_files)
+        inserted = sum(e["rows"] for e in ins_files)
+        n_delta = delta1.count()
+    finally:
+        if resolved is not delta1:
+            resolved.unpersist()
+        delta1.unpersist()
+    if rows_out > rows_in:
+        raise RuntimeError(
+            f"{path}: merge rewrote {rows_in} rows into {rows_out}"
+        )
+    replaced = rows_in - rows_out
+    if inserted == 0 and replaced == 0:  # fully-stale delta: no commit
+        for e in surv_files + ins_files:
+            os.remove(os.path.join(path, e["path"]))
+        return None
+    if replaced == 0:  # pure insert: honest append, candidates untouched
+        for e in surv_files:
+            os.remove(os.path.join(path, e["path"]))
+        surv_files, cand_paths = [], set()
+    schema = None
+    if base_snap.get("schema_json"):
+        from pyspark.sql.types import StructType
+
+        schema = _evolve_schema(
+            StructType.fromJson(json.loads(base_snap["schema_json"])),
+            delta_df.schema,
+        )
+    own = {
+        "merge_key": key,
+        "replaced_rows": replaced,
+        "inserted_rows": inserted,
+        "dropped_stale_delta_rows": n_delta - inserted,
+        "rewritten_files": len(cand_paths),
+        "n_new_files": len(surv_files) + len(ins_files),
+        "n_new_rows": inserted,
+    }
+    operation = "merge" if replaced else "append"
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        parent = current_snapshot_id(path)
+        head = snapshot(path, parent)
+        head_paths = {e["path"] for e in head["manifest"]}
+        if not cand_paths <= head_paths:
+            raise CommitConflict(
+                f"{path}: merge candidates no longer in head {parent}"
+            )
+        if operation == "merge":
+            # Iceberg's validate-no-conflicting-appends: a rival commit
+            # may have added files whose key range intersects the delta —
+            # rows this merge should have replaced but never saw. Abort
+            # rather than commit duplicate keys (stat-less new files are
+            # conservatively conflicting).
+            base_paths = {e["path"] for e in base_snap["manifest"]}
+            rival = [
+                e
+                for e in head["manifest"]
+                if e["path"] not in base_paths and e["rows"] > 0
+            ]
+            if _prune_entries(rival, {key: (bounds["lo"], bounds["hi"])}):
+                raise CommitConflict(
+                    f"{path}: concurrent commit added files intersecting "
+                    f"the merge key range at head {parent}"
+                )
+        keep = [e for e in head["manifest"] if e["path"] not in cand_paths]
+        snap = {
+            "snapshot_id": parent + 1,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "schema_json": schema.json() if schema else head.get("schema_json", ""),
+            "partition_spec": head.get("partition_spec", []),
+            "manifest": keep
+            + [e for e in surv_files if e["rows"] > 0]
+            + ins_files,
+            "summary": _inherited_summary(head, own),
+        }
+        try:
+            _commit(path, snap)
+            return snap["summary"] | {"snapshot_id": snap["snapshot_id"]}
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
 def expire_snapshots(
     path: str,
     keep_last: int | None = None,
@@ -862,13 +1498,14 @@ def expire_snapshots(
             if snapshot(path, sid)["timestamp_ms"] >= older_than_ms:
                 continue
         expired.append(sid)
-    # files referenced ONLY by expiring snapshots become deletable
+    # files referenced ONLY by expiring snapshots become deletable —
+    # unless a live branch still stages them
     keep_refs = {
         os.path.normpath(os.path.join(path, e["path"]))
         for sid in sids
         if sid not in set(expired)
         for e in snapshot(path, sid)["manifest"]
-    }
+    } | _branch_referenced_files(path)
     deleted_files = 0
     for sid in expired:
         for e in snapshot(path, sid)["manifest"]:

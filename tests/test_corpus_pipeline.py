@@ -164,3 +164,70 @@ def test_quality_gate_drops_junk(spark, tmp_path):
     it.append(generate_corpus_df(spark, 2), pages)
     r = corpus_tick(spark, pages, kept, run_id="q1", num_partitions=2)
     assert r["extracted"] == 2 and r["quality_pass"] == 0 and r["kept_new"] == 0
+
+
+def test_wap_staged_tick_audit_then_publish(spark, tmp_path):
+    """Write-audit-publish: a staged tick is invisible to consumers and
+    does not advance the watermark; publish fast-forwards main atomically;
+    a rival covering the same window makes the publish lose the race."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.corpus_pipeline import publish_tick
+
+    pages = str(tmp_path / "pages")
+    kept = str(tmp_path / "kept")
+    docs = generate_corpus_df(spark, 4).localCheckpoint(eager=True)
+    it.append(docs.limit(2), pages)
+
+    r = corpus_tick(spark, pages, kept, run_id="staged", num_partitions=2,
+                    require_quality=False, stage_branch="audit-1")
+    assert r["staged_branch"] == "audit-1" and r["kept_new"] == 2
+    assert r["out_snapshot_id"] is None
+    # invisible to main: no snapshot, watermark unmoved -> a direct tick
+    # would still see the whole delta
+    assert it.current_snapshot_id(kept) == 0
+    staged = it.read_branch(spark, kept, "audit-1").collect()
+    assert len(staged) == 2
+    assert all(len(row.sig) == 16 and len(row.band_keys) == 4 for row in staged)
+
+    # audit passes -> publish advances main + watermark in one commit
+    p = publish_tick(kept, "audit-1")
+    assert not p["lost_race"] and p["kept_new"] == 2
+    assert it.snapshot(kept)["summary"]["source_snapshot_id"] == 1
+    assert len(it.read(spark, kept).collect()) == 2
+    assert it.list_branches(kept) == []  # published branch is dropped
+    # the next direct tick sees an up-to-date watermark: clean no-op
+    r2 = corpus_tick(spark, pages, kept, run_id="after", num_partitions=2,
+                     require_quality=False)
+    assert r2["out_snapshot_id"] is None and not r2["lost_race"]
+
+    # stage a second tick over new pages, then let a RIVAL direct tick
+    # cover the same window first: the publish must lose the race
+    it.append(docs.join(docs.limit(2), "url", "left_anti"), pages)
+    r3 = corpus_tick(spark, pages, kept, run_id="staged2", num_partitions=2,
+                     require_quality=False, stage_branch="audit-2")
+    assert r3["staged_branch"] == "audit-2" and r3["kept_new"] == 2
+    rival = corpus_tick(spark, pages, kept, run_id="rival", num_partitions=2,
+                        require_quality=False)
+    assert rival["kept_new"] == 2 and not rival["lost_race"]
+    p2 = publish_tick(kept, "audit-2")
+    assert p2["lost_race"] and p2["out_snapshot_id"] is None
+    # the losing branch is auditable garbage; dropping it leaves no trace
+    it.drop_branch(kept, "audit-2")
+    assert len(it.read(spark, kept).collect()) == 4
+
+
+def test_wap_failed_audit_drops_staged_tick(spark, tmp_path):
+    from kraken_spark.corpus import generate_corpus_df
+
+    pages = str(tmp_path / "pages")
+    kept = str(tmp_path / "kept")
+    it.append(generate_corpus_df(spark, 2).localCheckpoint(eager=True), pages)
+    r = corpus_tick(spark, pages, kept, run_id="bad", num_partitions=2,
+                    require_quality=False, stage_branch="audit-bad")
+    assert r["kept_new"] == 2
+    it.drop_branch(kept, "audit-bad")
+    # nothing ever reached main; the same delta is fully reprocessable
+    assert it.current_snapshot_id(kept) == 0
+    r2 = corpus_tick(spark, pages, kept, run_id="retry", num_partitions=2,
+                     require_quality=False)
+    assert r2["kept_new"] == 2 and it.current_snapshot_id(kept) == 1
