@@ -349,6 +349,23 @@ def _evolve_schema(table_schema, writer_schema):
     return StructType(list(table_schema.fields) + new)
 
 
+def _apply_sort_order(df: DataFrame, sort_by: list[str], pcols: list[str]):
+    """Range-cluster the written files on the table sort order (Iceberg's
+    write sort-order): rows are range-partitioned on (partition columns,
+    sort columns) and sorted within each task, so each data file covers a
+    narrow, near-disjoint slice of the sort key. That is what turns the
+    manifest min/max stats from "every file spans the whole key space —
+    nothing prunable" into "a key-range read or merge touches ONE file per
+    range" at 10^12 rows. Costs one extra exchange per write (the range
+    partitioner's sample pass is how Spark's own sorted writes work)."""
+    cols = [c for c in pcols] + [c for c in sort_by if c not in pcols]
+    # explicit partition count: an implicit one is subject to AQE
+    # post-shuffle coalescing, which can fold every range into one file
+    # and silently destroy the disjoint-ranges property this exists for
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+
 def append(
     df: DataFrame,
     path: str,
@@ -358,6 +375,7 @@ def append(
     retries: int = 3,
     precondition=None,
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new data files and commit them as a new
     snapshot; returns the committed snapshot id.
@@ -387,17 +405,24 @@ def append(
     PreconditionFailed; nothing is committed, the written data files stay
     invisible orphans (same crash semantics as a dead writer).
     """
-    if partition_by is None and operation == "append":
+    if operation == "append" and (partition_by is None or sort_by is None):
         head_now = current_snapshot_id(path)
         if head_now:
-            partition_by = snapshot(path, head_now).get("partition_spec")
+            head_snap = snapshot(path, head_now)
+            if partition_by is None:  # table-level spec inheritance
+                partition_by = head_snap.get("partition_spec")
+            if sort_by is None:  # table-level sort-order inheritance
+                sort_by = head_snap.get("sort_order")
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
     if partition_by:
         write_df, pcols = _partition_columns(df, partition_by)
+        if sort_by:
+            write_df = _apply_sort_order(write_df, sort_by, pcols)
         write_df.write.partitionBy(*pcols).parquet(data_dir, mode="errorifexists")
     else:
-        df.write.parquet(data_dir, mode="errorifexists")
+        write_df = _apply_sort_order(df, sort_by, []) if sort_by else df
+        write_df.write.parquet(data_dir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
     last: Exception | None = None
     for _ in range(max(retries, 1)):
@@ -423,6 +448,7 @@ def append(
             "operation": operation,
             "schema_json": schema.json(),
             "partition_spec": partition_by or [],
+            "sort_order": sort_by or [],
             "manifest": base + new_files,
             "summary": dict(summary or {}, n_new_files=len(new_files),
                             n_new_rows=sum(e["rows"] for e in new_files)),
@@ -453,6 +479,7 @@ def rollback(path: str, to_snapshot_id: int) -> int:
             "operation": "rollback",
             "schema_json": old.get("schema_json", ""),
             "partition_spec": old.get("partition_spec", []),
+            "sort_order": old.get("sort_order", []),
             "manifest": old["manifest"],
             "summary": {"rolled_back_to": to_snapshot_id},
         }
@@ -710,7 +737,13 @@ def compact(
         df = _read_files(
             spark, base_snap, [os.path.join(path, e["path"]) for e in es]
         )
-        df.repartition(n_out).write.parquet(gdir, mode="errorifexists")
+        sort_order = base_snap.get("sort_order") or []
+        if sort_order:  # re-cluster: compaction must not undo the sort order
+            df.repartitionByRange(n_out, *sort_order).sortWithinPartitions(
+                *sort_order
+            ).write.parquet(gdir, mode="errorifexists")
+        else:
+            df.repartition(n_out).write.parquet(gdir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
     n_rows_out = sum(e["rows"] for e in new_files)
     if n_rows_out != n_rows_in:  # row-preservation invariant, pre-commit
@@ -741,6 +774,7 @@ def compact(
             "operation": "replace",
             "schema_json": head.get("schema_json", ""),
             "partition_spec": head.get("partition_spec", []),
+            "sort_order": head.get("sort_order", []),
             "manifest": keep + new_files,
             "summary": _inherited_summary(head, own),
         }
@@ -811,7 +845,14 @@ def delete_where(
         )
         n_files = max(1, -(-sum(e["bytes"] for e in es) // (512 << 20)))
         gdir = os.path.join(data_dir, part) if part else data_dir
-        keep_df.repartition(n_files).write.parquet(gdir, mode="errorifexists")
+        sort_order = base_snap.get("sort_order") or []
+        if sort_order:  # deletes must not undo the table sort order
+            keep_df = keep_df.repartitionByRange(
+                n_files, *sort_order
+            ).sortWithinPartitions(*sort_order)
+        else:
+            keep_df = keep_df.repartition(n_files)
+        keep_df.write.parquet(gdir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
     rows_out = sum(e["rows"] for e in new_files)
     if rows_out == rows_in:  # nothing matched: drop the staged copy
@@ -846,6 +887,7 @@ def delete_where(
             "operation": "delete",
             "schema_json": head.get("schema_json", ""),
             "partition_spec": head.get("partition_spec", []),
+            "sort_order": head.get("sort_order", []),
             "manifest": keep + [e for e in new_files if e["rows"] > 0],
             "summary": _inherited_summary(head, own),
         }
@@ -947,6 +989,7 @@ def create_branch(
         "operation": "branch",
         "schema_json": base.get("schema_json", "") if base else "",
         "partition_spec": base.get("partition_spec", []) if base else [],
+        "sort_order": base.get("sort_order", []) if base else [],
         "manifest": base["manifest"] if base else [],
         "summary": {"created_from": base_sid},
     }
@@ -969,13 +1012,17 @@ def branch_append(
         raise NoSuchSnapshot(f"{path}: branch {name!r} does not exist")
     head = branch_snapshot(path, name)
     partition_by = head.get("partition_spec") or None
+    sort_by = head.get("sort_order") or None
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
     if partition_by:
         write_df, pcols = _partition_columns(df, partition_by)
+        if sort_by:
+            write_df = _apply_sort_order(write_df, sort_by, pcols)
         write_df.write.partitionBy(*pcols).parquet(data_dir, mode="errorifexists")
     else:
-        df.write.parquet(data_dir, mode="errorifexists")
+        write_df = _apply_sort_order(df, sort_by, []) if sort_by else df
+        write_df.write.parquet(data_dir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
     last: Exception | None = None
     for _ in range(max(retries, 1)):
@@ -996,6 +1043,7 @@ def branch_append(
             "operation": "append",
             "schema_json": schema.json(),
             "partition_spec": parent.get("partition_spec", []),
+            "sort_order": parent.get("sort_order", []),
             "manifest": parent["manifest"] + new_files,
             "summary": dict(
                 # state-describing keys accumulate along the branch so the
@@ -1118,6 +1166,7 @@ def publish_branch(
             "operation": "append",
             "schema_json": schema_json,
             "partition_spec": (head or b).get("partition_spec", []),
+            "sort_order": (head or b).get("sort_order", []),
             "manifest": (head["manifest"] if head else []) + added,
             "summary": summary,
         }
@@ -1371,17 +1420,30 @@ def merge_by_key(
             keep_df = df.join(F.broadcast(keys_df), key, "left_anti")
             n_files = max(1, -(-sum(e["bytes"] for e in es) // (512 << 20)))
             gdir = os.path.join(surv_dir, part) if part else surv_dir
-            keep_df.repartition(n_files).write.parquet(
-                gdir, mode="errorifexists"
-            )
+            if base_snap.get("sort_order"):
+                so = base_snap["sort_order"]
+                keep_df = keep_df.repartitionByRange(
+                    n_files, *so
+                ).sortWithinPartitions(*so)
+            else:
+                keep_df = keep_df.repartition(n_files)
+            keep_df.write.parquet(gdir, mode="errorifexists")
         spec = base_snap.get("partition_spec") or []
+        sort_order = base_snap.get("sort_order") or []
         if spec:
             ins_df, pcols = _partition_columns(resolved, spec)
+            if sort_order:
+                ins_df = _apply_sort_order(ins_df, sort_order, pcols)
             ins_df.write.partitionBy(*pcols).parquet(
                 ins_dir, mode="errorifexists"
             )
         else:
-            resolved.write.parquet(ins_dir, mode="errorifexists")
+            ins_df = (
+                _apply_sort_order(resolved, sort_order, [])
+                if sort_order
+                else resolved
+            )
+            ins_df.write.parquet(ins_dir, mode="errorifexists")
         surv_files = (
             _list_new_files(path, surv_dir) if os.path.isdir(surv_dir) else []
         )
@@ -1458,6 +1520,7 @@ def merge_by_key(
             "operation": operation,
             "schema_json": schema.json() if schema else head.get("schema_json", ""),
             "partition_spec": head.get("partition_spec", []),
+            "sort_order": head.get("sort_order", []),
             "manifest": keep
             + [e for e in surv_files if e["rows"] > 0]
             + ins_files,

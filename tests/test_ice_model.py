@@ -1,7 +1,7 @@
 """Model-based property test of the committed-snapshot layer: a random
 sequence of table operations (append / compact / delete_where / rollback /
-expire_snapshots / vacuum) is replayed against a trivial in-memory model
-of the logical table state. After EVERY step the committed table must
+expire_snapshots / vacuum / merge_by_key) is replayed against a trivial
+in-memory model of the logical table state. After EVERY step the committed table must
 read back exactly the model's rows, and the layer's structural invariants
 must hold — this is the whole-protocol complement to the per-feature
 tests in test_icetable.py / test_ice_maintenance.py.
@@ -70,10 +70,28 @@ def test_random_operation_sequences_match_model(spark, tmp_path, seed):
     for _ in range(18):
         op = rng.choice(
             ["append", "append", "compact", "delete", "rollback",
-             "expire", "vacuum"]
+             "expire", "vacuum", "merge"]
         )
         if op == "append":
             do_append()
+        elif op == "merge" and model:
+            nonlocal_rows = sorted(model)
+            upd = [
+                (u, n + 1000) for u, n in rng.sample(
+                    nonlocal_rows, min(2, len(nonlocal_rows))
+                )
+            ]
+            ins = [(f"m{next_key}", next_key)]
+            next_key += 1
+            it.merge_by_key(
+                spark,
+                t,
+                spark.createDataFrame(upd + ins, "url string, n int"),
+                key="url",
+            )
+            upd_keys = {u for u, _ in upd}
+            model.difference_update({r for r in model if r[0] in upd_keys})
+            model.update(upd + ins)
         elif op == "compact":
             it.compact(spark, t, target_bytes=1 << 30)
         elif op == "delete" and model:
