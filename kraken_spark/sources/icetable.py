@@ -101,11 +101,99 @@ def current_snapshot_id(path: str) -> int:
     return best
 
 
+# Two-level metadata (Iceberg's manifest list): a snapshot stores REFS to
+# immutable manifest-segment files (metadata/man-*.json) instead of the
+# full file list inline. A commit then writes O(delta) metadata — one new
+# segment + one snapshot of refs — instead of re-serializing every entry:
+# at 10^6 files per 10^12 rows that is the difference between a ~100 MB
+# and a ~1 KB snapshot write per tick. Unchanged segments are SHARED
+# across snapshots (time travel and rollback are ref copies); rewrites
+# (compact/delete/merge) rewrite only the segments they touch. Loaded
+# snapshots are MATERIALIZED (full "manifest" reconstructed, segment
+# cache-backed), so every consumer keeps the flat-entry view.
+
+_SEGMENT_CACHE: dict[str, list] = {}
+
+
+def _load_segment(path: str, ref: dict[str, Any]) -> list[dict[str, Any]]:
+    full = os.path.normpath(os.path.join(path, ref["path"]))
+    ent = _SEGMENT_CACHE.get(full)
+    if ent is None:
+        with open(full) as f:
+            ent = json.load(f)
+        if len(_SEGMENT_CACHE) > 512:  # segments are immutable; bound only
+            _SEGMENT_CACHE.clear()
+        _SEGMENT_CACHE[full] = ent
+    return ent
+
+
+def _write_segment(path: str, entries: list[dict[str, Any]]) -> dict[str, Any]:
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    rel = os.path.join(_META, f"man-{uuid.uuid4().hex}.json")
+    full = os.path.join(path, rel)
+    tmp = f"{full}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, full)
+    return {
+        "path": rel,
+        "n_files": len(entries),
+        "n_rows": sum(e["rows"] for e in entries),
+    }
+
+
+def _materialize(path: str, snap: dict[str, Any]) -> dict[str, Any]:
+    """Reconstruct the flat entry list from the manifest list (no-op for
+    legacy inline-manifest snapshots). ``_segments`` keeps the per-segment
+    grouping so rewrites can reuse untouched segments by reference."""
+    if "manifest_list" not in snap:
+        return snap
+    segs = [(ref, _load_segment(path, ref)) for ref in snap["manifest_list"]]
+    snap["manifest"] = [e for _, ents in segs for e in ents]
+    snap["_segments"] = segs
+    return snap
+
+
+def _segments_minus_plus(
+    path: str,
+    parent: dict[str, Any] | None,
+    removed_paths: set[str],
+    new_entries: list[dict[str, Any]],
+) -> list[dict[str, Any]]:
+    """Manifest-list refs for (parent's entries − removed) + new:
+    untouched segments are reused BY REFERENCE (zero metadata I/O);
+    segments containing a removed entry are rewritten filtered; the new
+    entries become one new segment. A legacy inline-manifest parent is
+    converted to one synthetic segment on the way through."""
+    refs: list[dict[str, Any]] = []
+    if parent:
+        segs = parent.get("_segments")
+        if segs is None:
+            segs = [(None, parent.get("manifest", []))]
+        for ref, entries in segs:
+            if removed_paths and any(
+                e["path"] in removed_paths for e in entries
+            ):
+                kept = [e for e in entries if e["path"] not in removed_paths]
+                if kept:
+                    refs.append(_write_segment(path, kept))
+            elif ref is None:
+                if entries:
+                    refs.append(_write_segment(path, entries))
+            else:
+                refs.append(ref)
+    if new_entries:
+        refs.append(_write_segment(path, new_entries))
+    return refs
+
+
 def snapshot(path: str, sid: int | None = None) -> dict[str, Any]:
     sid = sid if sid is not None else current_snapshot_id(path)
     try:
         with open(_snap_path(path, sid)) as f:
-            return json.load(f)
+            return _materialize(path, json.load(f))
     except FileNotFoundError:
         raise NoSuchSnapshot(f"{path}: snapshot {sid}")
 
@@ -140,6 +228,10 @@ def _commit(path: str, snap: dict[str, Any]) -> int:
     readers never observe a torn pointer."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     sid = snap["snapshot_id"]
+    if "manifest_list" in snap:  # two-level: never persist the flat view
+        snap = {
+            k: v for k, v in snap.items() if k not in ("manifest", "_segments")
+        }
     target = _snap_path(path, sid)
     tmp = f"{target}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -424,16 +516,19 @@ def append(
         write_df = _apply_sort_order(df, sort_by, []) if sort_by else df
         write_df.write.parquet(data_dir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
+    # O(delta) metadata: the new files become ONE immutable segment written
+    # once; each (re)try only re-derives the parent's segment REFS
+    new_seg = _write_segment(path, new_files) if new_files else None
     last: Exception | None = None
     for _ in range(max(retries, 1)):
         parent = current_snapshot_id(path)
         if precondition is not None and not precondition(path, parent):
             raise PreconditionFailed(f"{path}: append precondition failed at head {parent}")
         schema = df.schema
-        base = []
+        base_refs: list[dict[str, Any]] = []
         if parent and operation == "append":
             parent_snap = snapshot(path, parent)
-            base = parent_snap["manifest"]
+            base_refs = _segments_minus_plus(path, parent_snap, set(), [])
             if parent_snap.get("schema_json"):
                 from pyspark.sql.types import StructType
 
@@ -449,7 +544,7 @@ def append(
             "schema_json": schema.json(),
             "partition_spec": partition_by or [],
             "sort_order": sort_by or [],
-            "manifest": base + new_files,
+            "manifest_list": base_refs + ([new_seg] if new_seg else []),
             "summary": dict(summary or {}, n_new_files=len(new_files),
                             n_new_rows=sum(e["rows"] for e in new_files)),
         }
@@ -480,7 +575,8 @@ def rollback(path: str, to_snapshot_id: int) -> int:
             "schema_json": old.get("schema_json", ""),
             "partition_spec": old.get("partition_spec", []),
             "sort_order": old.get("sort_order", []),
-            "manifest": old["manifest"],
+            # time travel shares segments: a rollback is a ref copy
+            "manifest_list": _segments_minus_plus(path, old, set(), []),
             "summary": {"rolled_back_to": to_snapshot_id},
         }
         try:
@@ -631,12 +727,47 @@ def _branch_referenced_files(path: str) -> set[str]:
             continue
         try:
             with open(os.path.join(_meta_dir(path), fn)) as f:
-                snap = json.load(f)
+                snap = _materialize(path, json.load(f))
         except (OSError, ValueError):
             continue
         for e in snap.get("manifest", []):
             referenced.add(os.path.normpath(os.path.join(path, e["path"])))
     return referenced
+
+
+def _branch_referenced_segments(path: str) -> set[str]:
+    """Manifest-segment files any live branch snapshot references."""
+    refs: set[str] = set()
+    try:
+        names = os.listdir(_meta_dir(path))
+    except FileNotFoundError:
+        return refs
+    for fn in names:
+        if not (fn.startswith("branch-") and fn.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(_meta_dir(path), fn)) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for ref in raw.get("manifest_list", []):
+            refs.add(os.path.normpath(os.path.join(path, ref["path"])))
+    return refs
+
+
+def _referenced_segments(path: str) -> set[str]:
+    """Manifest-segment files any retained snapshot (main or branch)
+    references — everything else under metadata/man-*.json is garbage
+    from aborted commit retries."""
+    refs: set[str] = set()
+    for sid in range(1, current_snapshot_id(path) + 1):
+        try:
+            raw_refs = snapshot(path, sid).get("manifest_list", [])
+        except NoSuchSnapshot:
+            continue
+        for ref in raw_refs:
+            refs.add(os.path.normpath(os.path.join(path, ref["path"])))
+    return refs | _branch_referenced_segments(path)
 
 
 def _referenced_files(path: str) -> set[str]:
@@ -759,7 +890,6 @@ def compact(
             raise CommitConflict(
                 f"{path}: compaction candidates no longer in head {parent}"
             )
-        keep = [e for e in head["manifest"] if e["path"] not in cand_paths]
         own = {
             "compacted_files": len(cand),
             "compacted_bytes": sum(e["bytes"] for e in cand),
@@ -775,7 +905,9 @@ def compact(
             "schema_json": head.get("schema_json", ""),
             "partition_spec": head.get("partition_spec", []),
             "sort_order": head.get("sort_order", []),
-            "manifest": keep + new_files,
+            "manifest_list": _segments_minus_plus(
+                path, head, cand_paths, new_files
+            ),
             "summary": _inherited_summary(head, own),
         }
         try:
@@ -872,7 +1004,6 @@ def delete_where(
             raise CommitConflict(
                 f"{path}: delete candidates no longer in head {parent}"
             )
-        keep = [e for e in head["manifest"] if e["path"] not in cand_paths]
         own = {
             "deleted_rows": rows_in - rows_out,
             "rewritten_files": len(cand),
@@ -888,7 +1019,10 @@ def delete_where(
             "schema_json": head.get("schema_json", ""),
             "partition_spec": head.get("partition_spec", []),
             "sort_order": head.get("sort_order", []),
-            "manifest": keep + [e for e in new_files if e["rows"] > 0],
+            "manifest_list": _segments_minus_plus(
+                path, head, cand_paths,
+                [e for e in new_files if e["rows"] > 0],
+            ),
             "summary": _inherited_summary(head, own),
         }
         try:
@@ -942,7 +1076,7 @@ def branch_snapshot(path: str, name: str, seq: int | None = None) -> dict[str, A
     seq = seq if seq is not None else branch_head_seq(path, name)
     try:
         with open(_branch_path(path, name, seq)) as f:
-            return json.load(f)
+            return _materialize(path, json.load(f))
     except FileNotFoundError:
         raise NoSuchSnapshot(f"{path}: branch {name!r} seq {seq}")
 
@@ -951,6 +1085,10 @@ def _branch_commit(path: str, name: str, snap: dict[str, Any]) -> int:
     """Hard-link CAS on the branch's own sequence namespace — two writers
     racing for the same branch seq: one wins, the other retries."""
     os.makedirs(_meta_dir(path), exist_ok=True)
+    if "manifest_list" in snap:  # two-level: never persist the flat view
+        snap = {
+            k: v for k, v in snap.items() if k not in ("manifest", "_segments")
+        }
     target = _branch_path(path, name, snap["branch_seq"])
     tmp = f"{target}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -990,7 +1128,7 @@ def create_branch(
         "schema_json": base.get("schema_json", "") if base else "",
         "partition_spec": base.get("partition_spec", []) if base else [],
         "sort_order": base.get("sort_order", []) if base else [],
-        "manifest": base["manifest"] if base else [],
+        "manifest_list": _segments_minus_plus(path, base, set(), []),
         "summary": {"created_from": base_sid},
     }
     return _branch_commit(path, name, snap)
@@ -1044,7 +1182,9 @@ def branch_append(
             "schema_json": schema.json(),
             "partition_spec": parent.get("partition_spec", []),
             "sort_order": parent.get("sort_order", []),
-            "manifest": parent["manifest"] + new_files,
+            "manifest_list": _segments_minus_plus(
+                path, parent, set(), new_files
+            ),
             "summary": dict(
                 # state-describing keys accumulate along the branch so the
                 # branch HEAD carries them into publish (watermarks, run ids)
@@ -1167,7 +1307,7 @@ def publish_branch(
             "schema_json": schema_json,
             "partition_spec": (head or b).get("partition_spec", []),
             "sort_order": (head or b).get("sort_order", []),
-            "manifest": (head["manifest"] if head else []) + added,
+            "manifest_list": _segments_minus_plus(path, head, set(), added),
             "summary": summary,
         }
         try:
@@ -1512,7 +1652,6 @@ def merge_by_key(
                     f"{path}: concurrent commit added files intersecting "
                     f"the merge key range at head {parent}"
                 )
-        keep = [e for e in head["manifest"] if e["path"] not in cand_paths]
         snap = {
             "snapshot_id": parent + 1,
             "parent_id": parent,
@@ -1521,9 +1660,10 @@ def merge_by_key(
             "schema_json": schema.json() if schema else head.get("schema_json", ""),
             "partition_spec": head.get("partition_spec", []),
             "sort_order": head.get("sort_order", []),
-            "manifest": keep
-            + [e for e in surv_files if e["rows"] > 0]
-            + ins_files,
+            "manifest_list": _segments_minus_plus(
+                path, head, cand_paths,
+                [e for e in surv_files if e["rows"] > 0] + ins_files,
+            ),
             "summary": _inherited_summary(head, own),
         }
         try:
@@ -1569,16 +1709,38 @@ def expire_snapshots(
         if sid not in set(expired)
         for e in snapshot(path, sid)["manifest"]
     } | _branch_referenced_files(path)
+    # manifest SEGMENTS referenced only by expiring snapshots are metadata
+    # garbage too (Iceberg's expire deletes unreachable manifest files)
+    keep_segs = {
+        os.path.normpath(os.path.join(path, ref["path"]))
+        for sid in sids
+        if sid not in set(expired)
+        for ref in snapshot(path, sid).get("manifest_list", [])
+    } | _branch_referenced_segments(path)
     deleted_files = 0
+    dead_segs: set[str] = set()
     for sid in expired:
-        for e in snapshot(path, sid)["manifest"]:
+        snap = snapshot(path, sid)
+        for e in snap["manifest"]:
             full = os.path.normpath(os.path.join(path, e["path"]))
             if full not in keep_refs and os.path.exists(full):
                 os.remove(full)
                 deleted_files += 1
+        for ref in snap.get("manifest_list", []):
+            full = os.path.normpath(os.path.join(path, ref["path"]))
+            if full not in keep_segs:
+                dead_segs.add(full)
     for sid in expired:  # metadata last: crash mid-way leaves extra files,
         os.remove(_snap_path(path, sid))  # never a snapshot missing files
-    return {"expired_snapshots": expired, "deleted_files": deleted_files}
+    for full in dead_segs:  # segments after the snapshots that used them
+        if os.path.exists(full):
+            os.remove(full)
+        _SEGMENT_CACHE.pop(full, None)
+    return {
+        "expired_snapshots": expired,
+        "deleted_files": deleted_files,
+        "deleted_manifests": len(dead_segs),
+    }
 
 
 def vacuum(path: str, grace_ms: int = 24 * 3600 * 1000) -> dict[str, Any]:
@@ -1596,4 +1758,27 @@ def vacuum(path: str, grace_ms: int = 24 * 3600 * 1000) -> dict[str, Any]:
                 deleted.append(full)
         except FileNotFoundError:  # racing vacuum — already gone
             continue
-    return {"deleted_files": len(deleted), "paths": deleted}
+    # orphan manifest segments (aborted commit retries) age out the same
+    # way — a live writer's staged segment looks orphaned until it commits
+    seg_refs = _referenced_segments(path)
+    deleted_manifests = 0
+    try:
+        names = os.listdir(_meta_dir(path))
+    except FileNotFoundError:
+        names = []
+    for fn in names:
+        if not (fn.startswith("man-") and fn.endswith(".json")):
+            continue
+        full = os.path.normpath(os.path.join(_meta_dir(path), fn))
+        try:
+            if full not in seg_refs and os.path.getmtime(full) <= cutoff:
+                os.remove(full)
+                _SEGMENT_CACHE.pop(full, None)
+                deleted_manifests += 1
+        except FileNotFoundError:
+            continue
+    return {
+        "deleted_files": len(deleted),
+        "paths": deleted,
+        "deleted_manifests": deleted_manifests,
+    }

@@ -168,9 +168,17 @@ def test_manifest_counts_match_parquet_footers(spark, tmp_path):
     for e in snap["manifest"]:
         assert os.path.exists(os.path.join(t, e["path"]))
         assert e["bytes"] > 0
-    # snapshot json is valid standalone (no pickles, no local paths)
+    # on disk the snapshot is TWO-LEVEL (Iceberg's manifest list): refs to
+    # immutable segment files, never the flat entry list; all paths are
+    # table-relative (no pickles, no local paths)
     raw = json.load(open(os.path.join(t, "metadata", "snap-00000000001.json")))
-    assert raw["operation"] == "append" and not os.path.isabs(raw["manifest"][0]["path"])
+    assert raw["operation"] == "append" and "manifest" not in raw
+    assert len(raw["manifest_list"]) == 1
+    ref = raw["manifest_list"][0]
+    assert not os.path.isabs(ref["path"]) and ref["n_rows"] == 10
+    seg = json.load(open(os.path.join(t, ref["path"])))
+    assert sum(e["rows"] for e in seg) == 10
+    assert not os.path.isabs(seg[0]["path"])
 
 
 def test_job_cli_ice_table_format(spark, tmp_path, capsys):
