@@ -140,6 +140,16 @@ def main(argv: list[str] | None = None) -> int:
         help="(--maintain) compaction output file size target",
     )
     ap.add_argument(
+        "--ingest-pages",
+        action="store_true",
+        help="(ice output) ingest a new crawl dump into the OUTPUT pages "
+        "table instead of running an extraction: --input (parquet or warc "
+        "per --input-format) is recrawl-UPSERTED by url with "
+        "newest-capture-wins on warc_ts (icetable.merge_by_key — Iceberg "
+        "MERGE INTO semantics: stale captures dropped, pure inserts "
+        "commit as plain appends so tailing consumers keep working)",
+    )
+    ap.add_argument(
         "--inspect",
         default=None,
         choices=["snapshots", "files", "partitions"],
@@ -263,6 +273,26 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         docs = spark.read.parquet(args.input)
+
+    if args.ingest_pages:
+        from kraken_spark.sources import icetable
+
+        latest_by = "warc_ts" if "warc_ts" in docs.columns else None
+        s = icetable.merge_by_key(
+            spark, args.output, docs, key="url", latest_by=latest_by
+        )
+        if s is None:
+            print("[kraken_spark] ingest: dump is empty or fully stale — "
+                  f"nothing committed -> {args.output}")
+            return 0
+        print(
+            f"[kraken_spark] ingest: {s['inserted_rows']} inserted, "
+            f"{s['replaced_rows']} recrawls replaced, "
+            f"{s['dropped_stale_delta_rows']} stale captures dropped "
+            f"(snapshot {s['snapshot_id']}) -> {args.output}"
+        )
+        return 0
+
     raw_docs = docs  # pre-resume view, reused by the sidecar stages
     skip_extract = False
     if args.resume:

@@ -218,3 +218,35 @@ def test_merge_rebases_over_disjoint_concurrent_append(spark, tmp_path):
     assert s["replaced_rows"] == 1
     got = {(r.url, r.n) for r in it.read(spark, t).collect()}
     assert got == {("m", 2), ("zzz", 777)}
+
+
+def test_job_cli_ingest_pages(spark, tmp_path, capsys):
+    """job.main --ingest-pages: recrawl-upsert a dump into the pages table
+    from the spark-submit surface."""
+    import datetime
+
+    from kraken_spark.job import main
+
+    pages = str(tmp_path / "pages")
+    dump1 = str(tmp_path / "dump1")
+    dump2 = str(tmp_path / "dump2")
+    t0 = datetime.datetime(2026, 1, 1)
+    _ts(spark, [("u1", t0, "v1"), ("u2", t0, "v1")]).write.parquet(dump1)
+    rc = main(["--input", dump1, "--output", pages, "--ingest-pages"])
+    assert rc == 0 and "2 inserted" in capsys.readouterr().out
+    # second dump: newer u1, stale u2, new u3
+    _ts(
+        spark,
+        [
+            ("u1", t0 + datetime.timedelta(days=1), "v2"),
+            ("u2", t0 - datetime.timedelta(days=1), "old"),
+            ("u3", t0, "v1"),
+        ],
+    ).write.parquet(dump2)
+    rc = main(["--input", dump2, "--output", pages, "--ingest-pages"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2 inserted" in out and "1 recrawls replaced" in out
+    assert "1 stale captures dropped" in out
+    got = {(r.url, r.text) for r in it.read(spark, pages).collect()}
+    assert got == {("u1", "v2"), ("u2", "v1"), ("u3", "v1")}
