@@ -35,6 +35,7 @@ def stream_extraction(
     available_now: bool = True,
     segmenter: str = "pageseg",
     text_direction: str | None = None,
+    table_format: str = "parquet",
 ):
     """Start a file-source stream: parquet documents dir -> extraction parquet.
 
@@ -42,6 +43,15 @@ def stream_extraction(
     (the batch-backfill trigger); otherwise it keeps running per default
     micro-batch trigger. segmenter/text_direction pass through to the same
     plan_extraction stage graph as batch. Returns the StreamingQuery.
+
+    ``table_format="ice"``: each micro-batch commits as ONE atomic snapshot
+    of a committed-snapshot table (the Iceberg streaming-ingest pattern —
+    micro-batch boundary == snapshot commit boundary), carrying
+    ``stream_batch_id`` in the commit summary. Exactly-once falls out of
+    at-least-once foreachBatch + an idempotent commit: a replayed batch
+    (foreachBatch retry, or a re-run after a LOST checkpoint over the same
+    input) finds its batch id already committed and is a commit-free no-op
+    — readers never see duplicates OR a half-written batch.
     """
 
     docs = (
@@ -60,13 +70,39 @@ def stream_extraction(
         # persist so metrics aggregation doesn't recompute the extraction
         ext = ext.persist()
         try:
-            # idempotent exactly-once sink: each micro-batch overwrites its
-            # OWN batch_id-keyed partition directory, so a batch retried by
-            # foreachBatch's at-least-once contract rewrites the same files
-            # instead of appending duplicates (partition-style naming keeps
-            # spark.read.parquet(output_path) working, with batch_id as a
-            # lineage column)
-            ext.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
+            if table_format == "ice":
+                from .sources import icetable
+
+                def fresh(path: str, _parent: int, b=batch_id) -> bool:
+                    return not any(
+                        h["summary"].get("stream_batch_id") == b
+                        for h in icetable.history(path)
+                    )
+
+                if not fresh(output_path, 0):
+                    return  # replayed batch: already committed, no-op
+                try:
+                    icetable.append(
+                        ext,
+                        output_path,
+                        summary={"stream_batch_id": batch_id, "run_id": run_id},
+                        # re-validated on CAS retries: two replays racing
+                        # commit exactly one copy of the batch
+                        precondition=fresh,
+                    )
+                except icetable.PreconditionFailed:
+                    return
+            else:
+                # idempotent exactly-once sink: each micro-batch overwrites
+                # its OWN batch_id-keyed partition directory, so a batch
+                # retried by foreachBatch's at-least-once contract rewrites
+                # the same files instead of appending duplicates
+                # (partition-style naming keeps
+                # spark.read.parquet(output_path) working, with batch_id as
+                # a lineage column)
+                ext.write.mode("overwrite").parquet(
+                    f"{output_path}/batch_id={batch_id}"
+                )
             if metrics_path:
                 metrics_table(ext, run_id=f"{run_id}_b{batch_id}").write.mode(
                     "overwrite"

@@ -827,3 +827,42 @@ def test_job_cli_warc_input(spark, capsys):
             assert h["url"] == url and payload.startswith(b"HTTP/1.1 200")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_extraction_ice_table_sink(spark):
+    """table_format='ice': each micro-batch is ONE atomic snapshot with
+    stream_batch_id in the summary; a replay over a LOST checkpoint finds
+    its batch ids committed and is a commit-free no-op (exactly-once from
+    at-least-once foreachBatch + idempotent commit)."""
+    from kraken_spark.sources import icetable as it
+    from kraken_spark.streaming import stream_extraction
+
+    tmp = tempfile.mkdtemp(prefix="ks_stream_ice_")
+    try:
+        docs = generate_corpus_df(spark, 6)
+        docs.write.mode("overwrite").parquet(f"{tmp}/in")
+        q = stream_extraction(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt",
+            num_partitions=2, table_format="ice",
+        )
+        q.awaitTermination(300)
+        out = it.read(spark, f"{tmp}/out")
+        assert out.count() == 6
+        assert out.filter(F.col("cer") != 0.0).count() == 0
+        batches = [
+            h["summary"].get("stream_batch_id")
+            for h in it.history(f"{tmp}/out")
+        ]
+        assert batches and all(b is not None for b in batches)
+        head = it.current_snapshot_id(f"{tmp}/out")
+        # lost checkpoint, same input: replayed batch ids commit nothing
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        q2 = stream_extraction(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt",
+            num_partitions=2, table_format="ice",
+        )
+        q2.awaitTermination(300)
+        assert it.current_snapshot_id(f"{tmp}/out") == head
+        assert it.read(spark, f"{tmp}/out").count() == 6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
