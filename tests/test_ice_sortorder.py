@@ -28,6 +28,13 @@ def _urls(spark, lo, hi, shuffled=True):
     return spark.createDataFrame(rows, "url string, n int")
 
 
+def _urls_wide(spark, lo, hi):
+    """Unsorted control with a PINNED layout: exactly two hash-shuffled
+    files, each spanning ~the whole key range — independent of the shared
+    session's parallelism (the module may run after a 32-core session)."""
+    return _urls(spark, lo, hi).repartition(2)
+
+
 def _url_ranges(t, sid=None):
     return [
         tuple(e["stats"]["url"])
@@ -44,7 +51,7 @@ def _disjoint(ranges):
 def test_sorted_append_files_are_disjoint_and_prunable(spark, tmp_path):
     # unsorted control: every file spans the key space -> nothing prunable
     t0 = str(tmp_path / "unsorted")
-    it.append(_urls(spark, 0, 100), t0)
+    it.append(_urls_wide(spark, 0, 100), t0)
     r0 = _url_ranges(t0)
     assert len(r0) >= 2 and not _disjoint(r0)
     kept0 = it._prune_entries(
