@@ -127,3 +127,46 @@ def test_maintenance_preserves_clustering(spark, tmp_path):
         e["partition"] == "p_warc_ts_day=2024-01-03"
         for e in it.snapshot(t)["manifest"]
     )
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Partition EVOLUTION (Iceberg: specs can change over a table's life):
+    an explicit new spec on a later append re-clusters only NEW files; old
+    files keep their recorded partition values, reads are unaffected,
+    maintenance keeps grouping by each file's own partition, and
+    inheritance follows the newest spec."""
+    t = str(tmp_path / "tbl")
+    it.append(
+        _pages(spark, [("a", TS(2024, 1, 1), "en"), ("b", TS(2024, 1, 1), "de")]),
+        t,
+        partition_by=["lang"],
+    )
+    # evolve: cluster subsequent dumps by crawl day instead of language
+    it.append(
+        _pages(spark, [("c", TS(2024, 2, 1), "en"), ("d", TS(2024, 2, 2), "fr")]),
+        t,
+        partition_by=["days(warc_ts)"],
+    )
+    snap = it.snapshot(t)
+    assert snap["partition_spec"] == ["days(warc_ts)"]
+    parts = {e["partition"] for e in snap["manifest"] if e["rows"] > 0}
+    assert {"p_lang=en", "p_lang=de"} <= parts  # old spec's files untouched
+    assert any(p.startswith("p_warc_ts_day=2024-02") for p in parts)
+    # reads see one logical table across both specs
+    assert {r.url for r in it.read(spark, t).collect()} == {"a", "b", "c", "d"}
+    # spec-less append inherits the NEWEST spec
+    it.append(_pages(spark, [("e", TS(2024, 2, 3), "en")]), t)
+    assert any(
+        e["partition"] == "p_warc_ts_day=2024-02-03"
+        for e in it.snapshot(t)["manifest"]
+    )
+    # maintenance groups by each file's OWN recorded partition: compaction
+    # never merges across old-spec and new-spec clusters
+    it.append(_pages(spark, [("f", TS(2024, 2, 3), "en")]), t)
+    s = it.compact(spark, t, target_bytes=1 << 30)
+    if s is not None:
+        for e in it.snapshot(t)["manifest"]:
+            assert e["partition"].startswith(("p_lang=", "p_warc_ts_day="))
+    assert {r.url for r in it.read(spark, t).collect()} == {
+        "a", "b", "c", "d", "e", "f",
+    }
