@@ -114,20 +114,41 @@ def run_extraction(
     are invisible until the manifest commit, so a crashed run never leaks
     partial output into a resume's anti-join). The snapshot summary
     carries the run_id; per-partition metrics ride both the metrics table
-    and, under 'ice', the snapshot lineage."""
+    and, under 'ice', the snapshot lineage.
+
+    Under 'ice' the metrics table is ITSELF an ice table (the north rule's
+    "per-partition lineage and CER/throughput metrics to an Iceberg
+    metrics table"): each run commits one metrics snapshot computed over
+    exactly this run's output delta (incremental scan from the pre-append
+    head), with the output snapshot id in the summary — so metrics rows
+    join back to the precise data snapshot they describe, and a crash
+    between the two commits leaves a data snapshot whose metrics can be
+    backfilled from that recorded watermark rather than double-counted."""
     ext = plan_extraction(documents, num_partitions, kraken_model_path=kraken_model_path)
     if out_path:
         spark = documents.sparkSession
         if table_format == "ice":
             from .sources import icetable
 
-            icetable.append(ext, out_path, summary={"run_id": run_id})
+            prev = icetable.current_snapshot_id(out_path)
+            sid = icetable.append(ext, out_path, summary={"run_id": run_id})
             ext = icetable.read(spark, out_path)
+            if metrics_path:
+                delta = icetable.read_incremental(spark, out_path, prev, sid)
+                icetable.append(
+                    metrics_table(delta, run_id),
+                    metrics_path,
+                    summary={
+                        "run_id": run_id,
+                        "source_table": out_path,
+                        "source_snapshot_id": sid,
+                    },
+                )
         else:
             ext.write.mode("append").parquet(out_path)
             ext = spark.read.parquet(out_path)
-        if metrics_path:
-            metrics_table(ext, run_id).write.mode("append").parquet(metrics_path)
+            if metrics_path:
+                metrics_table(ext, run_id).write.mode("append").parquet(metrics_path)
     return ext
 
 

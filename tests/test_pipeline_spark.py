@@ -99,6 +99,44 @@ def test_checkpoint_resume_anti_join(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_ice_metrics_table_per_run_delta(spark):
+    """Under table_format='ice' the metrics sink is itself an ice table:
+    one committed snapshot per run, computed over exactly that run's
+    output delta (not the accumulated table), summary linking back to the
+    output snapshot id (north rule: lineage + metrics to an Iceberg
+    metrics table)."""
+    from kraken_spark.sources import icetable
+
+    tmp = tempfile.mkdtemp(prefix="ks_icemetrics_")
+    try:
+        docs = generate_corpus_df(spark, 8)
+        run_extraction(
+            docs.limit(5), out_path=f"{tmp}/out", metrics_path=f"{tmp}/metrics",
+            run_id="runA", table_format="ice",
+        )
+        run_extraction(
+            remaining_documents(docs, f"{tmp}/out", table_format="ice"),
+            out_path=f"{tmp}/out", metrics_path=f"{tmp}/metrics",
+            run_id="runB", table_format="ice",
+        )
+        hist = icetable.history(f"{tmp}/metrics")
+        assert len(hist) == 2
+        # each metrics snapshot names the output snapshot it describes
+        out_sids = [h["summary"]["source_snapshot_id"] for h in hist]
+        assert sorted(int(s) for s in out_sids) == [1, 2]
+        assert all(h["summary"]["source_table"] == f"{tmp}/out" for h in hist)
+        m = icetable.read(spark, f"{tmp}/metrics").collect()
+        # per-run deltas: runA rows count 5 docs, runB rows count 3 —
+        # no double-counting of runA's docs in runB's snapshot
+        by_run = {}
+        for r in m:
+            by_run[r.run_id] = by_run.get(r.run_id, 0) + r.n_docs
+        assert by_run == {"runA": 5, "runB": 3}
+        assert all(r.mean_cer == 0.0 for r in m)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_serialization_roundtrip_spark(spark):
     from kraken_spark.operators.serialization import x_roundtrip_xml
 
