@@ -150,6 +150,22 @@ def main(argv: list[str] | None = None) -> int:
         "commit as plain appends so tailing consumers keep working)",
     )
     ap.add_argument(
+        "--takedown",
+        default=None,
+        metavar="KEYS",
+        help="(ice output) merge-on-read takedown on the OUTPUT table "
+        "instead of an extraction run: comma-separated key values, or "
+        "@FILE with one key per line. Commits ONE equality-delete file "
+        "masking every matching row in O(metadata) — no data file is "
+        "rewritten (icetable.delete_keys; Iceberg v2 MOR). The mask is "
+        "materialized later by --maintain, which folds pending deletes "
+        "copy-on-write before compacting",
+    )
+    ap.add_argument(
+        "--takedown-key", default="url",
+        help="(--takedown) key column the takedown values match (default url)",
+    )
+    ap.add_argument(
         "--inspect",
         default=None,
         choices=["snapshots", "files", "partitions"],
@@ -193,9 +209,33 @@ def main(argv: list[str] | None = None) -> int:
             print(line)
         return 0
 
+    if args.takedown:
+        from kraken_spark.sources import icetable
+
+        if args.takedown.startswith("@"):
+            with open(args.takedown[1:]) as f:
+                keys = [ln.strip() for ln in f if ln.strip()]
+        else:
+            keys = [k for k in args.takedown.split(",") if k]
+        s = icetable.delete_keys(spark, args.output, keys, key=args.takedown_key)
+        if s is None:
+            print("[kraken_spark] takedown: empty key set or table — no-op")
+        else:
+            print(
+                f"[kraken_spark] takedown: masked {s['n_delete_keys']} "
+                f"{args.takedown_key} keys in snapshot {s['snapshot_id']} "
+                f"(merge-on-read; no data file rewritten — --maintain "
+                f"folds it) -> {args.output}"
+            )
+        return 0
+
     if args.maintain:
         from kraken_spark.sources import icetable
 
+        # fold pending merge-on-read deletes first: the rewrite both
+        # materializes takedowns and unblocks COW ops; compaction then
+        # bin-packs the rewritten output with everything else
+        f = icetable.rewrite_deletes(spark, args.output)
         c = icetable.compact(
             spark, args.output, target_bytes=args.compact_target_bytes
         )
@@ -203,6 +243,12 @@ def main(argv: list[str] | None = None) -> int:
         v = icetable.vacuum(args.output, grace_ms=args.vacuum_grace_ms)
         print(
             "[kraken_spark] maintain: "
+            + (
+                f"folded {f['folded_delete_files']} delete files "
+                f"({f['deleted_rows']} rows), "
+                if f
+                else ""
+            )
             + (
                 f"compacted {c['compacted_files']} files "
                 f"({c['compacted_bytes']} B) into {c['n_new_files']}, "

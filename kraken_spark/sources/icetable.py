@@ -516,14 +516,22 @@ def append(
         write_df = _apply_sort_order(df, sort_by, []) if sort_by else df
         write_df.write.parquet(data_dir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
-    # O(delta) metadata: the new files become ONE immutable segment written
-    # once; each (re)try only re-derives the parent's segment REFS
-    new_seg = _write_segment(path, new_files) if new_files else None
     last: Exception | None = None
     for _ in range(max(retries, 1)):
         parent = current_snapshot_id(path)
         if precondition is not None and not precondition(path, parent):
             raise PreconditionFailed(f"{path}: append precondition failed at head {parent}")
+        # data sequence number (Iceberg's data_sequence_number): stamped
+        # with the commit's snapshot id so equality deletes apply only to
+        # files that PRE-date them (a recrawl re-adding a taken-down url
+        # after the takedown is visible). Re-stamped per CAS retry — the
+        # id isn't known until the commit lands, so the new files' segment
+        # is written per attempt (one tiny json; conflicts are rare).
+        for e in new_files:
+            e["seq"] = parent + 1
+        # O(delta) metadata: the new files become ONE immutable segment;
+        # each (re)try re-derives only the parent's segment REFS
+        new_seg = _write_segment(path, new_files) if new_files else None
         schema = df.schema
         base_refs: list[dict[str, Any]] = []
         if parent and operation == "append":
@@ -615,18 +623,7 @@ def read(
             raise NoSuchSnapshot(f"{path}: no snapshot at or before {asof_ms}")
         snapshot_id = sid
     snap = snapshot(path, snapshot_id)
-    entries = _prune_entries(snap["manifest"], where)
-    files = [os.path.join(path, e["path"]) for e in entries]
-    if not files:
-        from pyspark.sql.types import StructType
-
-        schema = (
-            StructType.fromJson(json.loads(snap["schema_json"]))
-            if snap.get("schema_json")
-            else "url string"
-        )
-        return spark.createDataFrame([], schema)
-    return _read_files(spark, snap, files)
+    return _scan_entries(spark, path, snap, where)
 
 
 def _read_files(spark: SparkSession, snap: dict[str, Any], files: list[str]):
@@ -846,12 +843,19 @@ def compact(
     small = small_bytes if small_bytes is not None else target_bytes
     # bin-pack WITHIN each partition (Iceberg's rewrite keeps the spec):
     # merging across partition values would destroy the clustering that
-    # makes file skipping selective
-    groups: dict[str, list[dict[str, Any]]] = {}
-    for e in base_snap["manifest"]:
+    # makes file skipping selective. With pending equality deletes,
+    # additionally only files with the SAME applicable-delete-set merge
+    # (the rewrite is delete-OBLIVIOUS — masked rows are copied and stay
+    # masked because the compacted file inherits the group's sequence;
+    # mixing sets would change which deletes apply to whose rows).
+    # Delete files themselves are never compaction candidates.
+    data_entries, dels = _split_entries(base_snap["manifest"])
+    groups: dict[tuple[str, tuple[str, ...]], list[dict[str, Any]]] = {}
+    for e in data_entries:
         if e["bytes"] < small:
-            groups.setdefault(e.get("partition", ""), []).append(e)
-    groups = {p: es for p, es in groups.items() if len(es) >= 2}
+            gkey = (e.get("partition", ""), _applicable_deletes(dels, e))
+            groups.setdefault(gkey, []).append(e)
+    groups = {g: es for g, es in groups.items() if len(es) >= 2}
     if not groups:
         return None
     cand = [e for es in groups.values() for e in es]
@@ -859,9 +863,10 @@ def compact(
     n_rows_in = sum(e["rows"] for e in cand)
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
-    for part, es in sorted(groups.items()):  # "" (root) sorts first
+    new_files: list[dict[str, Any]] = []
+    for gi, ((part, _app), es) in enumerate(sorted(groups.items())):
         n_out = max(1, -(-sum(e["bytes"] for e in es) // target_bytes))
-        gdir = os.path.join(data_dir, part) if part else data_dir
+        gdir = os.path.join(data_dir, f"g{gi:04d}")
         # rewrite under the table schema: candidates may predate an
         # add-column evolution, and the compacted files must carry the
         # full column set
@@ -869,13 +874,21 @@ def compact(
             spark, base_snap, [os.path.join(path, e["path"]) for e in es]
         )
         sort_order = base_snap.get("sort_order") or []
+        out_dir = os.path.join(gdir, part) if part else gdir
         if sort_order:  # re-cluster: compaction must not undo the sort order
             df.repartitionByRange(n_out, *sort_order).sortWithinPartitions(
                 *sort_order
-            ).write.parquet(gdir, mode="errorifexists")
+            ).write.parquet(out_dir, mode="errorifexists")
         else:
-            df.repartition(n_out).write.parquet(gdir, mode="errorifexists")
-    new_files = _list_new_files(path, data_dir)
+            df.repartition(n_out).write.parquet(out_dir, mode="errorifexists")
+        listed = _list_new_files(path, gdir)
+        # the merged file inherits the group's OLDEST sequence: safe
+        # because members share an applicable-delete-set (no existing
+        # delete distinguishes them) and future deletes post-date all
+        gseq = min(int(e.get("seq", 0)) for e in es)
+        for le in listed:
+            le["seq"] = gseq
+        new_files.extend(listed)
     n_rows_out = sum(e["rows"] for e in new_files)
     if n_rows_out != n_rows_in:  # row-preservation invariant, pre-commit
         raise RuntimeError(
@@ -954,6 +967,7 @@ def delete_where(
     if current_snapshot_id(path) == 0:
         return None
     base_snap = snapshot(path)
+    _pending_delete_guard(path, base_snap, "delete_where")
     cand = _prune_entries(base_snap["manifest"], prune)
     if not cand:
         return None
@@ -1004,6 +1018,8 @@ def delete_where(
             raise CommitConflict(
                 f"{path}: delete candidates no longer in head {parent}"
             )
+        for e in new_files:
+            e["seq"] = parent + 1
         own = {
             "deleted_rows": rows_in - rows_out,
             "rewritten_files": len(cand),
@@ -1021,6 +1037,336 @@ def delete_where(
             "sort_order": head.get("sort_order", []),
             "manifest_list": _segments_minus_plus(
                 path, head, cand_paths,
+                [e for e in new_files if e["rows"] > 0],
+            ),
+            "summary": _inherited_summary(head, own),
+        }
+        try:
+            _commit(path, snap)
+            return snap["summary"] | {"snapshot_id": snap["snapshot_id"]}
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+# ------------------------ merge-on-read deletes ----------------------------
+#
+# Equality-delete files (Iceberg v2 MOR): a takedown of K urls on a 100 TB
+# table writes ONE tiny parquet of key values and commits in O(metadata) —
+# no data file is rewritten. Readers anti-join the delete keys against the
+# data files the delete post-dates; ``rewrite_deletes`` is the maintenance
+# fold that materializes the deletes copy-on-write and drops the delete
+# files. Applicability follows Iceberg's sequence-number rule: a delete
+# with sequence d masks rows only in data files with sequence < d, so an
+# append AFTER the takedown can legitimately re-add a key. Entries written
+# before this feature carry no "seq" and read as 0 (they pre-date every
+# possible delete — correct). Branch-staged entries carry seq -1 ("newer
+# than any committed delete") until publish re-stamps them with the
+# publish commit's id.
+
+_EQ_DELETES = "eq-deletes"
+
+
+def _split_entries(
+    manifest: list[dict[str, Any]],
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    data = [e for e in manifest if e.get("content") != _EQ_DELETES]
+    dels = [e for e in manifest if e.get("content") == _EQ_DELETES]
+    return data, dels
+
+
+def _entry_seq(e: dict[str, Any]) -> float:
+    s = e.get("seq", 0)
+    return float("inf") if s == -1 else s
+
+
+def _applicable_deletes(
+    dels: list[dict[str, Any]], e: dict[str, Any]
+) -> tuple[str, ...]:
+    """Paths of the delete files that mask rows of data entry ``e``
+    (sorted tuple — usable as a grouping key)."""
+    es = _entry_seq(e)
+    return tuple(sorted(d["path"] for d in dels if es < d["seq"]))
+
+
+def _ranges_intersect(a: list[Any] | None, b: list[Any] | None) -> bool:
+    """Conservative [min,max] intersection: missing stats = may intersect."""
+    if not a or not b:
+        return True
+    try:
+        return not (a[1] < b[0] or b[1] < a[0])
+    except TypeError:
+        return True
+
+
+def _scan_entries(
+    spark: SparkSession,
+    path: str,
+    snap: dict[str, Any],
+    where: dict[str, tuple] | None,
+) -> DataFrame:
+    """Delete-aware snapshot scan shared by ``read`` and ``read_branch``:
+    prune DATA entries by manifest stats (delete files are never pruned —
+    dropping one would resurrect rows), group data files by their
+    applicable delete set, anti-join each group against the broadcast
+    union of its delete keys. With no pending deletes this is exactly the
+    plain multi-file scan. Scale shape: the anti-join is a broadcast hash
+    join (takedown lists are small by construction — ``delete_keys``
+    repartitions them to one file); grouping adds no shuffle."""
+    data, dels = _split_entries(snap["manifest"])
+    data = _prune_entries(data, where)
+
+    def _empty():
+        from pyspark.sql.types import StructType
+
+        schema = (
+            StructType.fromJson(json.loads(snap["schema_json"]))
+            if snap.get("schema_json")
+            else "url string"
+        )
+        return spark.createDataFrame([], schema)
+
+    if not dels:
+        files = [os.path.join(path, e["path"]) for e in data]
+        return _read_files(spark, snap, files) if files else _empty()
+    from pyspark.sql import functions as F
+
+    key = dels[0]["key"]
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for e in data:
+        groups.setdefault(_applicable_deletes(dels, e), []).append(
+            os.path.join(path, e["path"])
+        )
+    if not groups:
+        return _empty()
+    parts = []
+    for dpaths, files in sorted(groups.items()):
+        df = _read_files(spark, snap, files)
+        if dpaths:
+            keys_df = spark.read.parquet(
+                *[os.path.join(path, p) for p in dpaths]
+            ).select(key).distinct()
+            df = df.join(F.broadcast(keys_df), key, "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _pending_delete_guard(path: str, snap: dict[str, Any], op: str) -> None:
+    if any(e.get("content") == _EQ_DELETES for e in snap["manifest"]):
+        raise ValueError(
+            f"{path}: {op} over pending equality-delete files would "
+            "re-stamp rewritten rows past the deletes and resurrect "
+            "masked keys — run rewrite_deletes() first"
+        )
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys,
+    key: str = "url",
+    retries: int = 3,
+) -> dict[str, Any] | None:
+    """Merge-on-read equality delete (Iceberg v2's equality-delete file) —
+    the FAST takedown primitive: commit a snapshot that masks every row
+    whose ``key`` is in ``keys`` WITHOUT rewriting any data file. ``keys``
+    is a list of values or a single-column DataFrame. At 10^12 rows this
+    is the difference between a takedown that finishes in seconds (one
+    tiny parquet + one metadata commit) and one that rewrites every file
+    whose key range matches (``delete_where``, the COW path — still the
+    right call when the match fraction is large).
+
+    The mask applies to data files committed BEFORE this delete (sequence
+    rule); later appends/merges of the same key are visible — takedown
+    does not ban the key forever, it removes the rows that existed. All
+    pending deletes on a table must share one key column. Readers pay one
+    broadcast anti-join until ``rewrite_deletes`` folds the mask in;
+    ``compact`` preserves masks (it groups by applicable-delete-set);
+    ``delete_where``/``merge_by_key`` refuse while masks are pending.
+    Incremental scans refuse ranges containing the delete (membership
+    changed), same as COW deletes. Returns the commit summary, or None
+    for an empty key set or an empty table.
+    """
+    if current_snapshot_id(path) == 0:
+        return None
+    base = snapshot(path)
+    _, dels = _split_entries(base["manifest"])
+    for d in dels:
+        if d["key"] != key:
+            raise ValueError(
+                f"{path}: pending deletes use key {d['key']!r}; a table "
+                f"holds one equality-delete key at a time (got {key!r})"
+            )
+    if isinstance(keys, DataFrame):
+        if key not in keys.columns:
+            raise ValueError(f"delete_keys DataFrame lacks column {key!r}")
+        keys_df = keys.select(key).distinct()
+    else:
+        keys = list(keys)
+        if not keys:
+            return None
+        from pyspark.sql.types import StructField, StructType
+
+        if base.get("schema_json"):
+            tbl = StructType.fromJson(json.loads(base["schema_json"]))
+            field = tbl[key]
+            schema = StructType([StructField(key, field.dataType, True)])
+        else:
+            schema = f"{key} string"
+        keys_df = spark.createDataFrame([(k,) for k in keys], schema).distinct()
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(path, _DATA, commit_uuid)
+    # one file: the reader broadcast-joins it, never shuffles on it
+    keys_df.coalesce(1).write.parquet(data_dir, mode="errorifexists")
+    listed = _list_new_files(path, data_dir)
+    n_keys = sum(e["rows"] for e in listed)
+    if n_keys == 0:
+        for e in listed:
+            os.remove(os.path.join(path, e["path"]))
+        return None
+    for e in listed:
+        e["content"] = _EQ_DELETES
+        e["key"] = key
+        e["n_keys"] = e["rows"]
+        e["rows"] = 0  # logical table rows: a delete file adds none
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        parent = current_snapshot_id(path)
+        head = snapshot(path, parent)
+        for d in _split_entries(head["manifest"])[1]:
+            if d["key"] != key:
+                raise ValueError(
+                    f"{path}: pending deletes use key {d['key']!r}"
+                )
+        for e in listed:
+            e["seq"] = parent + 1
+        own = {
+            "delete_key": key,
+            "n_delete_keys": n_keys,
+            "n_new_files": 0,
+            "n_new_rows": 0,
+        }
+        snap = {
+            "snapshot_id": parent + 1,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "delete",
+            "schema_json": head.get("schema_json", ""),
+            "partition_spec": head.get("partition_spec", []),
+            "sort_order": head.get("sort_order", []),
+            "manifest_list": _segments_minus_plus(path, head, set(), listed),
+            "summary": _inherited_summary(head, own),
+        }
+        try:
+            _commit(path, snap)
+            return snap["summary"] | {"snapshot_id": snap["snapshot_id"]}
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def rewrite_deletes(
+    spark: SparkSession,
+    path: str,
+    retries: int = 3,
+) -> dict[str, Any] | None:
+    """Materialize pending equality deletes copy-on-write (Iceberg's
+    rewrite of MOR deletes back to pure data files): rewrite each affected
+    data file without its masked rows, drop every delete file from the
+    manifest, commit as one 'delete' snapshot. Affected = files the
+    sequence rule says a delete applies to AND whose key-range stats
+    intersect that delete's key range (stats pruning — on a url-clustered
+    table a 10-url takedown folds by rewriting only the files that can
+    hold those urls). After this, readers pay nothing and
+    ``delete_where``/``merge_by_key`` are unblocked. Returns the commit
+    summary, or None when no deletes are pending."""
+    if current_snapshot_id(path) == 0:
+        return None
+    base_snap = snapshot(path)
+    data, dels = _split_entries(base_snap["manifest"])
+    if not dels:
+        return None
+    from pyspark.sql import functions as F
+
+    key = dels[0]["key"]
+    by_path = {d["path"]: d for d in dels}
+    affected: list[tuple[dict[str, Any], tuple[str, ...]]] = []
+    for e in data:
+        app = tuple(
+            p
+            for p in _applicable_deletes(dels, e)
+            if _ranges_intersect(
+                (e.get("stats") or {}).get(key),
+                (by_path[p].get("stats") or {}).get(key),
+            )
+        )
+        if app:
+            affected.append((e, app))
+    removed_paths = {e["path"] for e, _ in affected} | set(by_path)
+    rows_in = sum(e["rows"] for e, _ in affected)
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(path, _DATA, commit_uuid)
+    groups: dict[tuple[str, tuple[str, ...]], list[dict[str, Any]]] = {}
+    for e, app in affected:
+        groups.setdefault((e.get("partition", ""), app), []).append(e)
+    new_files: list[dict[str, Any]] = []
+    sort_order = base_snap.get("sort_order") or []
+    for gi, ((part, app), es) in enumerate(sorted(groups.items())):
+        df = _read_files(
+            spark, base_snap, [os.path.join(path, e["path"]) for e in es]
+        )
+        keys_df = spark.read.parquet(
+            *[os.path.join(path, p) for p in app]
+        ).select(key).distinct()
+        keep_df = df.join(F.broadcast(keys_df), key, "left_anti")
+        n_files = max(1, -(-sum(e["bytes"] for e in es) // (512 << 20)))
+        gdir = os.path.join(data_dir, f"g{gi:04d}")
+        if sort_order:
+            keep_df = keep_df.repartitionByRange(
+                n_files, *sort_order
+            ).sortWithinPartitions(*sort_order)
+        else:
+            keep_df = keep_df.repartition(n_files)
+        keep_df.write.parquet(
+            os.path.join(gdir, part) if part else gdir, mode="errorifexists"
+        )
+        new_files.extend(_list_new_files(path, gdir))
+    rows_out = sum(e["rows"] for e in new_files)
+    if rows_out > rows_in:
+        raise RuntimeError(
+            f"{path}: rewrite_deletes grew {rows_in} rows into {rows_out}"
+        )
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        parent = current_snapshot_id(path)
+        head = snapshot(path, parent)
+        head_paths = {e["path"] for e in head["manifest"]}
+        if not removed_paths <= head_paths:
+            raise CommitConflict(
+                f"{path}: rewrite candidates no longer in head {parent}"
+            )
+        for e in new_files:
+            e["seq"] = parent + 1  # post-fold: no pending deletes remain
+        own = {
+            "deleted_rows": rows_in - rows_out,
+            "folded_delete_files": len(dels),
+            "rewritten_files": len(affected),
+            "n_new_files": len(new_files),
+            "n_new_rows": 0,
+        }
+        snap = {
+            "snapshot_id": parent + 1,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "delete",
+            "schema_json": head.get("schema_json", ""),
+            "partition_spec": head.get("partition_spec", []),
+            "sort_order": head.get("sort_order", []),
+            "manifest_list": _segments_minus_plus(
+                path, head, removed_paths,
                 [e for e in new_files if e["rows"] > 0],
             ),
             "summary": _inherited_summary(head, own),
@@ -1162,6 +1508,8 @@ def branch_append(
         write_df = _apply_sort_order(df, sort_by, []) if sort_by else df
         write_df.write.parquet(data_dir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
+    for e in new_files:
+        e["seq"] = -1  # staged: newer than any committed delete; publish re-stamps
     last: Exception | None = None
     for _ in range(max(retries, 1)):
         parent = branch_snapshot(path, name)
@@ -1209,20 +1557,13 @@ def read_branch(
     where: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a branch head — the audit view of staged, unpublished work.
-    Same snapshot-schema scan and manifest-stats pruning as ``read``."""
+    Same snapshot-schema scan, manifest-stats pruning, and equality-delete
+    application as ``read`` (a branch created over a head with pending
+    deletes must audit the MASKED view; the branch's own staged entries
+    carry seq -1 = newer than every committed delete, so nothing masks
+    them)."""
     snap = branch_snapshot(path, name)
-    entries = _prune_entries(snap["manifest"], where)
-    files = [os.path.join(path, e["path"]) for e in entries]
-    if not files:
-        from pyspark.sql.types import StructType
-
-        schema = (
-            StructType.fromJson(json.loads(snap["schema_json"]))
-            if snap.get("schema_json")
-            else "url string"
-        )
-        return spark.createDataFrame([], schema)
-    return _read_files(spark, snap, files)
+    return _scan_entries(spark, path, snap, where)
 
 
 def publish_branch(
@@ -1264,10 +1605,15 @@ def publish_branch(
         if base_sid
         else set()
     )
-    added = [e for e in b["manifest"] if e["path"] not in base_paths]
+    # COPIES: segment entry dicts are cache-shared; and the published
+    # entries get the publish commit's sequence (they become ordinary
+    # main data — committed NOW, so only deletes after the publish apply)
+    added = [dict(e) for e in b["manifest"] if e["path"] not in base_paths]
     last: Exception | None = None
     for _ in range(max(retries, 1)):
         parent = current_snapshot_id(path)
+        for e in added:
+            e["seq"] = parent + 1
         if parent != base_sid and not rebase:
             raise PreconditionFailed(
                 f"{path}: main moved {base_sid} -> {parent} since branch "
@@ -1411,6 +1757,8 @@ def metadata_table(
                 StructField("rows", LongType()),
                 StructField("bytes", LongType()),
                 StructField("stats", StringType()),
+                StructField("content", StringType()),
+                StructField("seq", LongType()),
             ]
         )
         manifest = (
@@ -1425,6 +1773,8 @@ def metadata_table(
                 e["rows"],
                 e["bytes"],
                 json.dumps(e.get("stats") or {}, sort_keys=True),
+                e.get("content", "data"),
+                int(e.get("seq", 0)),
             )
             for e in manifest
         ]
@@ -1433,7 +1783,8 @@ def metadata_table(
             return files_df
         from pyspark.sql import functions as F
 
-        return files_df.groupBy("partition").agg(
+        # partitions = the DATA skew audit; delete files carry no rows
+        return files_df.where(F.col("content") == "data").groupBy("partition").agg(
             F.count("*").alias("n_files"),
             F.sum("rows").alias("n_rows"),
             F.sum("bytes").alias("n_bytes"),
@@ -1513,6 +1864,7 @@ def merge_by_key(
             "rewritten_files": 0,
         }
     base_snap = snapshot(path, head_sid)
+    _pending_delete_guard(path, base_snap, "merge_by_key")
     bounds = delta1.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
@@ -1652,6 +2004,8 @@ def merge_by_key(
                     f"{path}: concurrent commit added files intersecting "
                     f"the merge key range at head {parent}"
                 )
+        for e in surv_files + ins_files:
+            e["seq"] = parent + 1
         snap = {
             "snapshot_id": parent + 1,
             "parent_id": parent,
