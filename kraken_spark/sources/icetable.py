@@ -1691,6 +1691,93 @@ def list_branches(path: str) -> list[str]:
     return sorted(names)
 
 
+# -------------------------------- tags -------------------------------------
+#
+# Immutable named snapshot refs (Iceberg's tags): "corpus-v1" pins the
+# exact table state a training run consumed — the reproducibility
+# primitive for data releases. A tag is a pointer, not a copy (zero data
+# I/O); ``expire_snapshots`` retains tagged snapshots (and therefore the
+# files they reference) until the tag is dropped, so a release stays
+# readable forever while routine expiry prunes everything around it.
+
+
+def _tag_path(path: str, name: str) -> str:
+    return os.path.join(_meta_dir(path), f"tag-{name}.json")
+
+
+def create_tag(path: str, name: str, at_snapshot_id: int | None = None) -> int:
+    """Tag a committed MAIN snapshot (default: the head). Immutable: a
+    second create with the same name raises — drop and re-create to move
+    it, so a release pointer can never drift silently."""
+    _check_branch_name(name)
+    sid = at_snapshot_id if at_snapshot_id is not None else current_snapshot_id(path)
+    snapshot(path, sid)  # must exist (raises NoSuchSnapshot otherwise)
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    try:
+        fd = os.open(_tag_path(path, name), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(f"{path}: tag {name!r} already exists") from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {"tag": name, "snapshot_id": sid,
+             "timestamp_ms": int(time.time() * 1000)},
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    return sid
+
+
+def tag_snapshot_id(path: str, name: str) -> int:
+    try:
+        with open(_tag_path(path, name)) as f:
+            return int(json.load(f)["snapshot_id"])
+    except FileNotFoundError:
+        raise NoSuchSnapshot(f"{path}: tag {name!r} does not exist") from None
+
+
+def read_tag(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    where: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Read the exact state a tag pins — same scan as ``read`` at that
+    snapshot (stats pruning, equality-delete application as of then)."""
+    return read(spark, path, snapshot_id=tag_snapshot_id(path, name), where=where)
+
+
+def list_tags(path: str) -> dict[str, int]:
+    import re
+
+    tags: dict[str, int] = {}
+    try:
+        names = os.listdir(_meta_dir(path))
+    except FileNotFoundError:
+        return tags
+    for fn in names:
+        m = re.fullmatch(r"tag-([A-Za-z0-9_.-]+)\.json", fn)
+        if m:
+            try:
+                tags[m.group(1)] = tag_snapshot_id(path, m.group(1))
+            except NoSuchSnapshot:
+                continue
+    return tags
+
+
+def drop_tag(path: str, name: str) -> None:
+    """Remove the tag pointer. The snapshot it pinned becomes expirable
+    again (and its exclusively-referenced files vacuumable after expiry)."""
+    try:
+        os.remove(_tag_path(path, name))
+    except FileNotFoundError:
+        raise NoSuchSnapshot(f"{path}: tag {name!r} does not exist") from None
+
+
+def _tagged_sids(path: str) -> set[int]:
+    return set(list_tags(path).values())
+
+
 def metadata_table(
     spark: SparkSession,
     path: str,
@@ -2034,12 +2121,15 @@ def expire_snapshots(
     older_than_ms: int | None = None,
 ) -> dict[str, Any]:
     """Drop old snapshots and delete the data files only they referenced
-    (Iceberg's expire_snapshots). The head always survives; a snapshot
-    expires when it falls outside ``keep_last`` most-recent AND (if given)
-    is older than ``older_than_ms``. Time travel and incremental reads
-    into the expired range stop working — by design, that is what bounds
-    metadata and storage growth on a forever-appending table."""
+    (Iceberg's expire_snapshots). The head always survives, and so does
+    any TAGGED snapshot (a "corpus-v1" release stays time-travelable until
+    its tag is dropped); otherwise a snapshot expires when it falls
+    outside ``keep_last`` most-recent AND (if given) is older than
+    ``older_than_ms``. Time travel and incremental reads into the expired
+    range stop working — by design, that is what bounds metadata and
+    storage growth on a forever-appending table."""
     head = current_snapshot_id(path)
+    tagged = _tagged_sids(path)
     sids = [
         s
         for s in range(1, head + 1)
@@ -2047,7 +2137,7 @@ def expire_snapshots(
     ]
     expired = []
     for sid in sids:
-        if sid == head:
+        if sid == head or sid in tagged:
             continue
         if keep_last is not None and sid > head - keep_last:
             continue
