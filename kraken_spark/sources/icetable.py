@@ -710,6 +710,139 @@ def read_incremental(
     return _read_files(spark, to_snap, files)
 
 
+def read_changelog(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level change-data-capture scan (Iceberg's changelog view):
+    every LOGICAL row change committed after ``from_snapshot_id`` up to
+    ``to_snapshot_id``, as the table's columns plus ``_change_type``
+    ('insert' | 'delete') and ``_commit_snapshot_id``. Unlike
+    ``read_incremental`` (append-only, refuses membership changes), this
+    reads through deletes, merges, and overwrites — the feed a downstream
+    index or derived corpus uses to stay in sync without re-scanning.
+
+    Per snapshot, the diff is computed over TOUCHED FILES only (delta-
+    sized, never table-sized): inserts = added-files rows exceptAll
+    removed-files rows; deletes = the reverse — so a merge emits the old
+    row versions as deletes and the new as inserts, while rewritten-but-
+    unchanged survivor rows cancel out. Physical row movement emits
+    nothing: compaction ('replace') and ``rewrite_deletes`` (masks were
+    already reported) are skipped. A merge-on-read ``delete_keys``
+    snapshot emits exactly the parent-state rows its keys masked (stacked
+    deletes of an already-masked key re-report nothing, because the
+    parent read already applies earlier masks).
+    """
+    from pyspark.sql import functions as F
+
+    head = current_snapshot_id(path)
+    to_sid = head if to_snapshot_id is None else to_snapshot_id
+    if from_snapshot_id > to_sid:
+        raise NoSuchSnapshot(
+            f"{path}: from {from_snapshot_id} is after to {to_sid}"
+        )
+    parts: list[DataFrame] = []
+
+    def _tag(df: DataFrame, kind: str, sid: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind)).withColumn(
+            "_commit_snapshot_id", F.lit(sid)
+        )
+
+    for sid in range(from_snapshot_id + 1, to_sid + 1):
+        snap = snapshot(path, sid)
+        summary = snap.get("summary", {})
+        op = snap["operation"]
+        if op in ("replace", "branch") or "folded_delete_files" in summary:
+            continue
+        parent_snap = (
+            snapshot(path, snap["parent_id"]) if snap["parent_id"] else None
+        )
+        if op == "delete" and "delete_key" in summary:
+            # MOR equality delete: masked rows = parent logical state
+            # semi-joined with the new delete file's keys (every parent
+            # entry pre-dates this delete by construction)
+            key = summary["delete_key"]
+            parent_files = (
+                {e["path"] for e in parent_snap["manifest"]}
+                if parent_snap
+                else set()
+            )
+            new_dels = [
+                e
+                for e in _split_entries(snap["manifest"])[1]
+                if e["path"] not in parent_files
+            ]
+            if not new_dels or parent_snap is None:
+                continue
+            keys_df = spark.read.parquet(
+                *[os.path.join(path, e["path"]) for e in new_dels]
+            ).select(key).distinct()
+            masked = _scan_entries(spark, path, parent_snap, None).join(
+                F.broadcast(keys_df), key, "left_semi"
+            )
+            parts.append(_tag(masked, "delete", sid))
+            continue
+        parent_data = (
+            _split_entries(parent_snap["manifest"])[0] if parent_snap else []
+        )
+        child_data = _split_entries(snap["manifest"])[0]
+        parent_paths = {e["path"] for e in parent_data}
+        child_paths = {e["path"] for e in child_data}
+        removed = [e for e in parent_data if e["path"] not in child_paths]
+        added = [e for e in child_data if e["path"] not in parent_paths]
+        rm_df = (
+            _read_files(
+                spark, snap, [os.path.join(path, e["path"]) for e in removed]
+            )
+            if removed
+            else None
+        )
+        ad_df = (
+            _read_files(
+                spark, snap, [os.path.join(path, e["path"]) for e in added]
+            )
+            if added
+            else None
+        )
+        if rm_df is not None and ad_df is not None:
+            parts.append(_tag(ad_df.exceptAll(rm_df), "insert", sid))
+            parts.append(_tag(rm_df.exceptAll(ad_df), "delete", sid))
+        elif ad_df is not None:
+            parts.append(_tag(ad_df, "insert", sid))
+        elif rm_df is not None:
+            parts.append(_tag(rm_df, "delete", sid))
+    if not parts:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        to_snap = snapshot(path, to_sid) if to_sid else None
+        fields = (
+            StructType.fromJson(json.loads(to_snap["schema_json"])).fields
+            if to_snap and to_snap.get("schema_json")
+            else []
+        )
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_snapshot_id", LongType()),
+                ]
+            ),
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def _branch_referenced_files(path: str) -> set[str]:
     """Data files referenced by any LIVE branch snapshot — staged,
     unpublished work that vacuum/expiry must never reclaim (a dropped
