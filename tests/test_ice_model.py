@@ -1,10 +1,13 @@
 """Model-based property test of the committed-snapshot layer: a random
 sequence of table operations (append / compact / delete_where / rollback /
-expire_snapshots / vacuum / merge_by_key) is replayed against a trivial
-in-memory model of the logical table state. After EVERY step the committed table must
-read back exactly the model's rows, and the layer's structural invariants
-must hold — this is the whole-protocol complement to the per-feature
-tests in test_icetable.py / test_ice_maintenance.py.
+expire_snapshots / vacuum / merge_by_key / merge-on-read delete_keys /
+rewrite_deletes) is replayed against a trivial in-memory model of the
+logical table state. After EVERY step the committed table must read back
+exactly the model's rows, and the layer's structural invariants must hold
+— this is the whole-protocol complement to the per-feature tests in
+test_icetable.py / test_ice_maintenance.py / test_ice_mor.py. COW ops that
+legitimately refuse while MOR masks pend are folded-then-retried, exactly
+the operational flow `job.py --maintain` encodes.
 """
 
 import os
@@ -32,13 +35,20 @@ def _invariants(spark, t, model_rows):
     # 1. committed read == model
     assert _read_rows(spark, t) == model_rows
     # 2. every head-manifest file exists on disk with consistent row counts
+    # (with merge-on-read deletes pending, physical rows may exceed the
+    # logical state by the masked rows; without, they must match exactly)
     snap = it.snapshot(t)
     n_rows = 0
+    pending_deletes = False
     for e in snap["manifest"]:
         full = os.path.join(t, e["path"])
         assert os.path.exists(full), e["path"]
         n_rows += e["rows"]
-    assert n_rows == len(model_rows)
+        pending_deletes |= e.get("content") == "eq-deletes"
+    if pending_deletes:
+        assert n_rows >= len(model_rows)
+    else:
+        assert n_rows == len(model_rows)
     # 3. orphans never overlap referenced files
     assert not set(it.orphan_data_files(t)) & {
         os.path.normpath(os.path.join(t, e["path"])) for e in snap["manifest"]
@@ -70,7 +80,7 @@ def test_random_operation_sequences_match_model(spark, tmp_path, seed):
     for _ in range(18):
         op = rng.choice(
             ["append", "append", "compact", "delete", "rollback",
-             "expire", "vacuum", "merge"]
+             "expire", "vacuum", "merge", "mor_delete", "fold"]
         )
         if op == "append":
             do_append()
@@ -83,12 +93,12 @@ def test_random_operation_sequences_match_model(spark, tmp_path, seed):
             ]
             ins = [(f"m{next_key}", next_key)]
             next_key += 1
-            it.merge_by_key(
-                spark,
-                t,
-                spark.createDataFrame(upd + ins, "url string, n int"),
-                key="url",
-            )
+            delta = spark.createDataFrame(upd + ins, "url string, n int")
+            try:
+                it.merge_by_key(spark, t, delta, key="url")
+            except ValueError:  # MOR masks pending: fold, retry (--maintain flow)
+                it.rewrite_deletes(spark, t)
+                it.merge_by_key(spark, t, delta, key="url")
             upd_keys = {u for u, _ in upd}
             model.difference_update({r for r in model if r[0] in upd_keys})
             model.update(upd + ins)
@@ -96,12 +106,31 @@ def test_random_operation_sequences_match_model(spark, tmp_path, seed):
             it.compact(spark, t, target_bytes=1 << 30)
         elif op == "delete" and model:
             victim = rng.choice(sorted(model))
-            s = it.delete_where(
-                spark, t, f"url = '{victim[0]}'",
-                prune={"url": (victim[0], victim[0])},
-            )
+
+            def _cow_delete():
+                return it.delete_where(
+                    spark, t, f"url = '{victim[0]}'",
+                    prune={"url": (victim[0], victim[0])},
+                )
+
+            try:
+                s = _cow_delete()
+            except ValueError:  # MOR masks pending: fold, retry
+                it.rewrite_deletes(spark, t)
+                s = _cow_delete()
             assert s is not None and s["deleted_rows"] == 1
             model.discard(victim)
+        elif op == "mor_delete" and model:
+            # O(metadata) takedown of a live key — and sometimes a ghost
+            # key (a no-match takedown still commits a valid snapshot)
+            if rng.random() < 0.25:
+                it.delete_keys(spark, t, [f"ghost{next_key}"], key="url")
+            else:
+                victim = rng.choice(sorted(model))
+                it.delete_keys(spark, t, [victim[0]], key="url")
+                model.discard(victim)
+        elif op == "fold":
+            it.rewrite_deletes(spark, t)
         elif op == "rollback" and snapshots:
             sid = rng.choice(sorted(snapshots))
             it.rollback(t, sid)
