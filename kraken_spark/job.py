@@ -140,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
         help="(--maintain) compaction output file size target",
     )
     ap.add_argument(
+        "--analyze-cols", default=None, metavar="COLS",
+        help="(--maintain) also compute per-file NDV sketches for these "
+        "comma-separated columns (icetable.analyze — Iceberg's "
+        "compute_table_stats; incremental, only sketch-less files are "
+        "scanned). approx_distinct then answers distinct-count questions "
+        "from metadata alone",
+    )
+    ap.add_argument(
         "--ingest-pages",
         action="store_true",
         help="(ice output) ingest a new crawl dump into the OUTPUT pages "
@@ -239,6 +247,13 @@ def main(argv: list[str] | None = None) -> int:
         c = icetable.compact(
             spark, args.output, target_bytes=args.compact_target_bytes
         )
+        a = (
+            icetable.analyze(
+                spark, args.output, cols=args.analyze_cols.split(",")
+            )
+            if args.analyze_cols
+            else None
+        )
         e = icetable.expire_snapshots(args.output, keep_last=args.keep_snapshots)
         v = icetable.vacuum(args.output, grace_ms=args.vacuum_grace_ms)
         print(
@@ -255,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
                 if c
                 else "nothing to compact, "
             )
+            + (f"analyzed {a['analyzed_files']} files for NDV, " if a else "")
             + f"expired {len(e['expired_snapshots'])} snapshots "
             f"(+{e['deleted_files']} unreachable files), vacuumed "
             f"{v['deleted_files']} orphans -> {args.output}"

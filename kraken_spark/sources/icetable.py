@@ -2014,6 +2014,171 @@ def metadata_table(
     )
 
 
+# ----------------------------- table stats ---------------------------------
+#
+# Per-file HLL sketches (Iceberg's Puffin NDV blobs + compute_table_stats):
+# ``analyze`` attaches a distinct-count sketch per (data file, column) as a
+# metadata sidecar; ``approx_distinct`` then answers "how many distinct
+# urls in this snapshot / this crawl window" by merging register arrays
+# DRIVER-SIDE — zero row I/O at query time. Sketches are keyed by data
+# file path, and data files are immutable, so one sketch stays valid for
+# every snapshot that references the file; ``analyze`` is incremental
+# (only files without a sketch are scanned — per tick, one delta's worth).
+
+
+def _stats_paths(path: str) -> list[str]:
+    try:
+        return sorted(
+            os.path.join(_meta_dir(path), fn)
+            for fn in os.listdir(_meta_dir(path))
+            if fn.startswith("stats-") and fn.endswith(".json")
+        )
+    except FileNotFoundError:
+        return []
+
+
+def _load_stats(path: str) -> dict[str, dict[str, str]]:
+    """file relpath -> column -> base64 HLL registers (later files win)."""
+    out: dict[str, dict[str, str]] = {}
+    for full in _stats_paths(path):
+        try:
+            with open(full) as f:
+                blob = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for rel, cols in blob.get("files", {}).items():
+            out.setdefault(rel, {}).update(cols)
+    return out
+
+
+def analyze(
+    spark: SparkSession,
+    path: str,
+    cols: list[str] | tuple[str, ...] = ("url",),
+    snapshot_id: int | None = None,
+) -> dict[str, Any]:
+    """Compute per-file NDV sketches for ``cols`` over the chosen
+    snapshot's data files that don't have one yet (Iceberg's
+    compute_table_stats). Scale shape: hashing is JVM-side
+    (``xxhash64``), register folding is one MAP-ONLY Arrow stage emitting
+    per-(batch, file, col) partial sketches (no shuffle — partials merge
+    by max), and only batch-count-sized rows reach the driver. NULLs hash
+    like any value (one NDV slot), matching Spark's xxhash64 semantics."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from ..kernels import hll
+
+    snap = snapshot(path, snapshot_id)
+    data_entries, _ = _split_entries(snap["manifest"])
+    existing = _load_stats(path)
+    todo = [
+        e
+        for e in data_entries
+        if e["rows"] > 0
+        and any(c not in existing.get(e["path"], {}) for c in cols)
+    ]
+    if not todo:
+        return {"analyzed_files": 0, "cols": list(cols)}
+    abs_to_rel = {
+        os.path.normpath(os.path.join(path, e["path"])): e["path"] for e in todo
+    }
+    df = _read_files(
+        spark, snap, [os.path.join(path, e["path"]) for e in todo]
+    ).select(
+        F.input_file_name().alias("_f"),
+        *[F.xxhash64(c).alias(f"_h_{i}") for i, c in enumerate(cols)],
+    )
+    n_cols = len(cols)
+    out_schema = "f string, c long, b64 string"
+
+    def fold(batches):
+        import numpy as _np
+
+        for batch in batches:
+            farr = _np.asarray(batch.column(0).to_pylist())
+            for fname in _np.unique(farr):
+                mask = farr == fname
+                rows_f, rows_c, rows_b = [], [], []
+                for i in range(n_cols):
+                    h = batch.column(1 + i).to_numpy(zero_copy_only=False)[mask]
+                    regs = hll.registers_from_hashes(h)
+                    rows_f.append(str(fname))
+                    rows_c.append(i)
+                    rows_b.append(hll.to_b64(regs))
+                yield pa.RecordBatch.from_pydict(
+                    {"f": rows_f, "c": rows_c, "b64": rows_b}
+                )
+
+    partials = df.mapInArrow(fold, out_schema).collect()
+    merged: dict[tuple[str, int], Any] = {}
+    for r in partials:
+        rel = abs_to_rel.get(os.path.normpath(r.f.removeprefix("file:")))
+        if rel is None:
+            continue
+        k = (rel, r.c)
+        regs = hll.from_b64(r.b64)
+        merged[k] = hll.merge(merged[k], regs) if k in merged else regs
+    files_blob: dict[str, dict[str, str]] = {}
+    for (rel, ci), regs in merged.items():
+        files_blob.setdefault(rel, {})[cols[ci]] = hll.to_b64(regs)
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    full = os.path.join(_meta_dir(path), f"stats-{uuid.uuid4().hex}.json")
+    tmp = f"{full}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": files_blob}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, full)
+    return {"analyzed_files": len(files_blob), "cols": list(cols)}
+
+
+def approx_distinct(
+    path: str,
+    col: str = "url",
+    snapshot_id: int | None = None,
+    where: dict[str, tuple] | None = None,
+) -> dict[str, Any]:
+    """Merge the per-file sketches of the chosen snapshot's data files
+    (optionally narrowed by manifest-stats ``where`` pruning — e.g. one
+    crawl window of a days(warc_ts)-partitioned table) into one NDV
+    estimate, entirely driver-side. Returns the estimate plus coverage
+    (files/rows with sketches vs total): a partially-analyzed table
+    reports honestly instead of under-counting silently. Estimates are
+    over PHYSICAL rows — pending merge-on-read masks are not applied
+    (planning stats, not exact counts — same contract as Iceberg NDV)."""
+    from ..kernels import hll
+
+    snap = snapshot(path, snapshot_id)
+    data_entries, _ = _split_entries(snap["manifest"])
+    data_entries = _prune_entries(data_entries, where)
+    stats = _load_stats(path)
+    regs = None
+    covered_files = covered_rows = 0
+    total_rows = 0
+    n_nonempty = 0
+    for e in data_entries:
+        if e["rows"] == 0:
+            continue
+        n_nonempty += 1
+        total_rows += e["rows"]
+        b64 = stats.get(e["path"], {}).get(col)
+        if b64 is None:
+            continue
+        r = hll.from_b64(b64)
+        regs = r if regs is None else hll.merge(regs, r)
+        covered_files += 1
+        covered_rows += e["rows"]
+    return {
+        "ndv": hll.estimate(regs) if regs is not None else 0.0,
+        "covered_files": covered_files,
+        "total_files": n_nonempty,
+        "covered_rows": covered_rows,
+        "total_rows": total_rows,
+    }
+
+
 def merge_by_key(
     spark: SparkSession,
     path: str,
@@ -2354,8 +2519,37 @@ def vacuum(path: str, grace_ms: int = 24 * 3600 * 1000) -> dict[str, Any]:
                 deleted_manifests += 1
         except FileNotFoundError:
             continue
+    # NDV stats sidecars: drop sketch entries whose data file is gone
+    # (the sketch is keyed by immutable file path — once the file is
+    # reclaimed the entry can never be read again); empty sidecars go too
+    pruned_stats = 0
+    for full in _stats_paths(path):
+        try:
+            with open(full) as f:
+                blob = json.load(f)
+        except (OSError, ValueError):
+            continue
+        files = blob.get("files", {})
+        kept = {
+            rel: colmap
+            for rel, colmap in files.items()
+            if os.path.exists(os.path.join(path, rel))
+        }
+        if len(kept) == len(files):
+            continue
+        pruned_stats += len(files) - len(kept)
+        if kept:
+            tmp = f"{full}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"files": kept}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, full)
+        else:
+            os.remove(full)
     return {
         "deleted_files": len(deleted),
         "paths": deleted,
         "deleted_manifests": deleted_manifests,
+        "pruned_stats_entries": pruned_stats,
     }
