@@ -136,6 +136,51 @@ def test_concurrent_tick_loses_race_cleanly(spark, tmp_path, monkeypatch):
     assert r2["out_snapshot_id"] is None and not r2["lost_race"]
 
 
+def test_takedown_between_ticks_preserves_loop(spark, tmp_path):
+    """A merge-on-read takedown on the kept table between two ticks must
+    not break the production loop: the watermark rides the delete
+    snapshot's inherited summary, the next tick's equality precondition
+    still holds, the masked url stays gone, and — because the minhash
+    signatures live IN the masked rows — a recrawl of the removed content
+    under a new url is RE-ADMITTED (the takedown removed the rows, so the
+    retained-corpus signature join no longer suppresses the content)."""
+    from kraken_spark.corpus import generate_corpus_df
+
+    pages = str(tmp_path / "pages")
+    kept = str(tmp_path / "kept")
+    docs = generate_corpus_df(spark, 5).localCheckpoint(eager=True)
+    first = docs.limit(3).localCheckpoint(eager=True)
+    it.append(first, pages)
+    r1 = corpus_tick(spark, pages, kept, run_id="t1", num_partitions=2,
+                     require_quality=False)
+    assert r1["kept_new"] == 3
+    victim = it.read(spark, kept).select("url").limit(1).collect()[0].url
+
+    # O(metadata) takedown of one kept url
+    s = it.delete_keys(spark, kept, [victim], key="url")
+    assert s is not None
+    assert it.read(spark, kept).where(f"url = '{victim}'").count() == 0
+    # the watermark survives the delete snapshot (inherited summary)
+    assert s["source_snapshot_id"] == r1["source_snapshot_id"]
+
+    # next tick: remaining fresh pages + a recrawl of the victim's CONTENT
+    # under a new url — re-admitted, not near-dup-suppressed
+    import pyspark.sql.functions as F
+
+    rest = docs.join(first.select("url"), "url", "left_anti")
+    readd = first.where(F.col("url") == victim).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?readd=1"))
+    )
+    it.append(rest.union(readd), pages)
+    r2 = corpus_tick(spark, pages, kept, run_id="t2", num_partitions=2,
+                     require_quality=False)
+    assert not r2["lost_race"]
+    assert r2["kept_new"] == 3 and r2["dropped_dup"] == 0
+    final = {r.url for r in it.read(spark, kept).collect()}
+    assert victim not in final and f"{victim}?readd=1" in final
+    assert len(final) == 5  # 3 - 1 takedown + 2 rest + 1 re-add
+
+
 def test_job_cli_corpus_tick_mode(spark, tmp_path, capsys):
     """job.main --corpus-tick: the production loop runs from the
     spark-submit entry; --no-quality-gate keeps the glyph-soup corpus."""
