@@ -226,6 +226,18 @@ def test_read_incremental_refuses_delete_range_then_resumes(spark, tmp_path):
     assert got == ["b"]
 
 
+def test_mor_read_plan_is_broadcast_anti_join(spark, tmp_path):
+    """Scale guard: the delete application must be a BROADCAST hash
+    anti-join (takedown lists are small by construction) — a shuffled
+    anti-join would re-shuffle the whole table per read at 100 TB."""
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [(f"u{i}", i) for i in range(50)]), t)
+    it.delete_keys(spark, t, ["u3", "u7"], key="url")
+    plan = it.read(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_job_cli_takedown_then_maintain_folds(spark, tmp_path, capsys):
     """job.main --takedown commits the O(metadata) mask; --maintain folds
     it copy-on-write before compacting (the operational takedown flow)."""

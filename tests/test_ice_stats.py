@@ -65,6 +65,38 @@ def test_uncovered_files_reported_not_undercounted(spark, tmp_path):
     assert abs(d["ndv"] - 500) / 500 < 0.05  # estimate over covered only
 
 
+def test_analyze_stage_is_map_only(spark, tmp_path):
+    """Scale guard: sketch folding must add NO shuffle — per-file partial
+    registers merge driver-side, so the analyze scan is one map stage."""
+    from pyspark.sql import functions as F
+
+    from kraken_spark.kernels import hll  # noqa: F401
+
+    t = str(tmp_path / "tbl")
+    it.append(_urls(spark, 0, 1000), t)
+    snap = it.snapshot(t)
+    files = [f"{t}/{e['path']}" for e in snap["manifest"]]
+    df = spark.read.parquet(*files).select(
+        F.input_file_name().alias("_f"), F.xxhash64("url").alias("_h_0")
+    )
+    # the same stage analyze() executes: scan -> project -> mapInArrow
+    import pyarrow as pa
+
+    def fold(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_pydict(
+                {"f": [""], "c": [0], "b64": [""]}
+            )
+
+    plan = (
+        df.mapInArrow(fold, "f string, c long, b64 string")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_multi_column_analyze(spark, tmp_path):
     t = str(tmp_path / "tbl")
     df = spark.createDataFrame(
