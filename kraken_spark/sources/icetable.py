@@ -2111,10 +2111,16 @@ def analyze(
                     {"f": rows_f, "c": rows_c, "b64": rows_b}
                 )
 
+    from urllib.parse import unquote, urlparse
+
     partials = df.mapInArrow(fold, out_schema).collect()
     merged: dict[tuple[str, int], Any] = {}
     for r in partials:
-        rel = abs_to_rel.get(os.path.normpath(r.f.removeprefix("file:")))
+        # input_file_name returns a URI (file:/..., hdfs://..., s3a://...)
+        # or a bare path depending on the filesystem; normalize to a path
+        parsed = urlparse(r.f)
+        fpath = unquote(parsed.path) if parsed.scheme else r.f
+        rel = abs_to_rel.get(os.path.normpath(fpath))
         if rel is None:
             continue
         k = (rel, r.c)
