@@ -316,9 +316,87 @@ def run_scaling(n_docs: int = 6144, n_small: int = 2, repeats: int = 2) -> None:
     )
 
 
+def run_scaling_cluster(n_docs: int = 4096, repeats: int = 2) -> None:
+    """North-rule N vs 4N evidence with REAL executors: the same job at
+    local-cluster[1,2,2048] vs local-cluster[4,2,2048] — one executor JVM
+    vs four, 2 cores each, the package shipped to executors only as the
+    --py-files zip. This is the literal "N and 4N executor clusters"
+    reading as far as one box allows: separate JVM processes, real
+    serialization and executor-side module resolution, while the
+    local[2]/local[8] reading (--scaling) covers the same criterion with
+    lower fixed overhead. Same DRAM-wall caveat as --scaling: beyond ~8
+    total image-kernel workers the host measures its memory bandwidth,
+    not the job."""
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    try:
+        import build_pyfiles
+    finally:
+        sys.path.pop(0)
+    from pathlib import Path
+
+    zdir = tempfile.mkdtemp(prefix="ks_bench_zip_")
+    z = Path(zdir) / "kraken_spark.zip"
+    build_pyfiles.build(z)
+    corpus = f"/tmp/kraken_spark_corpus_{n_docs}"
+    if not os.path.isdir(corpus):  # pre-materialize with a LOCAL session so
+        # the 1-executor level never pays generation
+        from kraken_spark.corpus import ensure_corpus
+        from kraken_spark.session import get_spark
+
+        s = get_spark(app="bench-gen", cores=CPUS)
+        s.sparkContext.setLogLevel("ERROR")
+        ensure_corpus(s, n_docs, corpus)
+        s.stop()
+    results = {}
+    for n_exec in (1, 4):
+        best = None
+        for _ in range(repeats):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(2 * n_exec),
+                SPARK_GRAFT_CORPUS=corpus,
+                SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},2,2048]",
+                SPARK_GRAFT_PYFILES=str(z),
+            )
+            out = subprocess.run(
+                [sys.executable, __file__, "--extract-only", str(n_docs)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        results[n_exec] = best
+    thr_n, thr_4n = results[1]["docs_per_sec"], results[4]["docs_per_sec"]
+    print(
+        json.dumps(
+            {
+                "mode": "scaling-cluster",
+                "docs": n_docs,
+                "n_executors": 1,
+                "thr_n": thr_n,
+                "sec_n": results[1]["sec"],
+                "4n_executors": 4,
+                "thr_4n": thr_4n,
+                "sec_4n": results[4]["sec"],
+                "efficiency": round(thr_4n / thr_n / 4.0, 4),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--extract-only" in sys.argv:
         run_extract_only(int(sys.argv[sys.argv.index("--extract-only") + 1]))
+    elif "--scaling-cluster" in sys.argv:
+        i = sys.argv.index("--scaling-cluster")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 4096
+        run_scaling_cluster(n)
     elif "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 6144

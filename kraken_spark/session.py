@@ -52,13 +52,20 @@ def get_spark(
     app: str = "kraken_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` (or env SPARK_GRAFT_MASTER) overrides the default
+    local[cores] — e.g. ``local-cluster[4,2,2048]`` runs four REAL
+    executor JVMs for multi-executor evidence; pair it with env
+    SPARK_GRAFT_PYFILES=<zip> so executors resolve the package (the
+    bench's --scaling-cluster mode does both)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, cores)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     for k, v in _PIN_ENV.items():
         os.environ.setdefault(k, v)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app)
         # AQE: runtime coalescing + skew-join splitting at cluster scale
         .config("spark.ui.showConsoleProgress", "false")
@@ -82,6 +89,14 @@ def get_spark(
         # caching to mean anything.
         .config("spark.python.worker.reuse", "true")
     )
+    pyfiles = os.environ.get("SPARK_GRAFT_PYFILES")
+    if pyfiles:
+        builder = builder.config("spark.submit.pyFiles", pyfiles)
+    if master.startswith("local-cluster"):
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXEC_MEM", "2g"),
+        )
     for k, v in _PIN_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
     return builder.getOrCreate()
