@@ -226,6 +226,36 @@ def test_read_incremental_refuses_delete_range_then_resumes(spark, tmp_path):
     assert got == ["b"]
 
 
+def test_delete_keys_cas_race_restamps_sequence(spark, tmp_path, monkeypatch):
+    """A rival append that wins the first commit attempt forces the CAS
+    retry, and the delete entry's sequence must be re-stamped to the NEW
+    commit id — so the delete (which happens-after the rival) masks the
+    rival's rows too. A stale sequence from the first attempt would
+    silently exempt the rival's data."""
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [("a", 1), ("b", 2)]), t)
+    orig = it._commit
+    state = {"injected": False}
+
+    def inject(path, snap):
+        if not state["injected"] and snap.get("operation") == "delete":
+            state["injected"] = True
+            it.append(_df(spark, [("z", 99)]), t)  # rival lands first
+        return orig(path, snap)
+
+    monkeypatch.setattr(it, "_commit", inject)
+    s = it.delete_keys(spark, t, ["b", "z"], key="url")
+    monkeypatch.undo()
+    assert state["injected"]
+    # the delete committed AFTER the rival: snapshot 3, and its entry's
+    # sequence was re-stamped to 3 on the retry
+    assert s["snapshot_id"] == 3
+    dels = _delete_files(t)
+    assert len(dels) == 1 and dels[0]["seq"] == 3
+    # both the original 'b' and the rival's 'z' are masked; 'a' survives
+    assert {r.url for r in it.read(spark, t).collect()} == {"a"}
+
+
 def test_mor_read_plan_is_broadcast_anti_join(spark, tmp_path):
     """Scale guard: the delete application must be a BROADCAST hash
     anti-join (takedown lists are small by construction) — a shuffled
