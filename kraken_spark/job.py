@@ -176,7 +176,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--inspect",
         default=None,
-        choices=["snapshots", "files", "partitions"],
+        choices=["snapshots", "files", "partitions", "refs"],
         help="(ice output) print the OUTPUT table's metadata view as JSON "
         "lines instead of running an extraction (Iceberg's $snapshots/"
         "$files/$partitions audit tables — icetable.metadata_table)",

@@ -1936,6 +1936,9 @@ def metadata_table(
       head): path, partition, rows, bytes, per-column min/max stats JSON.
     - ``partitions`` — per-partition rollup of ``files``: file/row/byte
       totals — the skew audit.
+    - ``refs`` — one row per named ref (Iceberg's ``$refs``): branches
+      with their head sequence and base snapshot, tags with the snapshot
+      they pin — the release/staging audit.
     """
     from pyspark.sql.types import (
         LongType,
@@ -2009,8 +2012,26 @@ def metadata_table(
             F.sum("rows").alias("n_rows"),
             F.sum("bytes").alias("n_bytes"),
         )
+    if kind == "refs":
+        schema = StructType(
+            [
+                StructField("name", StringType()),
+                StructField("type", StringType()),
+                StructField("snapshot_id", LongType()),
+                StructField("branch_seq", LongType()),
+            ]
+        )
+        rows = []
+        for name in list_branches(path):
+            seq = branch_head_seq(path, name)
+            b = branch_snapshot(path, name, seq)
+            rows.append((name, "branch", int(b["base_snapshot_id"]), seq))
+        for name, sid in sorted(list_tags(path).items()):
+            rows.append((name, "tag", sid, None))
+        return spark.createDataFrame(rows, schema)
     raise ValueError(
-        f"unknown metadata table {kind!r} (snapshots | files | partitions)"
+        f"unknown metadata table {kind!r} "
+        "(snapshots | files | partitions | refs)"
     )
 
 

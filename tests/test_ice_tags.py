@@ -50,6 +50,18 @@ def test_tag_is_immutable_and_explicit(spark, tmp_path):
         it.drop_tag(t, "nope")
 
 
+def test_refs_metadata_view(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [("a", 1)]), t)
+    it.create_tag(t, "corpus-v1")
+    it.create_branch(t, "wap")
+    it.branch_append(_df(spark, [("b", 2)]), t, "wap")
+    refs = {r.name: r for r in it.metadata_table(spark, t, "refs").collect()}
+    assert refs["corpus-v1"].type == "tag" and refs["corpus-v1"].snapshot_id == 1
+    assert refs["wap"].type == "branch" and refs["wap"].branch_seq == 2
+    assert refs["wap"].snapshot_id == 1  # base
+
+
 def test_expire_retains_tagged_snapshot_until_drop(spark, tmp_path):
     t = str(tmp_path / "tbl")
     it.append(_df(spark, [("a", 1)]), t)
