@@ -43,11 +43,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="documents table path (parquet)")
     ap.add_argument(
         "--input-format",
-        choices=["parquet", "warc"],
+        choices=["parquet", "warc", "ice"],
         default="parquet",
         help="'warc': --input is a path/glob of .warc(.gz) files (the "
         "Common-Crawl layout); records explode to documents rows via "
-        "sources/warc.py, one task per file",
+        "sources/warc.py, one task per file. 'ice': --input is a "
+        "committed-snapshot pages table (sources/icetable.py) — the scan "
+        "reads the LAST COMMITTED snapshot (a concurrent ingest's "
+        "uncommitted files are invisible) with pending takedown masks "
+        "applied; for recurring incremental runs prefer --tail",
     )
     ap.add_argument("--output", required=True, help="extractions output path")
     ap.add_argument(
@@ -333,6 +337,10 @@ def main(argv: list[str] | None = None) -> int:
             .withColumn("warc_ts", F.to_timestamp("warc_ts"))
             .withColumn("text", F.lit(None).cast("string"))
         )
+    elif args.input_format == "ice":
+        from kraken_spark.sources import icetable
+
+        docs = icetable.read(spark, args.input)
     else:
         docs = spark.read.parquet(args.input)
 

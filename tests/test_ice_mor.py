@@ -294,6 +294,29 @@ def test_job_cli_takedown_then_maintain_folds(spark, tmp_path, capsys):
     assert {r.url for r in it.read(spark, t).collect()} == {"u0"}
 
 
+def test_job_cli_ice_input_applies_masks(spark, tmp_path, capsys):
+    """--input-format ice: a one-shot extraction run reads the pages
+    table's last committed snapshot WITH pending takedown masks applied —
+    a masked url is never extracted."""
+    from kraken_spark import job
+    from kraken_spark.corpus import generate_corpus_df
+
+    pages = str(tmp_path / "pages")
+    docs = generate_corpus_df(spark, 4).localCheckpoint(eager=True)
+    it.append(docs, pages)
+    victim = docs.select("url").limit(1).collect()[0].url
+    it.delete_keys(spark, pages, [victim], key="url")
+    rc = job.main(
+        ["--input", pages, "--input-format", "ice",
+         "--output", str(tmp_path / "out"), "--partitions", "2"]
+    )
+    assert rc == 0
+    assert "committed 3 extraction rows" in capsys.readouterr().out
+    out = spark.read.parquet(str(tmp_path / "out"))
+    urls = {r.url for r in out.select("url").collect()}
+    assert victim not in urls and len(urls) == 3
+
+
 def test_expire_vacuum_reclaim_folded_delete_file(spark, tmp_path):
     t = str(tmp_path / "tbl")
     it.append(_df(spark, [("a", 1), ("b", 2)]), t)
