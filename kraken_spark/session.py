@@ -75,6 +75,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transport for pandas/Arrow UDFs — the no-per-row-Python rule
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (ice_datasource's
+        # IcePushdownReader refuses to plan without it)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         # page payloads are ~100 KB-1 MB; keep scan partitions ~32 MB so a
         # task holds a few hundred pages, not gigabytes

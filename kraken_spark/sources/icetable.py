@@ -516,6 +516,37 @@ def append(
         write_df = _apply_sort_order(df, sort_by, []) if sort_by else df
         write_df.write.parquet(data_dir, mode="errorifexists")
     new_files = _list_new_files(path, data_dir)
+    return _commit_new_files(
+        path,
+        new_files,
+        df.schema,
+        operation=operation,
+        summary=summary,
+        lineage=lineage,
+        retries=retries,
+        precondition=precondition,
+        partition_by=partition_by,
+        sort_by=sort_by,
+    )
+
+
+def _commit_new_files(
+    path: str,
+    new_files: list[dict[str, Any]],
+    writer_schema,
+    operation: str = "append",
+    summary: dict[str, Any] | None = None,
+    lineage: list[dict[str, Any]] | None = None,
+    retries: int = 3,
+    precondition=None,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> int:
+    """The metadata half of ``append``: commit already-written (staged,
+    invisible) data files as a new snapshot. Shared by ``append`` and the
+    Python DataSource writers (``ice_datasource``), whose executors write
+    the files and ship their paths back as commit messages — the same
+    split Iceberg's Spark writer uses (tasks write, the driver commits)."""
     last: Exception | None = None
     for _ in range(max(retries, 1)):
         parent = current_snapshot_id(path)
@@ -532,7 +563,7 @@ def append(
         # O(delta) metadata: the new files become ONE immutable segment;
         # each (re)try re-derives only the parent's segment REFS
         new_seg = _write_segment(path, new_files) if new_files else None
-        schema = df.schema
+        schema = writer_schema
         base_refs: list[dict[str, Any]] = []
         if parent and operation == "append":
             parent_snap = snapshot(path, parent)
@@ -542,7 +573,7 @@ def append(
 
                 schema = _evolve_schema(
                     StructType.fromJson(json.loads(parent_snap["schema_json"])),
-                    df.schema,
+                    writer_schema,
                 )
         snap = {
             "snapshot_id": parent + 1,
