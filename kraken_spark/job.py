@@ -76,6 +76,20 @@ def main(argv: list[str] | None = None) -> int:
         "(pipeline.tail_extraction — exactly-once, no external state)",
     )
     ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="(ice input AND output) the CONTINUOUS form of --tail: a "
+        "Structured Streaming query tailing the pages table with "
+        "exactly-once ice commits per micro-batch "
+        "(pipeline.streaming_extraction); drains what is committed and "
+        "stops (availableNow) — offsets live in --checkpoint",
+    )
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint location for --stream",
+    )
+    ap.add_argument(
         "--serialize",
         choices=["alto", "pagexml", "hocr", "abbyyxml", "json"],
         default=None,
@@ -304,6 +318,27 @@ def main(argv: list[str] | None = None) -> int:
             f"{r['quality_pass']} passed quality, {r['kept_new']} kept "
             f"({r['dropped_dup']} near-dups dropped; source snapshot "
             f"{r['source_snapshot_id']}) -> {args.output}"
+        )
+        return 0
+
+    if args.stream:
+        from kraken_spark.pipeline import streaming_extraction
+
+        q = streaming_extraction(
+            spark,
+            args.input,
+            args.output,
+            checkpoint=args.checkpoint or (args.output + "_ckpt"),
+            available_now=True,
+            num_partitions=args.partitions,
+            kraken_model_path=args.model,
+        )
+        q.awaitTermination()
+        from kraken_spark.sources import icetable as _it
+
+        print(
+            f"[kraken_spark] stream drained: output at snapshot "
+            f"{_it.current_snapshot_id(args.output)} -> {args.output}"
         )
         return 0
 

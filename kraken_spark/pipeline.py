@@ -230,3 +230,50 @@ def tail_extraction(
     )
     n = int(icetable.snapshot(out_table, sid)["summary"]["n_new_rows"])
     return {"processed": n, "source_snapshot_id": head, "out_snapshot_id": sid}
+
+
+def streaming_extraction(
+    spark,
+    pages_table: str,
+    out_table: str,
+    checkpoint: str,
+    available_now: bool = False,
+    num_partitions: int | None = None,
+    columns: tuple = ("url", "text", "cer"),
+    **extract_kw,
+):
+    """The CONTINUOUS form of ``tail_extraction``: a Structured Streaming
+    query tailing the ice pages table and committing extractions to an
+    ice output table, end-to-end exactly-once.
+
+    Source offsets are pages-table snapshot ids (``readStream.format
+    ("ice")`` — Iceberg's incremental append scan as a streaming source;
+    compaction in the range is skipped, so table maintenance never breaks
+    the stream). The whole extraction plan is stateless (weight-salted
+    repartition + one fused Arrow stage), so it runs unchanged on the
+    streaming DataFrame. The sink commits each micro-batch as ONE atomic
+    snapshot keyed by batch id (a retried batch commits nothing), and the
+    offset log lives in the checkpoint — a crashed query resumes at the
+    last committed batch and the sink's idempotence absorbs the replay.
+
+    ``available_now=True`` drains everything committed so far and stops
+    (the recurring-job form: each invocation is one catch-up run);
+    otherwise the query runs until stopped. Returns the StreamingQuery.
+    """
+    from .sources.ice_datasource import register
+
+    register(spark)
+    src = (
+        spark.readStream.format("ice")
+        .option("starting", "earliest")
+        .load(pages_table)
+    )
+    ext = plan_extraction(src, num_partitions, **extract_kw).select(*columns)
+    writer = (
+        ext.writeStream.format("ice")
+        .option("checkpointLocation", checkpoint)
+        .queryName("kraken-spark-extraction")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(out_table)

@@ -232,3 +232,57 @@ def test_stream_refuses_membership_changing_ops(spark, tmp_path):
     with pytest.raises(Exception, match="delete|stream"):
         q.awaitTermination(120)
         raise AssertionError("stream should have failed over a delete snapshot")
+
+
+def test_streaming_extraction_exactly_once(spark, tmp_path):
+    """The continuous production loop: readStream over the ice pages
+    table -> the full (stateless) extraction plan -> exactly-once ice
+    sink. Each catch-up run processes only the new pages; CER 0 holds
+    through the streaming path; a caught-up run commits nothing."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import streaming_extraction
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = generate_corpus_df(spark, 4).localCheckpoint(eager=True)
+    first = docs.limit(2).localCheckpoint(eager=True)
+    it.append(first, pages)
+
+    q = streaming_extraction(spark, pages, out, ckpt, available_now=True, num_partitions=2)
+    q.awaitTermination(300)
+    got = it.read(spark, out).collect()
+    assert len(got) == 2 and all(r.cer == 0.0 for r in got)
+
+    # new pages land; the next run extracts ONLY the delta
+    it.append(docs.join(first.select("url"), "url", "left_anti"), pages)
+    q2 = streaming_extraction(spark, pages, out, ckpt, available_now=True, num_partitions=2)
+    q2.awaitTermination(300)
+    final = it.read(spark, out).collect()
+    assert len(final) == 4
+    assert len({r.url for r in final}) == 4  # exactly once per url
+    assert all(r.cer == 0.0 for r in final)
+    n_snaps = len(it.history(out))
+
+    # caught up: a third run commits nothing
+    q3 = streaming_extraction(spark, pages, out, ckpt, available_now=True, num_partitions=2)
+    q3.awaitTermination(300)
+    assert len(it.history(out)) == n_snaps
+
+
+def test_job_cli_stream_mode(spark, tmp_path, capsys):
+    """job.main --stream: the continuous extraction leg from the CLI —
+    drains the committed pages via Structured Streaming into an ice
+    output with exactly-once commits."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+
+    tmp = str(tmp_path)
+    docs = generate_corpus_df(spark, 3).localCheckpoint(eager=True)
+    it.append(docs, f"{tmp}/pages")
+    rc = main(["--input", f"{tmp}/pages", "--output", f"{tmp}/out",
+               "--stream", "--checkpoint", f"{tmp}/ckpt", "--partitions", "2"])
+    assert rc == 0
+    assert "stream drained" in capsys.readouterr().out
+    got = it.read(spark, f"{tmp}/out").collect()
+    assert len(got) == 3 and all(r.cer == 0.0 for r in got)
