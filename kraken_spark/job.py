@@ -192,6 +192,14 @@ def main(argv: list[str] | None = None) -> int:
         help="(--takedown) key column the takedown values match (default url)",
     )
     ap.add_argument(
+        "--scrub-where",
+        default=None,
+        help="(ice output) merge-on-read POSITIONAL delete on the OUTPUT "
+        "table: mask every row matching this SQL condition by its (file, "
+        "row-ordinal) address — no key column needed, no data file "
+        "rewritten (icetable.scrub_where; --maintain folds it)",
+    )
+    ap.add_argument(
         "--inspect",
         default=None,
         choices=["snapshots", "files", "partitions", "refs"],
@@ -233,6 +241,21 @@ def main(argv: list[str] | None = None) -> int:
         df = icetable.metadata_table(spark, args.output, args.inspect)
         for line in df.toJSON().collect():  # metadata-sized, never row data
             print(line)
+        return 0
+
+    if args.scrub_where:
+        from kraken_spark.sources import icetable
+
+        s = icetable.scrub_where(spark, args.output, args.scrub_where)
+        if s is None:
+            print("[kraken_spark] scrub: no matching rows — no-op")
+        else:
+            print(
+                f"[kraken_spark] scrub: masked {s['n_pos_deletes']} rows "
+                f"across {s['pos_files']} files in snapshot "
+                f"{s['snapshot_id']} (merge-on-read positional; no data "
+                f"file rewritten — --maintain folds it) -> {args.output}"
+            )
         return 0
 
     if args.takedown:

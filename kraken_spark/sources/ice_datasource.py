@@ -82,11 +82,14 @@ if TYPE_CHECKING:  # pragma: no cover
 @dataclass(frozen=True)
 class IceFilePartition(InputPartition):
     """One data file + the equality-delete files that mask its rows
-    (empty for files newer than every delete, per the sequence rule)."""
+    (empty for files newer than every delete, per the sequence rule) +
+    the positional-delete files that name it (masking by row ordinal)."""
 
     file: str
     delete_files: tuple = ()
     delete_key: str = ""
+    pos_delete_files: tuple = ()
+    rel: str = ""
 
 
 @dataclass
@@ -139,11 +142,16 @@ def _project_and_mask(
     schema: StructType,
     delete_files: tuple,
     delete_key: str,
+    pos_delete_files: tuple = (),
+    rel: str = "",
 ) -> Iterator["pa.RecordBatch"]:
     """Executor-side: project a scanned file to the SNAPSHOT schema
     (evolution: missing columns read as null, extra columns dropped —
-    the ``_read_files`` contract) and apply the file's equality-delete
-    mask, then yield Arrow batches in Spark's expected layout."""
+    the ``_read_files`` contract) and apply the file's positional and
+    equality delete masks, then yield Arrow batches in Spark's expected
+    layout. Positional masks go FIRST: their addresses are raw-file row
+    ordinals."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -160,6 +168,16 @@ def _project_and_mask(
             col = pa.nulls(table.num_rows, f.type)
         cols.append(col)
     out = pa.Table.from_arrays(cols, schema=target)
+    if pos_delete_files:
+        masked: set[int] = set()
+        for p in pos_delete_files:
+            t = pq.read_table(p, columns=["file_path", "pos"])
+            fps = t.column("file_path").to_pylist()
+            poss = t.column("pos").to_pylist()
+            masked.update(po for fp, po in zip(fps, poss) if fp == rel)
+        if masked:
+            keep = ~np.isin(np.arange(out.num_rows), np.fromiter(masked, dtype=np.int64))
+            out = out.filter(pa.array(keep))
     if delete_files:
         keys = pa.concat_tables(
             pq.read_table(p, columns=[delete_key]) for p in delete_files
@@ -182,7 +200,12 @@ def _read_data_file(
     pf = pq.ParquetFile(part.file)
     want = [c for c in pf.schema_arrow.names if c in names]
     yield from _project_and_mask(
-        pf.read(columns=want), schema, part.delete_files, part.delete_key
+        pf.read(columns=want),
+        schema,
+        part.delete_files,
+        part.delete_key,
+        part.pos_delete_files,
+        part.rel,
     )
 
 
@@ -250,17 +273,29 @@ class IceBatchReader(DataSourceReader):
         path, snap = _resolve_snapshot(self._options)
         data, dels = it._split_entries(snap["manifest"])
         data = it._prune_entries(data, self._ranges or None)
-        key = dels[0]["key"] if dels else ""
+        eq_dels, pos_dels = it._eq_pos(dels)
+        key = eq_dels[0]["key"] if eq_dels else ""
+        pos_by_file: dict = {}
+        for d in pos_dels:
+            for f in d.get("files", []):
+                pos_by_file.setdefault(f, set()).add(d["path"])
         parts = []
         for e in data:
             dpaths = tuple(
-                os.path.join(path, p) for p in it._applicable_deletes(dels, e)
+                os.path.join(path, p)
+                for p in it._applicable_deletes(eq_dels, e)
+            )
+            ppaths = tuple(
+                os.path.join(path, p)
+                for p in sorted(pos_by_file.get(e["path"], ()))
             )
             parts.append(
                 IceFilePartition(
                     file=os.path.join(path, e["path"]),
                     delete_files=dpaths,
                     delete_key=key if dpaths else "",
+                    pos_delete_files=ppaths,
+                    rel=e["path"] if ppaths else "",
                 )
             )
         return parts

@@ -815,6 +815,40 @@ def read_changelog(
             )
             parts.append(_tag(masked, "delete", sid))
             continue
+        if op == "delete" and "n_pos_deletes" in summary:
+            # MOR positional delete: masked rows = the named files' rows
+            # at the masked ordinals. scrub_where never re-masks an
+            # already-masked position, so these are exactly the rows
+            # visible in the parent state.
+            parent_files = (
+                {e["path"] for e in parent_snap["manifest"]}
+                if parent_snap
+                else set()
+            )
+            new_dels = [
+                e
+                for e in _split_entries(snap["manifest"])[1]
+                if e["path"] not in parent_files
+            ]
+            if not new_dels or parent_snap is None:
+                continue
+            named = sorted(_pos_named_files(new_dels))
+            pos_df = spark.read.parquet(
+                *[os.path.join(path, e["path"]) for e in new_dels]
+            ).select(
+                F.col("file_path").alias("_rel"), F.col("pos").alias("_pos")
+            ).distinct()
+            raw = _read_files(
+                spark, snap, [os.path.join(path, p) for p in named]
+            )
+            cols = raw.columns
+            masked = (
+                _with_file_pos(raw)
+                .join(F.broadcast(pos_df), ["_rel", "_pos"], "left_semi")
+                .select(*cols)
+            )
+            parts.append(_tag(masked, "delete", sid))
+            continue
         parent_data = (
             _split_entries(parent_snap["manifest"])[0] if parent_snap else []
         )
@@ -1014,10 +1048,16 @@ def compact(
     # mixing sets would change which deletes apply to whose rows).
     # Delete files themselves are never compaction candidates.
     data_entries, dels = _split_entries(base_snap["manifest"])
+    eq_dels, pos_dels = _eq_pos(dels)
+    # positional deletes address rows by (file, ordinal): rewriting a
+    # named file would silently invalidate the addresses, so pos-masked
+    # files are never compaction candidates (fold with rewrite_deletes
+    # first — compaction picks them up afterwards)
+    pos_named = _pos_named_files(pos_dels)
     groups: dict[tuple[str, tuple[str, ...]], list[dict[str, Any]]] = {}
     for e in data_entries:
-        if e["bytes"] < small:
-            gkey = (e.get("partition", ""), _applicable_deletes(dels, e))
+        if e["bytes"] < small and e["path"] not in pos_named:
+            gkey = (e.get("partition", ""), _applicable_deletes(eq_dels, e))
             groups.setdefault(gkey, []).append(e)
     groups = {g: es for g, es in groups.items() if len(es) >= 2}
     if not groups:
@@ -1229,14 +1269,68 @@ def delete_where(
 # publish commit's id.
 
 _EQ_DELETES = "eq-deletes"
+_POS_DELETES = "pos-deletes"
+_DELETE_KINDS = (_EQ_DELETES, _POS_DELETES)
+# table-relative path of a scanned file, derived from whatever URI/path
+# rendering the executor's filesystem produces — the LAST '/data/' wins,
+# so masking never depends on how the caller spelled the table path (and
+# survives relocating the table directory)
+_REL_FROM_URI = r"^.*/(data/.*)$"
 
 
 def _split_entries(
     manifest: list[dict[str, Any]],
 ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
-    data = [e for e in manifest if e.get("content") != _EQ_DELETES]
-    dels = [e for e in manifest if e.get("content") == _EQ_DELETES]
+    data = [e for e in manifest if e.get("content") not in _DELETE_KINDS]
+    dels = [e for e in manifest if e.get("content") in _DELETE_KINDS]
     return data, dels
+
+
+def _eq_pos(
+    dels: list[dict[str, Any]],
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    eq = [d for d in dels if d["content"] == _EQ_DELETES]
+    pos = [d for d in dels if d["content"] == _POS_DELETES]
+    return eq, pos
+
+
+def _pos_named_files(pos_dels: list[dict[str, Any]]) -> set[str]:
+    named: set[str] = set()
+    for d in pos_dels:
+        named.update(d.get("files", []))
+    return named
+
+
+def _with_file_pos(df: DataFrame) -> DataFrame:
+    """Attach (_rel, _pos) row-address columns to a parquet-scan
+    DataFrame: the table-relative data-file path and the row's ordinal in
+    it (Spark's ``_metadata`` hidden columns — free, no shuffle)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "_rel", F.regexp_extract(F.col("_metadata.file_path"), _REL_FROM_URI, 1)
+    ).withColumn("_pos", F.col("_metadata.row_index"))
+
+
+def _apply_pos_mask(
+    spark: SparkSession, path: str, df: DataFrame, pos_paths
+) -> DataFrame:
+    """Anti-join a scan against positional delete files on the (file,
+    row-ordinal) address — the merge-on-read application of Iceberg v2
+    position deletes. Broadcast: delete files are tiny by construction."""
+    from pyspark.sql import functions as F
+
+    pos_df = spark.read.parquet(
+        *[os.path.join(path, p) for p in pos_paths]
+    ).select(
+        F.col("file_path").alias("_rel"), F.col("pos").alias("_pos")
+    ).distinct()
+    cols = df.columns
+    return (
+        _with_file_pos(df)
+        .join(F.broadcast(pos_df), ["_rel", "_pos"], "left_anti")
+        .select(*cols)
+    )
 
 
 def _entry_seq(e: dict[str, Any]) -> float:
@@ -1295,17 +1389,28 @@ def _scan_entries(
         return _read_files(spark, snap, files) if files else _empty()
     from pyspark.sql import functions as F
 
-    key = dels[0]["key"]
-    groups: dict[tuple[str, ...], list[str]] = {}
+    eq_dels, pos_dels = _eq_pos(dels)
+    key = eq_dels[0]["key"] if eq_dels else ""
+    pos_by_file: dict[str, tuple[str, ...]] = {}
+    for d in pos_dels:
+        for f in d.get("files", []):
+            pos_by_file[f] = tuple(
+                sorted(set(pos_by_file.get(f, ())) | {d["path"]})
+            )
+    groups: dict[tuple[tuple[str, ...], tuple[str, ...]], list[str]] = {}
     for e in data:
-        groups.setdefault(_applicable_deletes(dels, e), []).append(
-            os.path.join(path, e["path"])
+        gkey = (
+            _applicable_deletes(eq_dels, e),
+            pos_by_file.get(e["path"], ()),
         )
+        groups.setdefault(gkey, []).append(os.path.join(path, e["path"]))
     if not groups:
         return _empty()
     parts = []
-    for dpaths, files in sorted(groups.items()):
+    for (dpaths, ppaths), files in sorted(groups.items()):
         df = _read_files(spark, snap, files)
+        if ppaths:  # position masks first: addresses are raw-file ordinals
+            df = _apply_pos_mask(spark, path, df, ppaths)
         if dpaths:
             keys_df = spark.read.parquet(
                 *[os.path.join(path, p) for p in dpaths]
@@ -1319,7 +1424,7 @@ def _scan_entries(
 
 
 def _pending_delete_guard(path: str, snap: dict[str, Any], op: str) -> None:
-    if any(e.get("content") == _EQ_DELETES for e in snap["manifest"]):
+    if any(e.get("content") in _DELETE_KINDS for e in snap["manifest"]):
         raise ValueError(
             f"{path}: {op} over pending equality-delete files would "
             "re-stamp rewritten rows past the deletes and resurrect "
@@ -1358,7 +1463,13 @@ def delete_keys(
         return None
     base = snapshot(path)
     _, dels = _split_entries(base["manifest"])
-    for d in dels:
+    eq_pend, pos_pend = _eq_pos(dels)
+    if pos_pend:
+        raise ValueError(
+            f"{path}: positional deletes are pending — one delete kind at "
+            "a time (run rewrite_deletes() first)"
+        )
+    for d in eq_pend:
         if d["key"] != key:
             raise ValueError(
                 f"{path}: pending deletes use key {d['key']!r}; a table "
@@ -1400,7 +1511,13 @@ def delete_keys(
     for _ in range(max(retries, 1)):
         parent = current_snapshot_id(path)
         head = snapshot(path, parent)
-        for d in _split_entries(head["manifest"])[1]:
+        head_eq, head_pos = _eq_pos(_split_entries(head["manifest"])[1])
+        if head_pos:
+            raise ValueError(
+                f"{path}: positional deletes are pending — one delete "
+                "kind at a time (run rewrite_deletes() first)"
+            )
+        for d in head_eq:
             if d["key"] != key:
                 raise ValueError(
                     f"{path}: pending deletes use key {d['key']!r}"
@@ -1432,21 +1549,165 @@ def delete_keys(
     raise last  # type: ignore[misc]
 
 
+def scrub_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune: dict[str, tuple] | None = None,
+    retries: int = 3,
+) -> dict[str, Any] | None:
+    """Merge-on-read POSITIONAL delete (Iceberg v2's position-delete
+    file): mask every row matching ``condition`` by its (data file, row
+    ordinal) address — one tiny (file_path, pos) parquet + one metadata
+    commit, no data file rewritten. The row-level scrub primitive when
+    there is no key to delete by (``delete_keys`` needs one): 'remove the
+    rows a PII audit flagged', whatever their urls.
+
+    Addresses come from Spark's ``_metadata`` hidden columns (file path +
+    row ordinal — free at scan time, no shuffle); the identifying scan is
+    stats-prunable with ``prune`` like ``delete_where``. Rows already
+    masked by a pending positional delete are never re-masked (stacked
+    scrubs compose; the changelog reports each row once). Unlike equality
+    deletes no sequence rule is needed — addresses name immutable files,
+    so later appends are untouched by construction — but the two kinds
+    are mutually exclusive while pending (one fold semantics at a time):
+    ``delete_keys`` and ``scrub_where`` each refuse while the other kind
+    pends. Readers pay one broadcast anti-join on (file, pos) until
+    ``rewrite_deletes`` folds the mask; ``compact`` skips pos-masked
+    files (rewriting one would invalidate its addresses);
+    ``delete_where``/``merge_by_key`` refuse while masks pend. NULL
+    conditions keep the row (SQL DELETE semantics). Returns the commit
+    summary, or None when nothing matches.
+    """
+    if current_snapshot_id(path) == 0:
+        return None
+    from pyspark.sql import functions as F
+
+    base = snapshot(path)
+    data, dels = _split_entries(base["manifest"])
+    eq_pend, pos_pend = _eq_pos(dels)
+    if eq_pend:
+        raise ValueError(
+            f"{path}: equality deletes are pending — one delete kind at a "
+            "time (run rewrite_deletes() first)"
+        )
+    cand = _prune_entries(data, prune)
+    if not cand:
+        return None
+    df = _read_files(
+        spark, base, [os.path.join(path, e["path"]) for e in cand]
+    )
+    matched = (
+        _with_file_pos(df)
+        .filter(condition)
+        .select(
+            F.col("_rel").alias("file_path"), F.col("_pos").alias("pos")
+        )
+    )
+    if pos_pend:  # stacked scrubs never re-mask an already-masked row
+        prev = spark.read.parquet(
+            *[os.path.join(path, d["path"]) for d in pos_pend]
+        ).select("file_path", "pos")
+        matched = matched.join(prev, ["file_path", "pos"], "left_anti")
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(path, _DATA, commit_uuid)
+    # one file: readers broadcast it, never shuffle on it
+    matched.coalesce(1).write.parquet(data_dir, mode="errorifexists")
+    listed = _list_new_files(path, data_dir)
+    n_pos = sum(e["rows"] for e in listed)
+    if n_pos == 0:
+        for e in listed:
+            os.remove(os.path.join(path, e["path"]))
+        return None
+    # exact named-file set, recorded in the entry for O(metadata) read
+    # planning (which data files pay the mask) and compaction exclusion
+    named = sorted(
+        r.file_path
+        for r in spark.read.parquet(
+            *[os.path.join(path, e["path"]) for e in listed]
+        ).select("file_path").distinct().collect()
+    )
+    for e in listed:
+        e["content"] = _POS_DELETES
+        e["n_pos"] = e["rows"]
+        e["rows"] = 0  # logical table rows: a delete file adds none
+        e["files"] = named
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        parent = current_snapshot_id(path)
+        head = snapshot(path, parent)
+        head_eq, _ = _eq_pos(_split_entries(head["manifest"])[1])
+        if head_eq:
+            raise ValueError(
+                f"{path}: equality deletes are pending — one delete kind "
+                "at a time (run rewrite_deletes() first)"
+            )
+        head_data_paths = {
+            e["path"] for e in _split_entries(head["manifest"])[0]
+        }
+        # a rival rewrite (compact/overwrite/fold) of a named file would
+        # invalidate the recorded addresses — abort instead of masking
+        # the wrong rows
+        if not set(named) <= head_data_paths:
+            raise CommitConflict(
+                f"{path}: scrub-addressed files no longer in head {parent}"
+            )
+        # a rival scrub landing since our scan makes the stacked-mask
+        # anti-join stale (positions could double-mask and the changelog
+        # would re-report them) — lose the race cleanly
+        head_pos, _base_pos = (
+            {d["path"] for d in _eq_pos(_split_entries(head["manifest"])[1])[1]},
+            {d["path"] for d in pos_pend},
+        )
+        if head_pos != _base_pos:
+            raise CommitConflict(
+                f"{path}: a rival positional delete landed at head {parent}"
+            )
+        for e in listed:
+            e["seq"] = parent + 1
+        own = {
+            "n_pos_deletes": n_pos,
+            "pos_files": len(named),
+            "n_new_files": 0,
+            "n_new_rows": 0,
+        }
+        snap = {
+            "snapshot_id": parent + 1,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "delete",
+            "schema_json": head.get("schema_json", ""),
+            "partition_spec": head.get("partition_spec", []),
+            "sort_order": head.get("sort_order", []),
+            "manifest_list": _segments_minus_plus(path, head, set(), listed),
+            "summary": _inherited_summary(head, own),
+        }
+        try:
+            _commit(path, snap)
+            return snap["summary"] | {"snapshot_id": snap["snapshot_id"]}
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
 def rewrite_deletes(
     spark: SparkSession,
     path: str,
     retries: int = 3,
 ) -> dict[str, Any] | None:
-    """Materialize pending equality deletes copy-on-write (Iceberg's
+    """Materialize pending merge-on-read deletes copy-on-write (Iceberg's
     rewrite of MOR deletes back to pure data files): rewrite each affected
     data file without its masked rows, drop every delete file from the
-    manifest, commit as one 'delete' snapshot. Affected = files the
-    sequence rule says a delete applies to AND whose key-range stats
-    intersect that delete's key range (stats pruning — on a url-clustered
-    table a 10-url takedown folds by rewriting only the files that can
-    hold those urls). After this, readers pay nothing and
-    ``delete_where``/``merge_by_key`` are unblocked. Returns the commit
-    summary, or None when no deletes are pending."""
+    manifest, commit as one 'delete' snapshot. For EQUALITY deletes,
+    affected = files the sequence rule says a delete applies to AND whose
+    key-range stats intersect that delete's key range (stats pruning — on
+    a url-clustered table a 10-url takedown folds by rewriting only the
+    files that can hold those urls); for POSITIONAL deletes
+    (``scrub_where``), affected = exactly the files the delete names.
+    After this, readers pay nothing and ``delete_where``/``merge_by_key``
+    are unblocked, and pos-masked files become compaction candidates
+    again. Returns the commit summary, or None when no deletes are
+    pending."""
     if current_snapshot_id(path) == 0:
         return None
     base_snap = snapshot(path)
@@ -1455,37 +1716,51 @@ def rewrite_deletes(
         return None
     from pyspark.sql import functions as F
 
-    key = dels[0]["key"]
+    eq_dels, pos_dels = _eq_pos(dels)
+    key = eq_dels[0]["key"] if eq_dels else ""
     by_path = {d["path"]: d for d in dels}
-    affected: list[tuple[dict[str, Any], tuple[str, ...]]] = []
+    pos_by_file: dict[str, tuple[str, ...]] = {}
+    for d in pos_dels:
+        for f in d.get("files", []):
+            pos_by_file[f] = tuple(
+                sorted(set(pos_by_file.get(f, ())) | {d["path"]})
+            )
+    affected: list[tuple[dict[str, Any], tuple[str, ...], tuple[str, ...]]] = []
     for e in data:
         app = tuple(
             p
-            for p in _applicable_deletes(dels, e)
+            for p in _applicable_deletes(eq_dels, e)
             if _ranges_intersect(
                 (e.get("stats") or {}).get(key),
                 (by_path[p].get("stats") or {}).get(key),
             )
         )
-        if app:
-            affected.append((e, app))
-    removed_paths = {e["path"] for e, _ in affected} | set(by_path)
-    rows_in = sum(e["rows"] for e, _ in affected)
+        pos_app = pos_by_file.get(e["path"], ())
+        if app or pos_app:
+            affected.append((e, app, pos_app))
+    removed_paths = {e["path"] for e, _, _ in affected} | set(by_path)
+    rows_in = sum(e["rows"] for e, _, _ in affected)
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(path, _DATA, commit_uuid)
-    groups: dict[tuple[str, tuple[str, ...]], list[dict[str, Any]]] = {}
-    for e, app in affected:
-        groups.setdefault((e.get("partition", ""), app), []).append(e)
+    groups: dict[
+        tuple[str, tuple[str, ...], tuple[str, ...]], list[dict[str, Any]]
+    ] = {}
+    for e, app, pos_app in affected:
+        groups.setdefault((e.get("partition", ""), app, pos_app), []).append(e)
     new_files: list[dict[str, Any]] = []
     sort_order = base_snap.get("sort_order") or []
-    for gi, ((part, app), es) in enumerate(sorted(groups.items())):
+    for gi, ((part, app, pos_app), es) in enumerate(sorted(groups.items())):
         df = _read_files(
             spark, base_snap, [os.path.join(path, e["path"]) for e in es]
         )
-        keys_df = spark.read.parquet(
-            *[os.path.join(path, p) for p in app]
-        ).select(key).distinct()
-        keep_df = df.join(F.broadcast(keys_df), key, "left_anti")
+        keep_df = df
+        if pos_app:  # position masks first: raw-file ordinals
+            keep_df = _apply_pos_mask(spark, path, keep_df, pos_app)
+        if app:
+            keys_df = spark.read.parquet(
+                *[os.path.join(path, p) for p in app]
+            ).select(key).distinct()
+            keep_df = keep_df.join(F.broadcast(keys_df), key, "left_anti")
         n_files = max(1, -(-sum(e["bytes"] for e in es) // (512 << 20)))
         gdir = os.path.join(data_dir, f"g{gi:04d}")
         if sort_order:
