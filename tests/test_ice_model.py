@@ -1,7 +1,8 @@
 """Model-based property test of the committed-snapshot layer: a random
 sequence of table operations (append / compact / delete_where / rollback /
 expire_snapshots / vacuum / merge_by_key / merge-on-read delete_keys /
-rewrite_deletes) is replayed against a trivial in-memory model of the
+positional scrub_where / rewrite_deletes) is replayed against a trivial
+in-memory model of the
 logical table state. After EVERY step the committed table must read back
 exactly the model's rows, and the layer's structural invariants must hold
 — this is the whole-protocol complement to the per-feature tests in
@@ -44,7 +45,7 @@ def _invariants(spark, t, model_rows):
         full = os.path.join(t, e["path"])
         assert os.path.exists(full), e["path"]
         n_rows += e["rows"]
-        pending_deletes |= e.get("content") == "eq-deletes"
+        pending_deletes |= e.get("content") in ("eq-deletes", "pos-deletes")
     if pending_deletes:
         assert n_rows >= len(model_rows)
     else:
@@ -80,7 +81,7 @@ def test_random_operation_sequences_match_model(spark, tmp_path, seed):
     for _ in range(18):
         op = rng.choice(
             ["append", "append", "compact", "delete", "rollback",
-             "expire", "vacuum", "merge", "mor_delete", "fold"]
+             "expire", "vacuum", "merge", "mor_delete", "scrub", "fold"]
         )
         if op == "append":
             do_append()
@@ -121,13 +122,35 @@ def test_random_operation_sequences_match_model(spark, tmp_path, seed):
             assert s is not None and s["deleted_rows"] == 1
             model.discard(victim)
         elif op == "mor_delete" and model:
+            def _take(keys):
+                try:
+                    return it.delete_keys(spark, t, keys, key="url")
+                except ValueError:  # pos masks pending: fold, retry
+                    it.rewrite_deletes(spark, t)
+                    return it.delete_keys(spark, t, keys, key="url")
+
             # O(metadata) takedown of a live key — and sometimes a ghost
             # key (a no-match takedown still commits a valid snapshot)
             if rng.random() < 0.25:
-                it.delete_keys(spark, t, [f"ghost{next_key}"], key="url")
+                _take([f"ghost{next_key}"])
             else:
                 victim = rng.choice(sorted(model))
-                it.delete_keys(spark, t, [victim[0]], key="url")
+                _take([victim[0]])
+                model.discard(victim)
+        elif op == "scrub" and model:
+            def _scrub(cond):
+                try:
+                    return it.scrub_where(spark, t, cond)
+                except ValueError:  # eq masks pending: fold, retry
+                    it.rewrite_deletes(spark, t)
+                    return it.scrub_where(spark, t, cond)
+
+            if rng.random() < 0.25:  # no-match scrub is a commit-free no-op
+                assert _scrub(f"url = 'ghostscrub{next_key}'") is None
+            else:
+                victim = rng.choice(sorted(model))
+                s = _scrub(f"url = '{victim[0]}'")
+                assert s is not None and s["n_pos_deletes"] == 1
                 model.discard(victim)
         elif op == "fold":
             it.rewrite_deletes(spark, t)
