@@ -203,3 +203,20 @@ def test_job_cli_scrub_leg(spark, tmp_path, capsys):
     assert it.read(spark, t).count() == 25
     assert all(e.get("content") not in ("eq-deletes", "pos-deletes")
                for e in it.snapshot(t)["manifest"])
+
+
+def test_pos_read_plan_is_broadcast_anti_join(spark, tmp_path):
+    """Scale guard: positional-mask application must be a BROADCAST hash
+    anti-join on (file, pos) — scrub lists are small by construction; a
+    shuffled anti-join would re-shuffle the whole table per read at
+    100 TB. The address columns come from parquet _metadata (no extra
+    scan, no shuffle to derive them)."""
+    t = str(tmp_path / "t")
+    it.append(_rows(spark, 0, 50), t)
+    it.scrub_where(spark, t, "n in (3, 7)")
+    plan = it.read(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # exactly one exchange family: the broadcast of the tiny mask (the
+    # corpus side itself must not shuffle for the mask)
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
