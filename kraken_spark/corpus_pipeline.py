@@ -93,6 +93,7 @@ def corpus_tick(
     num_partitions: int | None = None,
     require_quality: bool = True,
     stage_branch: str | None = None,
+    skip_delete_snapshots: bool = False,
 ) -> dict:
     """One tick. Returns {extracted, quality_pass, kept_new, dropped_dup,
     source_snapshot_id, out_snapshot_id, lost_race} (all counts from
@@ -113,7 +114,10 @@ def corpus_tick(
             "source_snapshot_id": last, "out_snapshot_id": None, "lost_race": False,
         }
 
-    delta = icetable.read_incremental(spark, pages_table, last, head)
+    delta = icetable.read_incremental(
+        spark, pages_table, last, head,
+        skip_delete_snapshots=skip_delete_snapshots,
+    )
     if "warc_ts" in delta.columns:
         delta = _latest_per_url(delta)
     ext = plan_extraction(delta, num_partitions)

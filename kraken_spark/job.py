@@ -90,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
         help="streaming checkpoint location for --stream",
     )
     ap.add_argument(
+        "--skip-delete-snapshots",
+        action="store_true",
+        help="(--tail / --stream / --corpus-tick) tail across takedowns "
+        "on the input table: a 'delete' snapshot in the delta range is "
+        "skipped instead of halting the consumer (Iceberg's "
+        "streaming-skip-delete-snapshots; already-processed pages are "
+        "never retracted)",
+    )
+    ap.add_argument(
         "--serialize",
         choices=["alto", "pagexml", "hocr", "abbyyxml", "json"],
         default=None,
@@ -328,6 +337,7 @@ def main(argv: list[str] | None = None) -> int:
             run_id=args.run_id,
             num_partitions=args.partitions,
             require_quality=not args.no_quality_gate,
+            skip_delete_snapshots=args.skip_delete_snapshots,
         )
         if r["lost_race"]:
             print(
@@ -355,6 +365,7 @@ def main(argv: list[str] | None = None) -> int:
             available_now=True,
             num_partitions=args.partitions,
             kraken_model_path=args.model,
+            skip_delete_snapshots=args.skip_delete_snapshots,
         )
         q.awaitTermination()
         from kraken_spark.sources import icetable as _it
@@ -372,6 +383,7 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             run_id=args.run_id,
             num_partitions=args.partitions,
+            skip_delete_snapshots=args.skip_delete_snapshots,
             kraken_model_path=args.model,
         )
         print(

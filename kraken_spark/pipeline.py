@@ -184,6 +184,7 @@ def tail_extraction(
     out_table: str,
     run_id: str = "tail0",
     num_partitions: int | None = None,
+    skip_delete_snapshots: bool = False,
     **extract_kw,
 ) -> dict:
     """One tick of the RECURRING incremental extraction job — the Iceberg
@@ -202,6 +203,11 @@ def tail_extraction(
     between a recurring job that scans one crawl's worth of new files and
     one that re-reads the corpus.
 
+    ``skip_delete_snapshots``: tail across takedowns on the pages table
+    (a 'delete' snapshot in the delta range is skipped, never refused —
+    Iceberg's streaming-skip-delete-snapshots; already-extracted pages
+    are never retracted by the tail).
+
     Returns {"processed", "source_snapshot_id", "out_snapshot_id"}.
     """
     from .sources import icetable
@@ -214,7 +220,10 @@ def tail_extraction(
             last = max(last, int(s))
     if head <= last:
         return {"processed": 0, "source_snapshot_id": last, "out_snapshot_id": None}
-    delta = icetable.read_incremental(spark, pages_table, last, head)
+    delta = icetable.read_incremental(
+        spark, pages_table, last, head,
+        skip_delete_snapshots=skip_delete_snapshots,
+    )
     ext = plan_extraction(delta, num_partitions, **extract_kw)
     # row count comes from the committed manifest (parquet footers), not a
     # .count() action — counting first would execute the extraction twice.
@@ -240,6 +249,7 @@ def streaming_extraction(
     available_now: bool = False,
     num_partitions: int | None = None,
     columns: tuple = ("url", "text", "cer"),
+    skip_delete_snapshots: bool = False,
     **extract_kw,
 ):
     """The CONTINUOUS form of ``tail_extraction``: a Structured Streaming
@@ -263,11 +273,10 @@ def streaming_extraction(
     from .sources.ice_datasource import register
 
     register(spark)
-    src = (
-        spark.readStream.format("ice")
-        .option("starting", "earliest")
-        .load(pages_table)
-    )
+    src = spark.readStream.format("ice").option("starting", "earliest")
+    if skip_delete_snapshots:  # tail across takedowns on the pages table
+        src = src.option("skip_delete_snapshots", "true")
+    src = src.load(pages_table)
     ext = plan_extraction(src, num_partitions, **extract_kw).select(*columns)
     writer = (
         ext.writeStream.format("ice")

@@ -353,16 +353,31 @@ class IceStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from kraken_spark.sources import icetable as it
 
+        skip_deletes = str(
+            self._options.get("skip_delete_snapshots", "")
+        ).lower() in ("true", "1")
         parts: list[InputPartition] = []
         for sid in range(int(start["snapshot_id"]) + 1, int(end["snapshot_id"]) + 1):
             snap = it.snapshot(self._path, sid)
             op = snap["operation"]
             if op == "replace":  # compaction adds no logical rows
                 continue
+            if op == "delete" and skip_deletes:
+                # Iceberg's streaming-skip-delete-snapshots: a takedown
+                # never halts the stream; its added files (masks or
+                # rewritten copies of already-delivered rows) are not
+                # delivered, and the stream never retracts
+                continue
             if op != "append":
                 raise ValueError(
                     f"ice stream: snapshot {sid} is '{op}' — a stream is "
                     "only defined over append/replace history"
+                    + (
+                        " (option skip_delete_snapshots=true tails across "
+                        "takedowns)"
+                        if op == "delete"
+                        else ""
+                    )
                 )
             parent_paths = (
                 {e["path"] for e in it.snapshot(self._path, snap["parent_id"])["manifest"]}

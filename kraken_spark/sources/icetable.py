@@ -678,6 +678,7 @@ def read_incremental(
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
     where: dict[str, tuple] | None = None,
+    skip_delete_snapshots: bool = False,
 ) -> DataFrame:
     """Incremental append scan (Iceberg's ``incremental read``): exactly
     the rows committed AFTER ``from_snapshot_id`` up to and including
@@ -700,6 +701,18 @@ def read_incremental(
     over any un-expired range. overwrite/rollback in the range change row
     membership, so the scan raises ValueError rather than return a wrong
     delta (Iceberg refuses those ranges too).
+
+    ``skip_delete_snapshots`` (Iceberg's Spark streaming option
+    ``streaming-skip-delete-snapshots``): a 'delete' snapshot in the
+    range is SKIPPED instead of refused — nothing it added is delivered
+    (an equality/positional delete adds only a mask file; a COW delete or
+    fold adds only rewritten copies of already-delivered rows), so the
+    delta stays exactly the appended rows. Without this, one takedown on
+    a pages table permanently halts every tailing consumer whose
+    watermark predates it. The semantic trade is explicit: a tailing
+    consumer never RETRACTS rows it already processed — downstream
+    deletion propagation is ``read_changelog``'s job, not the append
+    tail's.
     """
     head = current_snapshot_id(path)
     to_sid = head if to_snapshot_id is None else to_snapshot_id
@@ -713,10 +726,18 @@ def read_incremental(
         op = snap["operation"]
         if op == "replace":
             continue
+        if op == "delete" and skip_delete_snapshots:
+            continue
         if op != "append":
             raise ValueError(
                 f"{path}: snapshot {sid} is '{op}' — incremental scan is "
                 "only defined over append/replace history"
+                + (
+                    " (pass skip_delete_snapshots=True to tail across "
+                    "takedowns without re-delivery)"
+                    if op == "delete"
+                    else ""
+                )
             )
         parent_paths = (
             {e["path"] for e in snapshot(path, snap["parent_id"])["manifest"]}

@@ -220,3 +220,80 @@ def test_pos_read_plan_is_broadcast_anti_join(spark, tmp_path):
     # exactly one exchange family: the broadcast of the tiny mask (the
     # corpus side itself must not shuffle for the mask)
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_incremental_skip_delete_snapshots(spark, tmp_path):
+    """Iceberg's streaming-skip-delete-snapshots semantics: a takedown in
+    the delta range is skipped (nothing re-delivered, nothing retracted)
+    instead of halting the consumer; without the flag it still refuses."""
+    t = str(tmp_path / "t")
+    it.append(_rows(spark, 0, 10), t)                      # snap 1
+    it.delete_keys(spark, t, ["u0003"], key="url")         # snap 2 (MOR)
+    it.append(_rows(spark, 10, 15), t)                     # snap 3
+    it.rewrite_deletes(spark, t)                           # snap 4 (fold)
+    it.scrub_where(spark, t, "n = 11")                     # snap 5 (pos)
+    it.append(_rows(spark, 15, 18), t)                     # snap 6
+    with pytest.raises(ValueError, match="skip_delete_snapshots"):
+        it.read_incremental(spark, t, 1)
+    got = it.read_incremental(spark, t, 1, skip_delete_snapshots=True)
+    # exactly the appended rows — the fold's rewritten copies of snap-1
+    # rows are NOT re-delivered, and no mask retracts anything
+    assert {r.url for r in got.collect()} == {f"u{i:04d}" for i in range(10, 18)}
+
+
+def test_tail_extraction_across_takedown(spark, tmp_path):
+    """A takedown on the pages table does not halt the tailing extractor
+    when skip_delete_snapshots is on; the next tick processes only the
+    genuinely new pages."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import tail_extraction
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    docs = generate_corpus_df(spark, 3).localCheckpoint(eager=True)
+    first = docs.limit(2).localCheckpoint(eager=True)
+    it.append(first, pages)
+    r = tail_extraction(spark, pages, out, num_partitions=2)
+    assert r["processed"] == 2
+    victim = first.limit(1).collect()[0].url
+    it.delete_keys(spark, pages, [victim], key="url")
+    it.append(docs.join(first.select("url"), "url", "left_anti"), pages)
+    with pytest.raises(ValueError, match="skip_delete_snapshots"):
+        tail_extraction(spark, pages, out, num_partitions=2)
+    r2 = tail_extraction(
+        spark, pages, out, num_partitions=2, skip_delete_snapshots=True
+    )
+    assert r2["processed"] == 1
+    got = it.read(spark, out).collect()
+    assert len(got) == 3 and all(r.cer == 0.0 for r in got)
+
+
+def test_stream_source_skip_delete_snapshots_option(spark, tmp_path):
+    from kraken_spark.sources.ice_datasource import register
+
+    register(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    it.append(_rows(spark, 0, 10), src)
+    it.scrub_where(spark, src, "n = 2")
+    it.append(_rows(spark, 10, 14), src)
+    # without the option the stream fails over the delete snapshot
+    q_bad = (
+        spark.readStream.format("ice").option("starting", "earliest").load(src)
+        .writeStream.format("ice")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+        .trigger(availableNow=True).start(str(tmp_path / "dst_bad"))
+    )
+    with pytest.raises(Exception, match="delete|stream"):
+        q_bad.awaitTermination(120)
+        raise AssertionError("stream should have failed over the delete")
+    q = (
+        spark.readStream.format("ice").option("starting", "earliest")
+        .option("skip_delete_snapshots", "true").load(src)
+        .writeStream.format("ice")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start(dst)
+    )
+    q.awaitTermination(120)
+    # every appended row delivered once; the mask neither halts nor retracts
+    assert it.read(spark, dst).count() == 14
