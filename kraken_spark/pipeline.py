@@ -134,7 +134,11 @@ def run_extraction(
             sid = icetable.append(ext, out_path, summary={"run_id": run_id})
             ext = icetable.read(spark, out_path)
             if metrics_path:
-                delta = icetable.read_incremental(spark, out_path, prev, sid)
+                # skip rival takedowns landing inside (prev, sid]: the
+                # metrics snapshot describes THIS run's appended delta
+                delta = icetable.read_incremental(
+                    spark, out_path, prev, sid, skip_delete_snapshots=True
+                )
                 icetable.append(
                     metrics_table(delta, run_id),
                     metrics_path,
