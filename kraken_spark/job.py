@@ -201,6 +201,15 @@ def main(argv: list[str] | None = None) -> int:
         help="(--takedown) key column the takedown values match (default url)",
     )
     ap.add_argument(
+        "--propagate-takedowns",
+        action="store_true",
+        help="(ice input AND output) propagate row deletions committed to "
+        "the INPUT table since the last propagation onto the derived "
+        "OUTPUT table as one merge-on-read takedown commit "
+        "(icetable.propagate_takedowns — the downstream half of a GDPR "
+        "erasure; merges/recrawls never propagate as deletions)",
+    )
+    ap.add_argument(
         "--scrub-where",
         default=None,
         help="(ice output) merge-on-read POSITIONAL delete on the OUTPUT "
@@ -250,6 +259,28 @@ def main(argv: list[str] | None = None) -> int:
         df = icetable.metadata_table(spark, args.output, args.inspect)
         for line in df.toJSON().collect():  # metadata-sized, never row data
             print(line)
+        return 0
+
+    if args.propagate_takedowns:
+        from kraken_spark.sources import icetable
+
+        r = icetable.propagate_takedowns(
+            spark, args.input, args.output, key=args.takedown_key,
+            run_id=args.run_id,
+        )
+        if r["snapshot_id"] is None:
+            print(
+                "[kraken_spark] propagate: no unpropagated deletions "
+                f"(source snapshot {r['source_snapshot_id']})"
+            )
+        else:
+            print(
+                f"[kraken_spark] propagate: {r['propagated_keys']} "
+                f"{args.takedown_key} keys taken down through source "
+                f"snapshot {r['source_snapshot_id']} -> {args.output} "
+                f"snapshot {r['snapshot_id']} (merge-on-read; --maintain "
+                "folds it)"
+            )
         return 0
 
     if args.scrub_where:

@@ -929,6 +929,92 @@ def read_changelog(
     return out
 
 
+def propagate_takedowns(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    key: str = "url",
+    run_id: str = "propagate0",
+) -> dict[str, Any]:
+    """Propagate row deletions from ``src_table`` to a DERIVED table —
+    the downstream half of the takedown flow (a GDPR erasure on the pages
+    table must also erase the extractions/kept-corpus rows built from
+    those pages, which ``skip_delete_snapshots`` tailing intentionally
+    does not do).
+
+    Incremental and exactly-once-per-deletion: the destination's own
+    snapshot summaries record the source snapshot propagated through
+    (``takedown_source_snapshot_id``); each run diffs only the 'delete'
+    snapshots committed since — equality takedowns, positional scrubs,
+    and COW ``delete_where`` all propagate (their deleted rows come from
+    per-snapshot ``read_changelog`` diffs, delta-sized), while merges /
+    overwrites / folds are excluded by construction (a recrawl upsert
+    must NOT take down the url downstream, and a fold re-reports
+    nothing). The deletions land on the derived table as ONE merge-on-
+    read ``delete_keys`` commit carrying the advanced watermark —
+    O(metadata) on a 100 TB derived table, folded later by its own
+    ``rewrite_deletes``/``--maintain``.
+    """
+    from pyspark.sql import functions as F
+
+    head = current_snapshot_id(src_table)
+    last = 0
+    for h in history(dst_table):  # [] for a not-yet-created destination
+        s = h.get("summary", {}).get("takedown_source_snapshot_id")
+        if s is not None:
+            last = max(last, int(s))
+    noop = {
+        "propagated_keys": 0,
+        "source_snapshot_id": last,
+        "snapshot_id": None,
+    }
+    if head <= last:
+        return noop
+    del_sids = []
+    for sid in range(last + 1, head + 1):
+        try:
+            snap = snapshot(src_table, sid)
+        except NoSuchSnapshot:  # expired: its deletions are unrecoverable
+            continue
+        if snap["operation"] == "delete" and "folded_delete_files" not in snap.get(
+            "summary", {}
+        ):
+            del_sids.append(sid)
+    if not del_sids:
+        return noop
+    keys_df = None
+    for sid in del_sids:  # per-snapshot diffs: each is delta-sized
+        try:
+            part = (
+                read_changelog(spark, src_table, sid - 1, sid)
+                .where(F.col("_change_type") == "delete")
+                .select(key)
+            )
+        except NoSuchSnapshot:  # parent expired: diff unrecoverable
+            continue
+        keys_df = part if keys_df is None else keys_df.unionByName(part)
+    if keys_df is None:
+        return noop
+    s = delete_keys(
+        spark,
+        dst_table,
+        keys_df.distinct(),
+        key=key,
+        summary={
+            "run_id": run_id,
+            "takedown_source_table": src_table,
+            "takedown_source_snapshot_id": head,
+        },
+    )
+    if s is None:  # ghost takedowns or empty destination: nothing to mask
+        return noop
+    return {
+        "propagated_keys": s["n_delete_keys"],
+        "source_snapshot_id": head,
+        "snapshot_id": s["snapshot_id"],
+    }
+
+
 def _branch_referenced_files(path: str) -> set[str]:
     """Data files referenced by any LIVE branch snapshot — staged,
     unpublished work that vacuum/expiry must never reclaim (a dropped
@@ -1156,12 +1242,35 @@ def compact(
     raise last  # type: ignore[misc]
 
 
+# summary keys that DESCRIBE AN OPERATION rather than table state: they
+# must never inherit into later snapshots. Inheriting them poisons every
+# consumer that dispatches on a snapshot's own keys — most concretely,
+# read_changelog would skip every delete committed after the first fold
+# (inherited "folded_delete_files") and misroute positional deletes to
+# the equality branch (inherited "delete_key").
+_OP_SUMMARY_KEYS = frozenset({
+    "n_new_files", "n_new_rows",
+    "compacted_files", "compacted_bytes", "rewritten_rows",
+    "deleted_rows", "rewritten_files", "condition",
+    "delete_key", "n_delete_keys",
+    "n_pos_deletes", "pos_files",
+    "folded_delete_files",
+    "merge_key", "replaced_rows", "inserted_rows",
+    "dropped_stale_delta_rows",
+    "writer", "stream_batch_id", "stream_query",
+    "published_branch", "published_seq",
+})
+
+
 def _inherited_summary(head: dict[str, Any], own: dict[str, Any]) -> dict[str, Any]:
-    """State-describing summary keys carried forward through an operation
+    """STATE-describing summary keys carried forward through an operation
     that preserves them (compaction preserves all state; deletion removes
-    rows but e.g. a tailing watermark still holds). Own keys win."""
+    rows but e.g. a tailing watermark still holds) — operation-describing
+    keys (``_OP_SUMMARY_KEYS``) never inherit. Own keys win."""
     return {
-        k: v for k, v in head.get("summary", {}).items() if k not in own
+        k: v
+        for k, v in head.get("summary", {}).items()
+        if k not in own and k not in _OP_SUMMARY_KEYS
     } | own
 
 
@@ -1459,6 +1568,7 @@ def delete_keys(
     keys,
     key: str = "url",
     retries: int = 3,
+    summary: dict[str, Any] | None = None,
 ) -> dict[str, Any] | None:
     """Merge-on-read equality delete (Iceberg v2's equality-delete file) —
     the FAST takedown primitive: commit a snapshot that masks every row
@@ -1545,7 +1655,7 @@ def delete_keys(
                 )
         for e in listed:
             e["seq"] = parent + 1
-        own = {
+        own = dict(summary or {}) | {
             "delete_key": key,
             "n_delete_keys": n_keys,
             "n_new_files": 0,

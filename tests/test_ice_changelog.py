@@ -92,3 +92,22 @@ def test_empty_range_and_schema(spark, tmp_path):
     df = it.read_changelog(spark, t, 1)
     assert df.count() == 0
     assert {"url", "n", "_change_type", "_commit_snapshot_id"} <= set(df.columns)
+
+
+def test_changelog_reports_deletes_after_a_fold(spark, tmp_path):
+    """Regression: operation-describing summary keys must not inherit —
+    with 'folded_delete_files' leaking forward, every delete committed
+    AFTER the first rewrite_deletes was silently skipped by the
+    changelog, and positional deletes were misrouted to the equality
+    branch via an inherited 'delete_key'."""
+    t = str(tmp_path / "tbl")
+    it.append(_df(spark, [(f"u{i}", i) for i in range(10)]), t)
+    it.delete_keys(spark, t, ["u1"], key="url")     # snap 2 (eq MOR)
+    it.rewrite_deletes(spark, t)                    # snap 3 (fold: silent)
+    it.delete_keys(spark, t, ["u2"], key="url")     # snap 4 (eq after fold)
+    it.rewrite_deletes(spark, t)                    # snap 5
+    it.scrub_where(spark, t, "n = 3")               # snap 6 (pos after fold)
+    log = it.read_changelog(spark, t, 1).collect()
+    dels = sorted((r.url, r._commit_snapshot_id) for r in log if r._change_type == "delete")
+    assert dels == [("u1", 2), ("u2", 4), ("u3", 6)]
+    assert not [r for r in log if r._change_type == "insert"]

@@ -297,3 +297,64 @@ def test_stream_source_skip_delete_snapshots_option(spark, tmp_path):
     q.awaitTermination(120)
     # every appended row delivered once; the mask neither halts nor retracts
     assert it.read(spark, dst).count() == 14
+
+
+def test_propagate_takedowns_to_derived_table(spark, tmp_path):
+    """The downstream half of a GDPR erasure: deletions on the pages
+    table (equality takedowns, positional scrubs, COW deletes) land on a
+    derived table as ONE merge-on-read commit; merges/recrawls never
+    propagate; the watermark in the derived table's own summaries makes
+    repeated runs exactly-once-per-deletion."""
+    src = str(tmp_path / "pages")
+    dst = str(tmp_path / "derived")
+    it.append(_rows(spark, 0, 30), src)
+    it.append(_rows(spark, 0, 30).withColumn("extra", F.lit("d")), dst)
+
+    # nothing to propagate yet
+    r0 = it.propagate_takedowns(spark, src, dst)
+    assert r0["snapshot_id"] is None
+
+    it.delete_keys(spark, src, ["u0003"], key="url")       # eq takedown
+    it.rewrite_deletes(spark, src)                          # fold: silent
+    it.scrub_where(spark, src, "n = 5")                     # positional
+    it.rewrite_deletes(spark, src)
+    it.delete_where(spark, src, "n = 9")                    # COW delete
+    # a recrawl upsert must NOT take the url down downstream
+    it.merge_by_key(
+        spark, src, _rows(spark, 11, 12).withColumn("n", F.lit(1011)), key="url"
+    )
+
+    r = it.propagate_takedowns(spark, src, dst, run_id="p1")
+    assert r["propagated_keys"] == 3
+    got = it.read(spark, dst)
+    assert got.count() == 27
+    assert got.filter("url in ('u0003','u0005','u0009')").count() == 0
+    assert got.filter("url = 'u0011'").count() == 1  # merge did not propagate
+
+    # second run: watermark makes it a commit-free no-op
+    n_snaps = len(it.history(dst))
+    r2 = it.propagate_takedowns(spark, src, dst)
+    assert r2["snapshot_id"] is None and len(it.history(dst)) == n_snaps
+
+    # a later takedown propagates incrementally
+    it.delete_keys(spark, src, ["u0020"], key="url")
+    r3 = it.propagate_takedowns(spark, src, dst, run_id="p2")
+    assert r3["propagated_keys"] == 1
+    assert it.read(spark, dst).count() == 26
+    # derived table folds its masks through normal maintenance
+    it.rewrite_deletes(spark, dst)
+    assert it.read(spark, dst).count() == 26
+
+
+def test_job_cli_propagate_leg(spark, tmp_path, capsys):
+    from kraken_spark.job import main
+
+    src = str(tmp_path / "pages")
+    dst = str(tmp_path / "derived")
+    it.append(_rows(spark, 0, 10), src)
+    it.append(_rows(spark, 0, 10), dst)
+    it.delete_keys(spark, src, ["u0004", "u0006"], key="url")
+    rc = main(["--input", src, "--output", dst, "--propagate-takedowns"])
+    assert rc == 0
+    assert "2 url keys taken down" in capsys.readouterr().out
+    assert it.read(spark, dst).count() == 8
