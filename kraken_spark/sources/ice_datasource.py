@@ -92,6 +92,16 @@ class IceFilePartition(InputPartition):
     rel: str = ""
 
 
+@dataclass(frozen=True)
+class IceScanPartition(InputPartition):
+    """A BUNDLE of file-scans planned into one task (Iceberg's split
+    planning): one partition per data file means one task per file — at
+    10^6 files that is 10^6 task launches for a full scan. Files sharing
+    a delete-mask group are bin-packed up to ``split_bytes`` instead."""
+
+    files: tuple  # of IceFilePartition
+
+
 @dataclass
 class IceCommitMessage(WriterCommitMessage):
     """Table-relative paths of the parquet files one task staged."""
@@ -247,7 +257,10 @@ def _filters_to_ranges(filters: list) -> dict[str, tuple]:
 
 
 class IceBatchReader(DataSourceReader):
-    """File-per-partition snapshot scan. Manifest-stat pruning comes from
+    """Snapshot scan planned as bin-packed file bundles (one task per
+    ~``split_bytes``, option, default 128 MiB — Iceberg's split
+    planning; ``split_bytes=1`` forces one file per task).
+    Manifest-stat pruning comes from
     (a) the always-available ``where`` option — a JSON dict of
     ``{"col": [lo, hi]}`` ranges (null = unbounded) — and/or (b) Spark's
     own filter pushdown via :class:`IcePushdownReader`, selected with
@@ -279,7 +292,9 @@ class IceBatchReader(DataSourceReader):
         for d in pos_dels:
             for f in d.get("files", []):
                 pos_by_file.setdefault(f, set()).add(d["path"])
-        parts = []
+        split_bytes = int(self._options.get("split_bytes", 128 << 20))
+        # bin-pack per delete-mask group so a bundle shares one mask load
+        groups: dict[tuple, list[tuple[dict, "IceFilePartition"]]] = {}
         for e in data:
             dpaths = tuple(
                 os.path.join(path, p)
@@ -289,20 +304,32 @@ class IceBatchReader(DataSourceReader):
                 os.path.join(path, p)
                 for p in sorted(pos_by_file.get(e["path"], ()))
             )
-            parts.append(
-                IceFilePartition(
-                    file=os.path.join(path, e["path"]),
-                    delete_files=dpaths,
-                    delete_key=key if dpaths else "",
-                    pos_delete_files=ppaths,
-                    rel=e["path"] if ppaths else "",
-                )
+            fp = IceFilePartition(
+                file=os.path.join(path, e["path"]),
+                delete_files=dpaths,
+                delete_key=key if dpaths else "",
+                pos_delete_files=ppaths,
+                rel=e["path"] if ppaths else "",
             )
+            groups.setdefault((dpaths, ppaths), []).append((e, fp))
+        parts: list[InputPartition] = []
+        for _, members in sorted(groups.items()):
+            bundle: list[IceFilePartition] = []
+            size = 0
+            for e, fp in members:
+                if bundle and size + e.get("bytes", 0) > split_bytes:
+                    parts.append(IceScanPartition(files=tuple(bundle)))
+                    bundle, size = [], 0
+                bundle.append(fp)
+                size += e.get("bytes", 0)
+            if bundle:
+                parts.append(IceScanPartition(files=tuple(bundle)))
         return parts
 
     def read(self, partition: InputPartition) -> Iterator["pa.RecordBatch"]:
-        assert isinstance(partition, IceFilePartition)
-        yield from _read_data_file(partition, self._schema)
+        assert isinstance(partition, IceScanPartition)
+        for fp in partition.files:
+            yield from _read_data_file(fp, self._schema)
 
 
 class IcePushdownReader(IceBatchReader):

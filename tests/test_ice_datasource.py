@@ -76,17 +76,17 @@ def test_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
     t = str(tmp_path / "t")
     it.append(_pages(spark, 0, 400), t, sort_by=["url"])  # disjoint ranges
     schema = it.read(spark, t).schema
-    base = IceBatchReader({"path": t}, schema)
+    base = IceBatchReader({"path": t, "split_bytes": "1"}, schema)
     n_all = len(base.partitions())
     assert n_all > 1
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
 
-    rd = IcePushdownReader({"path": t}, schema)
+    rd = IcePushdownReader({"path": t, "split_bytes": "1"}, schema)
     back = list(rd.pushFilters([EqualTo(("url",), "https://x/0123")]))
     assert len(back) == 1  # every filter handed back for row-level re-apply
     assert len(rd.partitions()) < n_all
     # range predicates prune too, and never drop a matching row
-    rd2 = IcePushdownReader({"path": t}, schema)
+    rd2 = IcePushdownReader({"path": t, "split_bytes": "1"}, schema)
     rd2.pushFilters(
         [GreaterThanOrEqual(("url",), "https://x/0100"), LessThan(("url",), "https://x/0200")]
     )
@@ -286,3 +286,21 @@ def test_job_cli_stream_mode(spark, tmp_path, capsys):
     assert "stream drained" in capsys.readouterr().out
     got = it.read(spark, f"{tmp}/out").collect()
     assert len(got) == 3 and all(r.cer == 0.0 for r in got)
+
+
+def test_scan_partitions_are_bin_packed_bundles(spark, tmp_path):
+    """Split planning: many small files bundle into ~split_bytes tasks
+    (one task per file would mean 10^6 task launches at 10^6 files);
+    split_bytes=1 forces the per-file layout; results are identical."""
+    t = str(tmp_path / "t")
+    for a in range(0, 60, 10):  # six small files
+        it.append(_pages(spark, a, a + 10), t)
+    schema = it.read(spark, t).schema
+    bundled = IceBatchReader({"path": t}, schema).partitions()
+    per_file = IceBatchReader({"path": t, "split_bytes": "1"}, schema).partitions()
+    assert len(per_file) >= 6 and len(bundled) < len(per_file)
+    got = spark.read.format("ice").load(t)
+    assert got.count() == 60
+    assert sorted(r.url for r in got.collect()) == sorted(
+        r.url for r in it.read(spark, t).collect()
+    )
