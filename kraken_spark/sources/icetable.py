@@ -1111,12 +1111,69 @@ def orphan_data_files(path: str) -> list[str]:
 # commit, so it is safe to run concurrently with live writers.
 
 
+def _sample_boundaries(df: DataFrame, col: str, n_cuts: int) -> list[Any]:
+    """Evenly spaced cut points for ``col`` from a bounded driver-side
+    sample (the RangePartitioner recipe: reservoir-size sample, sort,
+    pick quantiles) — works for any orderable type, strings included,
+    where ``approxQuantile`` is numeric-only."""
+    from pyspark.sql import functions as F
+
+    total = df.count()
+    if total == 0:
+        return []
+    frac = min(1.0, 65536.0 / total)
+    vals = sorted(
+        r[0]
+        for r in df.select(col).where(F.col(col).isNotNull())
+        .sample(False, frac, seed=7).collect()
+    )
+    if not vals:
+        return []
+    cuts = []
+    for i in range(1, n_cuts + 1):
+        v = vals[min(len(vals) - 1, (i * len(vals)) // (n_cuts + 1))]
+        if not cuts or v > cuts[-1]:
+            cuts.append(v)
+    return cuts
+
+
+def _zvalue_col(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) value over ``cols``: each column is mapped to a
+    ``bits``-bit bucket id by sampled quantile boundaries (rank-space
+    normalization, so skew and type don't matter), then the bucket bits
+    are interleaved. Entirely codegen expressions — the per-row cost is
+    a literal-array fold plus shifts, no Python, no shuffle."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+
+    def _bucket(c: str):
+        bnds = _sample_boundaries(df, c, (1 << bits) - 1)
+        if not bnds:
+            return F.lit(0)
+        arr = F.array(*[F.lit(v) for v in bnds])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.col(c) >= x, 1).otherwise(0),
+        )
+
+    buckets = [_bucket(c) for c in cols]
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        for i, b in enumerate(buckets):
+            bit = F.shiftright(b, k).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, k * n + i)
+    return z
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_bytes: int = 512 << 20,
     small_bytes: int | None = None,
     retries: int = 3,
+    zorder_by: list[str] | None = None,
 ) -> dict[str, Any] | None:
     """Rewrite the head snapshot's small data files (< ``small_bytes``,
     default ``target_bytes``) into ~``target_bytes`` files and commit the
@@ -1186,7 +1243,18 @@ def compact(
         )
         sort_order = base_snap.get("sort_order") or []
         out_dir = os.path.join(gdir, part) if part else gdir
-        if sort_order:  # re-cluster: compaction must not undo the sort order
+        if zorder_by:
+            # Z-order rewrite (Iceberg's rewrite_data_files sort strategy
+            # with a z-order): multi-column clustering so manifest-stat
+            # pruning is selective on EVERY z-ordered column at once —
+            # a linear sort gives a point lookup one selective dimension,
+            # a z-order gives a d-dimensional box query ~O(files^(1-1/d))
+            df.withColumn("_z", _zvalue_col(df, zorder_by)).repartitionByRange(
+                n_out, "_z"
+            ).sortWithinPartitions("_z").drop("_z").write.parquet(
+                out_dir, mode="errorifexists"
+            )
+        elif sort_order:  # re-cluster: compaction must not undo the sort order
             df.repartitionByRange(n_out, *sort_order).sortWithinPartitions(
                 *sort_order
             ).write.parquet(out_dir, mode="errorifexists")
@@ -1221,6 +1289,8 @@ def compact(
             "n_new_rows": 0,  # row-preserving: no logical rows added
             "rewritten_rows": n_rows_out,
         }
+        if zorder_by:
+            own["zorder_by"] = list(zorder_by)
         snap = {
             "snapshot_id": parent + 1,
             "parent_id": parent,
@@ -1250,7 +1320,7 @@ def compact(
 # the equality branch (inherited "delete_key").
 _OP_SUMMARY_KEYS = frozenset({
     "n_new_files", "n_new_rows",
-    "compacted_files", "compacted_bytes", "rewritten_rows",
+    "compacted_files", "compacted_bytes", "rewritten_rows", "zorder_by",
     "deleted_rows", "rewritten_files", "condition",
     "delete_key", "n_delete_keys",
     "n_pos_deletes", "pos_files",
