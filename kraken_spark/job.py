@@ -167,6 +167,13 @@ def main(argv: list[str] | None = None) -> int:
         help="(--maintain) compaction output file size target",
     )
     ap.add_argument(
+        "--zorder-by", default=None, metavar="COLS",
+        help="(--maintain) compact with multi-column Z-order clustering "
+        "on these comma-separated columns instead of the table sort "
+        "order (icetable.compact(zorder_by=...) — makes manifest-stat "
+        "file skipping selective on every listed column)",
+    )
+    ap.add_argument(
         "--analyze-cols", default=None, metavar="COLS",
         help="(--maintain) also compute per-file NDV sketches for these "
         "comma-separated columns (icetable.analyze — Iceberg's "
@@ -326,7 +333,8 @@ def main(argv: list[str] | None = None) -> int:
         # bin-packs the rewritten output with everything else
         f = icetable.rewrite_deletes(spark, args.output)
         c = icetable.compact(
-            spark, args.output, target_bytes=args.compact_target_bytes
+            spark, args.output, target_bytes=args.compact_target_bytes,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
         )
         a = (
             icetable.analyze(

@@ -93,3 +93,21 @@ def test_zorder_values_interleave(spark):
         for y in (0, 4, 8)
     )
     assert local < global_spread / 4
+
+
+def test_job_cli_maintain_zorder(spark, tmp_path, capsys):
+    from kraken_spark.job import main
+
+    t = str(tmp_path / "t")
+    it.append(_grid(spark), t)
+    n_files = len(it.snapshot(t)["manifest"])
+    rc = main(["--input", t, "--output", t, "--table-format", "ice",
+               "--maintain", "--zorder-by", "x,y",
+               "--compact-target-bytes", "65536"])
+    assert rc == 0
+    assert it.snapshot(t)["summary"].get("zorder_by") == ["x", "y"]
+    assert it.read(spark, t).count() == 64 * 64
+    # both dimensions prunable post-maintenance
+    n_after = len(it.snapshot(t)["manifest"])
+    if n_after > 2:
+        assert _kept(t, {"y": (8, 9)}) < n_after
