@@ -87,6 +87,25 @@ def _measure(spark, root: str, n_rows: int) -> dict[str, object]:
     r["fold_rewrite_s"] = round(time.monotonic() - t0, 3)
     assert it.read(spark, t_mor).count() == base_count - 1
 
+    # MOR positional scrub: the no-key row-removal primitive. The commit
+    # is O(metadata) like the equality delete; the identifying scan is
+    # stats-prunable (flat with a prune hint, O(candidates) without)
+    t_pos = os.path.join(root, f"pos{n_rows}")
+    _mk_table(spark, t_pos, sort=True)
+    t0 = time.monotonic()
+    s = it.scrub_where(
+        spark, t_pos, f"url = '{target}'", prune={"url": (target, target)}
+    )
+    r["scrub_pruned_s"] = round(time.monotonic() - t0, 3)
+    assert s is not None and s["n_pos_deletes"] == 1
+    assert it.read(spark, t_pos).count() == base_count - 1
+    t_pos2 = os.path.join(root, f"posfull{n_rows}")
+    _mk_table(spark, t_pos2, sort=False)
+    t0 = time.monotonic()
+    s = it.scrub_where(spark, t_pos2, f"url = '{target}'")
+    r["scrub_fullscan_s"] = round(time.monotonic() - t0, 3)
+    assert s is not None and it.read(spark, t_pos2).count() == base_count - 1
+
     # COW, manifest-stat pruned: the sorted layout means ONE file covers
     # the target url's range — the takedown rewrites only that file
     t_cow = os.path.join(root, f"cow{n_rows}")
@@ -138,6 +157,9 @@ def main() -> None:
             ),
             "mor_vs_cow_full_speedup_at_4n": round(
                 float(big["cow_full_s"]) / max(float(big["mor_delete_s"]), 1e-9), 2
+            ),
+            "scrub_pruned_slope_4x": round(
+                float(big["scrub_pruned_s"]) / max(float(small["scrub_pruned_s"]), 1e-9), 2
             ),
         }
         print(json.dumps(out))
