@@ -32,9 +32,21 @@ def _read_rows(spark, t):
     return {(r.url, r.n) for r in it.read(spark, t).collect()}
 
 
+def _read_rows_datasource(spark, t):
+    from kraken_spark.sources.ice_datasource import register
+
+    register(spark)
+    return {
+        (r.url, r.n) for r in spark.read.format("ice").load(t).collect()
+    }
+
+
 def _invariants(spark, t, model_rows):
-    # 1. committed read == model
+    # 1. committed read == model — through BOTH faces (the JVM scan and
+    # the Python DataSource must agree with the model after every op,
+    # masks and evolution included)
     assert _read_rows(spark, t) == model_rows
+    assert _read_rows_datasource(spark, t) == model_rows
     # 2. every head-manifest file exists on disk with consistent row counts
     # (with merge-on-read deletes pending, physical rows may exceed the
     # logical state by the masked rows; without, they must match exactly)
