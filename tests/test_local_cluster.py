@@ -73,3 +73,83 @@ def test_extraction_on_local_cluster_via_pyfiles(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "LC_E2E_OK" in r.stdout
+
+
+def test_ice_datasource_on_local_cluster_via_pyfiles(tmp_path):
+    """The format("ice") DataSource under REAL executor JVMs with the
+    package shipped only as the --py-files zip: write (task-staged files,
+    driver CAS commit), MOR-masked read, and the streaming source->sink
+    loop all run with executor-side zip imports."""
+    sys.path.insert(0, str(ROOT / "tools"))
+    try:
+        import build_pyfiles
+    finally:
+        sys.path.pop(0)
+    z = tmp_path / "kraken_spark.zip"
+    build_pyfiles.build(z)
+    script = textwrap.dedent(
+        f"""
+        import os
+        import sys
+
+        # spark-submit --py-files exports the zip on PYTHONPATH for the
+        # DRIVER-side python workers too (the streaming source's planner
+        # runs in one); a bare subprocess must mirror that
+        os.environ["PYTHONPATH"] = {str(z)!r} + os.pathsep + os.environ.get(
+            "PYTHONPATH", ""
+        )
+        from pyspark.sql import SparkSession, functions as F
+
+        spark = (
+            SparkSession.builder.master("local-cluster[2,2,2048]")
+            .config("spark.submit.pyFiles", {str(z)!r})
+            .config("spark.executor.memory", "2g")
+            .config("spark.sql.shuffle.partitions", "4")
+            .appName("lc-ice-ds")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.sparkContext.addPyFile({str(z)!r})
+        sys.path.insert(0, {str(z)!r})
+        import kraken_spark
+        assert ".zip" in kraken_spark.__file__, kraken_spark.__file__
+        from kraken_spark.sources import icetable as it
+        from kraken_spark.sources.ice_datasource import register
+
+        register(spark)
+        t = {str(tmp_path)!r} + "/tbl"
+        df = spark.range(200).select(
+            F.format_string("u%04d", F.col("id")).alias("url"),
+            F.col("id").cast("int").alias("n"),
+        )
+        df.write.format("ice").mode("append").save(t)      # executor-staged write
+        it.delete_keys(spark, t, ["u0007"], key="url")      # MOR mask
+        got = spark.read.format("ice").load(t)              # DataSource read
+        assert got.count() == 199, got.count()
+        assert got.filter("url = 'u0007'").count() == 0
+        # streaming loop across executor JVMs
+        dst = {str(tmp_path)!r} + "/dst"
+        q = (
+            spark.readStream.format("ice").option("starting", "earliest")
+            .option("skip_delete_snapshots", "true").load(t)
+            .writeStream.format("ice")
+            .option("checkpointLocation", {str(tmp_path)!r} + "/ckpt")
+            .trigger(availableNow=True).start(dst)
+        )
+        q.awaitTermination(180)
+        assert it.read(spark, dst).count() == 200  # appends only, no retraction
+        n = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        assert n == 3, n
+        spark.stop()
+        print("LC_ICE_DS_OK")
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "LC_ICE_DS_OK" in r.stdout
