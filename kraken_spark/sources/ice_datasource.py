@@ -613,4 +613,31 @@ class IceDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the ``ice`` format. Also exports any --py-files zips on
+    the PYTHONPATH the driver-side DataSource runners are spawned with:
+    the streaming source's planner worker unpickles the source BY MODULE
+    REFERENCE, and under a zip-only `spark-submit --py-files` deploy the
+    worker's interpreter cannot import kraken_spark otherwise (the
+    includes channel covers executors and the batch planner, but not the
+    streaming runner). ``sc.environment`` is captured into the function's
+    env at registration, so this must happen first."""
+    sc = spark.sparkContext
+    paths = [
+        p for p in (sc._conf.get("spark.submit.pyFiles", "") or "").split(",") if p
+    ]
+    try:
+        from pyspark.core.files import SparkFiles
+
+        root = SparkFiles.getRootDirectory()
+        for fn in sc._python_includes or []:
+            full = os.path.join(root, fn)
+            if os.path.exists(full):
+                paths.append(full)
+    except Exception:
+        pass
+    if paths:
+        cur = sc.environment.get("PYTHONPATH") or os.environ.get("PYTHONPATH", "")
+        sc.environment["PYTHONPATH"] = os.pathsep.join(
+            dict.fromkeys(paths + ([cur] if cur else []))
+        )
     spark.dataSource.register(IceDataSource)
