@@ -494,6 +494,18 @@ def _refuse_partition_spec(path: str) -> None:
         )
 
 
+def _head_sort_order(path: str) -> list:
+    """The table-level sort order must SURVIVE a DataSource write even
+    though this writer cannot range-cluster its own staged files (it sees
+    whatever partitioning Spark hands each task): recording [] would
+    silently strip the order from the inheritance chain and every later
+    ``icetable.append`` would stop clustering."""
+    from kraken_spark.sources import icetable as it
+
+    head = it.current_snapshot_id(path)
+    return it.snapshot(path, head).get("sort_order") or [] if head else []
+
+
 class IceBatchWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
         self._path = options.get("path") or ""
@@ -515,6 +527,7 @@ class IceBatchWriter(DataSourceArrowWriter):
             self._schema,
             operation="overwrite" if self._overwrite else "append",
             summary={"writer": "datasource"},
+            sort_by=_head_sort_order(self._path) or None,
         )
 
     def abort(self, messages: list) -> None:
@@ -572,6 +585,7 @@ class IceStreamWriter(DataSourceStreamArrowWriter):
                 "stream_batch_id": batchId,
                 "stream_query": self._query,
             },
+            sort_by=_head_sort_order(self._path) or None,
             # re-validated on every CAS retry: exactly-once even if a
             # zombie attempt of the same batch races this commit
             precondition=lambda p, parent: not self._already_committed(batchId),

@@ -304,3 +304,23 @@ def test_scan_partitions_are_bin_packed_bundles(spark, tmp_path):
     assert sorted(r.url for r in got.collect()) == sorted(
         r.url for r in it.read(spark, t).collect()
     )
+
+
+def test_datasource_write_preserves_table_sort_order(spark, tmp_path):
+    """Regression: a DataSource write must not strip the table-level sort
+    order from the inheritance chain — its own staged files are unsorted
+    (documented), but a LATER icetable.append must still range-cluster."""
+    t = str(tmp_path / "t")
+    it.append(_pages(spark, 0, 200), t, sort_by=["url"])
+    _pages(spark, 200, 260).write.format("ice").mode("append").save(t)
+    assert it.snapshot(t).get("sort_order") == ["url"]
+    it.append(_pages(spark, 300, 500), t)  # spec-less: inherits the order
+    # the inherited append's files have near-disjoint url ranges
+    new = [
+        e for e in it.snapshot(t)["manifest"]
+        if e["stats"].get("url", ["", ""])[0] >= "https://x/0300"
+    ]
+    assert len(new) > 1
+    spans = sorted((e["stats"]["url"][0], e["stats"]["url"][1]) for e in new)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # disjoint: the order survived the DS write
