@@ -552,7 +552,17 @@ class IceStreamWriter(DataSourceStreamArrowWriter):
         if not self._path:
             raise ValueError("ice: .start(<table path>) required")
         self._schema = schema
+        # the exactly-once key scopes batch ids to ONE query: without it,
+        # two anonymous queries writing the same table could collide on a
+        # batch id and silently drop data. Spark's conf-level default
+        # checkpoint does not reach these options, so require it here.
         self._query = options.get("queryname") or options.get("checkpointlocation") or ""
+        if not self._query:
+            raise ValueError(
+                "ice sink: set .option('checkpointLocation', ...) (or "
+                ".queryName(...)) — it scopes the sink's exactly-once "
+                "batch-id bookkeeping to this query"
+            )
         _refuse_partition_spec(self._path)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> IceCommitMessage:

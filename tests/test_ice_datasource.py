@@ -324,3 +324,10 @@ def test_datasource_write_preserves_table_sort_order(spark, tmp_path):
     spans = sorted((e["stats"]["url"][0], e["stats"]["url"][1]) for e in new)
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi <= b_lo  # disjoint: the order survived the DS write
+
+
+def test_stream_sink_requires_query_scope(spark, tmp_path):
+    """Without a checkpointLocation/queryName option the sink's batch-id
+    bookkeeping would collide across anonymous queries — refuse loudly."""
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        IceStreamWriter({"path": str(tmp_path / "t")}, _pages(spark, 0, 1).schema, False)
