@@ -359,6 +359,14 @@ class IceStreamReader(DataSourceStreamReader):
         self._path = options.get("path") or ""
         if not self._path:
             raise ValueError("ice: .load(<table path>) required")
+        # a stream tails MAIN's append history; time-travel options would
+        # make schema() and partitions() disagree about what is read
+        for opt in ("branch", "tag", "snapshot_id", "asof_ms"):
+            if options.get(opt):
+                raise ValueError(
+                    f"ice stream: option {opt!r} is batch-only — use "
+                    "'starting'/'starting_snapshot_id' to position a stream"
+                )
 
     def initialOffset(self) -> dict:
         from kraken_spark.sources import icetable as it

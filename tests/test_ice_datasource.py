@@ -331,3 +331,12 @@ def test_stream_sink_requires_query_scope(spark, tmp_path):
     bookkeeping would collide across anonymous queries — refuse loudly."""
     with pytest.raises(ValueError, match="checkpointLocation"):
         IceStreamWriter({"path": str(tmp_path / "t")}, _pages(spark, 0, 1).schema, False)
+
+
+def test_stream_source_refuses_time_travel_options(spark, tmp_path):
+    from kraken_spark.sources.ice_datasource import IceStreamReader
+
+    t = str(tmp_path / "t")
+    it.append(_pages(spark, 0, 2), t)
+    with pytest.raises(ValueError, match="batch-only"):
+        IceStreamReader({"path": t, "tag": "v1"}, _pages(spark, 0, 1).schema)
