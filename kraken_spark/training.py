@@ -1,0 +1,199 @@
+"""Distributed data-parallel recognizer training — the ketos-train analog
+at cluster scale.
+
+The reference trains its VGSL CTC recognizer with a single-node torch loop
+(/root/reference/kraken/ketos/recognition.py + /root/reference/kraken/lib/
+train.py). kernels/rec_train.py is the from-scratch numpy twin of that
+loop; this module is its Spark face for the corpus-scale case, where the
+training lines live in a 10^12-row table instead of a driver list:
+
+* line GENERATION is distributed: one task per page slice runs the
+  production inference chain (render -> nlbin -> blla segmentation ->
+  polygon extract -> Lanczos resize -> pad/invert) and emits
+  (patch, ctc_labels) rows — at real scale this is a scan of the pages
+  table; here the pages come from the deterministic renderer.
+* each optimization step is synchronous data-parallel SGD: the driver
+  broadcasts the current weights (~0.5 MB), every task computes the CTC
+  gradient SUM over its slice of the step's minibatch (Arrow-batched
+  numpy — no per-row Python), and ships back ONE partial row per task
+  (~1 MB of float64 gradient), which the driver folds and feeds to Adam.
+  The corpus never moves: per step, only the weight broadcast and P
+  partial rows cross the wire — the parameter-server-free synchronous
+  pattern. Minibatches are drawn with a seeded hash filter
+  (xxhash64(url, line_idx, step)), so every retry/partitioning draws the
+  same lines.
+* gradients are per-sample SUMS (mean taken once at the driver), so the
+  result is partitioning-independent up to float-sum reassociation: a
+  single-partition run reproduces kernels/rec_train.dataset_gradient
+  BIT-FOR-BIT, a multi-partition run agrees to ~1e-9 relative (both
+  pinned in tests/test_rec_train.py).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterator
+
+import numpy as np
+
+from .kernels import rec_train
+
+LINES_SCHEMA = (
+    "url string, line_idx int, height int, width int, "
+    "patch binary, labels array<int>, gt string"
+)
+
+
+# --------------------------------------------------------------- data gen
+def generate_line_rows(spark, seed: int, n_docs: int, partitions: int | None = None):
+    """Distributed training-line table: one task per slice of page ids,
+    each page run through the production chain (alternating the two
+    vectorizer geometries like the local trainer). Columns: url, line_idx,
+    height, width, patch (float32 tensor bytes), labels, gt."""
+    import pyarrow as pa
+
+    partitions = partitions or min(n_docs, spark.sparkContext.defaultParallelism * 2)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for di in b.column("id").to_pylist():
+                vec = "analog" if di % 2 == 0 else "reference"
+                lines = rec_train.page_training_lines(seed, di, vectorizer=vec)
+                if not lines:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([f"https://example.org/train/{di:08d}"] * len(lines)),
+                        pa.array(list(range(len(lines))), pa.int32()),
+                        pa.array([ts.shape[0] for ts, _l, _g in lines], pa.int32()),
+                        pa.array([ts.shape[1] for ts, _l, _g in lines], pa.int32()),
+                        pa.array(
+                            [np.ascontiguousarray(ts, dtype=np.float32).tobytes() for ts, _l, _g in lines],
+                            pa.binary(),
+                        ),
+                        pa.array([l for _t, l, _g in lines], pa.list_(pa.int32())),
+                        pa.array([g for _t, _l, g in lines]),
+                    ],
+                    names=["url", "line_idx", "height", "width", "patch", "labels", "gt"],
+                )
+
+    return spark.range(n_docs).repartition(partitions).mapInArrow(gen, LINES_SCHEMA)
+
+
+def _rows_to_samples(batch) -> list[tuple[np.ndarray, list[int], str]]:
+    hs = batch.column("height").to_pylist()
+    ws = batch.column("width").to_pylist()
+    ps = batch.column("patch").to_pylist()
+    ls = batch.column("labels").to_pylist()
+    gs = batch.column("gt").to_pylist()
+    return [
+        (np.frombuffer(p, dtype=np.float32).reshape(h, w), list(l), g)
+        for h, w, p, l, g in zip(hs, ws, ps, ls, gs)
+    ]
+
+
+# --------------------------------------------------------------- gradient
+def _weights_blob(W: dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v, dtype=np.float32) for k, v in W.items()})
+    return buf.getvalue()
+
+
+def _weights_of(blob: bytes) -> dict[str, np.ndarray]:
+    with np.load(io.BytesIO(blob)) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _grad_layout(W: dict[str, np.ndarray]) -> list[tuple[str, tuple, int]]:
+    out = []
+    for k in sorted(W):
+        out.append((k, W[k].shape, int(np.prod(W[k].shape))))
+    return out
+
+
+def spark_gradient(lines_df, W: dict[str, np.ndarray], batch: int = 16):
+    """ONE synchronous data-parallel gradient over every row of lines_df.
+
+    Returns (loss_sum, grad_sums (float64), n_used). Each task buffers its
+    partition's samples (partition row order), chunks them exactly like
+    rec_train.dataset_gradient, and emits a single partial row; the driver
+    folds partials in collect order."""
+    import pyarrow as pa
+
+    spark = lines_df.sparkSession
+    layout = _grad_layout(W)
+    bvar = spark.sparkContext.broadcast(_weights_blob(W))
+
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from kraken_spark.kernels import rec_train as rt
+
+        Wl = _weights_of(bvar.value)
+        samples: list = []
+        for b in batches:
+            samples.extend(_rows_to_samples(b))
+        if not samples:
+            return
+        loss_sum, gsum, n = rt.dataset_gradient(samples, Wl, batch=batch)
+        flat = np.concatenate([gsum[k].reshape(-1) for k, _s, _n in layout])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([n], pa.int64()),
+                pa.array([float(loss_sum)], pa.float64()),
+                pa.array([flat.astype(np.float64).tobytes()], pa.binary()),
+            ],
+            names=["n", "loss", "grad"],
+        )
+
+    parts = lines_df.mapInArrow(part, "n long, loss double, grad binary").collect()
+    try:
+        gsum = {k: np.zeros(shape, dtype=np.float64) for k, shape, _n in layout}
+        loss_sum = 0.0
+        n = 0
+        for row in parts:
+            n += row.n
+            loss_sum += row.loss
+            flat = np.frombuffer(row.grad, dtype=np.float64)
+            off = 0
+            for k, shape, size in layout:
+                gsum[k] += flat[off : off + size].reshape(shape)
+                off += size
+        return loss_sum, gsum, n
+    finally:
+        bvar.unpersist()
+
+
+# --------------------------------------------------------------- training
+def train_spark(lines_df, steps: int = 30, batch: int = 16, lr: float = 2e-3,
+                sample_mod: int = 1, seed: int = 0,
+                W: dict[str, np.ndarray] | None = None,
+                log_every: int = 0) -> dict[str, np.ndarray]:
+    """Synchronous distributed minibatch training loop.
+
+    sample_mod=k draws ~1/k of the lines per step via a seeded hash filter
+    (xxhash64(url, line_idx, step)); k=1 is full-batch. The lines table is
+    cached once; per step only weights (broadcast) and per-task gradient
+    partials move."""
+    from pyspark.sql import functions as F
+
+    if W is None:
+        rng = np.random.Generator(np.random.PCG64(seed or rec_train.TRAIN_SEED))
+        W = rec_train.init_weights(rng)
+    W = {k: np.asarray(v, dtype=np.float32).copy() for k, v in W.items()}
+    lines_df = lines_df.cache()
+    opt = rec_train.Adam(W, lr=lr)
+    for step in range(steps):
+        df = lines_df
+        if sample_mod > 1:
+            df = lines_df.filter(
+                F.pmod(F.xxhash64("url", "line_idx", F.lit(step + seed)), F.lit(sample_mod)) == 0
+            )
+        frac = step / max(1, steps - 1)
+        cur_lr = lr * (0.1 + 0.9 * 0.5 * (1.0 + np.cos(np.pi * frac)))
+        loss_sum, gsum, n = spark_gradient(df, W, batch=batch)
+        if n:
+            grads = {k: (g / n).astype(np.float32) for k, g in gsum.items()}
+            opt.step(W, grads, lr=cur_lr)
+        if log_every and (step % log_every == 0 or step == steps - 1):
+            print(f"spark-train step {step:4d} n {n:5d} loss {loss_sum / max(1, n):9.4f}",
+                  flush=True)
+    return W

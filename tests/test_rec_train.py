@@ -1,0 +1,326 @@
+"""In-repo CTC recognizer training (kernels/rec_train.py + the distributed
+face kraken_spark/training.py): the numpy backprop must match numeric
+gradients, the CTC loss must match brute-force path enumeration, the
+training forward must be the torchvgsl inference forward (zero train/serve
+skew), training must be bit-reproducible, the committed asset must drive
+the LOADED-model recognition path (kernels/rpred_parity.py) to byte-exact
+text on held-out pages, and the Spark data-parallel gradient must equal
+the local one — converting the reference's torch training subsystem
+(/root/reference/kraken/ketos/recognition.py, lib/train.py), previously
+out of scope, into from-scratch trained-weight evidence."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels import rec_train as rt
+
+EVAL_SEED = 4242  # disjoint from rt.TRAIN_SEED / rt.VAL_SEED (883xxx)
+
+
+# --------------------------------------------------------------- layers
+def test_forward_matches_torchvgsl_per_line():
+    """Batched training forward at valid frames == the per-line inference
+    forward of kernels/torchvgsl.py on the same random weights — the
+    zero-train/serve-skew pin (padding columns can never leak in)."""
+    from kraken_spark.kernels.torchvgsl import TorchVGSL
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    W = rt.init_weights(rng)
+    net = TorchVGSL(rt.SPEC, W)
+    xs = [rng.random((rt.HEIGHT, w)).astype(np.float32) for w in (97, 160, 233)]
+    x, widths, _ = rt.make_batch([(t, [], "") for t in xs])
+    logits, tlens = rt.forward(x, widths, W)
+    for i, t in enumerate(xs):
+        probs_ref = net.forward(t)  # (W', K) softmax
+        tl = int(tlens[i])
+        assert probs_ref.shape[0] == tl
+        lg = logits[i, :tl].astype(np.float64)
+        e = np.exp(lg - lg.max(axis=1, keepdims=True))
+        probs = e / e.sum(axis=1, keepdims=True)
+        assert np.abs(probs - probs_ref).max() < 2e-5
+
+
+def test_ctc_loss_matches_brute_force():
+    """log-space forward-backward == sum over every collapsing path
+    (Graves 2006 definition), loss and gradient."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    for _ in range(6):
+        t_len, k = int(rng.integers(3, 7)), 5
+        labels = rng.integers(1, k, size=int(rng.integers(1, 4))).tolist()
+        logits = rng.normal(0, 1, (t_len, k))
+        loss, dl = rt.ctc_loss_grad(logits, labels)
+        logp = rt._log_softmax(logits)
+        tot = -np.inf
+        for path in itertools.product(range(k), repeat=t_len):
+            col, prev = [], None
+            for p in path:
+                if p != prev and p != 0:
+                    col.append(p)
+                prev = p
+            if col == labels:
+                tot = np.logaddexp(tot, sum(logp[t, path[t]] for t in range(t_len)))
+        assert np.isfinite(loss) == np.isfinite(-tot)
+        if np.isfinite(loss):
+            assert abs(loss - (-tot)) < 1e-9
+            eps = 1e-6
+            for _ in range(4):
+                i, j = int(rng.integers(0, t_len)), int(rng.integers(0, k))
+                lp, lm = logits.copy(), logits.copy()
+                lp[i, j] += eps
+                lm[i, j] -= eps
+                num = (rt.ctc_loss_grad(lp, labels)[0] - rt.ctc_loss_grad(lm, labels)[0]) / (2 * eps)
+                assert abs(num - dl[i, j]) < 1e-8 + 1e-4 * max(abs(num), abs(dl[i, j]))
+
+
+def test_ctc_unalignable_is_infinite():
+    loss, dl = rt.ctc_loss_grad(np.zeros((2, 4)), [1, 2, 3])  # T < L
+    assert loss == np.inf and not dl.any()
+
+
+def test_backward_matches_numeric_gradient():
+    """Central-difference check of the full backprop (conv+pool+reshape+
+    BiLSTM+linear+CTC) on a tiny float64 net, every parameter family."""
+    rng = np.random.Generator(np.random.PCG64(13))
+    W = {k: v.astype(np.float64) for k, v in
+         rt.init_weights(rng, c1=2, c2=3, hid=4, n_classes=6, height=8).items()}
+    xs = [rng.random((8, 21)), rng.random((8, 30))]
+    labs = [[1, 3], [2, 5, 1]]
+    x, widths, _ = rt.make_batch([(t.astype(np.float32), l, "") for t, l in zip(xs, labs)])
+    x = x.astype(np.float64)
+
+    def loss_of(Wq):
+        logits, tlens, _ = rt.forward(x, widths, Wq, want_cache=True)
+        return sum(rt.ctc_loss_grad(logits[i, : int(tlens[i])], lab)[0]
+                   for i, lab in enumerate(labs))
+
+    logits, tlens, cache = rt.forward(x, widths, W, want_cache=True)
+    dlogits = np.zeros_like(logits)
+    for i, lab in enumerate(labs):
+        _, dl = rt.ctc_loss_grad(logits[i, : int(tlens[i])], lab)
+        dlogits[i, : int(tlens[i])] = dl
+    grads = rt.backward(dlogits, cache, W)
+    eps = 1e-6
+    for k in sorted(W):
+        g = grads[k]
+        sel = np.random.default_rng(hash(k) % 2**32).choice(
+            g.size, size=min(5, g.size), replace=False)
+        for fi in sel:
+            idx = np.unravel_index(fi, g.shape)
+            wp = {kk: vv.copy() for kk, vv in W.items()}
+            wp[k][idx] += eps
+            wm = {kk: vv.copy() for kk, vv in W.items()}
+            wm[k][idx] -= eps
+            num = (loss_of(wp) - loss_of(wm)) / (2 * eps)
+            assert abs(num - g[idx]) < 1e-8 + 1e-4 * max(abs(num), abs(g[idx])), (k, idx)
+
+
+def test_gradient_is_batching_invariant():
+    """dataset_gradient sums per-sample gradients, so chunk size cannot
+    change the result beyond float reassociation — the property the
+    distributed face relies on."""
+    rng = np.random.Generator(np.random.PCG64(17))
+    W = rt.init_weights(rng, c1=2, c2=3, hid=4, n_classes=8, height=8)
+    samples = [
+        (rng.random((8, int(w))).astype(np.float32),
+         rng.integers(1, 8, size=3).tolist(), "")
+        for w in rng.integers(40, 90, size=7)
+    ]
+    l1, g1, n1 = rt.dataset_gradient(samples, W, batch=2)
+    l2, g2, n2 = rt.dataset_gradient(samples, W, batch=7)
+    assert n1 == n2 == 7
+    assert abs(l1 - l2) < 1e-6 * max(1.0, abs(l1))
+    for k in g1:
+        denom = max(1e-8, np.abs(g1[k]).max())
+        assert np.abs(g1[k] - g2[k]).max() / denom < 1e-5, k
+
+
+# --------------------------------------------------------------- training
+def test_training_is_bit_reproducible():
+    """Two tiny runs from the same seed produce byte-identical weights
+    (the asset-regeneration contract of tools/train_recognizer.py)."""
+    ds = rt.synth_line_samples(7321, 24, max_words=2)
+    w1 = rt.train(steps=4, batch=4, seed=900001, dataset=ds)
+    w2 = rt.train(steps=4, batch=4, seed=900001, dataset=ds)
+    for k in w1:
+        assert w1[k].tobytes() == w2[k].tobytes(), k
+
+
+def test_short_run_reduces_loss():
+    ds = rt.synth_line_samples(7322, 32, max_words=2)
+    x, widths, labels = rt.make_batch(ds[:8])
+    rng = np.random.Generator(np.random.PCG64(3))
+    W = rt.init_weights(rng)
+    l0, _, _ = rt.batch_loss_grads(x, widths, labels, W)
+    opt = rt.Adam(W, lr=3e-3)
+    for _ in range(25):
+        _, grads, used = rt.batch_loss_grads(x, widths, labels, W)
+        assert used == 8
+        opt.step(W, grads)
+    l1, _, _ = rt.batch_loss_grads(x, widths, labels, W)
+    assert l1 < 0.5 * l0
+
+
+# --------------------------------------------------------------- asset
+import os as _os
+
+asset_required = pytest.mark.skipif(
+    not _os.path.exists(rt.ASSET),
+    reason="rec_learned.safetensors not trained yet (tools/train_recognizer.py)",
+)
+
+
+def _asset_recognizer():
+    from kraken_spark.kernels.rpred_parity import LoadedRecognizer
+
+    bundle = rt.load_asset()
+    return LoadedRecognizer(bundle)
+
+
+@asset_required
+def test_asset_present_and_well_formed():
+    bundle = rt.load_asset()
+    assert bundle.vgsl == rt.SPEC
+    assert bundle.codec == {k: list(v) for k, v in rt.CODEC.items()}
+    assert bundle.metadata.get("seg_type") == "baseline"
+    assert bundle.legacy_polygons is False
+    for k, v in bundle.weights.items():
+        assert np.isfinite(v).all(), k
+    # loadable by the generic format-sniffing loader too (file path case)
+    from kraken_spark.kernels.modelio import load_kraken_model
+
+    b2 = load_kraken_model(rt.ASSET)[0]
+    assert b2.vgsl == rt.SPEC
+    assert all(np.array_equal(b2.weights[k], bundle.weights[k]) for k in bundle.weights)
+
+
+@asset_required
+def test_asset_heldout_extraction_byte_identical():
+    """The TRAINED weights drive the loaded-model recognition path
+    (rpred_parity.recognize_baseline — polygon extract, Lanczos resize,
+    pad/invert, TorchVGSL forward, greedy CTC, codec, BiDi) to
+    byte-identical text on held-out pages through BOTH production
+    vectorizer chains, all languages incl. RTL."""
+    from kraken_spark.kernels import binarize, blla
+    from kraken_spark.kernels.render import render_document
+
+    rec = _asset_recognizer()
+    n_lines = 0
+    for di, vec in [(0, "analog"), (1, "reference"), (2, "analog"),
+                    (3, "reference"), (4, "analog"), (5, "reference")]:
+        d = render_document(EVAL_SEED, di)
+        if d["oversized"]:
+            continue
+        mask = binarize.nlbin(d["img"])
+        td = "horizontal-rl" if d["base_dir"] == "R" else "horizontal-lr"
+        seg = blla.segment_blla(mask, url=f"eval-{di}", text_direction=td,
+                                vectorizer=vec)
+        assert len(seg["lines"]) == len(d["lines"])
+        for l in seg["lines"]:
+            g = rt._match_gt_line(l, d["lines"])
+            assert g is not None
+            r = rec.recognize_baseline(d["img"], l["baseline"], l["boundary"])
+            assert r["prediction"] == g["text"], (
+                d["lang"], vec, repr(r["prediction"]), repr(g["text"]))
+            n_lines += 1
+    assert n_lines >= 60
+
+
+@asset_required
+def test_asset_e2e_pipeline_byte_identical():
+    """plan_extraction(kraken_model_path=<trained asset>) — the full Spark
+    pipeline with recognition through the in-repo-TRAINED model — yields
+    byte-identical page text (cer 0.0) on a held-out corpus slice."""
+    pytest.importorskip("pyspark")
+    from pyspark.sql import functions as F
+
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="tests-rec-train", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = generate_corpus_df(spark, 4, seed=EVAL_SEED, partitions=2)
+    ext = plan_extraction(docs, num_partitions=2, segmenter="blla",
+                          kraken_model_path=rt.ASSET)
+    rows = (
+        ext.alias("e")
+        .join(docs.select("url", F.col("text").alias("gt")), "url")
+        .select("url", "text", "gt")
+        .collect()
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert r.text == r.gt, r.url
+
+
+# --------------------------------------------------------------- spark face
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from kraken_spark.session import get_spark
+
+    s = get_spark(app="tests-training", cores=2, shuffle_partitions=2)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def test_spark_gradient_single_partition_bit_equal(spark):
+    """One-partition distributed gradient == local dataset_gradient,
+    bit-for-bit (same chunk order, same float ops)."""
+    from kraken_spark import training
+
+    df = training.generate_line_rows(spark, EVAL_SEED, 2, partitions=1)
+    rows = df.collect()
+    samples = [
+        (np.frombuffer(r.patch, dtype=np.float32).reshape(r.height, r.width),
+         list(r.labels), r.gt)
+        for r in rows
+    ]
+    assert len(samples) >= 20
+    rng = np.random.Generator(np.random.PCG64(23))
+    W = rt.init_weights(rng)
+    l_loc, g_loc, n_loc = rt.dataset_gradient(samples, W, batch=8)
+    l_sp, g_sp, n_sp = training.spark_gradient(df, W, batch=8)
+    assert n_loc == n_sp
+    assert l_loc == l_sp
+    for k in g_loc:
+        assert g_loc[k].tobytes() == g_sp[k].tobytes(), k
+
+
+def test_spark_gradient_multi_partition_close(spark):
+    """Multi-partition partials agree with the local sum to float
+    reassociation (the partition-independence of the sum form)."""
+    from kraken_spark import training
+
+    df1 = training.generate_line_rows(spark, EVAL_SEED, 3, partitions=1)
+    df3 = training.generate_line_rows(spark, EVAL_SEED, 3, partitions=3)
+    rng = np.random.Generator(np.random.PCG64(29))
+    W = rt.init_weights(rng)
+    l1, g1, n1 = training.spark_gradient(df1, W, batch=8)
+    l3, g3, n3 = training.spark_gradient(df3, W, batch=8)
+    assert n1 == n3
+    assert abs(l1 - l3) < 1e-6 * max(1.0, abs(l1))
+    for k in g1:
+        denom = max(1e-8, np.abs(g1[k]).max())
+        assert np.abs(g1[k] - g3[k]).max() / denom < 1e-5, k
+
+
+def test_train_spark_runs_and_learns(spark):
+    """A short synchronous distributed run from random init reduces the
+    full-dataset loss (weights broadcast per step, one partial row per
+    task — no line ever moves to the driver)."""
+    from kraken_spark import training
+
+    df = training.generate_line_rows(spark, EVAL_SEED, 2, partitions=2)
+    rng = np.random.Generator(np.random.PCG64(31))
+    W0 = rt.init_weights(rng)
+    l0, _, n0 = training.spark_gradient(df, W0, batch=8)
+    W1 = training.train_spark(df, steps=8, batch=8, lr=3e-3,
+                              W={k: v.copy() for k, v in W0.items()})
+    l1, _, n1 = training.spark_gradient(df, W1, batch=8)
+    assert n0 == n1 > 0
+    assert l1 < 0.7 * l0
