@@ -35,6 +35,7 @@ etc. — required for the N->4N scaling behavior measured in BASELINE.md.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -117,6 +118,25 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print a kraken-style OCR accuracy report (requires a ground-"
         "truth `text` column on the input documents)",
+    )
+    ap.add_argument(
+        "--train-recognizer",
+        action="store_true",
+        help="training leg (the ketos-train analog, kraken_spark/"
+        "training.py): --input is a reference-format Arrow IPC line "
+        "dataset (a .arrow file or a shard directory from "
+        "--export-dataset); fit the CTC recognizer with synchronous "
+        "data-parallel gradients and write the model (kraken safetensors "
+        "layout) to --output. --model warm-starts from an existing model "
+        "(fine-tuning); a cold start needs the multi-thousand-step "
+        "curriculum in tools/train_recognizer.py",
+    )
+    ap.add_argument("--train-steps", type=int, default=50)
+    ap.add_argument("--train-batch", type=int, default=16)
+    ap.add_argument("--train-lr", type=float, default=1e-3)
+    ap.add_argument(
+        "--train-sample-mod", type=int, default=1,
+        help="draw ~1/k of the lines per step via a seeded hash filter",
     )
     ap.add_argument(
         "--export-dataset",
@@ -259,6 +279,17 @@ def main(argv: list[str] | None = None) -> int:
     from kraken_spark.operators.serialization import serialize_extractions
     from kraken_spark.pipeline import (read_output, remaining_documents,
                                        run_extraction, tail_extraction)
+
+    if args.train_recognizer:
+        from kraken_spark.training import train_recognizer_from_dataset
+
+        out = train_recognizer_from_dataset(
+            spark, args.input, args.output, steps=args.train_steps,
+            batch=args.train_batch, lr=args.train_lr,
+            sample_mod=args.train_sample_mod, init_model=args.model,
+        )
+        print(json.dumps(out))
+        return 0
 
     if args.inspect:
         from kraken_spark.sources import icetable

@@ -92,6 +92,116 @@ def _rows_to_samples(batch) -> list[tuple[np.ndarray, list[int], str]]:
     ]
 
 
+def line_rows_from_dataset(spark, path: str, split: str = "train",
+                           height: int | None = None):
+    """Training-line rows from a reference-format Arrow IPC line dataset
+    (sources/arrow_dataset.py — the ketos input format: lines
+    struct<text, im, language> + split masks), one task per shard file.
+
+    Each line image (a bitonal strip PNG) is presented as black-ink-on-
+    white and run through the inference tensor prep (trim -> Lanczos
+    fixed-height resize -> /255 -> pad -> invert); labels are the
+    display-order codec encoding of the GT text (what the frames contain —
+    BiDi reordering to logical happens at inference). Lines with
+    out-of-codec characters are dropped (the reference's alphabet check)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+
+    files = sorted(_glob.glob(_os.path.join(path, "shard-*.arrow"))) if _os.path.isdir(path) else [path]
+    if not files:
+        raise ValueError(f"no dataset shards under {path}")
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files))
+    h = height or rec_train.HEIGHT
+
+    def gen(batches):
+        import pyarrow.ipc as ipc
+
+        from kraken_spark.kernels import png
+        from kraken_spark.kernels.bidi import get_display
+        from kraken_spark.kernels.torchvgsl import fixed_resize
+
+        for b in batches:
+            for fp in b.column("path").to_pylist():
+                with open(fp, "rb") as f:
+                    table = ipc.open_file(f).read_all()
+                mask = table.column(split).to_pylist()
+                lines = table.column("lines").to_pylist()
+                rows = []
+                for i, (ln, keep) in enumerate(zip(lines, mask)):
+                    if not keep or not ln["text"]:
+                        continue
+                    try:
+                        labels = [rec_train.CODEC[ch][0]
+                                  for ch in get_display(ln["text"], None)[0]]
+                    except KeyError:
+                        continue  # character outside the codec
+                    strip = png.to_grayscale(png.decode_png(ln["im"]))
+                    if strip.max() <= 1:
+                        strip = strip * np.uint8(255)
+                    img = (255 - strip).astype(np.uint8)  # ink dark on white
+                    nzr = np.nonzero((img < 255).any(axis=1))[0]
+                    nzc = np.nonzero((img < 255).any(axis=0))[0]
+                    if len(nzr) == 0 or len(nzc) == 0:
+                        continue
+                    img = img[nzr[0]: nzr[-1] + 1, nzc[0]: nzc[-1] + 1]
+                    ts = fixed_resize(img, (h, 0)).astype(np.float32) / 255.0
+                    ts = np.pad(ts, ((0, 0), (rec_train.PAD, rec_train.PAD)),
+                                constant_values=1.0)
+                    ts = (ts.max() - ts).astype(np.float32)
+                    if ts.max() == ts.min() or ts.shape[1] // 4 < len(labels):
+                        continue
+                    rows.append((f"{fp}#{i}", i, ts, labels, ln["text"]))
+                if rows:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([r[0] for r in rows]),
+                            pa.array([r[1] for r in rows], pa.int32()),
+                            pa.array([r[2].shape[0] for r in rows], pa.int32()),
+                            pa.array([r[2].shape[1] for r in rows], pa.int32()),
+                            pa.array([r[2].tobytes() for r in rows], pa.binary()),
+                            pa.array([r[3] for r in rows], pa.list_(pa.int32())),
+                            pa.array([r[4] for r in rows]),
+                        ],
+                        names=["url", "line_idx", "height", "width", "patch",
+                               "labels", "gt"],
+                    )
+
+    return fdf.mapInArrow(gen, LINES_SCHEMA)
+
+
+def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
+                                  steps: int = 50, batch: int = 16,
+                                  lr: float = 1e-3, sample_mod: int = 1,
+                                  init_model: str | None = None) -> dict:
+    """The spark-submit training leg (job.py --train-recognizer): fit or
+    fine-tune the recognizer on a reference-format line dataset with the
+    synchronous data-parallel loop and write the model in kraken's
+    safetensors layout. init_model warm-starts from an existing kraken
+    model file (the ketos fine-tune flag); otherwise random init — note a
+    cold CTC start needs several thousand steps (the committed asset's
+    curriculum lives in tools/train_recognizer.py)."""
+    df = line_rows_from_dataset(spark, dataset_path).cache()
+    if init_model:
+        from .kernels.modelio import load_kraken_model
+
+        b = load_kraken_model(init_model)[0]
+        if b.vgsl != rec_train.SPEC:
+            raise ValueError(f"init model spec {b.vgsl!r} != trainer spec")
+        W = {k: np.asarray(v, dtype=np.float32).copy() for k, v in b.weights.items()}
+    else:
+        W = rec_train.init_weights(
+            np.random.Generator(np.random.PCG64(rec_train.TRAIN_SEED)))
+    l0, _, n0 = spark_gradient(df, W, batch=batch)
+    W = train_spark(df, steps=steps, batch=batch, lr=lr,
+                    sample_mod=sample_mod, W=W)
+    l1, _, n1 = spark_gradient(df, W, batch=batch)
+    rec_train.save_asset(W, out_path)
+    return {"n_lines": int(n1), "loss_before": l0 / max(1, n0),
+            "loss_after": l1 / max(1, n1), "model": out_path}
+
+
 # --------------------------------------------------------------- gradient
 def _weights_blob(W: dict[str, np.ndarray]) -> bytes:
     buf = io.BytesIO()

@@ -268,9 +268,16 @@ def spark():
     return s
 
 
-def test_spark_gradient_single_partition_bit_equal(spark):
+def test_spark_gradient_single_partition_bit_equal(spark, tmp_path):
     """One-partition distributed gradient == local dataset_gradient,
-    bit-for-bit (same chunk order, same float ops)."""
+    bit-for-bit. The local twin runs in a subprocess with the SAME pinned
+    single-thread BLAS env the executors use (session._PIN_ENV) — GEMM
+    reduction order depends on thread count, so bit-equality is only
+    defined at matched thread counts."""
+    import os
+    import subprocess
+    import sys
+
     from kraken_spark import training
 
     df = training.generate_line_rows(spark, EVAL_SEED, 2, partitions=1)
@@ -283,12 +290,40 @@ def test_spark_gradient_single_partition_bit_equal(spark):
     assert len(samples) >= 20
     rng = np.random.Generator(np.random.PCG64(23))
     W = rt.init_weights(rng)
-    l_loc, g_loc, n_loc = rt.dataset_gradient(samples, W, batch=8)
     l_sp, g_sp, n_sp = training.spark_gradient(df, W, batch=8)
-    assert n_loc == n_sp
-    assert l_loc == l_sp
-    for k in g_loc:
-        assert g_loc[k].tobytes() == g_sp[k].tobytes(), k
+    sdir = str(tmp_path)
+    np.savez(os.path.join(sdir, "w.npz"), **W)
+    np.savez(
+        os.path.join(sdir, "samples.npz"),
+        **{f"p{i}": s[0] for i, s in enumerate(samples)},
+        **{f"l{i}": np.asarray(s[1], dtype=np.int64) for i, s in enumerate(samples)},
+        count=np.int64(len(samples)),
+    )
+    code = (
+        "import numpy as np, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from kraken_spark.kernels import rec_train as rt\n"
+        "z = np.load(%r)\n"
+        "n = int(z['count'])\n"
+        "samples = [(z[f'p{i}'], z[f'l{i}'].tolist(), '') for i in range(n)]\n"
+        "W = {k: v for k, v in np.load(%r).items()}\n"
+        "loss, gsum, used = rt.dataset_gradient(samples, W, batch=8)\n"
+        "np.savez(%r, loss=np.float64(loss), n=np.int64(used), **gsum)\n"
+    ) % (
+        os.path.dirname(os.path.dirname(os.path.abspath(training.__file__))),
+        os.path.join(sdir, "samples.npz"),
+        os.path.join(sdir, "w.npz"),
+        os.path.join(sdir, "grad.npz"),
+    )
+    env = dict(os.environ)
+    env.update({"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+                "MKL_NUM_THREADS": "1"})
+    subprocess.run([sys.executable, "-c", code], check=True, env=env)
+    z = np.load(os.path.join(sdir, "grad.npz"))
+    assert int(z["n"]) == n_sp
+    assert float(z["loss"]) == l_sp
+    for k in g_sp:
+        assert z[k].tobytes() == g_sp[k].tobytes(), k
 
 
 def test_spark_gradient_multi_partition_close(spark):
@@ -307,6 +342,35 @@ def test_spark_gradient_multi_partition_close(spark):
     for k in g1:
         denom = max(1e-8, np.abs(g1[k]).max())
         assert np.abs(g1[k] - g3[k]).max() / denom < 1e-5, k
+
+
+def test_job_cli_train_recognizer_leg(spark, tmp_path, capsys):
+    """spark-submit training leg e2e: compile a reference-format line
+    dataset with --export-dataset's machinery, then `job.py
+    --train-recognizer` fits the recognizer on it distributed and writes
+    a loadable kraken-layout model; the reported full-dataset loss drops."""
+    import json as _json
+
+    from kraken_spark import job
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.kernels.modelio import load_kraken_model
+    from kraken_spark.sources.arrow_dataset import line_dataset, write_ipc_shards
+
+    docs = generate_corpus_df(spark, 3, seed=EVAL_SEED, partitions=2)
+    ds_dir = str(tmp_path / "ds")
+    write_ipc_shards(line_dataset(docs), ds_dir)
+    model_out = str(tmp_path / "model.safetensors")
+    rc = job.main([
+        "--input", ds_dir, "--output", model_out,
+        "--train-recognizer", "--train-steps", "5", "--train-lr", "0.002",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_lines"] >= 20
+    assert out["loss_after"] < out["loss_before"]
+    bundle = load_kraken_model(model_out)[0]
+    assert bundle.vgsl == rt.SPEC
+    assert bundle.codec == {k: list(v) for k, v in rt.CODEC.items()}
 
 
 def test_train_spark_runs_and_learns(spark):
