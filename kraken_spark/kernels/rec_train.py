@@ -106,16 +106,6 @@ def init_weights(rng: np.random.Generator, c1: int = C1, c2: int = C2,
     return W
 
 
-def _dims(W: dict[str, np.ndarray]) -> tuple[int, int, int, int]:
-    """(c1, c2, hid, n_classes) inferred from weight shapes so the same
-    forward/backward code runs the tiny gradient-check nets."""
-    c1 = W["c0.co.weight"].shape[0]
-    c2 = W["c1.co.weight"].shape[0]
-    hid = W["rnn.layer.weight_hh_l0"].shape[1]
-    n_classes = W["out.lin.weight"].shape[0]
-    return c1, c2, hid, n_classes
-
-
 # --------------------------------------------------------------- layers
 def _conv3x3_fwd(x: np.ndarray, w: np.ndarray, b: np.ndarray) -> np.ndarray:
     """x: (B,Cin,H,W) -> (B,Cout,H,W); 3x3, stride 1, zero pad 1 — the
@@ -390,9 +380,6 @@ def backward(dlogits: np.ndarray, cache, W: dict[str, np.ndarray]):
 
 
 # --------------------------------------------------------------- CTC loss
-_NEG_INF = -1e30
-
-
 def _log_softmax(logits: np.ndarray) -> np.ndarray:
     m = logits.max(axis=-1, keepdims=True)
     s = logits - m

@@ -221,13 +221,20 @@ def _grad_layout(W: dict[str, np.ndarray]) -> list[tuple[str, tuple, int]]:
     return out
 
 
-def spark_gradient(lines_df, W: dict[str, np.ndarray], batch: int = 16):
+def spark_gradient(lines_df, W: dict[str, np.ndarray], batch: int = 16,
+                   tree_fold: int | None = None):
     """ONE synchronous data-parallel gradient over every row of lines_df.
 
     Returns (loss_sum, grad_sums (float64), n_used). Each task buffers its
     partition's samples (partition row order), chunks them exactly like
     rec_train.dataset_gradient, and emits a single partial row; the driver
-    folds partials in collect order."""
+    folds partials in collect order.
+
+    tree_fold: with P tasks the driver receives P ~1 MB partial rows —
+    fine at P<=64, a driver hotspot at cluster scale. tree_fold=k inserts
+    ONE executor-side fold level (repartition the partial rows to k and
+    sum within each), so the driver sees k rows regardless of P (Spark's
+    treeAggregate depth-2 shape). None auto-enables at P > 64."""
     import pyarrow as pa
 
     spark = lines_df.sparkSession
@@ -254,7 +261,32 @@ def spark_gradient(lines_df, W: dict[str, np.ndarray], batch: int = 16):
             names=["n", "loss", "grad"],
         )
 
-    parts = lines_df.mapInArrow(part, "n long, loss double, grad binary").collect()
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        n = 0
+        loss = 0.0
+        acc = None
+        for b in batches:
+            for i in range(b.num_rows):
+                n += b.column("n")[i].as_py()
+                loss += b.column("loss")[i].as_py()
+                flat = np.frombuffer(b.column("grad")[i].as_py(), dtype=np.float64)
+                acc = flat.copy() if acc is None else acc + flat
+        if acc is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], pa.int64()), pa.array([loss], pa.float64()),
+             pa.array([acc.tobytes()], pa.binary())],
+            names=["n", "loss", "grad"],
+        )
+
+    schema = "n long, loss double, grad binary"
+    partials = lines_df.mapInArrow(part, schema)
+    n_parts = lines_df.rdd.getNumPartitions()
+    if tree_fold is None and n_parts > 64:
+        tree_fold = max(8, int(np.sqrt(n_parts)))
+    if tree_fold:
+        partials = partials.repartition(tree_fold).mapInArrow(fold, schema)
+    parts = partials.collect()
     try:
         gsum = {k: np.zeros(shape, dtype=np.float64) for k, shape, _n in layout}
         loss_sum = 0.0

@@ -373,6 +373,23 @@ def test_job_cli_train_recognizer_leg(spark, tmp_path, capsys):
     assert bundle.codec == {k: list(v) for k, v in rt.CODEC.items()}
 
 
+def test_spark_gradient_tree_fold_agrees(spark):
+    """The executor-side fold level (driver sees k rows instead of P)
+    changes only float-sum association."""
+    from kraken_spark import training
+
+    df = training.generate_line_rows(spark, EVAL_SEED, 3, partitions=3)
+    rng = np.random.Generator(np.random.PCG64(37))
+    W = rt.init_weights(rng)
+    l_f, g_f, n_f = training.spark_gradient(df, W, batch=8)
+    l_t, g_t, n_t = training.spark_gradient(df, W, batch=8, tree_fold=2)
+    assert n_f == n_t
+    assert abs(l_f - l_t) < 1e-6 * max(1.0, abs(l_f))
+    for k in g_f:
+        denom = max(1e-8, np.abs(g_f[k]).max())
+        assert np.abs(g_f[k] - g_t[k]).max() / denom < 1e-5, k
+
+
 def test_train_spark_runs_and_learns(spark):
     """A short synchronous distributed run from random init reduces the
     full-dataset loss (weights broadcast per step, one partial row per
