@@ -131,6 +131,16 @@ def main(argv: list[str] | None = None) -> int:
         "(fine-tuning); a cold start needs the multi-thousand-step "
         "curriculum in tools/train_recognizer.py",
     )
+    ap.add_argument(
+        "--pretrain-recognizer",
+        action="store_true",
+        help="self-supervised pretraining leg (the ketos-pretrain analog, "
+        "kernels/rec_pretrain.py): --input is a line dataset as for "
+        "--train-recognizer, but the TEXT IS IGNORED — the wav2vec2-style "
+        "masked-contrastive surrogate task needs no labels; writes a "
+        "pretrained checkpoint (backbone + mask/projection head) to "
+        "--output for later --train-recognizer --model fine-tuning",
+    )
     ap.add_argument("--train-steps", type=int, default=50)
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--train-lr", type=float, default=1e-3)
@@ -287,6 +297,17 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.output, steps=args.train_steps,
             batch=args.train_batch, lr=args.train_lr,
             sample_mod=args.train_sample_mod, init_model=args.model,
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.pretrain_recognizer:
+        from kraken_spark.training import pretrain_recognizer_from_dataset
+
+        out = pretrain_recognizer_from_dataset(
+            spark, args.input, args.output, steps=args.train_steps,
+            batch=args.train_batch, lr=args.train_lr,
+            sample_mod=args.train_sample_mod,
         )
         print(json.dumps(out))
         return 0

@@ -187,9 +187,19 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
         from .kernels.modelio import load_kraken_model
 
         b = load_kraken_model(init_model)[0]
-        if b.vgsl != rec_train.SPEC:
+        if (b.metadata or {}).get("model_type") == "pretrain":
+            # ketos train -i <pretrained>: transfer the self-supervised
+            # backbone, re-initialize the output head
+            from .kernels import rec_pretrain as rp
+
+            Wp = {k: np.asarray(v, dtype=np.float32).copy()
+                  for k, v in b.weights.items()}
+            W = rp.to_recognizer_weights(Wp)
+        elif b.vgsl != rec_train.SPEC:
             raise ValueError(f"init model spec {b.vgsl!r} != trainer spec")
-        W = {k: np.asarray(v, dtype=np.float32).copy() for k, v in b.weights.items()}
+        else:
+            W = {k: np.asarray(v, dtype=np.float32).copy()
+                 for k, v in b.weights.items()}
     else:
         W = rec_train.init_weights(
             np.random.Generator(np.random.PCG64(rec_train.TRAIN_SEED)))
@@ -199,6 +209,32 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
     l1, _, n1 = spark_gradient(df, W, batch=batch)
     rec_train.save_asset(W, out_path)
     return {"n_lines": int(n1), "loss_before": l0 / max(1, n0),
+            "loss_after": l1 / max(1, n1), "model": out_path}
+
+
+def pretrain_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
+                                     steps: int = 50, batch: int = 16,
+                                     lr: float = 2e-3, sample_mod: int = 1,
+                                     num_negatives: int | None = None) -> dict:
+    """The spark-submit SELF-SUPERVISED leg (job.py --pretrain-recognizer):
+    run the wav2vec2-style surrogate task over a line dataset's images
+    (labels ignored — this works on unlabeled corpora, the whole point of
+    ketos pretrain) and write a pretrain checkpoint for later
+    --train-recognizer --model fine-tuning."""
+    from .kernels import rec_pretrain as rp
+
+    df = line_rows_from_dataset(spark, dataset_path).cache()
+    W = rp.init_pretrain_weights(
+        np.random.Generator(np.random.PCG64(rp.PRETRAIN_SEED)))
+    l0, _, n0 = spark_pretrain_gradient(df, W, step=0, batch=batch,
+                                        num_negatives=num_negatives)
+    W = pretrain_spark(df, steps=steps, batch=batch, lr=lr,
+                       sample_mod=sample_mod, num_negatives=num_negatives,
+                       W=W)
+    l1, _, n1 = spark_pretrain_gradient(df, W, step=0, batch=batch,
+                                        num_negatives=num_negatives)
+    rp.save_pretrain_checkpoint(W, out_path)
+    return {"n_masked_frames": int(n1), "loss_before": l0 / max(1, n0),
             "loss_after": l1 / max(1, n1), "model": out_path}
 
 
@@ -338,4 +374,160 @@ def train_spark(lines_df, steps: int = 30, batch: int = 16, lr: float = 2e-3,
         if log_every and (step % log_every == 0 or step == steps - 1):
             print(f"spark-train step {step:4d} n {n:5d} loss {loss_sum / max(1, n):9.4f}",
                   flush=True)
+    return W
+
+
+# --------------------------------------------------------------- pretrain
+def line_key(url: str, line_idx: int) -> int:
+    """Stable per-line key for the pretrain mask/negative RNG — derived
+    from row IDENTITY (not position), so the distributed gradient is
+    partitioning-independent and bit-reproducible across processes
+    (zlib.crc32: stable, PYTHONHASHSEED-free)."""
+    import zlib
+
+    return zlib.crc32(f"{url}#{line_idx}".encode())
+
+
+def _rows_to_pretrain_samples(batch) -> list[tuple[int, np.ndarray]]:
+    us = batch.column("url").to_pylist()
+    ls = batch.column("line_idx").to_pylist()
+    hs = batch.column("height").to_pylist()
+    ws = batch.column("width").to_pylist()
+    ps = batch.column("patch").to_pylist()
+    return [
+        (line_key(u, li), np.frombuffer(p, dtype=np.float32).reshape(h, w))
+        for u, li, h, w, p in zip(us, ls, hs, ws, ps)
+    ]
+
+
+def spark_pretrain_gradient(lines_df, W: dict[str, np.ndarray], step: int = 0,
+                            batch: int = 16, num_negatives: int | None = None,
+                            tree_fold: int | None = None):
+    """ONE synchronous data-parallel CONTRASTIVE gradient (the wav2vec2
+    surrogate task, kernels/rec_pretrain.py — ketos pretrain's
+    lib/pretrain/model.py:148-180 step) over every row of lines_df.
+
+    Labels are ignored: pretraining is self-supervised, so this runs on
+    UNLABELED line tables too. Same partial-row shape as spark_gradient:
+    weights broadcast, one ~1 MB gradient-sum row per task, optional
+    executor-side tree fold. Per-line mask/negative RNG is keyed on
+    (PRETRAIN_SEED, step, crc32(url#line_idx)) — the gradient SUM is
+    independent of partitioning, and a single-partition run bit-equals the
+    local dataset_pretrain_gradient on the same keyed samples."""
+    import pyarrow as pa
+
+    from .kernels import rec_pretrain as rp
+
+    kneg = num_negatives if num_negatives is not None else rp.NUM_NEGATIVES
+    spark = lines_df.sparkSession
+    layout = _grad_layout(W)
+    bvar = spark.sparkContext.broadcast(_weights_blob(W))
+
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from kraken_spark.kernels import rec_pretrain as rpl
+
+        Wl = _weights_of(bvar.value)
+        samples: list = []
+        for b in batches:
+            samples.extend(_rows_to_pretrain_samples(b))
+        if not samples:
+            return
+        loss_sum, gsum, n = rpl.dataset_pretrain_gradient(
+            samples, Wl, step=step, batch=batch, num_negatives=kneg)
+        flat = np.concatenate([gsum[k].reshape(-1) for k, _s, _n in layout])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([n], pa.int64()),
+                pa.array([float(loss_sum)], pa.float64()),
+                pa.array([flat.astype(np.float64).tobytes()], pa.binary()),
+            ],
+            names=["n", "loss", "grad"],
+        )
+
+    schema = "n long, loss double, grad binary"
+    partials = lines_df.mapInArrow(part, schema)
+    n_parts = lines_df.rdd.getNumPartitions()
+    if tree_fold is None and n_parts > 64:
+        tree_fold = max(8, int(np.sqrt(n_parts)))
+    if tree_fold:
+        partials = partials.repartition(tree_fold).mapInArrow(_fold_arrow, schema)
+    parts = partials.collect()
+    try:
+        gsum = {k: np.zeros(shape, dtype=np.float64) for k, shape, _n in layout}
+        loss_sum = 0.0
+        n = 0
+        for row in parts:
+            n += row.n
+            loss_sum += row.loss
+            flat = np.frombuffer(row.grad, dtype=np.float64)
+            off = 0
+            for k, shape, size in layout:
+                gsum[k] += flat[off : off + size].reshape(shape)
+                off += size
+        return loss_sum, gsum, n
+    finally:
+        bvar.unpersist()
+
+
+def _fold_arrow(batches):
+    """Executor-side partial-row fold (shared by the CTC and pretrain
+    gradients' tree_fold levels)."""
+    import pyarrow as pa
+
+    n = 0
+    loss = 0.0
+    acc = None
+    for b in batches:
+        for i in range(b.num_rows):
+            n += b.column("n")[i].as_py()
+            loss += b.column("loss")[i].as_py()
+            flat = np.frombuffer(b.column("grad")[i].as_py(), dtype=np.float64)
+            acc = flat.copy() if acc is None else acc + flat
+    if acc is None:
+        return
+    yield pa.RecordBatch.from_arrays(
+        [pa.array([n], pa.int64()), pa.array([loss], pa.float64()),
+         pa.array([acc.tobytes()], pa.binary())],
+        names=["n", "loss", "grad"],
+    )
+
+
+def pretrain_spark(lines_df, steps: int = 30, batch: int = 16, lr: float = 2e-3,
+                   sample_mod: int = 1, seed: int = 0,
+                   num_negatives: int | None = None,
+                   W: dict[str, np.ndarray] | None = None,
+                   log_every: int = 0) -> dict[str, np.ndarray]:
+    """Distributed contrastive pretraining loop — train_spark's shape
+    (seeded hash-filter minibatches, broadcast weights, Adam at the
+    driver) driving the self-supervised gradient. The result's backbone
+    feeds to_recognizer_weights for CTC fine-tuning (ketos train -i)."""
+    from pyspark.sql import functions as F
+
+    from .kernels import rec_pretrain as rp
+
+    if W is None:
+        rng = np.random.Generator(np.random.PCG64(seed or rp.PRETRAIN_SEED))
+        W = rp.init_pretrain_weights(rng)
+    else:
+        W = rp.init_pretrain_weights(
+            np.random.Generator(np.random.PCG64(seed or rp.PRETRAIN_SEED)), W)
+    W = {k: np.asarray(v, dtype=np.float32).copy() for k, v in W.items()}
+    lines_df = lines_df.cache()
+    opt = rec_train.Adam(W, lr=lr)
+    for step in range(steps):
+        df = lines_df
+        if sample_mod > 1:
+            df = lines_df.filter(
+                F.pmod(F.xxhash64("url", "line_idx", F.lit(step + seed)), F.lit(sample_mod)) == 0
+            )
+        frac = step / max(1, steps - 1)
+        cur_lr = lr * (0.1 + 0.9 * 0.5 * (1.0 + np.cos(np.pi * frac)))
+        loss_sum, gsum, n = spark_pretrain_gradient(
+            df, W, step=step, batch=batch, num_negatives=num_negatives)
+        if n:
+            grads = {k: (g / n).astype(np.float32) for k, g in gsum.items()}
+            opt.step(W, rec_train.clip_grads(grads, 5.0), lr=cur_lr)
+        if log_every and (step % log_every == 0 or step == steps - 1):
+            print(f"spark-pretrain step {step:4d} n {n:5d} "
+                  f"loss {loss_sum / max(1, n):9.4f}", flush=True)
     return W
