@@ -197,6 +197,29 @@ def run_headline() -> None:
         "web_extract_sec": round(web_best, 3),
         "web_docs_per_sec": round(docs_for_sf(SF_DIR) / web_best, 3),
     }
+    # Trained-recognizer leg: extraction with recognition through the
+    # in-repo-TRAINED CNN+BiLSTM CTC model (assets/rec_learned.safetensors,
+    # kernels/rec_train.py) on a 24-doc slice — evidence the trained path
+    # is production-plumbed AND its cost relative to the provably-exact
+    # matched-filter default (the numpy BiLSTM is the GPU candidate).
+    import os as _os
+
+    from kraken_spark.kernels.rec_train import ASSET as _REC_ASSET
+
+    if _os.path.exists(_REC_ASSET):
+        from kraken_spark.corpus import corpus_for
+
+        slice24 = corpus_for(spark, SF_DIR).limit(24)
+        tr_best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(plan_extraction(slice24, num_partitions=CPUS,
+                                   segmenter="blla",
+                                   kraken_model_path=_REC_ASSET))
+            dt = time.perf_counter() - t0
+            tr_best = dt if tr_best is None else min(tr_best, dt)
+        out["trained_rec_docs_per_sec"] = round(24 / tr_best, 3)
+
     # Sustained-scale figure (BASELINE.md protocol, in the per-round
     # artifact): one timed fused-extraction pass over a 20480-doc corpus at
     # 256 docs/task — the regime where scheduling + python-worker bootstrap

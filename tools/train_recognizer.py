@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Train the VGSL CNN+BiLSTM CTC recognizer from random init (pure numpy,
-three-phase curriculum — kernels/rec_train.train_full) and write the
+five-phase curriculum incl. two hard-example-mining rounds —
+kernels/rec_train.train_full) and write the
 learned model asset in kraken's safetensors layout:
 
     python tools/train_recognizer.py [--out PATH] [--quick]
@@ -9,7 +10,10 @@ Fully seeded — rerunning reproduces the committed asset bit-for-bit (BLAS
 thread count is pinned below, before numpy loads, because GEMM reduction
 order depends on it). Ends with the acceptance evaluation: held-out pages
 recognized through the PRODUCTION loaded-model path
-(rpred_parity.LoadedRecognizer), expecting byte-identical text.
+(rpred_parity.LoadedRecognizer) — committed-recipe result 136/150 lines
+byte-exact / corpus CER 0.0103 (the pinned band lives in
+tests/test_rec_train.py; byte-exact everywhere is unreachable at the
+pinned kraken topology).
 """
 
 from __future__ import annotations
@@ -40,6 +44,8 @@ def main() -> None:
     if args.quick:
         W = rt.train_full(n_synth=200, n_docs=8, steps_warm=200,
                           steps_synth=100, steps_real=150,
+                          mine_docs=8, mine_synth=200,
+                          steps_hard=50, steps_hard2=30,
                           log_every=args.log_every)
     else:
         W = rt.train_full(log_every=args.log_every)
