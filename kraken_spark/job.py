@@ -141,6 +141,17 @@ def main(argv: list[str] | None = None) -> int:
         "pretrained checkpoint (backbone + mask/projection head) to "
         "--output for later --train-recognizer --model fine-tuning",
     )
+    ap.add_argument(
+        "--compile-dataset",
+        action="store_true",
+        help="ketos-compile analog (sources/arrow_dataset.xml_line_dataset): "
+        "--input is a directory of transcribed ALTO/PageXML files (page "
+        "images resolved from each markup's image filename, next to its "
+        "XML) or a parquet of (url, xml, image) pairs; crop every line's "
+        "boundary from the page image, pair it with its transcription, "
+        "honor split tags in the markup, and write the reference-format "
+        "dataset to --output (.arrow single file, else a shard directory)",
+    )
     ap.add_argument("--train-steps", type=int, default=50)
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--train-lr", type=float, default=1e-3)
@@ -299,6 +310,20 @@ def main(argv: list[str] | None = None) -> int:
             sample_mod=args.train_sample_mod, init_model=args.model,
         )
         print(json.dumps(out))
+        return 0
+
+    if args.compile_dataset:
+        from kraken_spark.sources.arrow_dataset import (write_ipc,
+                                                        write_ipc_shards,
+                                                        xml_line_dataset,
+                                                        xml_pairs_df)
+
+        lines = xml_line_dataset(xml_pairs_df(spark, args.input))
+        if args.output.endswith(".arrow"):
+            counts = write_ipc(lines, args.output)
+        else:
+            counts = write_ipc_shards(lines, args.output)
+        print(json.dumps(counts))
         return 0
 
     if args.pretrain_recognizer:

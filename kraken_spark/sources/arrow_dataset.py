@@ -110,6 +110,132 @@ def line_dataset(docs, split=(0.8, 0.1, 0.1), seed: int = 42,
         fn, schema=_OUT_DDL)
 
 
+def xml_line_dataset(pairs, split=(0.8, 0.1, 0.1), seed: int = 42,
+                     skip_empty_lines: bool = True,
+                     linetype: str = "baselines"):
+    """XML ground truth -> line-level dataset DataFrame: the
+    ``ketos compile -f xml/alto/page`` analog
+    (reference kraken/ketos/dataset.py:26-140 over lib/arrow_dataset.py
+    build_binary_dataset with XML parsing).
+
+    ``pairs`` rows are (url, xml binary, image binary): a transcribed
+    ALTO/PageXML document plus its page image (PNG/JPEG/TIFF/GIF — the
+    reference resolves the image from the markup's filename; at cluster
+    scale the pairing is done once up front so tasks never touch a shared
+    filesystem by relative path). Each line's boundary polygon is cropped
+    from the PAGE IMAGE (grayscale, polygon-masked) and paired with its
+    transcription. Split tags already present in the markup (the
+    reference's ALTO split tags, lib/xml/alto.py) are HONORED; untagged
+    lines get the deterministic (url, line_idx) hash split. Output schema
+    is identical to line_dataset's, so write_ipc / write_ipc_shards /
+    build_binary_dataset consume it unchanged."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import lineextract, png, xmlparse
+        from ..kernels.imgio import decode_image
+
+        schema = pa.schema([
+            pa.field("url", pa.string()), pa.field("line_idx", pa.int32()),
+            pa.field("text", pa.string()), pa.field("im", pa.binary()),
+            pa.field("language", pa.list_(pa.string())),
+            pa.field("train", pa.bool_()), pa.field("validation", pa.bool_()),
+            pa.field("test", pa.bool_()),
+        ])
+        for batch in batches:
+            rows = []
+            for r in batch.to_pylist():
+                url = r["url"]
+                try:
+                    seg = xmlparse.parse_segmentation(r["xml"],
+                                                      linetype=linetype)
+                    img = png.to_grayscale(decode_image(r["image"]))
+                except Exception:
+                    continue  # unparseable pair: no training lines
+                for i, ln in enumerate(seg["lines"]):
+                    text = ln.get("text") or ""
+                    if skip_empty_lines and not text:
+                        continue
+                    line = dict(ln)
+                    bbox = line.get("bbox")
+                    if not bbox or bbox == [0, 0, 0, 0]:
+                        bnd = line.get("boundary") or []
+                        if not bnd:
+                            continue
+                        xs = [p[0] for p in bnd]
+                        ys = [p[1] for p in bnd]
+                        line["bbox"] = [min(xs), min(ys), max(xs), max(ys)]
+                    strip, _ = lineextract.extract_line(img, line)
+                    if strip.size == 0:
+                        continue
+                    sp = ln.get("split")
+                    if sp in ("train", "validation", "test"):
+                        s = ("train", "validation", "test").index(sp)
+                    else:
+                        s = _split_of(url, i, split, seed)
+                    rows.append({
+                        "url": url, "line_idx": i, "text": text,
+                        "im": png.encode_png(strip),
+                        "language": ln.get("language") or [],
+                        "train": s == 0, "validation": s == 1,
+                        "test": s == 2,
+                    })
+            yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    return pairs.select("url", "xml", "image").mapInArrow(fn, schema=_OUT_DDL)
+
+
+def xml_pairs_df(spark, path: str):
+    """Ground-truth pairs for xml_line_dataset: if ``path`` is a parquet
+    table it must carry (url, xml, image) columns; otherwise it is a
+    directory of transcribed ALTO/PageXML files, read through Spark's
+    binaryFile source (one task batch per file group) with each page image
+    resolved EXECUTOR-SIDE from the markup's own image filename next to
+    its XML — the ``ketos compile`` pairing (reference
+    kraken/ketos/dataset.py:63-88 resolves images from the markup too)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if path.endswith(".parquet") or (
+            os.path.isdir(path) and any(
+                f.endswith(".parquet") or f == "_SUCCESS"
+                for f in os.listdir(path))):
+        return spark.read.parquet(path).select("url", "xml", "image")
+
+    xmls = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml")
+        .load(path)
+        .select("path", F.col("content").alias("xml"))
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from urllib.parse import unquote, urlparse
+
+        from ..kernels import xmlparse
+
+        schema = pa.schema([
+            pa.field("url", pa.string()), pa.field("xml", pa.binary()),
+            pa.field("image", pa.binary()),
+        ])
+        for batch in batches:
+            rows = []
+            for r in batch.to_pylist():
+                local = unquote(urlparse(r["path"]).path)
+                try:
+                    seg = xmlparse.parse_segmentation(r["xml"])
+                    img_path = os.path.join(os.path.dirname(local),
+                                            seg.get("imagename") or "")
+                    with open(img_path, "rb") as fp:
+                        image = fp.read()
+                except Exception:
+                    continue  # unparseable markup / missing image: skip
+                rows.append({"url": local, "xml": r["xml"], "image": image})
+            yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    return xmls.mapInArrow(fn, schema="url string, xml binary, image binary")
+
+
 def _dataset_batch(rows: list[dict]) -> pa.RecordBatch:
     lines = pa.array(
         [{"text": r["text"], "im": r["im"], "language": r["language"]}
