@@ -142,6 +142,20 @@ def main(argv: list[str] | None = None) -> int:
         "--output for later --train-recognizer --model fine-tuning",
     )
     ap.add_argument(
+        "--test-recognizer",
+        action="store_true",
+        help="ketos-test analog (training.test_recognizer_on_dataset): "
+        "evaluate --model (any loaded kraken model, its own spec + codec) "
+        "against the test split of the --input line dataset; one task per "
+        "shard, per-language accuracy aggregated JVM-side; prints the "
+        "report JSON. --test-split evaluates a different split",
+    )
+    ap.add_argument(
+        "--test-split", default="test",
+        choices=["train", "validation", "test"],
+        help="dataset split for --test-recognizer",
+    )
+    ap.add_argument(
         "--compile-dataset",
         action="store_true",
         help="ketos-compile analog (sources/arrow_dataset.xml_line_dataset): "
@@ -309,6 +323,16 @@ def main(argv: list[str] | None = None) -> int:
             batch=args.train_batch, lr=args.train_lr,
             sample_mod=args.train_sample_mod, init_model=args.model,
         )
+        print(json.dumps(out))
+        return 0
+
+    if args.test_recognizer:
+        if not args.model:
+            ap.error("--test-recognizer requires --model")
+        from kraken_spark.training import test_recognizer_on_dataset
+
+        out = test_recognizer_on_dataset(spark, args.input, args.model,
+                                         split=args.test_split)
         print(json.dumps(out))
         return 0
 

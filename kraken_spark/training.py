@@ -212,6 +212,113 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
             "loss_after": l1 / max(1, n1), "model": out_path}
 
 
+_TEST_MODEL_CACHE: dict = {}
+
+
+def test_recognizer_on_dataset(spark, dataset_path: str, model_path: str,
+                               split: str = "test", pad: int = 16) -> dict:
+    """The ketos-test analog (reference kraken/ketos/recognition.py:262-420
+    over lib/train.py's compute_error): evaluate ANY loaded kraken model —
+    its own VGSL spec and codec — against one split of a reference-format
+    line dataset, one task per shard file.
+
+    Each line strip runs the inference prep (ink-dark-on-white, trim,
+    Lanczos resize to the MODEL's input height) and the loaded model's
+    forward/greedy-CTC/codec/BiDi tail; per-line errors aggregate JVM-side
+    (groupBy language) so the driver only ever sees the per-language
+    report rows. Returns {accuracy, n_lines, n_exact, n_chars,
+    per_language: {lang: {...}}, model, split}."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    files = (sorted(_glob.glob(_os.path.join(dataset_path, "shard-*.arrow")))
+             if _os.path.isdir(dataset_path) else [dataset_path])
+    if not files:
+        raise ValueError(f"no dataset shards under {dataset_path}")
+    fdf = spark.createDataFrame([(f,) for f in files],
+                                "path string").repartition(len(files))
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.ipc as ipc
+
+        from kraken_spark.kernels import png
+        from kraken_spark.kernels.metrics import cer
+        from kraken_spark.kernels.modelio import load_kraken_model
+        from kraken_spark.kernels.rpred_parity import LoadedRecognizer
+        from kraken_spark.kernels.torchvgsl import fixed_resize
+
+        rec = _TEST_MODEL_CACHE.get(model_path)
+        if rec is None:  # one load per executor (worker reuse)
+            rec = LoadedRecognizer(load_kraken_model(model_path)[0])
+            _TEST_MODEL_CACHE[model_path] = rec
+        schema = pa.schema([
+            pa.field("language", pa.string()),
+            pa.field("n_chars", pa.int64()), pa.field("errors", pa.float64()),
+            pa.field("exact", pa.int32()), pa.field("n", pa.int32()),
+        ])
+        for b in batches:
+            rows = []
+            for fp in b.column("path").to_pylist():
+                with open(fp, "rb") as f:
+                    table = ipc.open_file(f).read_all()
+                mask = table.column(split).to_pylist()
+                lines = table.column("lines").to_pylist()
+                for ln, keep in zip(lines, mask):
+                    if not keep or not ln["text"]:
+                        continue
+                    strip = png.to_grayscale(png.decode_png(ln["im"]))
+                    if strip.max() <= 1:
+                        strip = strip * np.uint8(255)
+                    img = (255 - strip).astype(np.uint8)
+                    nzr = np.nonzero((img < 255).any(axis=1))[0]
+                    nzc = np.nonzero((img < 255).any(axis=0))[0]
+                    if len(nzr) == 0 or len(nzc) == 0:
+                        continue
+                    img = img[nzr[0]: nzr[-1] + 1, nzc[0]: nzc[-1] + 1]
+                    ts = fixed_resize(img, (rec.height, 0)).astype(
+                        np.float32) / 255.0
+                    pred = rec._finish(ts, pad)["prediction"]
+                    gt = ln["text"]
+                    rows.append({
+                        "language": (ln["language"] or ["und"])[0],
+                        "n_chars": len(gt),
+                        "errors": cer(gt, pred) * len(gt),
+                        "exact": int(pred == gt), "n": 1,
+                    })
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    per_line = fdf.mapInArrow(
+        gen, schema="language string, n_chars long, errors double, "
+                    "exact int, n int")
+    agg = (per_line.groupBy("language")
+           .agg(F.sum("n_chars").alias("n_chars"),
+                F.sum("errors").alias("errors"),
+                F.sum("exact").alias("n_exact"),
+                F.sum("n").alias("n_lines"))
+           .collect())
+    per_language = {
+        r.language: {
+            "accuracy": 1.0 - (r.errors / r.n_chars if r.n_chars else 0.0),
+            "n_lines": r.n_lines, "n_exact": r.n_exact,
+            "n_chars": r.n_chars,
+        } for r in agg
+    }
+    n_chars = sum(r.n_chars for r in agg)
+    errors = sum(r.errors for r in agg)
+    return {
+        "accuracy": 1.0 - (errors / n_chars if n_chars else 0.0),
+        "n_lines": sum(r.n_lines for r in agg),
+        "n_exact": sum(r.n_exact for r in agg),
+        "n_chars": n_chars,
+        "per_language": per_language,
+        "model": model_path, "split": split,
+    }
+
+
 def pretrain_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
                                      steps: int = 50, batch: int = 16,
                                      lr: float = 2e-3, sample_mod: int = 1,

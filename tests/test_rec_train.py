@@ -444,3 +444,53 @@ def test_train_spark_runs_and_learns(spark):
     l1, _, n1 = training.spark_gradient(df, W1, batch=8)
     assert n0 == n1 > 0
     assert l1 < 0.7 * l0
+
+
+@asset_required
+def test_ketos_test_analog_reports_accuracy(spark, tmp_path, capsys):
+    """--test-recognizer: export a line dataset from held-out corpus pages,
+    evaluate the committed trained model over each split through the job
+    CLI — per-language report present, accuracy inside the asset band,
+    line counts adding up across splits."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+    from kraken_spark.sources.arrow_dataset import build_binary_dataset
+    from kraken_spark.training import test_recognizer_on_dataset
+
+    docs = generate_corpus_df(spark, 4, seed=EVAL_SEED, partitions=2)
+    ds = str(tmp_path / "eval.arrow")
+    counts = build_binary_dataset(docs, ds, split=(0.5, 0.25, 0.25))
+    assert counts["all"] > 0
+
+    reports = {}
+    for split in ("train", "validation", "test"):
+        rc = main(["--input", ds, "--output", str(tmp_path / "na"),
+                   "--model", rt.ASSET, "--test-recognizer",
+                   "--test-split", split])
+        assert rc == 0
+        import json as _json
+
+        reports[split] = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+    total = sum(r["n_lines"] for r in reports.values())
+    assert total == counts["all"]
+    # Band note: dataset strips are BITONAL bbox crops (line_dataset's
+    # pageseg+nlbin path) while the model trained on blla-segmented
+    # grayscale line tensors — the domain shift costs ~8 points of char
+    # accuracy vs the 0.99 held-out sweep (measured 0.91-0.92 per split).
+    for split, r in reports.items():
+        assert r["split"] == split and r["n_lines"] > 0
+        assert r["accuracy"] >= 0.85, (split, r["accuracy"])
+        assert r["n_exact"] >= 1, (split, r)
+        assert set(r["per_language"]) and all(
+            v["n_lines"] > 0 for v in r["per_language"].values())
+
+    # a missing --model is a CLI error, not a crash
+    with pytest.raises(SystemExit):
+        main(["--input", ds, "--output", str(tmp_path / "na2"),
+              "--test-recognizer"])
+
+    # library face agrees with the CLI on the same split
+    lib = test_recognizer_on_dataset(spark, ds, rt.ASSET, split="test")
+    assert lib["n_lines"] == reports["test"]["n_lines"]
+    assert abs(lib["accuracy"] - reports["test"]["accuracy"]) < 1e-12
