@@ -156,6 +156,20 @@ def main(argv: list[str] | None = None) -> int:
         help="dataset split for --test-recognizer",
     )
     ap.add_argument(
+        "--test-segmenter",
+        action="store_true",
+        help="ketos-segtest analog (training.test_segmenter_on_pairs): "
+        "--input is XML ground truth as for --compile-dataset (directory "
+        "of ALTO/PageXML or a (url, xml, image) parquet); run --segmenter "
+        "on every page image and report object-level baseline "
+        "precision/recall/F1 against the markup's baselines (greedy "
+        "tolerance matching), micro + macro aggregated JVM-side",
+    )
+    ap.add_argument(
+        "--segmenter", default="blla", choices=["blla", "pageseg"],
+        help="segmentation path for --test-segmenter",
+    )
+    ap.add_argument(
         "--compile-dataset",
         action="store_true",
         help="ketos-compile analog (sources/arrow_dataset.xml_line_dataset): "
@@ -333,6 +347,15 @@ def main(argv: list[str] | None = None) -> int:
 
         out = test_recognizer_on_dataset(spark, args.input, args.model,
                                          split=args.test_split)
+        print(json.dumps(out))
+        return 0
+
+    if args.test_segmenter:
+        from kraken_spark.sources.arrow_dataset import xml_pairs_df
+        from kraken_spark.training import test_segmenter_on_pairs
+
+        out = test_segmenter_on_pairs(xml_pairs_df(spark, args.input),
+                                      segmenter=args.segmenter)
         print(json.dumps(out))
         return 0
 

@@ -319,6 +319,83 @@ def test_recognizer_on_dataset(spark, dataset_path: str, model_path: str,
     }
 
 
+def test_segmenter_on_pairs(pairs, tolerance: float = 8.0,
+                            segmenter: str = "blla",
+                            vectorizer: str = "reference") -> dict:
+    """The ketos-segtest analog (reference ketos/segmentation.py:367-530):
+    evaluate a segmenter against transcribed XML ground truth.
+
+    The reference reports per-class pixel accuracy/IoU of its multi-class
+    heatmap head; our trained net's native classes are baseline/separator,
+    so the report is the OBJECT-level baseline precision/recall/F1 — the
+    greedy tolerance-matched metric of kernels/seg_metrics (the quantity
+    a segtest user acts on), micro-aggregated over pages plus a macro-F1
+    mean. ``pairs`` is an (url, xml, image) DataFrame as produced by
+    sources.arrow_dataset.xml_pairs_df; one Arrow batch per task, only
+    per-page count rows reach the aggregation."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from kraken_spark.kernels import binarize, blla, pageseg, png, xmlparse
+        from kraken_spark.kernels.imgio import decode_image
+        from kraken_spark.kernels.seg_metrics import baseline_prf
+
+        schema = pa.schema([
+            pa.field("url", pa.string()),
+            pa.field("n_detected", pa.int64()),
+            pa.field("n_golden", pa.int64()),
+            pa.field("n_matched", pa.int64()),
+            pa.field("f1", pa.float64()),
+        ])
+        for b in batches:
+            rows = []
+            for r in b.to_pylist():
+                try:
+                    gt = xmlparse.parse_segmentation(r["xml"])
+                    img = png.to_grayscale(decode_image(r["image"]))
+                    mask = binarize.nlbin(img)
+                    if segmenter == "pageseg":
+                        pred = pageseg.segment(mask, url=r["url"])
+                    else:
+                        pred = blla.segment_blla(mask, url=r["url"],
+                                                 vectorizer=vectorizer)
+                except Exception:
+                    continue  # unparseable pair: excluded from the report
+                det = [ln["baseline"] for ln in pred["lines"]
+                       if ln.get("baseline")]
+                gold = [ln["baseline"] for ln in gt["lines"]
+                        if ln.get("baseline")]
+                m = baseline_prf(det, gold, tolerance)
+                rows.append({"url": r["url"],
+                             "n_detected": m["n_detected"],
+                             "n_golden": m["n_golden"],
+                             "n_matched": m["n_matched"], "f1": m["f1"]})
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    per_page = pairs.mapInArrow(
+        gen, schema="url string, n_detected long, n_golden long, "
+                    "n_matched long, f1 double")
+    agg = per_page.agg(
+        F.sum("n_detected").alias("n_detected"),
+        F.sum("n_golden").alias("n_golden"),
+        F.sum("n_matched").alias("n_matched"),
+        F.avg("f1").alias("macro_f1"),
+        F.count("*").alias("n_pages"),
+    ).collect()[0]
+    nd, ng, nm = agg.n_detected or 0, agg.n_golden or 0, agg.n_matched or 0
+    p = nm / nd if nd else (1.0 if not ng else 0.0)
+    rec = nm / ng if ng else 1.0
+    f1 = 2 * p * rec / (p + rec) if (p + rec) > 0 else 0.0
+    return {
+        "precision": p, "recall": rec, "f1": f1,
+        "macro_f1": agg.macro_f1 or 0.0,
+        "n_pages": agg.n_pages, "n_detected": nd, "n_golden": ng,
+        "n_matched": nm, "segmenter": segmenter, "tolerance": tolerance,
+    }
+
+
 def pretrain_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
                                      steps: int = 50, batch: int = 16,
                                      lr: float = 2e-3, sample_mod: int = 1,

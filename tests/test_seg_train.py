@@ -144,3 +144,53 @@ def test_gt_maps_geometry():
         (x0, yb), (x1, _) = l["baseline"]
         assert tb[yb // 2, ((x0 + x1) // 2) // 2] == 1.0
     assert tr.sum() > tb.sum() > 0
+
+
+def test_ketos_segtest_analog(tmp_path):
+    """--test-segmenter: serialize a real extraction's geometry to ALTO,
+    re-segment the same page images, and report object-level baseline
+    P/R/F1 against the markup — the same segmenter reproduces its own
+    ground truth exactly; the legacy pageseg path still matches within
+    tolerance (both are CER-0 paths over the same lines)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+    from kraken_spark.operators.serialization import serialize_extractions
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.session import get_spark
+    from kraken_spark.sources.arrow_dataset import xml_pairs_df
+    from kraken_spark.training import test_segmenter_on_pairs
+
+    spark = get_spark(app="tests-segtest", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = generate_corpus_df(spark, 4).localCheckpoint(eager=True)
+    ext = plan_extraction(docs, num_partitions=2, segmenter="blla")
+    alto = serialize_extractions(ext, "alto").select("url", "document")
+    pairs_path = str(tmp_path / "pairs.parquet")
+    (alto.join(docs.select("url", "html"), "url")
+     .select("url", F.encode("document", "UTF-8").alias("xml"),
+             F.col("html").alias("image"))
+     .write.parquet(pairs_path))
+
+    # CLI leg: blla re-segmentation reproduces its own ground truth
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", pairs_path, "--output", str(tmp_path / "na"),
+                   "--test-segmenter"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["n_pages"] == 4 and rep["segmenter"] == "blla"
+    assert rep["f1"] == 1.0 and rep["macro_f1"] == 1.0, rep
+    assert rep["n_detected"] == rep["n_golden"] == rep["n_matched"] > 0
+
+    # cross-path control: the legacy bbox segmenter against blla GT
+    rep2 = test_segmenter_on_pairs(xml_pairs_df(spark, pairs_path),
+                                   segmenter="pageseg")
+    assert rep2["n_pages"] == 4
+    assert rep2["f1"] >= 0.8, rep2
