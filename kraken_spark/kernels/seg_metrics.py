@@ -72,3 +72,64 @@ def baseline_prf(
         "recall": r,
         "f1": f1,
     }
+
+
+def rasterize_baselines(baselines: list[Polyline], h: int, w: int,
+                        band: int = 2) -> np.ndarray:
+    """GT baseline target map: a ±band-row band along every polyline
+    segment — the seg_train.gt_maps convention generalized to arbitrary
+    polylines (the reference's segmentation dataset rasterizes XML
+    baselines into per-class target maps the same way, kraken
+    lib/dataset/segmentation.py)."""
+    bl = np.zeros((h, w), dtype=bool)
+    for pts in baselines:
+        if len(pts) == 1:
+            x, y = pts[0]
+            if 0 <= x < w:
+                bl[max(y - band, 0): y + band + 1, x] = True
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            n = max(abs(x1 - x0), abs(y1 - y0), 1)
+            xs = np.clip(np.linspace(x0, x1, n + 1).round().astype(int), 0, w - 1)
+            ys = np.linspace(y0, y1, n + 1).round().astype(int)
+            for x, y in zip(xs, ys):
+                bl[max(y - band, 0): y + band + 1, x] = True
+    return bl
+
+
+def rasterize_regions(regions: list[Polyline], h: int, w: int,
+                      pad: int = 2) -> np.ndarray:
+    """GT region target map: padded bbox fill per region boundary (the
+    gt_maps convention; region classes are coarse by design)."""
+    rg = np.zeros((h, w), dtype=bool)
+    for bnd in regions:
+        if not bnd:
+            continue
+        xs = [p[0] for p in bnd]
+        ys = [p[1] for p in bnd]
+        rg[max(min(ys) - pad, 0): max(ys) + pad + 1,
+           max(min(xs) - pad, 0): max(xs) + pad + 1] = True
+    return rg
+
+
+def pixel_class_counts(pred: np.ndarray, gt: np.ndarray) -> dict:
+    """tp/fp/fn/tn pixel counts for one class (bool maps, same shape) —
+    the additive form of the reference segtest's per-class pixel
+    accuracy / IoU (ketos/segmentation.py:525-529), summable across
+    pages/tasks before the ratio is taken."""
+    pred = pred.astype(bool)
+    gt = gt.astype(bool)
+    tp = int(np.count_nonzero(pred & gt))
+    fp = int(np.count_nonzero(pred & ~gt))
+    fn = int(np.count_nonzero(~pred & gt))
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "tn": int(pred.size - tp - fp - fn)}
+
+
+def pixel_metrics_of(counts: dict) -> dict:
+    """(summed) counts -> {accuracy, iou}."""
+    tot = counts["tp"] + counts["fp"] + counts["fn"] + counts["tn"]
+    union = counts["tp"] + counts["fp"] + counts["fn"]
+    return {
+        "accuracy": (counts["tp"] + counts["tn"]) / tot if tot else 1.0,
+        "iou": counts["tp"] / union if union else 1.0,
+    }

@@ -330,24 +330,36 @@ def test_segmenter_on_pairs(pairs, tolerance: float = 8.0,
     so the report is the OBJECT-level baseline precision/recall/F1 — the
     greedy tolerance-matched metric of kernels/seg_metrics (the quantity
     a segtest user acts on), micro-aggregated over pages plus a macro-F1
-    mean. ``pairs`` is an (url, xml, image) DataFrame as produced by
+    mean. For the blla path the report ALSO carries the reference
+    segtest's native metric — per-class PIXEL accuracy/IoU of the heatmap
+    head (classes baseline/region, sigmoid threshold 0.5) against target
+    maps rasterized from the markup's baselines/regions exactly like the
+    training GT (seg_metrics.rasterize_*); the tp/fp/fn/tn counts sum
+    across pages/tasks before the ratio is taken. ``pairs`` is an
+    (url, xml, image) DataFrame as produced by
     sources.arrow_dataset.xml_pairs_df; one Arrow batch per task, only
     per-page count rows reach the aggregation."""
     import pyarrow as pa
     from pyspark.sql import functions as F
 
+    _PX = ("bl_tp", "bl_fp", "bl_fn", "bl_tn",
+           "rg_tp", "rg_fp", "rg_fn", "rg_tn")
+
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from kraken_spark.kernels import binarize, blla, pageseg, png, xmlparse
         from kraken_spark.kernels.imgio import decode_image
-        from kraken_spark.kernels.seg_metrics import baseline_prf
+        from kraken_spark.kernels.seg_metrics import (baseline_prf,
+                                                      pixel_class_counts,
+                                                      rasterize_baselines,
+                                                      rasterize_regions)
 
-        schema = pa.schema([
-            pa.field("url", pa.string()),
-            pa.field("n_detected", pa.int64()),
-            pa.field("n_golden", pa.int64()),
-            pa.field("n_matched", pa.int64()),
-            pa.field("f1", pa.float64()),
-        ])
+        schema = pa.schema(
+            [pa.field("url", pa.string()),
+             pa.field("n_detected", pa.int64()),
+             pa.field("n_golden", pa.int64()),
+             pa.field("n_matched", pa.int64()),
+             pa.field("f1", pa.float64())]
+            + [pa.field(k, pa.int64()) for k in _PX])
         for b in batches:
             rows = []
             for r in b.to_pylist():
@@ -367,33 +379,74 @@ def test_segmenter_on_pairs(pairs, tolerance: float = 8.0,
                 gold = [ln["baseline"] for ln in gt["lines"]
                         if ln.get("baseline")]
                 m = baseline_prf(det, gold, tolerance)
-                rows.append({"url": r["url"],
-                             "n_detected": m["n_detected"],
-                             "n_golden": m["n_golden"],
-                             "n_matched": m["n_matched"], "f1": m["f1"]})
+                row = {"url": r["url"],
+                       "n_detected": m["n_detected"],
+                       "n_golden": m["n_golden"],
+                       "n_matched": m["n_matched"], "f1": m["f1"],
+                       **{k: 0 for k in _PX}}
+                if segmenter != "pageseg":
+                    # reference segtest's native metric: per-class pixel
+                    # counts of the heatmap head vs rasterized GT
+                    W = blla.learned_weights()
+                    if W is not None:
+                        maps = blla.compute_segmentation_map_learned(mask, W)
+                    else:
+                        maps = blla.compute_segmentation_map(
+                            mask, blla.build_segmenter_ref())
+                    h, w = mask.shape
+                    gt_bl = blla._pool_or(
+                        rasterize_baselines(gold, h, w), 2)
+                    gt_rg = blla._pool_or(
+                        rasterize_regions(
+                            [rg.get("boundary") or [] for rg in
+                             gt.get("regions", [])], h, w), 2)
+                    hh = min(maps.shape[1], gt_bl.shape[0])
+                    ww = min(maps.shape[2], gt_bl.shape[1])
+                    cb = pixel_class_counts(maps[0, :hh, :ww] >= 0.5,
+                                            gt_bl[:hh, :ww])
+                    cr = pixel_class_counts(maps[1, :hh, :ww] >= 0.5,
+                                            gt_rg[:hh, :ww])
+                    row.update(bl_tp=cb["tp"], bl_fp=cb["fp"],
+                               bl_fn=cb["fn"], bl_tn=cb["tn"],
+                               rg_tp=cr["tp"], rg_fp=cr["fp"],
+                               rg_fn=cr["fn"], rg_tn=cr["tn"])
+                rows.append(row)
             if rows:
                 yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
     per_page = pairs.mapInArrow(
         gen, schema="url string, n_detected long, n_golden long, "
-                    "n_matched long, f1 double")
+                    "n_matched long, f1 double, "
+                    + ", ".join(f"{k} long" for k in _PX))
     agg = per_page.agg(
         F.sum("n_detected").alias("n_detected"),
         F.sum("n_golden").alias("n_golden"),
         F.sum("n_matched").alias("n_matched"),
         F.avg("f1").alias("macro_f1"),
         F.count("*").alias("n_pages"),
+        *[F.sum(k).alias(k) for k in _PX],
     ).collect()[0]
     nd, ng, nm = agg.n_detected or 0, agg.n_golden or 0, agg.n_matched or 0
     p = nm / nd if nd else (1.0 if not ng else 0.0)
     rec = nm / ng if ng else 1.0
     f1 = 2 * p * rec / (p + rec) if (p + rec) > 0 else 0.0
-    return {
+    out = {
         "precision": p, "recall": rec, "f1": f1,
         "macro_f1": agg.macro_f1 or 0.0,
         "n_pages": agg.n_pages, "n_detected": nd, "n_golden": ng,
         "n_matched": nm, "segmenter": segmenter, "tolerance": tolerance,
     }
+    if segmenter != "pageseg":
+        from .kernels.seg_metrics import pixel_metrics_of
+
+        d = agg.asDict()
+        bl = pixel_metrics_of({k: d[f"bl_{k}"] or 0
+                               for k in ("tp", "fp", "fn", "tn")})
+        rg = pixel_metrics_of({k: d[f"rg_{k}"] or 0
+                               for k in ("tp", "fp", "fn", "tn")})
+        out["pixel"] = {"baseline": bl, "region": rg,
+                        "mean_iou": (bl["iou"] + rg["iou"]) / 2.0}
+    return out
 
 
 def pretrain_recognizer_from_dataset(spark, dataset_path: str, out_path: str,

@@ -188,9 +188,51 @@ def test_ketos_segtest_analog(tmp_path):
     assert rep["n_pages"] == 4 and rep["segmenter"] == "blla"
     assert rep["f1"] == 1.0 and rep["macro_f1"] == 1.0, rep
     assert rep["n_detected"] == rep["n_golden"] == rep["n_matched"] > 0
+    # pixel block present for the heatmap path; the baseline-class IoU is
+    # quantization-limited against VECTORIZED-output GT (a 1-2 px baseline
+    # offset dominates a ~3-pooled-row band union — see
+    # test_pixel_metrics_against_golden_geometry for the true-GT >=0.9 pin)
+    px = rep["pixel"]
+    assert px["baseline"]["accuracy"] >= 0.9 and px["baseline"]["iou"] >= 0.15
+    assert px["region"]["accuracy"] >= 0.9 and px["region"]["iou"] >= 0.8
+    assert 0.0 < px["mean_iou"] <= 1.0
 
     # cross-path control: the legacy bbox segmenter against blla GT
     rep2 = test_segmenter_on_pairs(xml_pairs_df(spark, pairs_path),
                                    segmenter="pageseg")
     assert rep2["n_pages"] == 4
+    assert "pixel" not in rep2  # no heatmap head on the legacy path
     assert rep2["f1"] >= 0.8, rep2
+
+
+def test_pixel_metrics_against_golden_geometry():
+    """The reference segtest's native metric on TRUE ground truth: the
+    trained net's thresholded baseline heatmap vs the renderer's golden
+    baselines rasterized exactly like the training targets — IoU >= 0.9.
+    (Against VECTORIZED-output GT the same metric reads ~0.25: with a
+    ~3-pooled-row band a 1-2 px baseline offset dominates the union —
+    quantization sensitivity, not net quality; the e2e segtest bands
+    account for it.)"""
+    from kraken_spark.kernels import binarize, blla, render
+    from kraken_spark.kernels.seg_metrics import (pixel_class_counts,
+                                                 pixel_metrics_of,
+                                                 rasterize_baselines)
+
+    W = blla.learned_weights()
+    if W is None:
+        pytest.skip("learned segmentation asset absent")
+    for seed, di in ((42, 0), (4242, 1)):
+        d = render.render_document(seed, di)
+        if d["oversized"]:
+            continue
+        mask = binarize.nlbin(d["img"])
+        maps = blla.compute_segmentation_map_learned(mask, W)
+        h, w = mask.shape
+        gt = blla._pool_or(
+            rasterize_baselines([l["baseline"] for l in d["lines"]], h, w), 2)
+        hh = min(maps.shape[1], gt.shape[0])
+        ww = min(maps.shape[2], gt.shape[1])
+        m = pixel_metrics_of(
+            pixel_class_counts(maps[0, :hh, :ww] >= 0.5, gt[:hh, :ww]))
+        assert m["iou"] >= 0.9, (seed, di, m)
+        assert m["accuracy"] >= 0.99, (seed, di, m)
