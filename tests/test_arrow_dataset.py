@@ -226,3 +226,27 @@ def test_xml_pairs_df_directory_and_job_cli(spark, tmp_path_factory, capsys):
     texts = sorted(str(line["text"]) for line in
                    table.column("lines").to_pylist())
     assert texts == sorted([t for t, *_ in _MINI_LINES] * 2)
+
+
+def test_xml_line_dataset_garbage_totality(spark):
+    """Malformed markup / truncated images / empty payloads skip their
+    pair without crashing the task — totality over garbage bytes, the
+    property every web-scale ingest leg in this repo holds."""
+    xml = _mini_alto("page0.png", _MINI_LINES)
+    png_ok = _mini_page_png()
+    rows = [
+        ("bad-xml", b"<alto>truncat", png_ok),
+        ("not-xml", b"\x00\x01\x02", png_ok),
+        ("bad-img", xml, b"\x89PNG\r\n\x1a\nBROKEN"),
+        ("empty-img", xml, b""),
+        ("swapped", png_ok, xml),
+        ("good", xml, png_ok),
+    ]
+    from kraken_spark.sources.arrow_dataset import xml_line_dataset
+
+    pairs = spark.createDataFrame(
+        [(u, bytearray(x), bytearray(i)) for u, x, i in rows],
+        "url string, xml binary, image binary")
+    got = xml_line_dataset(pairs).collect()
+    assert {r.url for r in got} == {"good"}
+    assert len(got) == 3
