@@ -180,6 +180,13 @@ def main(argv: list[str] | None = None) -> int:
         "honor split tags in the markup, and write the reference-format "
         "dataset to --output (.arrow single file, else a shard directory)",
     )
+    ap.add_argument(
+        "--resize", default="fail", choices=["fail", "union", "add"],
+        help="--train-recognizer behavior when the dataset has characters "
+        "outside the model codec: fail (default, the reference's), or "
+        "union/add — extend the codec and output head in place "
+        "(training.extend_codec) so fine-tuning learns the new characters",
+    )
     ap.add_argument("--train-steps", type=int, default=50)
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--train-lr", type=float, default=1e-3)
@@ -336,6 +343,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.output, steps=args.train_steps,
             batch=args.train_batch, lr=args.train_lr,
             sample_mod=args.train_sample_mod, init_model=args.model,
+            resize=args.resize,
         )
         print(json.dumps(out))
         return 0

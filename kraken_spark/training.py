@@ -93,7 +93,8 @@ def _rows_to_samples(batch) -> list[tuple[np.ndarray, list[int], str]]:
 
 
 def line_rows_from_dataset(spark, path: str, split: str = "train",
-                           height: int | None = None):
+                           height: int | None = None,
+                           codec: dict[str, list[int]] | None = None):
     """Training-line rows from a reference-format Arrow IPC line dataset
     (sources/arrow_dataset.py — the ketos input format: lines
     struct<text, im, language> + split masks), one task per shard file.
@@ -114,6 +115,7 @@ def line_rows_from_dataset(spark, path: str, split: str = "train",
         raise ValueError(f"no dataset shards under {path}")
     fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files))
     h = height or rec_train.HEIGHT
+    cdc = codec if codec is not None else rec_train.CODEC
 
     def gen(batches):
         import pyarrow.ipc as ipc
@@ -133,7 +135,7 @@ def line_rows_from_dataset(spark, path: str, split: str = "train",
                     if not keep or not ln["text"]:
                         continue
                     try:
-                        labels = [rec_train.CODEC[ch][0]
+                        labels = [cdc[ch][0]
                                   for ch in get_display(ln["text"], None)[0]]
                     except KeyError:
                         continue  # character outside the codec
@@ -171,18 +173,94 @@ def line_rows_from_dataset(spark, path: str, split: str = "train",
     return fdf.mapInArrow(gen, LINES_SCHEMA)
 
 
+def dataset_alphabet(spark, path: str, split: str = "train") -> set[str]:
+    """Distinct GT characters of one dataset split — a tiny distributed
+    scan (one set row per shard, unioned at the driver; the alphabet check
+    ketos runs before resizing, reference ketos/recognition.py:246-258)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+
+    files = (sorted(_glob.glob(_os.path.join(path, "shard-*.arrow")))
+             if _os.path.isdir(path) else [path])
+    fdf = spark.createDataFrame([(f,) for f in files],
+                                "path string").repartition(len(files))
+
+    def gen(batches):
+        import pyarrow.ipc as ipc
+
+        for b in batches:
+            chars: set[str] = set()
+            for fp in b.column("path").to_pylist():
+                with open(fp, "rb") as f:
+                    table = ipc.open_file(f).read_all()
+                for ln, keep in zip(table.column("lines").to_pylist(),
+                                    table.column(split).to_pylist()):
+                    if keep and ln["text"]:
+                        chars.update(ln["text"])
+            yield pa.RecordBatch.from_pylist(
+                [{"chars": "".join(sorted(chars))}],
+                schema=pa.schema([pa.field("chars", pa.string())]))
+
+    out: set[str] = set()
+    for r in fdf.mapInArrow(gen, "chars string").collect():
+        out.update(r.chars)
+    return out
+
+
+def extend_codec(W: dict[str, np.ndarray], codec: dict[str, list[int]],
+                 spec: str, new_chars, seed: int = 42):
+    """--resize union surgery (reference lib/vgsl layers LinSoftmax.resize
+    + PytorchCodec.add_labels semantics): append one new code per unseen
+    character, grow the output head by k Xavier-uniform rows with zero
+    bias (surviving rows untouched), and rewrite the spec's class count.
+    Returns (W', codec', spec')."""
+    import re as _re
+
+    new_chars = sorted(new_chars)
+    if not new_chars:
+        return W, codec, spec
+    codec = {k: list(v) for k, v in codec.items()}
+    next_code = max(v[0] for v in codec.values()) + 1
+    for ch in new_chars:
+        codec[ch] = [next_code]
+        next_code += 1
+    Wl, bl = W["out.lin.weight"], W["out.lin.bias"]
+    k = len(new_chars)
+    n_new = Wl.shape[0] + k
+    rng = np.random.Generator(np.random.PCG64(seed))
+    limit = float(np.sqrt(6.0 / (Wl.shape[1] + n_new)))
+    W = dict(W)
+    W["out.lin.weight"] = np.concatenate(
+        [Wl, rng.uniform(-limit, limit, (k, Wl.shape[1])).astype(np.float32)])
+    W["out.lin.bias"] = np.concatenate([bl, np.zeros(k, np.float32)])
+    spec = _re.sub(r"c(\d+)\]$", f"c{n_new}]", spec)
+    return W, codec, spec
+
+
 def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
                                   steps: int = 50, batch: int = 16,
                                   lr: float = 1e-3, sample_mod: int = 1,
-                                  init_model: str | None = None) -> dict:
+                                  init_model: str | None = None,
+                                  resize: str = "fail") -> dict:
     """The spark-submit training leg (job.py --train-recognizer): fit or
     fine-tune the recognizer on a reference-format line dataset with the
     synchronous data-parallel loop and write the model in kraken's
     safetensors layout. init_model warm-starts from an existing kraken
     model file (the ketos fine-tune flag); otherwise random init — note a
     cold CTC start needs several thousand steps (the committed asset's
-    curriculum lives in tools/train_recognizer.py)."""
-    df = line_rows_from_dataset(spark, dataset_path).cache()
+    curriculum lives in tools/train_recognizer.py).
+
+    resize: what to do when the dataset contains characters outside the
+    codec — 'fail' raises (the reference's default; its error text tells
+    you to set --resize), 'union'/'add' extends the codec and output head
+    in place (extend_codec) so fine-tuning learns the new characters."""
+    import re as _re
+
+    codec = {k: list(v) for k, v in rec_train.CODEC.items()}
+    spec = rec_train.SPEC
+    spec_family = _re.sub(r"c\d+\]$", "c*]", rec_train.SPEC)
     if init_model:
         from .kernels.modelio import load_kraken_model
 
@@ -195,21 +273,48 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
             Wp = {k: np.asarray(v, dtype=np.float32).copy()
                   for k, v in b.weights.items()}
             W = rp.to_recognizer_weights(Wp)
-        elif b.vgsl != rec_train.SPEC:
+        elif _re.sub(r"c\d+\]$", "c*]", b.vgsl) != spec_family:
+            # class count may differ (a previously --resize'd model);
+            # anything else in the topology must match the trainer
             raise ValueError(f"init model spec {b.vgsl!r} != trainer spec")
         else:
             W = {k: np.asarray(v, dtype=np.float32).copy()
                  for k, v in b.weights.items()}
+            codec = {k: list(v) for k, v in b.codec.items()} or codec
+            spec = b.vgsl
     else:
         W = rec_train.init_weights(
             np.random.Generator(np.random.PCG64(rec_train.TRAIN_SEED)))
+    known = set(codec)
+    missing = dataset_alphabet(spark, dataset_path) - known
+    n_new = len(missing)
+    if missing and resize == "fail":
+        raise ValueError(
+            "Training data and model codec alphabets mismatch: "
+            f"{sorted(missing)!r} not in the codec — set resize to "
+            "'union'/'add' (--resize union) to extend the output head")
+    if missing:
+        W, codec, spec = extend_codec(W, codec, spec, missing)
+    df = line_rows_from_dataset(spark, dataset_path, codec=codec).cache()
     l0, _, n0 = spark_gradient(df, W, batch=batch)
     W = train_spark(df, steps=steps, batch=batch, lr=lr,
                     sample_mod=sample_mod, W=W)
     l1, _, n1 = spark_gradient(df, W, batch=batch)
-    rec_train.save_asset(W, out_path)
+    if spec == rec_train.SPEC and not missing:
+        rec_train.save_asset(W, out_path)
+    else:
+        from .kernels.modelio import KrakenModelBundle, save_kraken_model
+
+        save_kraken_model(
+            out_path,
+            KrakenModelBundle(vgsl=spec, codec=codec,
+                              weights={k: np.asarray(v, dtype=np.float32)
+                                       for k, v in W.items()},
+                              metadata=dict(rec_train.METADATA)),
+            prefix="rec_learned", dtype="F32")
     return {"n_lines": int(n1), "loss_before": l0 / max(1, n0),
-            "loss_after": l1 / max(1, n1), "model": out_path}
+            "loss_after": l1 / max(1, n1), "model": out_path,
+            "n_new_codes": n_new}
 
 
 _TEST_MODEL_CACHE: dict = {}

@@ -494,3 +494,71 @@ def test_ketos_test_analog_reports_accuracy(spark, tmp_path, capsys):
     lib = test_recognizer_on_dataset(spark, ds, rt.ASSET, split="test")
     assert lib["n_lines"] == reports["test"]["n_lines"]
     assert abs(lib["accuracy"] - reports["test"]["accuracy"]) < 1e-12
+
+
+def test_extend_codec_surgery():
+    """--resize union surgery: codes appended sequentially, surviving
+    output rows byte-identical, spec class count rewritten, no-op when
+    nothing is missing."""
+    from kraken_spark.training import extend_codec
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    W = rt.init_weights(rng)
+    codec = {k: list(v) for k, v in rt.CODEC.items()}
+    W2, codec2, spec2 = extend_codec(W, codec, rt.SPEC, {"ß", "ω"})
+    assert spec2.endswith(f"c{rt.N_CLASSES + 2}]")
+    assert codec2["ß"] == [rt.N_CLASSES] and codec2["ω"] == [rt.N_CLASSES + 1]
+    assert W2["out.lin.weight"].shape[0] == rt.N_CLASSES + 2
+    assert W2["out.lin.weight"][: rt.N_CLASSES].tobytes() == \
+        W["out.lin.weight"].tobytes()
+    assert W2["out.lin.bias"][rt.N_CLASSES:].tolist() == [0.0, 0.0]
+    W3, codec3, spec3 = extend_codec(W, codec, rt.SPEC, set())
+    assert spec3 == rt.SPEC and W3 is W and codec3 is codec
+
+
+@asset_required
+def test_resize_union_fine_tune(spark, tmp_path):
+    """The ketos train --resize union workflow end-to-end: compile a
+    dataset whose GT contains characters outside the model codec, watch
+    the default fail with the reference's mismatch error, then fine-tune
+    with resize='union' — output model carries the grown codec/spec and
+    reloads as an init model for a further run."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kraken_spark.kernels.modelio import load_kraken_model
+    from kraken_spark.sources.arrow_dataset import (write_ipc,
+                                                    xml_line_dataset)
+    from kraken_spark.training import (dataset_alphabet,
+                                       train_recognizer_from_dataset)
+    from tests.test_arrow_dataset import _mini_alto, _mini_page_png
+
+    lines = [("straße", 10, 18, 200, 42), ("ωmega ab", 10, 48, 200, 72),
+             ("plain", 10, 78, 200, 102)]
+    xml = _mini_alto("p.png", lines, split_tags=("train",) * 3)
+    pairs = spark.createDataFrame(
+        [("doc://r", bytearray(xml), bytearray(_mini_page_png()))],
+        "url string, xml binary, image binary")
+    ds = str(tmp_path / "resize.arrow")
+    write_ipc(xml_line_dataset(pairs), ds)
+
+    assert {"ß", "ω"} <= dataset_alphabet(spark, ds)
+
+    with pytest.raises(ValueError, match="resize"):
+        train_recognizer_from_dataset(spark, ds, str(tmp_path / "na.safetensors"),
+                                      steps=1, init_model=rt.ASSET)
+
+    out1 = str(tmp_path / "grown.safetensors")
+    rep = train_recognizer_from_dataset(spark, ds, out1, steps=2,
+                                        init_model=rt.ASSET, resize="union")
+    assert rep["n_new_codes"] == 2 and rep["n_lines"] == 3
+    b = load_kraken_model(out1)[0]
+    assert b.vgsl.endswith(f"c{rt.N_CLASSES + 2}]")
+    assert "ß" in b.codec and "ω" in b.codec
+    assert b.weights["out.lin.weight"].shape[0] == rt.N_CLASSES + 2
+
+    # the grown model reloads as init (spec-family acceptance) and needs
+    # no further resize for the same dataset
+    out2 = str(tmp_path / "grown2.safetensors")
+    rep2 = train_recognizer_from_dataset(spark, ds, out2, steps=1,
+                                         init_model=out1, resize="fail")
+    assert rep2["n_new_codes"] == 0 and rep2["n_lines"] == 3
