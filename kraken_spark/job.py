@@ -187,6 +187,19 @@ def main(argv: list[str] | None = None) -> int:
         "union/add — extend the codec and output head in place "
         "(training.extend_codec) so fine-tuning learns the new characters",
     )
+    ap.add_argument(
+        "--normalization", default=None,
+        choices=["NFD", "NFKD", "NFC", "NFKC"],
+        help="ground-truth unicode normalization for --train-recognizer / "
+        "--test-recognizer (the reference ketos -u flag; "
+        "training.gt_text_transform)",
+    )
+    ap.add_argument(
+        "--normalize-whitespace", action="store_true",
+        help="fold every GT whitespace run to a single space and strip "
+        "(the reference ketos -n flag), for --train-recognizer / "
+        "--test-recognizer",
+    )
     ap.add_argument("--train-steps", type=int, default=50)
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--train-lr", type=float, default=1e-3)
@@ -343,7 +356,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.output, steps=args.train_steps,
             batch=args.train_batch, lr=args.train_lr,
             sample_mod=args.train_sample_mod, init_model=args.model,
-            resize=args.resize,
+            resize=args.resize, normalization=args.normalization,
+            normalize_whitespace=args.normalize_whitespace,
         )
         print(json.dumps(out))
         return 0
@@ -353,8 +367,10 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--test-recognizer requires --model")
         from kraken_spark.training import test_recognizer_on_dataset
 
-        out = test_recognizer_on_dataset(spark, args.input, args.model,
-                                         split=args.test_split)
+        out = test_recognizer_on_dataset(
+            spark, args.input, args.model, split=args.test_split,
+            normalization=args.normalization,
+            normalize_whitespace=args.normalize_whitespace)
         print(json.dumps(out))
         return 0
 

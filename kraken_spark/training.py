@@ -92,9 +92,26 @@ def _rows_to_samples(batch) -> list[tuple[np.ndarray, list[int], str]]:
     ]
 
 
+def gt_text_transform(text: str, normalization: str | None = None,
+                      normalize_whitespace: bool = False) -> str:
+    """The reference's GT text transforms (functional_im_transforms.py:
+    85-90): optional unicode normalization (NFD/NFC/NFKD/NFKC) then
+    whitespace folding (every \\s run of length 1 -> ' ', strip)."""
+    import re as _re
+    import unicodedata as _ud
+
+    if normalization:
+        text = _ud.normalize(normalization, text)
+    if normalize_whitespace:
+        text = _re.sub(r"\s", " ", text).strip()
+    return text
+
+
 def line_rows_from_dataset(spark, path: str, split: str = "train",
                            height: int | None = None,
-                           codec: dict[str, list[int]] | None = None):
+                           codec: dict[str, list[int]] | None = None,
+                           normalization: str | None = None,
+                           normalize_whitespace: bool = False):
     """Training-line rows from a reference-format Arrow IPC line dataset
     (sources/arrow_dataset.py — the ketos input format: lines
     struct<text, im, language> + split masks), one task per shard file.
@@ -134,9 +151,13 @@ def line_rows_from_dataset(spark, path: str, split: str = "train",
                 for i, (ln, keep) in enumerate(zip(lines, mask)):
                     if not keep or not ln["text"]:
                         continue
+                    gt = gt_text_transform(ln["text"], normalization,
+                                           normalize_whitespace)
+                    if not gt:
+                        continue
                     try:
                         labels = [cdc[ch][0]
-                                  for ch in get_display(ln["text"], None)[0]]
+                                  for ch in get_display(gt, None)[0]]
                     except KeyError:
                         continue  # character outside the codec
                     strip = png.to_grayscale(png.decode_png(ln["im"]))
@@ -154,7 +175,7 @@ def line_rows_from_dataset(spark, path: str, split: str = "train",
                     ts = (ts.max() - ts).astype(np.float32)
                     if ts.max() == ts.min() or ts.shape[1] // 4 < len(labels):
                         continue
-                    rows.append((f"{fp}#{i}", i, ts, labels, ln["text"]))
+                    rows.append((f"{fp}#{i}", i, ts, labels, gt))
                 if rows:
                     yield pa.RecordBatch.from_arrays(
                         [
@@ -173,10 +194,15 @@ def line_rows_from_dataset(spark, path: str, split: str = "train",
     return fdf.mapInArrow(gen, LINES_SCHEMA)
 
 
-def dataset_alphabet(spark, path: str, split: str = "train") -> set[str]:
+def dataset_alphabet(spark, path: str, split: str = "train",
+                     normalization: str | None = None,
+                     normalize_whitespace: bool = False) -> set[str]:
     """Distinct GT characters of one dataset split — a tiny distributed
     scan (one set row per shard, unioned at the driver; the alphabet check
-    ketos runs before resizing, reference ketos/recognition.py:246-258)."""
+    ketos runs before resizing, reference ketos/recognition.py:246-258).
+    The GT text transforms apply BEFORE the alphabet is taken (the
+    reference's dataset applies them on add, so its alphabet counter only
+    ever sees transformed text — lib/dataset/recognition.py:135-138)."""
     import glob as _glob
     import os as _os
 
@@ -198,7 +224,8 @@ def dataset_alphabet(spark, path: str, split: str = "train") -> set[str]:
                 for ln, keep in zip(table.column("lines").to_pylist(),
                                     table.column(split).to_pylist()):
                     if keep and ln["text"]:
-                        chars.update(ln["text"])
+                        chars.update(gt_text_transform(
+                            ln["text"], normalization, normalize_whitespace))
             yield pa.RecordBatch.from_pylist(
                 [{"chars": "".join(sorted(chars))}],
                 schema=pa.schema([pa.field("chars", pa.string())]))
@@ -243,7 +270,9 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
                                   steps: int = 50, batch: int = 16,
                                   lr: float = 1e-3, sample_mod: int = 1,
                                   init_model: str | None = None,
-                                  resize: str = "fail") -> dict:
+                                  resize: str = "fail",
+                                  normalization: str | None = None,
+                                  normalize_whitespace: bool = False) -> dict:
     """The spark-submit training leg (job.py --train-recognizer): fit or
     fine-tune the recognizer on a reference-format line dataset with the
     synchronous data-parallel loop and write the model in kraken's
@@ -255,7 +284,11 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
     resize: what to do when the dataset contains characters outside the
     codec — 'fail' raises (the reference's default; its error text tells
     you to set --resize), 'union'/'add' extends the codec and output head
-    in place (extend_codec) so fine-tuning learns the new characters."""
+    in place (extend_codec) so fine-tuning learns the new characters.
+
+    normalization/normalize_whitespace: the reference's -u/--normalization
+    and -n/--normalize-whitespace GT transforms (gt_text_transform),
+    applied before BOTH the alphabet/resize check and label encoding."""
     import re as _re
 
     codec = {k: list(v) for k, v in rec_train.CODEC.items()}
@@ -286,7 +319,9 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
         W = rec_train.init_weights(
             np.random.Generator(np.random.PCG64(rec_train.TRAIN_SEED)))
     known = set(codec)
-    missing = dataset_alphabet(spark, dataset_path) - known
+    missing = dataset_alphabet(
+        spark, dataset_path, normalization=normalization,
+        normalize_whitespace=normalize_whitespace) - known
     n_new = len(missing)
     if missing and resize == "fail":
         raise ValueError(
@@ -295,7 +330,9 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
             "'union'/'add' (--resize union) to extend the output head")
     if missing:
         W, codec, spec = extend_codec(W, codec, spec, missing)
-    df = line_rows_from_dataset(spark, dataset_path, codec=codec).cache()
+    df = line_rows_from_dataset(
+        spark, dataset_path, codec=codec, normalization=normalization,
+        normalize_whitespace=normalize_whitespace).cache()
     l0, _, n0 = spark_gradient(df, W, batch=batch)
     W = train_spark(df, steps=steps, batch=batch, lr=lr,
                     sample_mod=sample_mod, W=W)
@@ -321,7 +358,9 @@ _TEST_MODEL_CACHE: dict = {}
 
 
 def test_recognizer_on_dataset(spark, dataset_path: str, model_path: str,
-                               split: str = "test", pad: int = 16) -> dict:
+                               split: str = "test", pad: int = 16,
+                               normalization: str | None = None,
+                               normalize_whitespace: bool = False) -> dict:
     """The ketos-test analog (reference kraken/ketos/recognition.py:262-420
     over lib/train.py's compute_error): evaluate ANY loaded kraken model —
     its own VGSL spec and codec — against one split of a reference-format
@@ -331,8 +370,10 @@ def test_recognizer_on_dataset(spark, dataset_path: str, model_path: str,
     Lanczos resize to the MODEL's input height) and the loaded model's
     forward/greedy-CTC/codec/BiDi tail; per-line errors aggregate JVM-side
     (groupBy language) so the driver only ever sees the per-language
-    report rows. Returns {accuracy, n_lines, n_exact, n_chars,
-    per_language: {lang: {...}}, model, split}."""
+    report rows. normalization/normalize_whitespace are the reference
+    ketos-test -u/-n GT transforms (recognition.py:285-288), applied to
+    the ground truth before scoring. Returns {accuracy, n_lines, n_exact,
+    n_chars, per_language: {lang: {...}}, model, split}."""
     import glob as _glob
     import os as _os
 
@@ -374,6 +415,10 @@ def test_recognizer_on_dataset(spark, dataset_path: str, model_path: str,
                 for ln, keep in zip(lines, mask):
                     if not keep or not ln["text"]:
                         continue
+                    gt = gt_text_transform(ln["text"], normalization,
+                                           normalize_whitespace)
+                    if not gt:
+                        continue
                     strip = png.to_grayscale(png.decode_png(ln["im"]))
                     if strip.max() <= 1:
                         strip = strip * np.uint8(255)
@@ -386,7 +431,6 @@ def test_recognizer_on_dataset(spark, dataset_path: str, model_path: str,
                     ts = fixed_resize(img, (rec.height, 0)).astype(
                         np.float32) / 255.0
                     pred = rec._finish(ts, pad)["prediction"]
-                    gt = ln["text"]
                     rows.append({
                         "language": (ln["language"] or ["und"])[0],
                         "n_chars": len(gt),

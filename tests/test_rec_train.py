@@ -562,3 +562,74 @@ def test_resize_union_fine_tune(spark, tmp_path):
     rep2 = train_recognizer_from_dataset(spark, ds, out2, steps=1,
                                          init_model=out1, resize="fail")
     assert rep2["n_new_codes"] == 0 and rep2["n_lines"] == 3
+
+
+def test_gt_text_transform_vectors():
+    """-u/--normalization + -n/--normalize-whitespace parity (reference
+    functional_im_transforms.py:85-90): unicode normalization first, then
+    each whitespace CHAR replaced by one ASCII space (runs NOT folded)
+    and the ends stripped."""
+    from kraken_spark.training import gt_text_transform
+
+    assert gt_text_transform("ﬁsh", "NFKC") == "fish"
+    assert gt_text_transform("é", "NFC") == "é"
+    assert gt_text_transform("é", "NFD") == "é"
+    assert gt_text_transform(" a\tb  c\n",
+                             normalize_whitespace=True) == "a b  c"
+    assert gt_text_transform("plain") == "plain"
+
+
+@asset_required
+def test_train_gt_transforms_before_alphabet_check(spark, tmp_path):
+    """GT transforms run BEFORE the alphabet/resize check and label
+    encoding (the reference's dataset applies them on add): a dataset
+    whose raw GT holds out-of-codec compatibility chars (fi-ligature,
+    no-break space) demands --resize by default but fine-tunes cleanly
+    under -u NFKC -n, and the emitted gt column carries the transformed
+    text."""
+    from kraken_spark.sources.arrow_dataset import (write_ipc,
+                                                    xml_line_dataset)
+    from kraken_spark.training import (dataset_alphabet,
+                                       line_rows_from_dataset,
+                                       test_recognizer_on_dataset,
+                                       train_recognizer_from_dataset)
+    from tests.test_arrow_dataset import _mini_alto, _mini_page_png
+
+    lines = [("ﬁsh", 10, 18, 200, 42),
+             ("ab cd", 10, 48, 200, 72),
+             ("plain", 10, 78, 200, 102)]
+    xml = _mini_alto("p.png", lines, split_tags=("train",) * 3)
+    pairs = spark.createDataFrame(
+        [("doc://n", bytearray(xml), bytearray(_mini_page_png()))],
+        "url string, xml binary, image binary")
+    ds = str(tmp_path / "norm.arrow")
+    write_ipc(xml_line_dataset(pairs), ds)
+
+    raw = dataset_alphabet(spark, ds)
+    assert "ﬁ" in raw and " " in raw
+    cooked = dataset_alphabet(spark, ds, normalization="NFKC",
+                              normalize_whitespace=True)
+    assert "ﬁ" not in cooked and " " not in cooked
+    assert {"f", "i", " "} <= cooked
+
+    with pytest.raises(ValueError, match="resize"):
+        train_recognizer_from_dataset(
+            spark, ds, str(tmp_path / "na.safetensors"), steps=1,
+            init_model=rt.ASSET)
+
+    rep = train_recognizer_from_dataset(
+        spark, ds, str(tmp_path / "norm.safetensors"), steps=1,
+        init_model=rt.ASSET, normalization="NFKC",
+        normalize_whitespace=True)
+    assert rep["n_new_codes"] == 0 and rep["n_lines"] == 3
+
+    gts = {r.gt for r in line_rows_from_dataset(
+        spark, ds, normalization="NFKC",
+        normalize_whitespace=True).select("gt").collect()}
+    assert gts == {"fish", "ab cd", "plain"}
+
+    # ketos-test leg takes the same flags: transformed GT scores all 3
+    r = test_recognizer_on_dataset(spark, ds, rt.ASSET, split="train",
+                                   normalization="NFKC",
+                                   normalize_whitespace=True)
+    assert r["n_lines"] == 3 and 0.0 <= r["accuracy"] <= 1.0
