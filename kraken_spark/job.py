@@ -188,6 +188,21 @@ def main(argv: list[str] | None = None) -> int:
         "(training.extend_codec) so fine-tuning learns the new characters",
     )
     ap.add_argument(
+        "--convert-model",
+        action="store_true",
+        help="ketos-convert analog (kernels/modelio.convert_models): "
+        "--input is one or more model weights files (comma-separated; "
+        "safetensors or CoreML, format-sniffed) — load every model from "
+        "each and write them combined into --output in --weights-format. "
+        "Driver-only (no Spark session); an existing output refuses",
+    )
+    ap.add_argument(
+        "--weights-format", default="safetensors",
+        choices=["safetensors", "coreml"],
+        help="output container for --convert-model (coreml takes exactly "
+        "one model and coerces the suffix to .mlmodel)",
+    )
+    ap.add_argument(
         "--normalization", default=None,
         choices=["NFD", "NFKD", "NFC", "NFKC"],
         help="ground-truth unicode normalization for --train-recognizer / "
@@ -338,6 +353,15 @@ def main(argv: list[str] | None = None) -> int:
         "cdx-NNNNN.gz shards + cluster.idx (sources/warc.write_cdx_shards)",
     )
     args = ap.parse_args(argv)
+
+    if args.convert_model:
+        # driver-only model-container surgery: no Spark session needed
+        from kraken_spark.kernels.modelio import convert_models
+
+        out = convert_models([p for p in args.input.split(",") if p],
+                             args.output, args.weights_format)
+        print(json.dumps({"output": out, "format": args.weights_format}))
+        return 0
 
     from pyspark.sql import SparkSession
 

@@ -400,6 +400,77 @@ def save_kraken_model(path: str, bundle: KrakenModelBundle,
     write_safetensors(path, tensors, meta)
 
 
+def save_kraken_models(path: str, bundles: list[KrakenModelBundle],
+                       prefixes: list[str] | None = None,
+                       dtype: str | None = None) -> None:
+    """Write SEVERAL model bundles into ONE kraken-layout safetensors file
+    (the reference's multi-model weights files, models/writers.py:44-91 —
+    e.g. a line and a region segmenter combined for joint inference).
+    Prefixes default to deterministic 'model_<i>' (the reference draws
+    random uuid4 prefixes; its loader only iterates the map, and a seeded
+    build must be byte-reproducible)."""
+    if prefixes is None:
+        prefixes = [f"model_{i}" for i in range(len(bundles))]
+    if len(prefixes) != len(set(prefixes)) or len(prefixes) != len(bundles):
+        raise ValueError("one unique prefix per bundle required")
+    tensors: dict[str, np.ndarray] = {}
+    model_map: dict[str, dict] = {}
+    for prefix, bundle in zip(prefixes, bundles):
+        for name, w in bundle.weights.items():
+            arr = np.asarray(w)
+            if dtype and arr.dtype.kind == "f":
+                arr = arr.astype(_ST_DTYPES[dtype])
+            tensors[f"{prefix}.nn.{name}"] = arr
+        model_data = dict(bundle.metadata or {})
+        model_data["vgsl"] = bundle.vgsl
+        if bundle.codec is not None:
+            model_data["codec"] = bundle.codec
+        model_map[prefix] = model_data
+    write_safetensors(path, tensors, {"kraken_meta": json.dumps(model_map)})
+
+
+def convert_models(paths: list[str], output: str,
+                   weights_format: str = "safetensors") -> str:
+    """The ketos-convert analog (reference ketos/weights.py:26-60 over
+    models/convert.py:44-92 + models/writers.py): load every model from
+    each input weights file (safetensors or CoreML, sniffed) and write
+    them combined into ONE output file in ``weights_format``.
+
+    Reference behaviors kept: an existing output path refuses; the CoreML
+    writer takes exactly one model and coerces the suffix to '.mlmodel';
+    torch-lightning '.ckpt' checkpoints are out of scope in this
+    torch-free engine and raise a diagnosable error. Returns the path
+    actually written (suffix coercion may change it)."""
+    import os
+
+    if not paths:
+        raise ValueError("no models to convert were provided")
+    bundles: list[KrakenModelBundle] = []
+    for p in paths:
+        if p.endswith(".ckpt"):
+            raise ValueError(
+                f"{p}: torch-lightning checkpoints need torch; convert "
+                "them to weights with the reference's ketos convert first")
+        bundles.extend(load_kraken_model(p))
+    if weights_format == "safetensors":
+        out = output
+    elif weights_format == "coreml":
+        if len(bundles) != 1:
+            raise ValueError(
+                "CoreML writer only supports writing one model at a time")
+        out = output if output.endswith(".mlmodel") else \
+            os.path.splitext(output)[0] + ".mlmodel"
+    else:
+        raise ValueError(f"no writer for format {weights_format} found")
+    if os.path.exists(out):
+        raise ValueError(f"{out} already exists")
+    if weights_format == "safetensors":
+        save_kraken_models(out, bundles)
+    else:
+        save_coreml(out, bundles[0])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # CoreML protobuf WRITER (+ LSTM layer support)
 # ---------------------------------------------------------------------------
