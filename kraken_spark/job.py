@@ -203,6 +203,20 @@ def main(argv: list[str] | None = None) -> int:
         "one model and coerces the suffix to .mlmodel)",
     )
     ap.add_argument(
+        "--roadd",
+        action="store_true",
+        help="ketos-roadd analog (kernels/ro_train.attach_ro_model): "
+        "--input is '<seg_weights>,<ro_weights>' — nest the reading-order "
+        "pair-MLP inside the segmentation weights file as an aux model "
+        "and write the combined container to --output; point "
+        "KRAKEN_SPARK_RO_NET at it to drive neural reading order from "
+        "the combined file. Driver-only (no Spark session)",
+    )
+    ap.add_argument(
+        "--ro-level", default="baselines", choices=["baselines", "regions"],
+        help="which element level the attached RO model orders",
+    )
+    ap.add_argument(
         "--normalization", default=None,
         choices=["NFD", "NFKD", "NFC", "NFKC"],
         help="ground-truth unicode normalization for --train-recognizer / "
@@ -361,6 +375,17 @@ def main(argv: list[str] | None = None) -> int:
         out = convert_models([p for p in args.input.split(",") if p],
                              args.output, args.weights_format)
         print(json.dumps({"output": out, "format": args.weights_format}))
+        return 0
+
+    if args.roadd:
+        from kraken_spark.kernels.ro_train import attach_ro_model
+
+        parts = [p for p in args.input.split(",") if p]
+        if len(parts) != 2:
+            ap.error("--roadd needs --input '<seg_weights>,<ro_weights>'")
+        out = attach_ro_model(parts[0], parts[1], args.output,
+                              level=args.ro_level)
+        print(json.dumps({"output": out, "level": args.ro_level}))
         return 0
 
     from pyspark.sql import SparkSession

@@ -29,15 +29,19 @@ def learned_mlp():
     written by tools/train_ro.py) — the trained replacement for the
     constructed comparator, standing in for the reference's RO checkpoints
     (LFS stubs in this snapshot). None when the asset is absent or
-    KRAKEN_SPARK_RO_NET=constructed forces the constructed comparator."""
+    KRAKEN_SPARK_RO_NET=constructed forces the constructed comparator; any
+    other KRAKEN_SPARK_RO_NET value is a PATH to a plain RO weights file
+    or a combined segmentation+RO container (the roadd analog,
+    ro_train.attach_ro_model) to load instead of the shipped asset."""
     import os
 
-    if os.environ.get("KRAKEN_SPARK_RO_NET") == "constructed":
+    env = os.environ.get("KRAKEN_SPARK_RO_NET")
+    if env == "constructed":
         return None
     if _LEARNED_CACHE[0] is None:
         from .ro_train import load_mlp
 
-        _LEARNED_CACHE[0] = load_mlp() or False
+        _LEARNED_CACHE[0] = load_mlp(env or None) or False
     return _LEARNED_CACHE[0] or None
 
 

@@ -145,7 +145,16 @@ def save_mlp(mlp: OrderMLP, path: str = ASSET) -> None:
     )
 
 
+RO_PREFIX = "aux.ro_model."  # nesting of an attached RO net (roadd analog)
+
+_RO_KEYS = ("w1", "b1", "w2", "b2")
+
+
 def load_mlp(path: str | None = None) -> OrderMLP | None:
+    """Load the pairwise RO MLP from a plain RO weights file, from a
+    COMBINED segmentation+RO file (attach_ro_model's 'aux.ro_model.'
+    nesting — the reference's seg_net.aux_layers['ro_model'] shape), or
+    from the shipped asset."""
     from ..assets_io import asset_bytes
     from .modelio import parse_safetensors, read_safetensors
 
@@ -158,4 +167,55 @@ def load_mlp(path: str | None = None) -> OrderMLP | None:
         if blob is None:
             return None
         t, _ = parse_safetensors(blob, ASSET)
+    if "w1" not in t and RO_PREFIX + "w1" in t:
+        t = {k[len(RO_PREFIX):]: v for k, v in t.items()
+             if k.startswith(RO_PREFIX)}
+    if not all(k in t for k in _RO_KEYS):
+        return None
     return OrderMLP(t["w1"], t["b1"], t["w2"], float(t["b2"][0]))
+
+
+def attach_ro_model(seg_path: str, ro_path: str, output: str,
+                    level: str = "baselines") -> str:
+    """The ketos-roadd analog (reference ketos/ro.py:261-313): combine a
+    reading-order model with a segmentation weights file into ONE
+    container. The reference stores the ROMLP under the seg net's
+    aux_layers['ro_model' | 'ro_model_regions'] and refuses mismatched
+    class mappings; this flat-safetensors twin nests the RO tensors under
+    'aux.ro_model.' (seg tensors unchanged — seg_train.load_weights reads
+    the combined file as before), records the level in the metadata, and
+    validates both inputs' layouts. Re-attaching replaces a previously
+    attached RO net. Returns the output path."""
+    from .modelio import read_safetensors, write_safetensors
+
+    if level not in ("baselines", "regions"):
+        raise ValueError(f"unknown RO level {level!r}")
+    seg_t, seg_meta = read_safetensors(seg_path)
+    if not {"w0", "b0", "u", "v", "b1"} <= set(seg_t):
+        raise ValueError(
+            f"{seg_path} is not a segmentation weights file (expected the "
+            "seg_train conv layout)")
+    ro_t, ro_meta = read_safetensors(ro_path)
+    if RO_PREFIX + "w1" in ro_t:  # an already-combined file donates its net
+        ro_t = {k[len(RO_PREFIX):]: v for k, v in ro_t.items()
+                if k.startswith(RO_PREFIX)}
+    if not all(k in ro_t for k in _RO_KEYS):
+        raise ValueError(
+            f"{ro_path} is not a reading-order model (expected the "
+            "pair-MLP w1/b1/w2/b2 layout)")
+    # the reference's class-mapping compatibility check: the MLP's pair
+    # feature width fixes the class count it was trained with
+    n_classes = ro_t["w1"].shape[1] // 2 - 6
+    if n_classes < 1:
+        raise ValueError(f"{ro_path}: malformed pair-feature width "
+                         f"{ro_t['w1'].shape[1]}")
+    combined = {k: v for k, v in seg_t.items()
+                if not k.startswith(RO_PREFIX)}
+    combined.update({RO_PREFIX + k: ro_t[k] for k in _RO_KEYS})
+    meta = dict(seg_meta)
+    meta["ro_level"] = level
+    meta["ro_n_classes"] = str(n_classes)
+    if "arch" in ro_meta:
+        meta["ro_arch"] = ro_meta["arch"]
+    write_safetensors(output, combined, meta)
+    return output
