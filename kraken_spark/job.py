@@ -229,6 +229,13 @@ def main(argv: list[str] | None = None) -> int:
         "(the reference ketos -n flag), for --train-recognizer / "
         "--test-recognizer",
     )
+    ap.add_argument(
+        "--augment", action="store_true",
+        help="--train-recognizer data augmentation (the reference ketos "
+        "--augment flag; kernels/augment.py DefaultAugmenter analog: "
+        "erasing/blur/perspective/rotation/affine with per-(step, line) "
+        "keyed RNG — deterministic and partitioning-independent)",
+    )
     ap.add_argument("--train-steps", type=int, default=50)
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--train-lr", type=float, default=1e-3)
@@ -407,6 +414,7 @@ def main(argv: list[str] | None = None) -> int:
             sample_mod=args.train_sample_mod, init_model=args.model,
             resize=args.resize, normalization=args.normalization,
             normalize_whitespace=args.normalize_whitespace,
+            augment=args.augment,
         )
         print(json.dumps(out))
         return 0

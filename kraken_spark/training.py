@@ -80,16 +80,28 @@ def generate_line_rows(spark, seed: int, n_docs: int, partitions: int | None = N
     return spark.range(n_docs).repartition(partitions).mapInArrow(gen, LINES_SCHEMA)
 
 
-def _rows_to_samples(batch) -> list[tuple[np.ndarray, list[int], str]]:
+def _rows_to_samples(batch, augment_step: int | None = None
+                     ) -> list[tuple[np.ndarray, list[int], str]]:
     hs = batch.column("height").to_pylist()
     ws = batch.column("width").to_pylist()
     ps = batch.column("patch").to_pylist()
     ls = batch.column("labels").to_pylist()
     gs = batch.column("gt").to_pylist()
-    return [
+    out = [
         (np.frombuffer(p, dtype=np.float32).reshape(h, w), list(l), g)
         for h, w, p, l, g in zip(hs, ws, ps, ls, gs)
     ]
+    if augment_step is not None:
+        from .kernels import augment as aug
+
+        us = batch.column("url").to_pylist()
+        lis = batch.column("line_idx").to_pylist()
+        out = [
+            (aug.augment_line(img, aug.rng_for(augment_step,
+                                               line_key(u, li))), l, g)
+            for (img, l, g), u, li in zip(out, us, lis)
+        ]
+    return out
 
 
 def gt_text_transform(text: str, normalization: str | None = None,
@@ -272,7 +284,8 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
                                   init_model: str | None = None,
                                   resize: str = "fail",
                                   normalization: str | None = None,
-                                  normalize_whitespace: bool = False) -> dict:
+                                  normalize_whitespace: bool = False,
+                                  augment: bool = False) -> dict:
     """The spark-submit training leg (job.py --train-recognizer): fit or
     fine-tune the recognizer on a reference-format line dataset with the
     synchronous data-parallel loop and write the model in kraken's
@@ -335,7 +348,7 @@ def train_recognizer_from_dataset(spark, dataset_path: str, out_path: str,
         normalize_whitespace=normalize_whitespace).cache()
     l0, _, n0 = spark_gradient(df, W, batch=batch)
     W = train_spark(df, steps=steps, batch=batch, lr=lr,
-                    sample_mod=sample_mod, W=W)
+                    sample_mod=sample_mod, W=W, augment=augment)
     l1, _, n1 = spark_gradient(df, W, batch=batch)
     if spec == rec_train.SPEC and not missing:
         rec_train.save_asset(W, out_path)
@@ -644,13 +657,18 @@ def _grad_layout(W: dict[str, np.ndarray]) -> list[tuple[str, tuple, int]]:
 
 
 def spark_gradient(lines_df, W: dict[str, np.ndarray], batch: int = 16,
-                   tree_fold: int | None = None):
+                   tree_fold: int | None = None,
+                   augment_step: int | None = None):
     """ONE synchronous data-parallel gradient over every row of lines_df.
 
     Returns (loss_sum, grad_sums (float64), n_used). Each task buffers its
     partition's samples (partition row order), chunks them exactly like
     rec_train.dataset_gradient, and emits a single partial row; the driver
     folds partials in collect order.
+
+    augment_step: when set, every sample first passes the DefaultAugmenter
+    analog (kernels/augment.py) with RNG keyed on (step, line identity) —
+    the gradient stays partitioning-independent with augmentation on.
 
     tree_fold: with P tasks the driver receives P ~1 MB partial rows —
     fine at P<=64, a driver hotspot at cluster scale. tree_fold=k inserts
@@ -669,7 +687,7 @@ def spark_gradient(lines_df, W: dict[str, np.ndarray], batch: int = 16,
         Wl = _weights_of(bvar.value)
         samples: list = []
         for b in batches:
-            samples.extend(_rows_to_samples(b))
+            samples.extend(_rows_to_samples(b, augment_step=augment_step))
         if not samples:
             return
         loss_sum, gsum, n = rt.dataset_gradient(samples, Wl, batch=batch)
@@ -730,13 +748,16 @@ def spark_gradient(lines_df, W: dict[str, np.ndarray], batch: int = 16,
 def train_spark(lines_df, steps: int = 30, batch: int = 16, lr: float = 2e-3,
                 sample_mod: int = 1, seed: int = 0,
                 W: dict[str, np.ndarray] | None = None,
-                log_every: int = 0) -> dict[str, np.ndarray]:
+                log_every: int = 0,
+                augment: bool = False) -> dict[str, np.ndarray]:
     """Synchronous distributed minibatch training loop.
 
     sample_mod=k draws ~1/k of the lines per step via a seeded hash filter
     (xxhash64(url, line_idx, step)); k=1 is full-batch. The lines table is
     cached once; per step only weights (broadcast) and per-task gradient
-    partials move."""
+    partials move. augment=True runs each step's samples through the
+    DefaultAugmenter analog with per-(step, line) keyed RNG (the ketos
+    --augment flag)."""
     from pyspark.sql import functions as F
 
     if W is None:
@@ -753,7 +774,8 @@ def train_spark(lines_df, steps: int = 30, batch: int = 16, lr: float = 2e-3,
             )
         frac = step / max(1, steps - 1)
         cur_lr = lr * (0.1 + 0.9 * 0.5 * (1.0 + np.cos(np.pi * frac)))
-        loss_sum, gsum, n = spark_gradient(df, W, batch=batch)
+        loss_sum, gsum, n = spark_gradient(
+            df, W, batch=batch, augment_step=step if augment else None)
         if n:
             grads = {k: (g / n).astype(np.float32) for k, g in gsum.items()}
             opt.step(W, grads, lr=cur_lr)

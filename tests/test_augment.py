@@ -1,0 +1,123 @@
+"""DefaultAugmenter analog (kernels/augment.py — reference
+lib/dataset/recognition.py:55-87): component behavior, gate statistics,
+keyed determinism, and partitioning-independence of the augmented
+distributed gradient."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels import augment as aug
+
+
+def _line_img(seed: int = 0, h: int = 48, w: int = 200) -> np.ndarray:
+    """Ink band with an empty margin wider than any blur window, so
+    reflect padding never mixes content across the boundary."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = np.zeros((h, w), dtype=np.float32)
+    img[h // 3: 2 * h // 3, 6: w - 6] = rng.uniform(
+        0.4, 1.0, (2 * h // 3 - h // 3, w - 12)).astype(np.float32)
+    return img
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from kraken_spark.session import get_spark
+
+    s = get_spark(app="tests-augment", cores=2, shuffle_partitions=2)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def test_random_erase_zeroes_one_fifth():
+    img = np.ones((40, 100), dtype=np.float32)
+    out = aug.random_erase(img, np.random.Generator(np.random.PCG64(7)))
+    erased = (out == 0.0).sum()
+    assert abs(erased - 0.2 * img.size) / img.size < 0.02
+    # one contiguous rectangle: the zero rows/cols form single runs
+    zr = np.nonzero((out == 0).any(axis=1))[0]
+    assert (np.diff(zr) == 1).all()
+
+
+def test_gaussian_blur_preserves_mass_reduces_variance():
+    img = _line_img(1)
+    for k, s in ((3, 0.8), (5, 1.7)):
+        out = aug.gaussian_blur(img, k, s)
+        # reflect padding conserves total mass up to float error
+        assert abs(out.sum() - img.sum()) / img.sum() < 1e-4
+        assert out.var() < img.var()
+    # sigma->0 approaches identity
+    tight = aug.gaussian_blur(img, 3, 0.05)
+    assert np.abs(tight - img).max() < 1e-4
+
+
+def test_warp_identity_and_rotation():
+    img = _line_img(2)
+    assert np.abs(aug.warp_homography(img, np.eye(3)) - img).max() < 1e-6
+    # a delta spot rotates about the center to where the matrix sends it
+    spot = np.zeros((41, 41), dtype=np.float32)
+    spot[20, 30] = 1.0
+    Hm = aug._rotation_h(41, 41, 90.0)
+    out = aug.warp_homography(spot, Hm)
+    yx = np.unravel_index(np.argmax(out), out.shape)
+    exp = Hm @ np.array([30.0, 20.0, 1.0])  # (x, y, 1)
+    assert abs(yx[1] - exp[0]) <= 1 and abs(yx[0] - exp[1]) <= 1
+    assert abs(out.sum() - 1.0) < 1e-3  # bilinear mass preserved in-bounds
+
+
+def test_perspective_keeps_content_shrinks_inward():
+    img = np.ones((40, 120), dtype=np.float32)
+    rng = np.random.Generator(np.random.PCG64(3))
+    Hm = aug._perspective_h(40, 120, rng)
+    out = aug.warp_homography(img, Hm)
+    assert out.max() <= 1.0 + 1e-6 and out.sum() < img.sum() + 1e-3
+    assert out.sum() > 0.5 * img.sum()  # distortion 0.2 is mild
+
+
+def test_pipeline_gate_statistics_and_determinism():
+    img = _line_img(4)
+    changed = 0
+    for key in range(400):
+        a = aug.augment_line(img, aug.rng_for(0, key))
+        b = aug.augment_line(img, aug.rng_for(0, key))
+        assert a.tobytes() == b.tobytes()  # keyed: bit-reproducible
+        if a.tobytes() != img.tobytes():
+            changed += 1
+    # P(any change) = 0.5 * (1 - 0.8^3) ~ 0.244; band around it
+    assert 0.15 < changed / 400 < 0.35
+    # different step -> different draw for at least some keys
+    assert any(
+        aug.augment_line(img, aug.rng_for(1, key)).tobytes()
+        != aug.augment_line(img, aug.rng_for(0, key)).tobytes()
+        for key in range(50))
+
+
+def test_outputs_stay_in_range_and_shape():
+    img = _line_img(5)
+    for key in range(60):
+        out = aug.augment_line(img, aug.rng_for(2, key))
+        assert out.shape == img.shape and out.dtype == np.float32
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_augmented_spark_gradient_partition_independent(spark):
+    """With augmentation on, the per-(step, line)-keyed RNG keeps the
+    distributed gradient independent of partitioning (1 vs 3 tasks)."""
+    from kraken_spark import training
+    from kraken_spark.kernels import rec_train as rt
+
+    df1 = training.generate_line_rows(spark, 990101, 3, partitions=1)
+    df3 = training.generate_line_rows(spark, 990101, 3, partitions=3)
+    W = rt.init_weights(np.random.Generator(np.random.PCG64(17)))
+    l1, g1, n1 = training.spark_gradient(df1, W, batch=8, augment_step=5)
+    l3, g3, n3 = training.spark_gradient(df3, W, batch=8, augment_step=5)
+    assert n1 == n3 > 0
+    assert abs(l1 - l3) < 1e-6 * max(1.0, abs(l1))
+    for k in g1:
+        denom = max(1e-8, np.abs(g1[k]).max())
+        assert np.abs(g1[k] - g3[k]).max() / denom < 1e-5, k
+    # and augmentation actually perturbs the gradient vs the clean pass
+    lc, gc, _ = training.spark_gradient(df1, W, batch=8)
+    assert any(np.abs(gc[k] - g1[k]).max() > 0 for k in gc)
