@@ -510,17 +510,19 @@ def test_segmenter_on_pairs(pairs, tolerance: float = 8.0,
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from kraken_spark.kernels import binarize, blla, pageseg, png, xmlparse
         from kraken_spark.kernels.imgio import decode_image
-        from kraken_spark.kernels.seg_metrics import (baseline_prf,
-                                                      pixel_class_counts,
-                                                      rasterize_baselines,
-                                                      rasterize_regions)
+        from kraken_spark.kernels.seg_metrics import (
+            baseline_prf, compute_detection_metrics, pixel_class_counts,
+            rasterize_baselines, rasterize_regions)
 
         schema = pa.schema(
             [pa.field("url", pa.string()),
              pa.field("n_detected", pa.int64()),
              pa.field("n_golden", pa.int64()),
              pa.field("n_matched", pa.int64()),
-             pa.field("f1", pa.float64())]
+             pa.field("f1", pa.float64()),
+             pa.field("soft_p", pa.float64()),
+             pa.field("soft_r", pa.float64()),
+             pa.field("soft_f1", pa.float64())]
             + [pa.field(k, pa.int64()) for k in _PX])
         for b in batches:
             rows = []
@@ -541,10 +543,16 @@ def test_segmenter_on_pairs(pairs, tolerance: float = 8.0,
                 gold = [ln["baseline"] for ln in gt["lines"]
                         if ln.get("baseline")]
                 m = baseline_prf(det, gold, tolerance)
+                # the reference segtest's soft detection metric: resampled
+                # polylines, tolerance-falloff point scores, optimal
+                # one-to-one assignment (segmentation_metrics.py:154-192)
+                sm = compute_detection_metrics(det, gold, tolerance)
                 row = {"url": r["url"],
                        "n_detected": m["n_detected"],
                        "n_golden": m["n_golden"],
                        "n_matched": m["n_matched"], "f1": m["f1"],
+                       "soft_p": sm["precision"], "soft_r": sm["recall"],
+                       "soft_f1": sm["f1"],
                        **{k: 0 for k in _PX}}
                 if segmenter != "pageseg":
                     # reference segtest's native metric: per-class pixel
@@ -578,13 +586,17 @@ def test_segmenter_on_pairs(pairs, tolerance: float = 8.0,
 
     per_page = pairs.mapInArrow(
         gen, schema="url string, n_detected long, n_golden long, "
-                    "n_matched long, f1 double, "
+                    "n_matched long, f1 double, soft_p double, "
+                    "soft_r double, soft_f1 double, "
                     + ", ".join(f"{k} long" for k in _PX))
     agg = per_page.agg(
         F.sum("n_detected").alias("n_detected"),
         F.sum("n_golden").alias("n_golden"),
         F.sum("n_matched").alias("n_matched"),
         F.avg("f1").alias("macro_f1"),
+        F.avg("soft_p").alias("soft_p"),
+        F.avg("soft_r").alias("soft_r"),
+        F.avg("soft_f1").alias("soft_f1"),
         F.count("*").alias("n_pages"),
         *[F.sum(k).alias(k) for k in _PX],
     ).collect()[0]
@@ -597,6 +609,11 @@ def test_segmenter_on_pairs(pairs, tolerance: float = 8.0,
         "macro_f1": agg.macro_f1 or 0.0,
         "n_pages": agg.n_pages, "n_detected": nd, "n_golden": ng,
         "n_matched": nm, "segmenter": segmenter, "tolerance": tolerance,
+        # the reference's native soft detection metric, macro-averaged
+        # across pages (aggregate_detection_metrics semantics)
+        "detection": {"precision": agg.soft_p or 0.0,
+                      "recall": agg.soft_r or 0.0,
+                      "f1": agg.soft_f1 or 0.0},
     }
     if segmenter != "pageseg":
         from .kernels.seg_metrics import pixel_metrics_of

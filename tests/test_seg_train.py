@@ -196,6 +196,13 @@ def test_ketos_segtest_analog(tmp_path):
     assert px["baseline"]["accuracy"] >= 0.9 and px["baseline"]["iou"] >= 0.15
     assert px["region"]["accuracy"] >= 0.9 and px["region"]["iou"] >= 0.8
     assert 0.0 < px["mean_iou"] <= 1.0
+    # the reference's native soft detection metric (resample + falloff +
+    # optimal assignment). Self-reproduction reads ~0.976, NOT 1.0: the
+    # point-score falloff punishes baseline-extent differences from the
+    # ALTO round trip that the greedy 50%-overlap rule forgives — the
+    # stricter reference semantics, kept honest here
+    det = rep["detection"]
+    assert 0.95 <= det["f1"] < 1.0 and det["precision"] == det["recall"]
 
     # cross-path control: the legacy bbox segmenter against blla GT
     rep2 = test_segmenter_on_pairs(xml_pairs_df(spark, pairs_path),
@@ -203,6 +210,7 @@ def test_ketos_segtest_analog(tmp_path):
     assert rep2["n_pages"] == 4
     assert "pixel" not in rep2  # no heatmap head on the legacy path
     assert rep2["f1"] >= 0.8, rep2
+    assert 0.5 <= rep2["detection"]["f1"] <= 1.0, rep2["detection"]
 
 
 def test_pixel_metrics_against_golden_geometry():
