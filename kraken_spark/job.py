@@ -106,6 +106,11 @@ def main(argv: list[str] | None = None) -> int:
         help="additionally write serialized documents next to the output",
     )
     ap.add_argument(
+        "--no-subline-segmentation", action="store_true",
+        help="the reference's --no-subline-segmentation: --serialize "
+        "markup carries line text only, no word/char geometry",
+    )
+    ap.add_argument(
         "--model",
         default=None,
         help="path to a kraken model file (CoreML .mlmodel or safetensors; "
@@ -698,7 +703,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.serialize:
         ext = read_output(spark, args.output, args.table_format)
-        serialize_extractions(ext, args.serialize).write.mode("overwrite").parquet(
+        serialize_extractions(
+            ext, args.serialize,
+            subline=not args.no_subline_segmentation,
+        ).write.mode("overwrite").parquet(
             f"{args.output.rstrip('/')}_{args.serialize}"
         )
     done = read_output(spark, args.output, args.table_format)

@@ -218,8 +218,14 @@ def _group_lines_by_region(row) -> list[tuple[dict | None, list[dict]]]:
     return out
 
 
-def to_alto(row, created: str = PINNED_CREATED) -> str:
-    """ALTO 4.2 document (cf. /root/reference/kraken/templates/alto)."""
+def to_alto(row, created: str = PINNED_CREATED, subline: bool = True) -> str:
+    """ALTO 4.2 document (cf. /root/reference/kraken/templates/alto).
+
+    subline=False is the reference's --no-subline-segmentation: each
+    TextLine keeps its Shape but carries ONE bare <String CONTENT=.../>
+    with the whole line text — no word/glyph geometry (template line 17;
+    we quoteattr the content where the template leaves it unescaped, to
+    keep the XSD-validity invariant)."""
     url = _row_get(row, "url", "")
     w, h = int(_row_get(row, "width", 0)), int(_row_get(row, "height", 0))
     parts = [
@@ -298,6 +304,18 @@ def to_alto(row, created: str = PINNED_CREATED) -> str:
                 f'\t\t\t\t\t<TextLine ID={quoteattr(l["id"])} HPOS="{x}" VPOS="{y}" '
                 f'WIDTH="{lw}" HEIGHT="{lh}" BASELINE={quoteattr(bl)}{line_attrs}>\n'
             )
+            if not subline:
+                if l.get("boundary"):
+                    parts.append(
+                        "\t\t\t\t\t\t<Shape>\n"
+                        f'\t\t\t\t\t\t\t<Polygon POINTS={quoteattr(_points(l["boundary"]))}/>\n'
+                        "\t\t\t\t\t\t</Shape>\n"
+                    )
+                parts.append(
+                    f'\t\t\t\t\t\t<String CONTENT={quoteattr(l.get("prediction", ""))}/>\n'
+                    "\t\t\t\t\t</TextLine>\n"
+                )
+                continue
             if l.get("segments") is not None:
                 # record-derived path: reference-template semantics
                 # (templates/alto render_line) — line Shape, SP elements
@@ -380,8 +398,16 @@ def to_alto(row, created: str = PINNED_CREATED) -> str:
     return "".join(parts)
 
 
-def to_pagexml(row, created: str = PINNED_CREATED) -> str:
-    """PageXML 2019-07-15 document (cf. /root/reference/kraken/templates/pagexml)."""
+def to_pagexml(row, created: str = PINNED_CREATED, subline: bool = True) -> str:
+    """PageXML 2019-07-15 document (cf. /root/reference/kraken/templates/pagexml).
+
+    subline=True emits the reference template's Word/Glyph nesting for
+    record-derived lines (templates/pagexml:26-42: Word Coords from the
+    segment boundary else the bbox rectangle in the template's corner
+    order, Glyph Coords + per-char TextEquiv conf, word TextEquiv with the
+    mean segment confidence) followed by the line-level TextEquiv;
+    subline=False (the --no-subline-segmentation flag) emits the
+    line-level TextEquiv only."""
     url = _row_get(row, "url", "")
     w, h = int(_row_get(row, "width", 0)), int(_row_get(row, "height", 0))
     parts = [
@@ -444,6 +470,38 @@ def to_pagexml(row, created: str = PINNED_CREATED) -> str:
                 f"\t\t\t<TextLine id={quoteattr(l['id'])}{lattrs}>\n"
                 f"\t\t\t\t<Coords points={quoteattr(_points(boundary_pts))}/>\n"
                 f"\t\t\t\t<Baseline points={quoteattr(_points(l['baseline']))}/>\n"
+            )
+            if subline and l.get("segments") is not None:
+                for seg in l["segments"]:
+                    if seg["is_space"]:
+                        continue
+                    if seg.get("boundary"):
+                        wpts = _points(seg["boundary"])
+                    else:
+                        bx0, by0, bx1, by1 = seg["bbox"]
+                        wpts = (f"{bx0},{by0} {bx0},{by1} "
+                                f"{bx1},{by1} {bx1},{by0}")
+                    wc = (sum(seg["confidences"]) / len(seg["confidences"])
+                          if seg["confidences"] else 0.0)
+                    parts.append(
+                        f'\t\t\t\t<Word id="segment_{seg["index"]}">\n'
+                        f"\t\t\t\t\t<Coords points={quoteattr(wpts)}/>\n"
+                    )
+                    for g in seg["glyphs"]:
+                        parts.append(
+                            f'\t\t\t\t\t<Glyph id="char_{g["index"]}">\n'
+                            f"\t\t\t\t\t\t<Coords points="
+                            f"{quoteattr(_points(g['boundary']))}/>\n"
+                            f'\t\t\t\t\t\t<TextEquiv conf="{round(g["confidence"], 4)}">'
+                            f"<Unicode>{escape(g['text'])}</Unicode></TextEquiv>\n"
+                            "\t\t\t\t\t</Glyph>\n"
+                        )
+                    parts.append(
+                        f'\t\t\t\t\t<TextEquiv conf="{round(wc, 4)}">'
+                        f"<Unicode>{escape(seg['text'])}</Unicode></TextEquiv>\n"
+                        "\t\t\t\t</Word>\n"
+                    )
+            parts.append(
                 f'\t\t\t\t<TextEquiv conf="{mean_conf:.4f}">'
                 f"<Unicode>{escape(l['prediction'])}</Unicode></TextEquiv>\n"
                 "\t\t\t</TextLine>\n"
@@ -457,7 +515,7 @@ def to_pagexml(row, created: str = PINNED_CREATED) -> str:
     return "".join(parts)
 
 
-def to_hocr(row, created: str = PINNED_CREATED) -> str:
+def to_hocr(row, created: str = PINNED_CREATED, subline: bool = True) -> str:
     """hOCR 1.1 document (cf. /root/reference/kraken/templates/hocr)."""
     url = _row_get(row, "url", "")
     w, h = int(_row_get(row, "width", 0)), int(_row_get(row, "height", 0))
@@ -491,6 +549,16 @@ def to_hocr(row, created: str = PINNED_CREATED) -> str:
             bl = "; baseline " + " ".join(
                 f"{int(px)},{int(py)}" for px, py in l["baseline"]
             ) if l["baseline"] else ""
+            if not subline:
+                # --no-subline-segmentation: line span with the bare text,
+                # no ocrx_word children (the template renders an empty
+                # segment loop; we keep the text so the line isn't lost)
+                parts.append(
+                    f"\t\t\t<span class=\"ocr_line\" id={quoteattr(l['id'])} "
+                    f"title={quoteattr(f'bbox {x0} {y0} {x1} {y1}{bl}')}>"
+                    f"{escape(l.get('prediction', ''))}</span>\n"
+                )
+                continue
             if l.get("segments") is not None:
                 # record-derived path (reference templates/hocr render_line):
                 # x_bboxes = flattened per-char cut polygons on the line,
@@ -538,7 +606,7 @@ def to_hocr(row, created: str = PINNED_CREATED) -> str:
     return "".join(parts)
 
 
-def to_abbyy(row, created: str = PINNED_CREATED) -> str:
+def to_abbyy(row, created: str = PINNED_CREATED, subline: bool = True) -> str:
     """abbyyXML (FineReader 10 schema) document
     (cf. /root/reference/kraken/templates/abbyyxml): one <block> per region
     (free lines get their own block), <par> of <line> elements carrying
@@ -562,6 +630,11 @@ def to_abbyy(row, created: str = PINNED_CREATED) -> str:
                 f't="{y0}" b="{y1}"><formatting lang="">'
             )
             text = l["prediction"]
+            if not subline:
+                # --no-subline-segmentation: empty formatting block (the
+                # template's charParams loop over an empty recognition)
+                parts.append("</formatting></line>\n")
+                continue
             have_geom = len(l["cuts"]) >= len(text) and len(l["confidences"]) >= len(text)
             for wd in words_of(l):
                 for ci in range(wd["start"], wd["end"]):
@@ -755,11 +828,30 @@ def row_with_polygon_sections(row) -> dict:
     return out
 
 
-def serialize(row, fmt: str, created: str = PINNED_CREATED) -> str:
+_SUBLINE_AWARE: dict = {}
+
+
+def serialize(row, fmt: str, created: str = PINNED_CREATED,
+              subline: bool = True) -> str:
     """Dispatch like the reference's serialize(..., template=fmt)
-    (/root/reference/kraken/serialization.py:80-113)."""
+    (/root/reference/kraken/serialization.py:80-113). ``subline`` is the
+    reference's sub_line_segmentation switch (--no-subline-segmentation:
+    line text only, no word/char geometry); it is forwarded to writers
+    that accept it — custom register_serializer hooks without the
+    parameter keep their plain (row, created) contract."""
     try:
         fn = SERIALIZERS[fmt]
     except KeyError:
         raise ValueError(f"unknown serialization format {fmt!r}") from None
+    aware = _SUBLINE_AWARE.get(fn)
+    if aware is None:
+        import inspect
+
+        try:
+            aware = "subline" in inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            aware = False
+        _SUBLINE_AWARE[fn] = aware
+    if aware:
+        return fn(row, created=created, subline=subline)
     return fn(row, created=created)

@@ -24,7 +24,7 @@ _SER_DDL = "url string, fmt string, n_bytes int, document string"
 _SER_ALL_DDL = "url string, fmt string, n_bytes int, xsd_valid boolean, document string"
 
 
-def _serialize_map(fmt: str):
+def _serialize_map(fmt: str, subline: bool = True):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..kernels.serialize import serialize
 
@@ -32,7 +32,7 @@ def _serialize_map(fmt: str):
             rows = batch.to_pylist()
             out = []
             for r in rows:
-                doc = serialize(r, fmt)
+                doc = serialize(r, fmt, subline=subline)
                 out.append(
                     {
                         "url": r["url"],
@@ -56,8 +56,11 @@ def _serialize_map(fmt: str):
     return fn
 
 
-def serialize_extractions(ext: DataFrame, fmt: str) -> DataFrame:
-    return ext.mapInArrow(_serialize_map(fmt), schema=_SER_DDL)
+def serialize_extractions(ext: DataFrame, fmt: str,
+                          subline: bool = True) -> DataFrame:
+    """subline=False is the reference's --no-subline-segmentation: line
+    text only, no word/char geometry in the markup."""
+    return ext.mapInArrow(_serialize_map(fmt, subline), schema=_SER_DDL)
 
 
 def x_serialize_all(spark: SparkSession, sf: str) -> DataFrame:

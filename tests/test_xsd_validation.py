@@ -176,3 +176,69 @@ def test_x_serialize_all_reports_xsd_valid():
         sec = fmts["alto_sections"].document
         assert "<Glyph" in sec and "<Shape>" in sec
         assert fmts["alto_sections"].n_bytes > fmts["alto"].n_bytes
+
+
+# ------------------------------------------------------- subline toggle
+
+
+def test_pagexml_word_glyph_nesting_validates(row):
+    """subline=True on record-derived lines emits the reference
+    template's Word/Glyph nesting (templates/pagexml:26-42) and stays
+    schema-valid; line-level TextEquiv still carries the full text."""
+    from kraken_spark.kernels.serialize import row_with_polygon_sections
+
+    rp = row_with_polygon_sections(row)
+    pg = serialize(rp, "pagexml")
+    assert "<Word id=\"segment_" in pg and "<Glyph id=\"char_" in pg
+    assert validate_xml(pg, PAGE_XSD) == []
+    # word text concatenation == line text (whitespace dropped by words)
+    import re
+
+    words = re.findall(r"<Word id=[^>]*>.*?</Word>", pg, re.S)
+    assert words and all("<TextEquiv conf=" in w for w in words)
+
+
+def test_no_subline_segmentation_all_formats(row):
+    """subline=False (the reference --no-subline-segmentation flag): line
+    text only — no word/char geometry in any of the four markups; ALTO
+    and PageXML stay schema-valid."""
+    from kraken_spark.kernels.serialize import row_with_polygon_sections
+
+    rp = row_with_polygon_sections(row)
+    a = serialize(rp, "alto", subline=False)
+    assert "segment_" not in a and "<Glyph" not in a and "<SP" not in a
+    assert "<String CONTENT=" in a
+    assert validate_xml(a, ALTO_XSD) == []
+    p = serialize(rp, "pagexml", subline=False)
+    assert "<Word" not in p and "<Glyph" not in p
+    assert "<TextEquiv" in p
+    assert validate_xml(p, PAGE_XSD) == []
+    h = serialize(rp, "hocr", subline=False)
+    # (the ocr-capabilities meta tag still names ocrx_word; no word SPANS)
+    assert 'class="ocrx_word"' not in h and 'class="ocr_line"' in h
+    ab = serialize(rp, "abbyyxml", subline=False)
+    assert "charParams" not in ab and "<line baseline=" in ab
+    # text is preserved through the ALTO/PageXML/hOCR text-only forms
+    line_texts = [l["prediction"] for l in rp["lines"] if l.get("prediction")]
+    assert line_texts
+    for t in line_texts:
+        from xml.sax.saxutils import escape
+
+        assert escape(t) in p and escape(t) in h
+
+
+def test_custom_serializer_hook_unaffected():
+    """register_serializer hooks without a subline parameter keep their
+    (row, created) contract through the dispatch."""
+    from kraken_spark.kernels.serialize import (SERIALIZERS,
+                                                register_serializer)
+
+    def plain(row, created="x"):
+        return f"plain:{row.get('url', '')}"
+
+    register_serializer("_plain_test", plain)
+    try:
+        assert serialize({"url": "u1"}, "_plain_test",
+                         subline=False) == "plain:u1"
+    finally:
+        SERIALIZERS.pop("_plain_test", None)
