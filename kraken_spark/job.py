@@ -161,6 +161,18 @@ def main(argv: list[str] | None = None) -> int:
         help="dataset split for --test-recognizer",
     )
     ap.add_argument(
+        "--train-segmenter",
+        action="store_true",
+        help="ketos-segtrain analog (training.train_segmenter_from_pairs): "
+        "--input is transcribed XML ground truth as for --compile-dataset "
+        "(directory of ALTO/PageXML or a (url, xml, image) parquet); fit "
+        "the baseline/region heatmap net with synchronous data-parallel "
+        "gradients over markup-rasterized target maps and write the "
+        "weights (blla_learned safetensors layout) to --output — drive "
+        "segmentation from them via KRAKEN_SPARK_BLLA_NET=<output>. "
+        "--train-steps/--train-lr apply",
+    )
+    ap.add_argument(
         "--test-segmenter",
         action="store_true",
         help="ketos-segtest analog (training.test_segmenter_on_pairs): "
@@ -243,7 +255,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--train-steps", type=int, default=50)
     ap.add_argument("--train-batch", type=int, default=16)
-    ap.add_argument("--train-lr", type=float, default=1e-3)
+    ap.add_argument(
+        "--train-lr", type=float, default=None,
+        help="learning rate (default 1e-3 for the recognizer legs, 0.05 "
+        "for --train-segmenter's small conv net)")
     ap.add_argument(
         "--train-sample-mod", type=int, default=1,
         help="draw ~1/k of the lines per step via a seeded hash filter",
@@ -415,7 +430,8 @@ def main(argv: list[str] | None = None) -> int:
 
         out = train_recognizer_from_dataset(
             spark, args.input, args.output, steps=args.train_steps,
-            batch=args.train_batch, lr=args.train_lr,
+            batch=args.train_batch,
+            lr=args.train_lr if args.train_lr is not None else 1e-3,
             sample_mod=args.train_sample_mod, init_model=args.model,
             resize=args.resize, normalization=args.normalization,
             normalize_whitespace=args.normalize_whitespace,
@@ -433,6 +449,17 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.model, split=args.test_split,
             normalization=args.normalization,
             normalize_whitespace=args.normalize_whitespace)
+        print(json.dumps(out))
+        return 0
+
+    if args.train_segmenter:
+        from kraken_spark.sources.arrow_dataset import xml_pairs_df
+        from kraken_spark.training import train_segmenter_from_pairs
+
+        out = train_segmenter_from_pairs(
+            spark, xml_pairs_df(spark, args.input), args.output,
+            steps=args.train_steps,
+            lr=args.train_lr if args.train_lr is not None else 0.05)
         print(json.dumps(out))
         return 0
 
@@ -464,7 +491,8 @@ def main(argv: list[str] | None = None) -> int:
 
         out = pretrain_recognizer_from_dataset(
             spark, args.input, args.output, steps=args.train_steps,
-            batch=args.train_batch, lr=args.train_lr,
+            batch=args.train_batch,
+            lr=args.train_lr if args.train_lr is not None else 1e-3,
             sample_mod=args.train_sample_mod,
         )
         print(json.dumps(out))

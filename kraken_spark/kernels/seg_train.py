@@ -234,6 +234,32 @@ def init_weights(rng: np.random.Generator) -> dict:
     }
 
 
+def crop_gradient(x: np.ndarray, tb: np.ndarray, tr: np.ndarray, W: dict,
+                  cy: int, cx: int, crop: int) -> tuple[float, dict]:
+    """Weighted-BCE loss + gradients for ONE crop of one page — the exact
+    inner computation of train()'s minibatch loop, shared with the
+    distributed segtrain face (training.spark_seg_gradient)."""
+    xs = x[cy : cy + crop, cx : cx + crop]
+    ts = np.stack(
+        [tb[cy : cy + crop, cx : cx + crop], tr[cy : cy + crop, cx : cx + crop]]
+    )
+    y, cache = forward(xs, W, want_grad_cache=True)
+    n = xs.size
+    dz1 = np.empty_like(y)
+    wneg = 1.0 + NEG_INK_W * xs
+    loss = 0.0
+    for c, wp in ((0, POS_W_BL), (1, POS_W_RG)):
+        t = ts[c]
+        yc = y[c]
+        wn = wneg if c == 0 else 1.0
+        dz1[c] = (wn * yc * (1.0 - t) + wp * t * (yc - 1.0)) / n
+        eps = 1e-9
+        loss -= float(
+            (wp * t * np.log(yc + eps) + wn * (1 - t) * np.log(1 - yc + eps)).mean()
+        )
+    return loss, _backward(xs.shape, W, cache, dz1)
+
+
 def train(
     steps: int = 700,
     lr: float = 0.05,
@@ -263,24 +289,8 @@ def train(
             H, Wd = x.shape
             cy = int(rng.integers(0, max(H - crop, 1)))
             cx = int(rng.integers(0, max(Wd - crop, 1)))
-            xs = x[cy : cy + crop, cx : cx + crop]
-            ts = np.stack(
-                [tb[cy : cy + crop, cx : cx + crop], tr[cy : cy + crop, cx : cx + crop]]
-            )
-            y, cache = forward(xs, W, want_grad_cache=True)
-            n = xs.size
-            dz1 = np.empty_like(y)
-            wneg = 1.0 + NEG_INK_W * xs
-            for c, wp in ((0, POS_W_BL), (1, POS_W_RG)):
-                t = ts[c]
-                yc = y[c]
-                wn = wneg if c == 0 else 1.0
-                dz1[c] = (wn * yc * (1.0 - t) + wp * t * (yc - 1.0)) / n
-                eps = 1e-9
-                loss -= float(
-                    (wp * t * np.log(yc + eps) + wn * (1 - t) * np.log(1 - yc + eps)).mean()
-                )
-            g = _backward(xs.shape, W, cache, dz1)
+            closs, g = crop_gradient(x, tb, tr, W, cy, cx, crop)
+            loss += closs
             for k in g_acc:
                 g_acc[k] += g[k]
         for k in W:

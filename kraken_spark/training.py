@@ -956,3 +956,163 @@ def pretrain_spark(lines_df, steps: int = 30, batch: int = 16, lr: float = 2e-3,
             print(f"spark-pretrain step {step:4d} n {n:5d} "
                   f"loss {loss_sum / max(1, n):9.4f}", flush=True)
     return W
+
+
+# --------------------------------------------------------------- segtrain
+SEG_PAGES_SCHEMA = "url string, h int, w int, x binary, tb binary, tr binary"
+SEG_SPARK_SEED = 887001  # crop-draw keying; disjoint from corpus seed maps
+
+
+def seg_pages_from_pairs(pairs):
+    """GT-map rows for distributed segmenter training from (url, xml,
+    image) ground-truth pairs (the ketos-segtrain input, same shape as
+    --compile-dataset / --test-segmenter): per page, the pooled nlbin ink
+    mask as input and the markup's baselines/regions rasterized into
+    pooled target maps exactly like the in-repo trainer's GT
+    (seg_train.gt_maps conventions via seg_metrics.rasterize_*).
+    Unparseable pairs are skipped — compile-path garbage totality."""
+    import pyarrow as pa
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from kraken_spark.kernels import binarize, png, xmlparse
+        from kraken_spark.kernels.blla import _pool_or
+        from kraken_spark.kernels.imgio import decode_image
+        from kraken_spark.kernels.seg_metrics import (rasterize_baselines,
+                                                      rasterize_regions)
+
+        schema = pa.schema([
+            pa.field("url", pa.string()), pa.field("h", pa.int32()),
+            pa.field("w", pa.int32()), pa.field("x", pa.binary()),
+            pa.field("tb", pa.binary()), pa.field("tr", pa.binary()),
+        ])
+        for b in batches:
+            rows = []
+            for r in b.to_pylist():
+                try:
+                    gt = xmlparse.parse_segmentation(r["xml"])
+                    img = png.to_grayscale(decode_image(r["image"]))
+                    mask = binarize.nlbin(img)
+                except Exception:
+                    continue
+                h, w = mask.shape
+                gold = [ln["baseline"] for ln in gt["lines"]
+                        if ln.get("baseline")]
+                regs = [rg.get("boundary") or [] for rg in
+                        gt.get("regions", [])]
+                x = _pool_or(mask, 2).astype(np.float64)
+                tb = _pool_or(rasterize_baselines(gold, h, w), 2
+                              ).astype(np.float64)
+                tr = _pool_or(rasterize_regions(regs, h, w), 2
+                              ).astype(np.float64)
+                rows.append({"url": r["url"], "h": x.shape[0],
+                             "w": x.shape[1], "x": x.tobytes(),
+                             "tb": tb.tobytes(), "tr": tr.tobytes()})
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    return pairs.mapInArrow(gen, SEG_PAGES_SCHEMA)
+
+
+def spark_seg_gradient(pages_df, W: dict[str, np.ndarray], step: int = 0,
+                       crop: int = 160, crops_per_page: int = 4,
+                       seed: int = SEG_SPARK_SEED):
+    """ONE synchronous data-parallel segmenter gradient: every page
+    contributes ``crops_per_page`` crops whose positions are keyed on
+    (seed, step, crc32(url)) — page identity, not partition position — so
+    the gradient SUM is partitioning-independent; weights broadcast, one
+    tiny (~6 kB) partial row per task. Returns (loss_sum, grad_sums,
+    n_crops)."""
+    import pyarrow as pa
+
+    spark = pages_df.sparkSession
+    layout = _grad_layout(W)
+    bvar = spark.sparkContext.broadcast(_weights_blob(W))
+
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from kraken_spark.kernels import seg_train as st
+
+        Wl = {k: v.astype(np.float64) for k, v in _weights_of(bvar.value).items()}
+        loss_sum = 0.0
+        acc = None
+        n = 0
+        for b in batches:
+            for r in b.to_pylist():
+                x = np.frombuffer(r["x"], dtype=np.float64).reshape(r["h"], r["w"])
+                tb = np.frombuffer(r["tb"], dtype=np.float64).reshape(x.shape)
+                tr = np.frombuffer(r["tr"], dtype=np.float64).reshape(x.shape)
+                rng = np.random.Generator(np.random.PCG64(
+                    [seed, step, line_key(r["url"], 0)]))
+                for _ in range(crops_per_page):
+                    cy = int(rng.integers(0, max(x.shape[0] - crop, 1)))
+                    cx = int(rng.integers(0, max(x.shape[1] - crop, 1)))
+                    loss, g = st.crop_gradient(x, tb, tr, Wl, cy, cx, crop)
+                    loss_sum += loss
+                    flat = np.concatenate([g[k].reshape(-1)
+                                           for k, _s, _n in layout])
+                    acc = flat if acc is None else acc + flat
+                    n += 1
+        if acc is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], pa.int64()), pa.array([loss_sum], pa.float64()),
+             pa.array([acc.astype(np.float64).tobytes()], pa.binary())],
+            names=["n", "loss", "grad"])
+
+    parts = pages_df.mapInArrow(part, "n long, loss double, grad binary").collect()
+    try:
+        gsum = {k: np.zeros(shape, dtype=np.float64) for k, shape, _n in layout}
+        loss_sum = 0.0
+        n = 0
+        for row in parts:
+            n += row.n
+            loss_sum += row.loss
+            flat = np.frombuffer(row.grad, dtype=np.float64)
+            off = 0
+            for k, shape, size in layout:
+                gsum[k] += flat[off: off + size].reshape(shape)
+                off += size
+        return loss_sum, gsum, n
+    finally:
+        bvar.unpersist()
+
+
+def train_segmenter_from_pairs(spark, pairs, out_path: str,
+                               steps: int = 60, lr: float = 0.05,
+                               crop: int = 160, crops_per_page: int = 4) -> dict:
+    """The ketos-segtrain analog under spark-submit (job.py
+    --train-segmenter; reference ketos/segmentation.py:60-360 over
+    lib/train.py's SegmentationModel): fit the baseline/region heatmap
+    net on transcribed XML ground truth with synchronous data-parallel
+    gradients (seg_train's exact loss/backprop, markup-rasterized
+    targets) and write the weights in the blla_learned safetensors
+    layout — loadable by blla.segment_blla via
+    KRAKEN_SPARK_BLLA_NET=<path> or seg_train.load_weights."""
+    from .kernels import seg_train as st
+
+    pages = seg_pages_from_pairs(pairs).cache()
+    W = st.init_weights(np.random.Generator(np.random.PCG64(20240817)))
+    m = {k: np.zeros_like(v) for k, v in W.items()}
+    v2 = {k: np.zeros_like(v) for k, v in W.items()}
+    b1t, b2t = 0.9, 0.999
+    l0 = n0 = None
+    for step in range(1, steps + 1):
+        cur_lr = lr * (0.02 + 0.98 * 0.5 * (1 + np.cos(np.pi * (step - 1) / steps)))
+        loss_sum, gsum, n = spark_seg_gradient(
+            pages, W, step=step, crop=crop, crops_per_page=crops_per_page)
+        if not n:
+            raise ValueError("no usable ground-truth pages in the input")
+        if l0 is None:
+            l0, n0 = loss_sum, n
+        for k in W:
+            gk = gsum[k] / n
+            m[k] = b1t * m[k] + (1 - b1t) * gk
+            v2[k] = b2t * v2[k] + (1 - b2t) * gk * gk
+            mh = m[k] / (1 - b1t ** step)
+            vh = v2[k] / (1 - b2t ** step)
+            W[k] = W[k] - cur_lr * mh / (np.sqrt(vh) + 1e-8)
+    l1, _, n1 = spark_seg_gradient(pages, W, step=0, crop=crop,
+                                   crops_per_page=crops_per_page)
+    st.save_weights(W, out_path)
+    return {"n_pages": int(pages.count()), "n_crops_per_step": int(n1),
+            "loss_before": l0 / max(1, n0), "loss_after": l1 / max(1, n1),
+            "model": out_path}

@@ -244,3 +244,65 @@ def test_pixel_metrics_against_golden_geometry():
             pixel_class_counts(maps[0, :hh, :ww] >= 0.5, gt[:hh, :ww]))
         assert m["iou"] >= 0.9, (seed, di, m)
         assert m["accuracy"] >= 0.99, (seed, di, m)
+
+
+def test_spark_segtrain_analog(tmp_path):
+    """--train-segmenter: distributed data-parallel segmenter training on
+    XML ground-truth pairs — the per-(step, page)-keyed crop draws keep
+    the gradient partitioning-independent; a short run reduces the loss;
+    the CLI leg writes weights that load and forward."""
+    import json as _json
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from kraken_spark import training
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+    from kraken_spark.kernels import seg_train
+    from kraken_spark.operators.serialization import serialize_extractions
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.session import get_spark
+    from kraken_spark.sources.arrow_dataset import xml_pairs_df
+
+    spark = get_spark(app="tests-segtrain", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = generate_corpus_df(spark, 4).localCheckpoint(eager=True)
+    ext = plan_extraction(docs, num_partitions=2, segmenter="blla")
+    alto = serialize_extractions(ext, "alto").select("url", "document")
+    pairs_path = str(tmp_path / "pairs.parquet")
+    (alto.join(docs.select("url", "html"), "url")
+     .select("url", F.encode("document", "UTF-8").alias("xml"),
+             F.col("html").alias("image"))
+     .write.parquet(pairs_path))
+
+    pages1 = training.seg_pages_from_pairs(
+        xml_pairs_df(spark, pairs_path).repartition(1)).cache()
+    pages2 = training.seg_pages_from_pairs(
+        xml_pairs_df(spark, pairs_path).repartition(2)).cache()
+    W = seg_train.init_weights(np.random.Generator(np.random.PCG64(3)))
+    l1, g1, n1 = training.spark_seg_gradient(pages1, W, step=2,
+                                             crops_per_page=2)
+    l2, g2, n2 = training.spark_seg_gradient(pages2, W, step=2,
+                                             crops_per_page=2)
+    assert n1 == n2 == 4 * 2
+    assert abs(l1 - l2) < 1e-9 * max(1.0, abs(l1))
+    for k in g1:
+        denom = max(1e-12, np.abs(g1[k]).max())
+        assert np.abs(g1[k] - g2[k]).max() / denom < 1e-9, k
+
+    # CLI leg: short run from random init reduces the weighted BCE
+    out = str(tmp_path / "seg.safetensors")
+    rc = main(["--input", pairs_path, "--output", out,
+               "--train-segmenter", "--train-steps", "6"])
+    assert rc == 0
+    Wt = seg_train.load_weights(out)
+    assert Wt is not None and set(Wt) == {"w0", "b0", "u", "v", "b1"}
+    y = seg_train.forward_infer(np.zeros((64, 64), dtype=np.float32), Wt)
+    assert y.shape == (2, 64, 64)
+
+    rep = training.train_segmenter_from_pairs(
+        spark, xml_pairs_df(spark, pairs_path),
+        str(tmp_path / "seg2.safetensors"), steps=6)
+    assert rep["n_pages"] == 4
+    assert rep["loss_after"] < rep["loss_before"], rep
