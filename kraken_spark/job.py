@@ -173,6 +173,17 @@ def main(argv: list[str] | None = None) -> int:
         "--train-steps/--train-lr apply",
     )
     ap.add_argument(
+        "--train-ro",
+        action="store_true",
+        help="ketos-rotrain analog (training.train_ro_from_pairs): --input "
+        "is transcribed XML ground truth (as for --train-segmenter); fit "
+        "the pairwise reading-order MLP on the markup's reading order "
+        "with data-parallel gradients, write ro_learned-layout weights to "
+        "--output (KRAKEN_SPARK_RO_NET=<output> or --roadd uses them), "
+        "and report how many pages greedy-decode to the markup order "
+        "exactly. --train-steps/--train-lr apply",
+    )
+    ap.add_argument(
         "--test-segmenter",
         action="store_true",
         help="ketos-segtest analog (training.test_segmenter_on_pairs): "
@@ -460,6 +471,17 @@ def main(argv: list[str] | None = None) -> int:
             spark, xml_pairs_df(spark, args.input), args.output,
             steps=args.train_steps,
             lr=args.train_lr if args.train_lr is not None else 0.05)
+        print(json.dumps(out))
+        return 0
+
+    if args.train_ro:
+        from kraken_spark.sources.arrow_dataset import xml_pairs_df
+        from kraken_spark.training import train_ro_from_pairs
+
+        out = train_ro_from_pairs(
+            spark, xml_pairs_df(spark, args.input), args.output,
+            steps=args.train_steps,
+            lr=args.train_lr if args.train_lr is not None else 0.02)
         print(json.dumps(out))
         return 0
 

@@ -45,15 +45,78 @@ def page_pairs(doc: dict) -> tuple[np.ndarray, np.ndarray]:
     cls = 1 if doc["base_dir"] == "R" else 0
     boxes = [tuple(l["bbox"]) for l in lines]
     feats = extract_element_features(boxes, [cls] * len(boxes), w=w, h=h)
-    n = len(lines)
+    return _expand_pairs(feats)
+
+
+def _expand_pairs(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs of golden-ordered element features -> (pair
+    features, precedes labels); the shared expansion of page_pairs and
+    the markup-GT path."""
+    n = feats.shape[0]
     fu = np.repeat(feats, n, axis=0)
     fv = np.tile(feats, (n, 1))
     x = np.concatenate([fu, fv], axis=1)
     iu = np.repeat(np.arange(n), n)
     iv = np.tile(np.arange(n), n)
     keep = iu != iv
-    y = (iu < iv).astype(np.float64)  # lines[] is golden-ordered
+    y = (iu < iv).astype(np.float64)  # rows are golden-ordered
     return x[keep].astype(np.float64), y[keep]
+
+
+def markup_page_pairs(xml_bytes: bytes) -> tuple[np.ndarray, np.ndarray] | None:
+    """rotrain ground truth from ONE transcribed markup page (the
+    reference trains reading order on XML GT, ketos/ro.py:38-259 over
+    lib/ro): the markup's reading order (parse rank) is the golden
+    sequence, pair features as in page_pairs. Markup rarely carries an
+    explicit base direction, so the RTL class flag derives from the
+    dominant strong-direction class of the page's text (R/AL majority).
+    None for unusable pages (<2 ordered lines)."""
+    import unicodedata
+
+    from . import xmlparse
+
+    gt = xmlparse.parse_segmentation(xml_bytes)
+    lines = sorted(gt["lines"], key=lambda l: l.get("rank") or 0)
+    lines = [l for l in lines if l.get("bbox")]
+    if len(lines) < 2:
+        return None
+    w = gt.get("width") or max(l["bbox"][2] for l in lines)
+    h = gt.get("height") or max(l["bbox"][3] for l in lines)
+    rtl = total = 0
+    for l in lines:
+        for ch in (l.get("text") or ""):
+            b = unicodedata.bidirectional(ch)
+            if b in ("R", "AL"):
+                rtl += 1
+            if b in ("R", "AL", "L"):
+                total += 1
+    cls = 1 if total and rtl * 2 > total else 0
+    boxes = [tuple(l["bbox"]) for l in lines]
+    feats = extract_element_features(boxes, [cls] * len(boxes), w=w, h=h)
+    return _expand_pairs(feats)
+
+
+def pair_gradient_sum(X: np.ndarray, y: np.ndarray, W: dict
+                      ) -> tuple[float, dict]:
+    """BCE loss SUM + gradient SUMS over a pair block (train_ro's forward/
+    backward in per-sample-sum form, so distributed partials fold into the
+    same mean the local full batch takes)."""
+    pre = X @ W["w1"].T + W["b1"]
+    hdn = np.maximum(pre, 0.0)
+    logit = hdn @ W["w2"] + W["b2"][0]
+    p = 1.0 / (1.0 + np.exp(-np.clip(logit, -40, 40)))
+    dlogit = p - y
+    g = {
+        "w2": hdn.T @ dlogit,
+        "b2": np.array([dlogit.sum()]),
+    }
+    dh = np.outer(dlogit, W["w2"]) * (pre > 0)
+    g["w1"] = dh.T @ X
+    g["b1"] = dh.sum(axis=0)
+    eps = 1e-9
+    loss = -float(
+        (y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+    return loss, g
 
 
 def training_set(n_docs: int = 40) -> tuple[np.ndarray, np.ndarray]:

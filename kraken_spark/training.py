@@ -1116,3 +1116,183 @@ def train_segmenter_from_pairs(spark, pairs, out_path: str,
     return {"n_pages": int(pages.count()), "n_crops_per_step": int(n1),
             "loss_before": l0 / max(1, n0), "loss_after": l1 / max(1, n1),
             "model": out_path}
+
+
+# ---------------------------------------------------------------- rotrain
+RO_PAIRS_SCHEMA = "url string, n long, d int, x binary, y binary"
+
+
+def ro_pairs_from_markup(pairs):
+    """Reading-order training pairs from (url, xml, image) ground-truth
+    markup (the ketos-rotrain input; ro_train.markup_page_pairs): one row
+    per usable page carrying its packed pair-feature block. Unparseable
+    or <2-line pages are skipped."""
+    import pyarrow as pa
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from kraken_spark.kernels.ro_train import markup_page_pairs
+
+        schema = pa.schema([
+            pa.field("url", pa.string()), pa.field("n", pa.int64()),
+            pa.field("d", pa.int32()), pa.field("x", pa.binary()),
+            pa.field("y", pa.binary()),
+        ])
+        for b in batches:
+            rows = []
+            for r in b.to_pylist():
+                try:
+                    got = markup_page_pairs(r["xml"])
+                except Exception:
+                    continue
+                if got is None:
+                    continue
+                X, y = got
+                rows.append({"url": r["url"], "n": X.shape[0],
+                             "d": X.shape[1], "x": X.tobytes(),
+                             "y": y.tobytes()})
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    return pairs.mapInArrow(gen, RO_PAIRS_SCHEMA)
+
+
+def spark_ro_gradient(pairs_df, W: dict[str, np.ndarray]):
+    """ONE synchronous data-parallel reading-order gradient: every page's
+    pair block contributes its BCE loss/gradient SUM
+    (ro_train.pair_gradient_sum); one tiny partial row per task. The sum
+    over pages is partitioning-independent up to float reassociation."""
+    import pyarrow as pa
+
+    spark = pairs_df.sparkSession
+    layout = _grad_layout(W)
+    bvar = spark.sparkContext.broadcast(_weights_blob(W))
+
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from kraken_spark.kernels.ro_train import pair_gradient_sum
+
+        Wl = {k: v.astype(np.float64)
+              for k, v in _weights_of(bvar.value).items()}
+        loss_sum = 0.0
+        acc = None
+        n = 0
+        for b in batches:
+            for r in b.to_pylist():
+                X = np.frombuffer(r["x"], dtype=np.float64).reshape(r["n"], r["d"])
+                y = np.frombuffer(r["y"], dtype=np.float64)
+                loss, g = pair_gradient_sum(X, y, Wl)
+                loss_sum += loss
+                flat = np.concatenate([g[k].reshape(-1)
+                                       for k, _s, _n in layout])
+                acc = flat if acc is None else acc + flat
+                n += X.shape[0]
+        if acc is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], pa.int64()), pa.array([loss_sum], pa.float64()),
+             pa.array([acc.tobytes()], pa.binary())],
+            names=["n", "loss", "grad"])
+
+    parts = pairs_df.mapInArrow(part, "n long, loss double, grad binary").collect()
+    try:
+        gsum = {k: np.zeros(shape, dtype=np.float64) for k, shape, _n in layout}
+        loss_sum = 0.0
+        n = 0
+        for row in parts:
+            n += row.n
+            loss_sum += row.loss
+            flat = np.frombuffer(row.grad, dtype=np.float64)
+            off = 0
+            for k, shape, size in layout:
+                gsum[k] += flat[off: off + size].reshape(shape)
+                off += size
+        return loss_sum, gsum, n
+    finally:
+        bvar.unpersist()
+
+
+def train_ro_from_pairs(spark, pairs, out_path: str, steps: int = 300,
+                        lr: float = 0.02) -> dict:
+    """The ketos-rotrain analog under spark-submit (job.py --train-ro;
+    reference ketos/ro.py:38-259 over lib/ro's ROModel): fit the pairwise
+    order MLP on transcribed markup's reading order with synchronous
+    data-parallel full-batch gradients, write the weights in the
+    ro_learned safetensors layout (KRAKEN_SPARK_RO_NET=<output> or roadd
+    drives inference from them), and report the fraction of training
+    pages whose greedy decode reproduces the markup order exactly."""
+    from .kernels import ro_train as rt_ro
+    from .kernels.ro import HIDDEN, OrderMLP
+
+    feats = ro_pairs_from_markup(pairs).cache()
+    d2 = feats.select("d").first()
+    if d2 is None:
+        raise ValueError("no usable ground-truth pages in the input")
+    d2 = d2.d
+    rng = np.random.Generator(np.random.PCG64(20240818))
+    W = {
+        "w1": rng.standard_normal((HIDDEN, d2)) * (2.0 / d2) ** 0.5,
+        "b1": np.zeros(HIDDEN),
+        "w2": rng.standard_normal(HIDDEN) * (2.0 / HIDDEN) ** 0.5,
+        "b2": np.zeros(1),
+    }
+    m = {k: np.zeros_like(v) for k, v in W.items()}
+    v2 = {k: np.zeros_like(v) for k, v in W.items()}
+    b1t, b2t = 0.9, 0.999
+    l0 = n0 = None
+    for step in range(1, steps + 1):
+        cur_lr = lr * (0.02 + 0.98 * 0.5 * (1 + np.cos(np.pi * (step - 1) / steps)))
+        loss_sum, gsum, n = spark_ro_gradient(feats, W)
+        if l0 is None:
+            l0, n0 = loss_sum, n
+        for k in W:
+            gk = gsum[k] / n
+            m[k] = b1t * m[k] + (1 - b1t) * gk
+            v2[k] = b2t * v2[k] + (1 - b2t) * gk * gk
+            mh = m[k] / (1 - b1t ** step)
+            vh = v2[k] / (1 - b2t ** step)
+            W[k] = W[k] - cur_lr * mh / (np.sqrt(vh) + 1e-8)
+    l1, _, n1 = spark_ro_gradient(feats, W)
+    mlp = OrderMLP(W["w1"].astype(np.float32), W["b1"].astype(np.float32),
+                   W["w2"].astype(np.float32), float(W["b2"][0]))
+    rt_ro.save_mlp(mlp, out_path)
+
+    # distributed eval: greedy decode per page vs the markup order
+    bvar = spark.sparkContext.broadcast(_weights_blob(W))
+
+    def ev(batches):
+        import pyarrow as pa
+
+        from kraken_spark.kernels.ro import OrderMLP as M
+        from kraken_spark.kernels.ro import greedy_order_decode
+
+        Wl = {k: v.astype(np.float64) for k, v in _weights_of(bvar.value).items()}
+        mm = M(Wl["w1"], Wl["b1"], Wl["w2"], float(Wl["b2"][0]))
+        for b in batches:
+            rows = []
+            for r in b.to_pylist():
+                X = np.frombuffer(r["x"], dtype=np.float64).reshape(r["n"], r["d"])
+                # recover element features: pairs are golden-ordered
+                # (u-major); element i's features are the first half of
+                # pair row for (i, j != i)
+                d_half = r["d"] // 2
+                n_el = int(round((1 + np.sqrt(1 + 4 * r["n"])) / 2))
+                feats_el = np.empty((n_el, d_half))
+                ri = 0
+                for i in range(n_el):
+                    feats_el[i] = X[ri, :d_half]
+                    ri += n_el - 1
+                order = greedy_order_decode(mm.pair_probs(feats_el))
+                rows.append({"exact": int(order == list(range(n_el)))})
+            if rows:
+                yield pa.RecordBatch.from_pylist(
+                    rows, schema=pa.schema([pa.field("exact", pa.int32())]))
+
+    from pyspark.sql import functions as F
+
+    ag = feats.mapInArrow(ev, "exact int").agg(
+        F.sum("exact").alias("e"), F.count("*").alias("c")).collect()[0]
+    try:
+        return {"n_pages": int(ag.c), "n_pairs": int(n1),
+                "loss_before": l0 / max(1, n0), "loss_after": l1 / max(1, n1),
+                "order_exact_pages": int(ag.e or 0), "model": out_path}
+    finally:
+        bvar.unpersist()

@@ -93,3 +93,86 @@ def test_constructed_fallback(monkeypatch):
     assert ro.neural_reading_order([(0, 0, 10, 10), (0, 20, 10, 30)]) == [0, 1]
     monkeypatch.delenv("KRAKEN_SPARK_RO_NET")
     ro._LEARNED_CACHE[0] = None
+
+
+def test_markup_page_pairs_gt():
+    """rotrain GT from markup: golden order = parse rank, pair labels
+    from order, RTL class flag from dominant strong direction."""
+    from kraken_spark.kernels.ro_train import markup_page_pairs
+    from tests.test_arrow_dataset import _mini_alto
+
+    xml = _mini_alto("p.png", [("alpha", 10, 18, 200, 42),
+                               ("beta", 10, 48, 200, 72),
+                               ("gamma", 10, 78, 200, 102)])
+    X, y = markup_page_pairs(xml)
+    assert X.shape == (6, 16) and y.shape == (6,)
+    # u-major pair rows: (0,1) (0,2) (1,0) (1,2) (2,0) (2,1)
+    assert y.tolist() == [1.0, 1.0, 0.0, 1.0, 0.0, 0.0]
+    assert (X[:, 0] == 1.0).all() and (X[:, 1] == 0.0).all()  # LTR class
+
+    rtl = _mini_alto("p.png", [("العربية نص", 10, 18, 200, 42),
+                               ("يسار يمين", 10, 48, 200, 72)])
+    Xr, yr = markup_page_pairs(rtl)
+    assert (Xr[:, 1] == 1.0).all() and (Xr[:, 0] == 0.0).all()  # RTL class
+
+    # a one-line page is unusable
+    one = _mini_alto("p.png", [("solo", 10, 18, 200, 42)])
+    assert markup_page_pairs(one) is None
+
+
+def test_spark_rotrain_analog(tmp_path):
+    """--train-ro: data-parallel reading-order training on markup GT —
+    partition-independent gradients, loss decreases, the written weights
+    load through every RO loader (plain, env-var, roadd donor)."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from kraken_spark import training
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+    from kraken_spark.kernels.ro_train import load_mlp
+    from kraken_spark.operators.serialization import serialize_extractions
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.session import get_spark
+    from kraken_spark.sources.arrow_dataset import xml_pairs_df
+
+    spark = get_spark(app="tests-rotrain", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = generate_corpus_df(spark, 6).localCheckpoint(eager=True)
+    ext = plan_extraction(docs, num_partitions=2, segmenter="blla")
+    alto = serialize_extractions(ext, "alto").select("url", "document")
+    pairs_path = str(tmp_path / "pairs.parquet")
+    (alto.join(docs.select("url", "html"), "url")
+     .select("url", F.encode("document", "UTF-8").alias("xml"),
+             F.col("html").alias("image"))
+     .write.parquet(pairs_path))
+
+    f1p = training.ro_pairs_from_markup(
+        xml_pairs_df(spark, pairs_path).repartition(1)).cache()
+    f2p = training.ro_pairs_from_markup(
+        xml_pairs_df(spark, pairs_path).repartition(2)).cache()
+    rng = np.random.Generator(np.random.PCG64(5))
+    W = {"w1": rng.standard_normal((16, 16)), "b1": np.zeros(16),
+         "w2": rng.standard_normal(16), "b2": np.zeros(1)}
+    l1, g1, n1 = training.spark_ro_gradient(f1p, W)
+    l2, g2, n2 = training.spark_ro_gradient(f2p, W)
+    assert n1 == n2 > 0
+    assert abs(l1 - l2) < 1e-9 * max(1.0, abs(l1))
+    for k in g1:
+        denom = max(1e-12, np.abs(g1[k]).max())
+        assert np.abs(g1[k] - g2[k]).max() / denom < 1e-9, k
+
+    out = str(tmp_path / "ro.safetensors")
+    rc = main(["--input", pairs_path, "--output", out, "--train-ro",
+               "--train-steps", "120"])
+    assert rc == 0
+    mlp = load_mlp(out)
+    assert mlp is not None and mlp.w1.shape == (16, 16)
+
+    lib = training.train_ro_from_pairs(
+        spark, xml_pairs_df(spark, pairs_path),
+        str(tmp_path / "ro2.safetensors"), steps=120)
+    assert lib["n_pages"] == 6 and lib["n_pairs"] > 0
+    assert lib["loss_after"] < lib["loss_before"], lib
+    assert 0 <= lib["order_exact_pages"] <= 6
