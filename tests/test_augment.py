@@ -121,3 +121,50 @@ def test_augmented_spark_gradient_partition_independent(spark):
     # and augmentation actually perturbs the gradient vs the clean pass
     lc, gc, _ = training.spark_gradient(df1, W, batch=8)
     assert any(np.abs(gc[k] - g1[k]).max() > 0 for k in gc)
+
+
+def test_augmented_fine_tune_improves_degraded_robustness(spark):
+    """The point of --augment, evidenced: fine-tuning the committed
+    recognizer WITH augmentation (on clean lines) cuts the loss on
+    BLURRED copies of those lines far more than the same fine-tune
+    without it — blur is in the augmenter's transform family, so the
+    augmented model generalizes to it. All draws are seeded, so the
+    margins are deterministic on a given host; bands are kept wide.
+    (Measured: asset 124.98 -> 73.9 augmented vs 119.5 plain.)"""
+    import pyarrow as pa
+
+    from kraken_spark import training
+    from kraken_spark.kernels import rec_train as rt
+    from kraken_spark.kernels.modelio import load_kraken_model
+
+    if not __import__("os").path.exists(rt.ASSET):
+        pytest.skip("trained recognizer asset absent")
+    df = training.generate_line_rows(spark, 990301, 4, partitions=2).cache()
+    b = load_kraken_model(rt.ASSET)[0]
+    W0 = {k: np.asarray(v, dtype=np.float32).copy()
+          for k, v in b.weights.items()}
+
+    def blur_df(d):
+        def gen(batches):
+            for batch in batches:
+                rows = batch.to_pylist()
+                for r in rows:
+                    img = np.frombuffer(r["patch"], dtype=np.float32
+                                        ).reshape(r["height"], r["width"])
+                    r["patch"] = aug.gaussian_blur(img, 5, 1.5).astype(
+                        np.float32).tobytes()
+                yield pa.RecordBatch.from_pylist(rows, schema=batch.schema)
+        return d.mapInArrow(gen, training.LINES_SCHEMA)
+
+    bl = blur_df(df).cache()
+    l_base, _, n = training.spark_gradient(bl, W0, batch=8)
+    Wa = training.train_spark(df, steps=10, batch=8, lr=5e-4,
+                              W={k: v.copy() for k, v in W0.items()},
+                              augment=True)
+    Wn = training.train_spark(df, steps=10, batch=8, lr=5e-4,
+                              W={k: v.copy() for k, v in W0.items()},
+                              augment=False)
+    l_aug, _, _ = training.spark_gradient(bl, Wa, batch=8)
+    l_plain, _, _ = training.spark_gradient(bl, Wn, batch=8)
+    assert l_aug < 0.8 * l_plain, (l_aug / n, l_plain / n)
+    assert l_aug < 0.8 * l_base, (l_aug / n, l_base / n)
