@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
@@ -291,3 +292,63 @@ QUERIES = {
     "x_serialize_all": (x_serialize_all, None),
     "x_roundtrip_xml": (x_roundtrip_xml, None),
 }
+
+
+def overlay_extractions(documents: DataFrame, extractions: DataFrame,
+                        kind: str = "segmentation",
+                        alpha: float = 0.4) -> DataFrame:
+    """Debug/QA overlay renderer — the reference's contrib visualization
+    scripts as a Spark sink (contrib/segmentation_overlay.py,
+    heatmap_overlay.py, forced_alignment_overlay.py via
+    kernels/overlay.py): join pages with their extraction geometry and
+    render one RGB PNG per url. kind: 'segmentation' (regions green,
+    boundaries blue, baselines red), 'heatmap' (the blla baseline-class
+    heatmap alpha-composited), or 'alignment' (per-char cut spans in
+    cycling colors). Map-only after one url-equi join; one task per
+    partition, Arrow-batched."""
+    if kind not in ("segmentation", "heatmap", "alignment"):
+        raise ValueError(f"unknown overlay kind {kind!r}")
+    joined = extractions.join(
+        documents.select("url", "html"), "url")
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..kernels import overlay, png
+        from ..kernels.imgio import decode_image
+
+        schema = pa.schema([
+            pa.field("url", pa.string()), pa.field("kind", pa.string()),
+            pa.field("n_bytes", pa.int32()), pa.field("png", pa.binary()),
+        ])
+        for batch in batches:
+            rows = []
+            for r in batch.to_pylist():
+                try:
+                    img = png.to_grayscale(decode_image(r["html"]))
+                except Exception:
+                    continue
+                if kind == "segmentation":
+                    out = overlay.overlay_segmentation(img, r, alpha=alpha)
+                elif kind == "heatmap":
+                    from ..kernels import binarize, blla
+
+                    mask = binarize.nlbin(img)
+                    W = blla.learned_weights()
+                    if W is not None:
+                        maps = blla.compute_segmentation_map_learned(mask, W)
+                    else:
+                        maps = blla.compute_segmentation_map(
+                            mask, blla.build_segmenter_ref())
+                    out = overlay.overlay_heatmap(img, maps[0], alpha=alpha)
+                else:
+                    out = img if img.ndim == 3 else np.repeat(
+                        img[:, :, None], 3, axis=2)
+                    for l in (r.get("lines") or []):
+                        out = overlay.overlay_alignment(out, l, alpha=alpha)
+                blob = png.encode_png(np.ascontiguousarray(out, np.uint8))
+                rows.append({"url": r["url"], "kind": kind,
+                             "n_bytes": len(blob), "png": blob})
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    return joined.mapInArrow(
+        gen, "url string, kind string, n_bytes int, png binary")

@@ -1,0 +1,81 @@
+"""Overlay renderers (kernels/overlay.py + operators/serialization.
+overlay_extractions) — the reference contrib visualization scripts'
+semantics: geometry drawn semi-transparently over the page, PNG-encodable
+output, map-only Spark face."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels import overlay, png
+
+
+def test_polyline_and_polygon_masks():
+    m = overlay._polyline_mask(20, 30, [[2, 5], [12, 5]])
+    assert m[5, 2] and m[5, 12] and m[5, 7]
+    assert m.sum() == 11
+    pm = overlay._polygon_mask(20, 30, [[5, 5], [15, 5], [15, 15], [5, 15]])
+    assert pm[10, 10] and not pm[2, 2]
+    assert abs(pm.sum() - 100) <= 25  # ~10x10 fill, raster tolerance
+    assert overlay._polygon_mask(20, 30, [[1, 1], [2, 2]]).sum() == 0
+
+
+def test_overlay_segmentation_marks_geometry():
+    img = np.full((40, 60), 200, dtype=np.uint8)
+    seg = {"lines": [{"baseline": [[5, 20], [50, 20]],
+                      "boundary": [[5, 12], [50, 12], [50, 24], [5, 24]]}],
+           "regions": [{"boundary": [[2, 2], [58, 2], [58, 30], [2, 30]]}]}
+    out = overlay.overlay_segmentation(img, seg)
+    assert out.shape == (40, 60, 3) and out.dtype == np.uint8
+    r, g, b = (int(out[20, 25, c]) for c in range(3))
+    assert r > g and r > b  # baseline stroke is red-dominant
+    rg = out[5, 40]  # region-only pixel: green-shifted
+    assert int(rg[1]) > int(rg[2])
+    # untouched corner stays the page gray
+    assert (out[38, 58] == 200).all() or (out[39, 59] == 200).all()
+    # PNG round trip
+    back = png.decode_png(png.encode_png(out))
+    assert back.shape == out.shape and (back == out).all()
+
+
+def test_overlay_heatmap_scales_and_reddens():
+    img = np.full((20, 20), 128, dtype=np.uint8)
+    hm = np.zeros((10, 10))
+    hm[2, 3] = 1.0  # maps to page pixels (4:6, 6:8)
+    out = overlay.overlay_heatmap(img, hm, alpha=0.5)
+    hot = out[4, 6]
+    cold = out[0, 0]
+    assert int(hot[0]) > int(cold[0]) and int(hot[1]) < int(cold[1])
+    assert (cold == 128).all()
+
+
+def test_overlay_alignment_cycles_colors():
+    img = np.full((20, 60), 255, dtype=np.uint8)
+    line = {"bbox": [0, 5, 59, 15],
+            "cuts": [[2, 10], [12, 20], [22, 30]]}
+    out = overlay.overlay_alignment(img, line, alpha=0.5)
+    c0, c1 = out[10, 5], out[10, 15]
+    assert not (c0 == c1).all()  # adjacent cuts get different colors
+    assert (out[2, 2] == 255).all()  # outside the bbox untouched
+
+
+def test_overlay_extractions_spark_face(tmp_path):
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.operators.serialization import overlay_extractions
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="tests-overlay", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = generate_corpus_df(spark, 2).localCheckpoint(eager=True)
+    ext = plan_extraction(docs, num_partitions=2, segmenter="blla")
+    for kind in ("segmentation", "heatmap", "alignment"):
+        rows = overlay_extractions(docs, ext, kind=kind).collect()
+        assert len(rows) == 2, kind
+        for r in rows:
+            assert r.kind == kind and r.n_bytes == len(r.png) > 0
+            im = png.decode_png(bytes(r.png))
+            assert im.ndim == 3 and im.shape[2] == 3, kind
+    with pytest.raises(ValueError, match="overlay kind"):
+        overlay_extractions(docs, ext, kind="nope")
