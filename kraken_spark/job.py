@@ -106,6 +106,14 @@ def main(argv: list[str] | None = None) -> int:
         help="additionally write serialized documents next to the output",
     )
     ap.add_argument(
+        "--overlay",
+        choices=["segmentation", "heatmap", "alignment"],
+        default=None,
+        help="additionally render QA overlay PNGs (the reference contrib "
+        "segmentation/heatmap/forced-alignment overlay scripts; "
+        "operators/serialization.overlay_extractions) next to the output",
+    )
+    ap.add_argument(
         "--no-subline-segmentation", action="store_true",
         help="the reference's --no-subline-segmentation: --serialize "
         "markup carries line text only, no word/char geometry",
@@ -758,6 +766,15 @@ def main(argv: list[str] | None = None) -> int:
             subline=not args.no_subline_segmentation,
         ).write.mode("overwrite").parquet(
             f"{args.output.rstrip('/')}_{args.serialize}"
+        )
+    if args.overlay:
+        from kraken_spark.operators.serialization import overlay_extractions
+
+        ext = read_output(spark, args.output, args.table_format)
+        overlay_extractions(
+            raw_docs, ext, kind=args.overlay,
+        ).write.mode("overwrite").parquet(
+            f"{args.output.rstrip('/')}_overlay_{args.overlay}"
         )
     done = read_output(spark, args.output, args.table_format)
     print(f"[kraken_spark] committed {done.count()} extraction rows -> {args.output}")

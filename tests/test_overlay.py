@@ -79,3 +79,23 @@ def test_overlay_extractions_spark_face(tmp_path):
             assert im.ndim == 3 and im.shape[2] == 3, kind
     with pytest.raises(ValueError, match="overlay kind"):
         overlay_extractions(docs, ext, kind="nope")
+
+
+def test_overlay_cli_leg(tmp_path):
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="tests-overlay-cli", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_path = str(tmp_path / "docs.parquet")
+    generate_corpus_df(spark, 2).write.parquet(docs_path)
+    out = str(tmp_path / "out")
+    rc = main(["--input", docs_path, "--output", out,
+               "--overlay", "segmentation"])
+    assert rc == 0
+    rows = spark.read.parquet(out + "_overlay_segmentation").collect()
+    assert len(rows) == 2
+    for r in rows:
+        im = png.decode_png(bytes(r.png))
+        assert im.ndim == 3 and im.shape[2] == 3
