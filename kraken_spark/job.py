@@ -239,6 +239,17 @@ def main(argv: list[str] | None = None) -> int:
         "one model and coerces the suffix to .mlmodel)",
     )
     ap.add_argument(
+        "--set-model-metadata",
+        default=None,
+        metavar="JSON",
+        help="model-metadata surgery (the reference contrib "
+        "set_seg_options.py capability; kernels/modelio."
+        "set_model_metadata): --input is a model weights file; merge this "
+        "JSON object into every contained model's metadata (null deletes "
+        "a key, nested objects merge) and write to --output in "
+        "--weights-format. Driver-only",
+    )
+    ap.add_argument(
         "--roadd",
         action="store_true",
         help="ketos-roadd analog (kernels/ro_train.attach_ro_model): "
@@ -420,6 +431,15 @@ def main(argv: list[str] | None = None) -> int:
 
         out = convert_models([p for p in args.input.split(",") if p],
                              args.output, args.weights_format)
+        print(json.dumps({"output": out, "format": args.weights_format}))
+        return 0
+
+    if args.set_model_metadata:
+        from kraken_spark.kernels.modelio import set_model_metadata
+
+        out = set_model_metadata(args.input, args.output,
+                                 json.loads(args.set_model_metadata),
+                                 args.weights_format)
         print(json.dumps({"output": out, "format": args.weights_format}))
         return 0
 

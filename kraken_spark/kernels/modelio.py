@@ -471,6 +471,46 @@ def convert_models(paths: list[str], output: str,
     return out
 
 
+def set_model_metadata(path: str, output: str, updates: dict,
+                       weights_format: str = "safetensors") -> str:
+    """Model-metadata surgery — the reference's contrib
+    set_seg_options.py capability generalized: load every model in a
+    weights file, merge ``updates`` into each bundle's metadata (None
+    values DELETE keys; nested dicts merge one level deep, covering the
+    class_mapping/hyper_params update shapes), and rewrite the container
+    in ``weights_format``. Weights bytes are untouched. Returns the path
+    written."""
+    import os
+
+    bundles = load_kraken_model(path)
+    for b in bundles:
+        md = dict(b.metadata or {})
+        for k, v in updates.items():
+            if v is None:
+                md.pop(k, None)
+            elif isinstance(v, dict) and isinstance(md.get(k), dict):
+                merged = dict(md[k])
+                merged.update(v)
+                md[k] = merged
+            else:
+                md[k] = v
+        b.metadata = md
+    if weights_format == "coreml":
+        if len(bundles) != 1:
+            raise ValueError(
+                "CoreML writer only supports writing one model at a time")
+        out = output if output.endswith(".mlmodel") else \
+            os.path.splitext(output)[0] + ".mlmodel"
+        if os.path.exists(out):
+            raise ValueError(f"{out} already exists")
+        save_coreml(out, bundles[0])
+        return out
+    if os.path.exists(output):
+        raise ValueError(f"{output} already exists")
+    save_kraken_models(output, bundles)
+    return output
+
+
 # ---------------------------------------------------------------------------
 # CoreML protobuf WRITER (+ LSTM layer support)
 # ---------------------------------------------------------------------------

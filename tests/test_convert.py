@@ -112,3 +112,38 @@ def test_convert_model_cli_leg(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["output"] == out
     assert len(load_kraken_model(out)) == 2
+
+
+def test_set_model_metadata(tmp_path, capsys):
+    """set_seg_options-style metadata surgery: keys merge, None deletes,
+    nested dicts merge one level, weights bytes untouched; CLI leg."""
+    from kraken_spark.job import main
+    from kraken_spark.kernels.modelio import set_model_metadata
+
+    b = _bundle(7, "seg")
+    b.metadata["class_mapping"] = {"baselines": {"default": 0}}
+    b.metadata["topline"] = False
+    p = str(tmp_path / "m.safetensors")
+    save_kraken_model(p, b)
+
+    out = set_model_metadata(
+        p, str(tmp_path / "m2.safetensors"),
+        {"topline": True, "tag": None, "bounding_regions": ["text"],
+         "class_mapping": {"regions": {"text": 1}}})
+    got = load_kraken_model(out)[0]
+    assert got.metadata["topline"] is True
+    assert "tag" not in got.metadata
+    assert got.metadata["bounding_regions"] == ["text"]
+    assert got.metadata["class_mapping"] == {
+        "baselines": {"default": 0}, "regions": {"text": 1}}
+    for k, w in b.weights.items():
+        assert got.weights[k].tobytes() == w.tobytes()
+    with pytest.raises(ValueError, match="already exists"):
+        set_model_metadata(p, out, {})
+
+    rc = main(["--input", p, "--output", str(tmp_path / "m3.safetensors"),
+               "--set-model-metadata", json.dumps({"pad": [16, 0]})])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got3 = load_kraken_model(rep["output"])[0]
+    assert got3.metadata["pad"] == [16, 0]
