@@ -191,3 +191,51 @@ def augment_line(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
                            float(rng.uniform(-3.0, 3.0)))
         out = warp_homography(out, Hm)
     return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+# ------------------------------------------------------- seg augmentation
+def _warp_joint(x: np.ndarray, tb: np.ndarray, tr: np.ndarray,
+                Hm: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One homography applied to input (bilinear) and both target maps
+    (bilinear then 0.5-threshold — the nearest-ish mask semantics of
+    torchvision's tv_tensors.Mask path)."""
+    return (warp_homography(x, Hm),
+            (warp_homography(tb, Hm) >= 0.5).astype(tb.dtype),
+            (warp_homography(tr, Hm) >= 0.5).astype(tr.dtype))
+
+
+def augment_seg(x: np.ndarray, tb: np.ndarray, tr: np.ndarray,
+                rng: np.random.Generator
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SegmentationAugmenter analog (reference lib/dataset/
+    segmentation.py:50-82): with p=0.5 apply [blur p=0.2 (input only),
+    affine p=0.2 (degrees U[-45,45], translate 6.25%, scale U[0.8,1.2],
+    shear U[-5,5] — input and targets under ONE shared homography),
+    perspective p=0.2 (distortion 0.2, shared)]. The reference's color
+    jitter (p=0.3) acts on grayscale photos; this engine's seg input is
+    the pooled bitonal ink mask, so that branch's gate is drawn (keeping
+    the stream aligned with the reference's transform order) but is a
+    no-op. Draws keyed like augment_line -> partitioning-independent."""
+    if rng.random() >= P_ANY:
+        return x, tb, tr
+    do_blur = rng.random() < P_EACH
+    do_affine = rng.random() < P_EACH
+    do_persp = rng.random() < P_EACH
+    rng.random()  # the color-jitter gate: drawn, no-op on bitonal input
+    h, w = x.shape
+    if do_blur:
+        if rng.integers(0, 2) == 0:
+            x = gaussian_blur(x, 3, float(rng.uniform(0.1, 1.0)))
+        else:
+            x = gaussian_blur(x, 5, float(rng.uniform(0.1, 2.0)))
+    if do_affine:
+        Hm = (_affine_h(h, w,
+                        float(rng.uniform(-0.0625, 0.0625)) * w,
+                        float(rng.uniform(-0.0625, 0.0625)) * h,
+                        float(rng.uniform(0.8, 1.2)),
+                        float(rng.uniform(-5.0, 5.0)))
+              @ _rotation_h(h, w, float(rng.uniform(-45.0, 45.0))))
+        x, tb, tr = _warp_joint(x, tb, tr, Hm)
+    if do_persp:
+        x, tb, tr = _warp_joint(x, tb, tr, _perspective_h(h, w, rng))
+    return np.clip(x, 0.0, 1.0), tb, tr

@@ -1017,12 +1017,15 @@ def seg_pages_from_pairs(pairs):
 
 def spark_seg_gradient(pages_df, W: dict[str, np.ndarray], step: int = 0,
                        crop: int = 160, crops_per_page: int = 4,
-                       seed: int = SEG_SPARK_SEED):
+                       seed: int = SEG_SPARK_SEED, augment: bool = False):
     """ONE synchronous data-parallel segmenter gradient: every page
     contributes ``crops_per_page`` crops whose positions are keyed on
     (seed, step, crc32(url)) — page identity, not partition position — so
     the gradient SUM is partitioning-independent; weights broadcast, one
-    tiny (~6 kB) partial row per task. Returns (loss_sum, grad_sums,
+    tiny (~6 kB) partial row per task. augment=True first runs each page
+    through the SegmentationAugmenter analog (kernels/augment.augment_seg
+    — input and target maps under one shared homography), keyed on
+    (AUG_SEED, step, page identity). Returns (loss_sum, grad_sums,
     n_crops)."""
     import pyarrow as pa
 
@@ -1045,6 +1048,15 @@ def spark_seg_gradient(pages_df, W: dict[str, np.ndarray], step: int = 0,
                     x.shape).astype(np.float64)
                 tr = np.frombuffer(r["tr"], dtype=np.uint8).reshape(
                     x.shape).astype(np.float64)
+                if augment:
+                    from kraken_spark.kernels import augment as aug
+
+                    x, tb, tr = aug.augment_seg(
+                        x, tb, tr,
+                        aug.rng_for(step, line_key(r["url"], 0)))
+                    x = x.astype(np.float64)
+                    tb = tb.astype(np.float64)
+                    tr = tr.astype(np.float64)
                 rng = np.random.Generator(np.random.PCG64(
                     [seed, step, line_key(r["url"], 0)]))
                 for _ in range(crops_per_page):
@@ -1083,7 +1095,8 @@ def spark_seg_gradient(pages_df, W: dict[str, np.ndarray], step: int = 0,
 
 def train_segmenter_from_pairs(spark, pairs, out_path: str,
                                steps: int = 60, lr: float = 0.05,
-                               crop: int = 160, crops_per_page: int = 4) -> dict:
+                               crop: int = 160, crops_per_page: int = 4,
+                               augment: bool = False) -> dict:
     """The ketos-segtrain analog under spark-submit (job.py
     --train-segmenter; reference ketos/segmentation.py:60-360 over
     lib/train.py's SegmentationModel): fit the baseline/region heatmap
@@ -1103,7 +1116,8 @@ def train_segmenter_from_pairs(spark, pairs, out_path: str,
     for step in range(1, steps + 1):
         cur_lr = lr * (0.02 + 0.98 * 0.5 * (1 + np.cos(np.pi * (step - 1) / steps)))
         loss_sum, gsum, n = spark_seg_gradient(
-            pages, W, step=step, crop=crop, crops_per_page=crops_per_page)
+            pages, W, step=step, crop=crop, crops_per_page=crops_per_page,
+            augment=augment)
         if not n:
             raise ValueError("no usable ground-truth pages in the input")
         if l0 is None:

@@ -168,3 +168,105 @@ def test_augmented_fine_tune_improves_degraded_robustness(spark):
     l_plain, _, _ = training.spark_gradient(bl, Wn, batch=8)
     assert l_aug < 0.8 * l_plain, (l_aug / n, l_plain / n)
     assert l_aug < 0.8 * l_base, (l_aug / n, l_base / n)
+
+
+def test_warp_joint_moves_input_and_targets_together():
+    x = np.zeros((40, 40), dtype=np.float64)
+    tb = np.zeros_like(x)
+    tr = np.zeros_like(x)
+    x[20, 10] = 1.0
+    tb[20, 10] = 1.0
+    tr[18:23, 8:13] = 1.0
+    Hm = np.array([[1, 0, 5.0], [0, 1, 3.0], [0, 0, 1]])  # translate +5,+3
+    wx, wtb, wtr = aug._warp_joint(x, tb, tr, Hm)
+    assert wx[23, 15] > 0.99 and wtb[23, 15] == 1.0
+    assert wtr[23, 15] == 1.0 and wtr[2, 2] == 0.0
+    assert set(np.unique(wtb)) <= {0.0, 1.0}  # masks stay binary
+
+
+def test_augment_seg_determinism_and_stats():
+    rng0 = np.random.Generator(np.random.PCG64(1))
+    x = (rng0.random((60, 80)) < 0.2).astype(np.float64)
+    tb = (rng0.random((60, 80)) < 0.05).astype(np.float64)
+    tr = np.zeros_like(x)
+    tr[10:50, 10:70] = 1.0
+    changed = 0
+    for key in range(300):
+        a = aug.augment_seg(x, tb, tr, aug.rng_for(0, key))
+        b = aug.augment_seg(x, tb, tr, aug.rng_for(0, key))
+        for u, v in zip(a, b):
+            assert u.tobytes() == v.tobytes()
+        ax, atb, atr = a
+        assert 0.0 <= ax.min() and ax.max() <= 1.0
+        assert set(np.unique(atb)) <= {0.0, 1.0}
+        assert set(np.unique(atr)) <= {0.0, 1.0}
+        if ax.tobytes() != x.tobytes():
+            changed += 1
+    # P(any transform) = 0.5 * (1 - 0.8^3) ~ 0.244 (color branch no-op)
+    assert 0.14 < changed / 300 < 0.36, changed / 300
+
+
+def test_augment_seg_geometry_is_shared():
+    """When a geometric branch fires, input and baseline target must move
+    under the SAME homography — the ink/target correlation survives."""
+    x = np.zeros((64, 64), dtype=np.float64)
+    tb = np.zeros_like(x)
+    tr = np.zeros_like(x)
+    x[30:34, 10:54] = 1.0   # an ink band
+    tb[31:33, 10:54] = 1.0  # its baseline band (subset of the ink)
+    hits = 0
+    for key in range(200):
+        ax, atb, _ = aug.augment_seg(x, tb, tr, aug.rng_for(3, key))
+        if atb.tobytes() == tb.tobytes():
+            continue  # no geometric branch fired
+        hits += 1
+        # every surviving target pixel sits on warped ink (>0.25 bilinear)
+        on = atb == 1.0
+        assert on.sum() == 0 or (ax[on] > 0.25).mean() > 0.95, key
+    assert hits > 10  # the geometric branches actually fire
+
+
+def test_augmented_seg_gradient_partition_independent(spark, tmp_path):
+    """segtrain --augment keeps partitioning-independence: page-keyed
+    augmentation draws, 1-vs-2-partition gradient agreement."""
+    import pyspark.sql.functions as F
+
+    from kraken_spark import training
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.kernels import seg_train
+    from kraken_spark.operators.serialization import serialize_extractions
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.sources.arrow_dataset import xml_pairs_df
+
+    docs = generate_corpus_df(spark, 3).localCheckpoint(eager=True)
+    ext = plan_extraction(docs, num_partitions=2, segmenter="blla")
+    alto = serialize_extractions(ext, "alto").select("url", "document")
+    pairs_path = str(tmp_path / "pairs.parquet")
+    (alto.join(docs.select("url", "html"), "url")
+     .select("url", F.encode("document", "UTF-8").alias("xml"),
+             F.col("html").alias("image"))
+     .write.parquet(pairs_path))
+
+    p1 = training.seg_pages_from_pairs(
+        xml_pairs_df(spark, pairs_path).repartition(1)).cache()
+    p2 = training.seg_pages_from_pairs(
+        xml_pairs_df(spark, pairs_path).repartition(2)).cache()
+    W = seg_train.init_weights(np.random.Generator(np.random.PCG64(9)))
+    l1, g1, n1 = training.spark_seg_gradient(p1, W, step=4,
+                                             crops_per_page=2, augment=True)
+    l2, g2, n2 = training.spark_seg_gradient(p2, W, step=4,
+                                             crops_per_page=2, augment=True)
+    assert n1 == n2 > 0
+    assert abs(l1 - l2) < 1e-9 * max(1.0, abs(l1))
+    for k in g1:
+        denom = max(1e-12, np.abs(g1[k]).max())
+        assert np.abs(g1[k] - g2[k]).max() / denom < 1e-9, k
+    # augmentation perturbs at least one step's gradient vs clean
+    diffs = 0.0
+    for st in range(4, 8):
+        _, ga, _ = training.spark_seg_gradient(p1, W, step=st,
+                                               crops_per_page=2, augment=True)
+        _, gc, _ = training.spark_seg_gradient(p1, W, step=st,
+                                               crops_per_page=2)
+        diffs += sum(np.abs(ga[k] - gc[k]).max() for k in ga)
+    assert diffs > 0
