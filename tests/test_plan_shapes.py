@@ -143,3 +143,34 @@ def test_extract_html_warc_shape(spark):
     assert "struct<url:string,text:string>" in plan  # pruned gt scan
     head = plan.split("MapInArrow")[0]
     assert "Sort" not in head or "SinglePartition" in head
+
+
+def test_training_faces_no_single_partition_stage(spark):
+    """The distributed training inputs must stay parallel: the segtrain GT
+    map builder and the rotrain pair builder are map-only over their input
+    partitioning (no repartition(1)/coalesce(1) anywhere below the Arrow
+    stage), and the overlay renderer's only exchanges serve the url
+    equi-join — never a cartesian."""
+    import pyspark.sql.functions as F
+
+    from kraken_spark import training
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.operators.serialization import (overlay_extractions,
+                                                      serialize_extractions)
+    from kraken_spark.pipeline import plan_extraction
+
+    docs = generate_corpus_df(spark, 2).localCheckpoint(eager=True)
+    ext = plan_extraction(docs, num_partitions=2, segmenter="pageseg")
+    alto = serialize_extractions(ext, "alto").select("url", "document")
+    pairs = (alto.join(docs.select("url", "html"), "url")
+             .select("url", F.encode("document", "UTF-8").alias("xml"),
+                     F.col("html").alias("image"))).localCheckpoint(eager=True)
+
+    seg_plan = _plan(training.seg_pages_from_pairs(pairs.repartition(2)))
+    ro_plan = _plan(training.ro_pairs_from_markup(pairs.repartition(2)))
+    for plan, name in ((seg_plan, "seg"), (ro_plan, "ro")):
+        assert "SinglePartition" not in plan, name
+        assert "Coalesce 1" not in plan and "coalesce(1" not in plan, name
+
+    ov_plan = _plan(overlay_extractions(docs, ext))
+    assert "Cartesian" not in ov_plan and "BroadcastNestedLoop" not in ov_plan
