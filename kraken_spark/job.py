@@ -510,7 +510,8 @@ def main(argv: list[str] | None = None) -> int:
         out = train_ro_from_pairs(
             spark, xml_pairs_df(spark, args.input), args.output,
             steps=args.train_steps,
-            lr=args.train_lr if args.train_lr is not None else 0.02)
+            lr=args.train_lr if args.train_lr is not None else 0.02,
+            level=args.ro_level)
         print(json.dumps(out))
         return 0
 

@@ -63,25 +63,26 @@ def _expand_pairs(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x[keep].astype(np.float64), y[keep]
 
 
-def markup_page_pairs(xml_bytes: bytes) -> tuple[np.ndarray, np.ndarray] | None:
+def markup_page_pairs(xml_bytes: bytes, level: str = "baselines"
+                      ) -> tuple[np.ndarray, np.ndarray] | None:
     """rotrain ground truth from ONE transcribed markup page (the
     reference trains reading order on XML GT, ketos/ro.py:38-259 over
-    lib/ro): the markup's reading order (parse rank) is the golden
-    sequence, pair features as in page_pairs. Markup rarely carries an
-    explicit base direction, so the RTL class flag derives from the
-    dominant strong-direction class of the page's text (R/AL majority).
-    None for unusable pages (<2 ordered lines)."""
+    lib/ro, at --level baselines or regions): the markup's reading order
+    (parse rank for lines, document order for regions — the PAGE
+    ReadingOrder element is already expanded into that order by the
+    parser) is the golden sequence, pair features as in page_pairs.
+    Markup rarely carries an explicit base direction, so the RTL class
+    flag derives from the dominant strong-direction class of the page's
+    text (R/AL majority). None for unusable pages (<2 ordered elements)."""
     import unicodedata
 
     from . import xmlparse
 
+    if level not in ("baselines", "regions"):
+        raise ValueError(f"unknown RO level {level!r}")
     gt = xmlparse.parse_segmentation(xml_bytes)
     lines = sorted(gt["lines"], key=lambda l: l.get("rank") or 0)
     lines = [l for l in lines if l.get("bbox")]
-    if len(lines) < 2:
-        return None
-    w = gt.get("width") or max(l["bbox"][2] for l in lines)
-    h = gt.get("height") or max(l["bbox"][3] for l in lines)
     rtl = total = 0
     for l in lines:
         for ch in (l.get("text") or ""):
@@ -91,7 +92,20 @@ def markup_page_pairs(xml_bytes: bytes) -> tuple[np.ndarray, np.ndarray] | None:
             if b in ("R", "AL", "L"):
                 total += 1
     cls = 1 if total and rtl * 2 > total else 0
-    boxes = [tuple(l["bbox"]) for l in lines]
+    if level == "regions":
+        boxes = []
+        for r in gt.get("regions", []):
+            bnd = r.get("boundary") or []
+            if len(bnd) >= 3:
+                xs = [p[0] for p in bnd]
+                ys = [p[1] for p in bnd]
+                boxes.append((min(xs), min(ys), max(xs), max(ys)))
+    else:
+        boxes = [tuple(l["bbox"]) for l in lines]
+    if len(boxes) < 2:
+        return None
+    w = gt.get("width") or max(b[2] for b in boxes)
+    h = gt.get("height") or max(b[3] for b in boxes)
     feats = extract_element_features(boxes, [cls] * len(boxes), w=w, h=h)
     return _expand_pairs(feats)
 
@@ -192,10 +206,13 @@ def train_ro(
     )
 
 
-def save_mlp(mlp: OrderMLP, path: str = ASSET) -> None:
+def save_mlp(mlp: OrderMLP, path: str = ASSET,
+             metadata: dict | None = None) -> None:
     from .modelio import write_safetensors
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    md = {"arch": f"pair-mlp-h{HIDDEN}", "trainer": "ro_train.train_ro"}
+    md.update(metadata or {})
     write_safetensors(
         path,
         {
@@ -204,7 +221,7 @@ def save_mlp(mlp: OrderMLP, path: str = ASSET) -> None:
             "w2": mlp.w2.astype(np.float32),
             "b2": np.array([mlp.b2], dtype=np.float32),
         },
-        metadata={"arch": f"pair-mlp-h{HIDDEN}", "trainer": "ro_train.train_ro"},
+        metadata=md,
     )
 
 

@@ -1141,11 +1141,12 @@ def train_segmenter_from_pairs(spark, pairs, out_path: str,
 RO_PAIRS_SCHEMA = "url string, n long, d int, x binary, y binary"
 
 
-def ro_pairs_from_markup(pairs):
+def ro_pairs_from_markup(pairs, level: str = "baselines"):
     """Reading-order training pairs from (url, xml, image) ground-truth
-    markup (the ketos-rotrain input; ro_train.markup_page_pairs): one row
-    per usable page carrying its packed pair-feature block. Unparseable
-    or <2-line pages are skipped."""
+    markup (the ketos-rotrain input; ro_train.markup_page_pairs, at
+    --level baselines or regions): one row per usable page carrying its
+    packed pair-feature block. Unparseable or <2-element pages are
+    skipped."""
     import pyarrow as pa
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -1160,7 +1161,7 @@ def ro_pairs_from_markup(pairs):
             rows = []
             for r in b.to_pylist():
                 try:
-                    got = markup_page_pairs(r["xml"])
+                    got = markup_page_pairs(r["xml"], level=level)
                 except Exception:
                     continue
                 if got is None:
@@ -1230,7 +1231,7 @@ def spark_ro_gradient(pairs_df, W: dict[str, np.ndarray]):
 
 
 def train_ro_from_pairs(spark, pairs, out_path: str, steps: int = 300,
-                        lr: float = 0.02) -> dict:
+                        lr: float = 0.02, level: str = "baselines") -> dict:
     """The ketos-rotrain analog under spark-submit (job.py --train-ro;
     reference ketos/ro.py:38-259 over lib/ro's ROModel): fit the pairwise
     order MLP on transcribed markup's reading order with synchronous
@@ -1241,7 +1242,7 @@ def train_ro_from_pairs(spark, pairs, out_path: str, steps: int = 300,
     from .kernels import ro_train as rt_ro
     from .kernels.ro import HIDDEN, OrderMLP
 
-    feats = ro_pairs_from_markup(pairs).cache()
+    feats = ro_pairs_from_markup(pairs, level=level).cache()
     d2 = feats.select("d").first()
     if d2 is None:
         raise ValueError("no usable ground-truth pages in the input")
@@ -1272,7 +1273,8 @@ def train_ro_from_pairs(spark, pairs, out_path: str, steps: int = 300,
     l1, _, n1 = spark_ro_gradient(feats, W)
     mlp = OrderMLP(W["w1"].astype(np.float32), W["b1"].astype(np.float32),
                    W["w2"].astype(np.float32), float(W["b2"][0]))
-    rt_ro.save_mlp(mlp, out_path)
+    rt_ro.save_mlp(mlp, out_path, metadata={"level": level,
+                                            "trainer": "train_ro_from_pairs"})
 
     # distributed eval: greedy decode per page vs the markup order
     bvar = spark.sparkContext.broadcast(_weights_blob(W))
@@ -1312,6 +1314,7 @@ def train_ro_from_pairs(spark, pairs, out_path: str, steps: int = 300,
     try:
         return {"n_pages": int(ag.c), "n_pairs": int(n1),
                 "loss_before": l0 / max(1, n0), "loss_after": l1 / max(1, n1),
-                "order_exact_pages": int(ag.e or 0), "model": out_path}
+                "order_exact_pages": int(ag.e or 0), "model": out_path,
+                "level": level}
     finally:
         bvar.unpersist()

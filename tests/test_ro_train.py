@@ -176,3 +176,28 @@ def test_spark_rotrain_analog(tmp_path):
     assert lib["n_pages"] == 6 and lib["n_pairs"] > 0
     assert lib["loss_after"] < lib["loss_before"], lib
     assert 0 <= lib["order_exact_pages"] <= 6
+
+
+def test_markup_region_level_pairs():
+    """rotrain --level regions: region bboxes in document order are the
+    golden sequence; one-region pages are unusable; bad level raises."""
+    import pytest as _pytest
+
+    from kraken_spark.kernels.ro_train import markup_page_pairs
+    from kraken_spark.kernels.serialize import serialize
+    from kraken_spark.kernels import png, render
+    from kraken_spark.stages import extract_document
+
+    d = render.render_document(1234, 7)
+    row = extract_document(png.encode_png(d["img"]), "u7", d["lang"],
+                           gt_text=d["text"])
+    xml = serialize(row, "pagexml").encode()
+    n_regions = len(row.get("regions") or [])
+    got = markup_page_pairs(xml, level="regions")
+    if n_regions >= 2:
+        X, y = got
+        assert X.shape == (n_regions * (n_regions - 1), 16)
+    else:
+        assert got is None
+    with _pytest.raises(ValueError, match="level"):
+        markup_page_pairs(xml, level="words")
