@@ -202,8 +202,21 @@ def main(argv: list[str] | None = None) -> int:
         "tolerance matching), micro + macro aggregated JVM-side",
     )
     ap.add_argument(
-        "--segmenter", default="blla", choices=["blla", "pageseg"],
-        help="segmentation path for --test-segmenter",
+        "--segmenter", default=None,
+        choices=["pageseg", "blla", "blla_ref", "blla_curved",
+                 "blla_seam", "blla_robust"],
+        help="segmentation path (the kraken CLI's -x/--boxes vs "
+        "-bl/--baseline choice, widened to the engine's tagged variants): "
+        "drives the extraction run (default pageseg) and --test-segmenter "
+        "(default blla; only blla/pageseg valid there)",
+    )
+    ap.add_argument(
+        "--text-direction", default=None,
+        choices=["horizontal-lr", "horizontal-rl", "vertical-lr",
+                 "vertical-rl", "vertical"],
+        help="principal text direction for the extraction run (the kraken "
+        "CLI's -d/--text-direction; default derives horizontal-{lr,rl} "
+        "from the page language, 'vertical' derives vertical-{lr,rl})",
     )
     ap.add_argument(
         "--compile-dataset",
@@ -520,7 +533,7 @@ def main(argv: list[str] | None = None) -> int:
         from kraken_spark.training import test_segmenter_on_pairs
 
         out = test_segmenter_on_pairs(xml_pairs_df(spark, args.input),
-                                      segmenter=args.segmenter)
+                                      segmenter=args.segmenter or "blla")
         print(json.dumps(out))
         return 0
 
@@ -780,6 +793,8 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.partitions,
             kraken_model_path=args.model,
             table_format=args.table_format,
+            segmenter=args.segmenter or "pageseg",
+            text_direction=args.text_direction,
         )
     if args.serialize:
         ext = read_output(spark, args.output, args.table_format)

@@ -105,8 +105,14 @@ def run_extraction(
     num_partitions: int | None = None,
     kraken_model_path: str | None = None,
     table_format: str = "parquet",
+    segmenter: str = "pageseg",
+    text_direction: str | None = None,
 ) -> DataFrame:
     """Execute extraction; optionally persist results + metrics.
+
+    segmenter/text_direction are the kraken CLI's segment options
+    (-x/--boxes vs -bl/--baseline, -d/--text-direction) forwarded to
+    plan_extraction.
 
     table_format='parquet' appends plain parquet; table_format='ice'
     commits an atomic snapshot to a committed-snapshot table
@@ -124,7 +130,9 @@ def run_extraction(
     join back to the precise data snapshot they describe, and a crash
     between the two commits leaves a data snapshot whose metrics can be
     backfilled from that recorded watermark rather than double-counted."""
-    ext = plan_extraction(documents, num_partitions, kraken_model_path=kraken_model_path)
+    ext = plan_extraction(documents, num_partitions, segmenter=segmenter,
+                          text_direction=text_direction,
+                          kraken_model_path=kraken_model_path)
     if out_path:
         spark = documents.sparkSession
         if table_format == "ice":

@@ -99,3 +99,28 @@ def test_overlay_cli_leg(tmp_path):
     for r in rows:
         im = png.decode_png(bytes(r.png))
         assert im.ndim == 3 and im.shape[2] == 3
+
+
+def test_extraction_cli_segmenter_and_direction(tmp_path):
+    """The kraken CLI's segment options through the job: --segmenter picks
+    the segmentation path for the extraction run and --text-direction
+    forces the principal direction (CER stays 0 on both paths)."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="tests-cli-seg", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_path = str(tmp_path / "docs.parquet")
+    generate_corpus_df(spark, 2).write.parquet(docs_path)
+
+    out1 = str(tmp_path / "out_blla")
+    assert main(["--input", docs_path, "--output", out1,
+                 "--segmenter", "blla"]) == 0
+    r1 = spark.read.parquet(out1).select("url", "cer", "n_lines").collect()
+    assert all(r.cer == 0.0 and r.n_lines > 0 for r in r1)
+
+    out2 = str(tmp_path / "out_dir")
+    assert main(["--input", docs_path, "--output", out2,
+                 "--text-direction", "horizontal-lr"]) == 0
+    assert spark.read.parquet(out2).count() == 2
