@@ -1002,6 +1002,11 @@ def seg_pages_from_pairs(pairs):
                 # maps are 0/1 masks: ship uint8 (8x smaller rows than
                 # float64 — ~1.4 MB/page), widen at the gradient task
                 x = _pool_or(mask, 2).astype(np.uint8)
+                if min(x.shape) < 8:
+                    # degenerate page (a zero-height pooled map even
+                    # crashes the conv im2col); 8 px pooled is far below
+                    # any real page and keeps the gradient task total
+                    continue
                 tb = _pool_or(rasterize_baselines(gold, h, w), 2
                               ).astype(np.uint8)
                 tr = _pool_or(rasterize_regions(regs, h, w), 2

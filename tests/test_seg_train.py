@@ -306,3 +306,35 @@ def test_spark_segtrain_analog(tmp_path):
         str(tmp_path / "seg2.safetensors"), steps=6)
     assert rep["n_pages"] == 4
     assert rep["loss_after"] < rep["loss_before"], rep
+
+
+def test_segtrain_degenerate_pages_skipped(tmp_path):
+    """Compile-path totality for segtrain: a 2-pixel-high page image and
+    a garbage image row are skipped by the GT-map builder, never crashing
+    the gradient task; the good page still trains."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from kraken_spark import training
+    from kraken_spark.kernels import png, render
+    from kraken_spark.kernels.serialize import serialize
+    from kraken_spark.session import get_spark
+    from kraken_spark.stages import extract_document
+
+    spark = get_spark(app="tests-segtrain-deg", cores=2,
+                      shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    d = render.render_document(1234, 3)
+    row = extract_document(png.encode_png(d["img"]), "good", d["lang"],
+                           gt_text=d["text"])
+    good_xml = serialize(row, "alto").encode()
+    tiny = png.encode_png(np.full((2, 400), 255, dtype=np.uint8))
+    pairs = spark.createDataFrame(
+        [("good", bytearray(good_xml), bytearray(png.encode_png(d["img"]))),
+         ("tiny", bytearray(good_xml), bytearray(tiny)),
+         ("junk", bytearray(b"<not-xml"), bytearray(b"\x00\x01"))],
+        "url string, xml binary, image binary")
+    pages = training.seg_pages_from_pairs(pairs).cache()
+    assert [r.url for r in pages.select("url").collect()] == ["good"]
+    W = seg_train.init_weights(np.random.Generator(np.random.PCG64(2)))
+    loss, g, n = training.spark_seg_gradient(pages, W, crops_per_page=1)
+    assert n == 1 and np.isfinite(loss)
