@@ -105,3 +105,49 @@ def test_aggregate_detection_metrics_macro():
     assert agg == {"precision": 0.5, "recall": 0.25, "f1": 1 / 3}
     assert aggregate_detection_metrics([]) == {"precision": 0.0,
                                                "recall": 0.0, "f1": 0.0}
+
+
+def test_assignment_properties_random():
+    """Property sweep: the solver's assignment is a valid partial
+    permutation, its cost never exceeds any random valid assignment, and
+    transposition is consistent."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    for _ in range(60):
+        n = int(rng.integers(1, 12))
+        m = int(rng.integers(1, 12))
+        c = rng.uniform(0, 100, (n, m))
+        r, cc = linear_sum_assignment(c)
+        k = min(n, m)
+        assert len(r) == len(cc) == k
+        assert len(set(r.tolist())) == k and len(set(cc.tolist())) == k
+        got = float(c[r, cc].sum())
+        # never beaten by random valid assignments
+        for _ in range(20):
+            rows = rng.permutation(n)[:k]
+            cols = rng.permutation(m)[:k]
+            assert got <= float(c[rows, cols].sum()) + 1e-9
+        rt, ct = linear_sum_assignment(c.T)
+        assert abs(float(c.T[rt, ct].sum()) - got) < 1e-9
+
+
+def test_detection_metric_bounds_random():
+    """Soft P/R/F1 stay in [0,1] and are symmetric under swapping pred/gt
+    (precision <-> recall) on random polyline sets."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    for _ in range(20):
+        def rand_lines(k):
+            out = []
+            for _ in range(k):
+                y = float(rng.uniform(0, 200))
+                x0 = float(rng.uniform(0, 100))
+                out.append([[x0, y], [x0 + float(rng.uniform(10, 200)), y]])
+            return out
+        a = rand_lines(int(rng.integers(0, 5)))
+        b = rand_lines(int(rng.integers(0, 5)))
+        mab = compute_detection_metrics(a, b, 8.0)
+        mba = compute_detection_metrics(b, a, 8.0)
+        for m in (mab, mba):
+            for k in ("precision", "recall", "f1"):
+                assert 0.0 <= m[k] <= 1.0
+        assert abs(mab["precision"] - mba["recall"]) < 1e-9
+        assert abs(mab["recall"] - mba["precision"]) < 1e-9
