@@ -211,6 +211,12 @@ def main(argv: list[str] | None = None) -> int:
         "(default blla; only blla/pageseg valid there)",
     )
     ap.add_argument(
+        "--no-segmentation", action="store_true",
+        help="the kraken CLI's ocr -s/--no-segmentation: treat each input "
+        "image as ONE text line (pre-cropped line strips; trimmed to the "
+        "ink extent) — XML/JSON payloads keep their pre-segmented path",
+    )
+    ap.add_argument(
         "--text-direction", default=None,
         choices=["horizontal-lr", "horizontal-rl", "vertical-lr",
                  "vertical-rl", "vertical"],
@@ -795,6 +801,7 @@ def main(argv: list[str] | None = None) -> int:
             table_format=args.table_format,
             segmenter=args.segmenter or "pageseg",
             text_direction=args.text_direction,
+            no_segmentation=args.no_segmentation,
         )
     if args.serialize:
         ext = read_output(spark, args.output, args.table_format)

@@ -50,6 +50,7 @@ def plan_extraction(
     text_direction: str | None = None,
     kraken_model_path: str | None = None,
     markdown: bool = False,
+    no_segmentation: bool = False,
 ) -> DataFrame:
     """Build the (lazy) extraction DataFrame over a documents table.
 
@@ -68,7 +69,8 @@ def plan_extraction(
     salt, total = weight_salt(n)
     df = df.repartition(total, salt.alias("salt"))
     return df.mapInArrow(
-        make_extract_map(segmenter, text_direction, kraken_model_path, markdown),
+        make_extract_map(segmenter, text_direction, kraken_model_path, markdown,
+                         no_segmentation=no_segmentation),
         schema=EXTRACTION_DDL + (", markdown string" if markdown else ""),
     )
 
@@ -107,11 +109,13 @@ def run_extraction(
     table_format: str = "parquet",
     segmenter: str = "pageseg",
     text_direction: str | None = None,
+    no_segmentation: bool = False,
 ) -> DataFrame:
     """Execute extraction; optionally persist results + metrics.
 
-    segmenter/text_direction are the kraken CLI's segment options
-    (-x/--boxes vs -bl/--baseline, -d/--text-direction) forwarded to
+    segmenter/text_direction/no_segmentation are the kraken CLI's
+    segment/ocr options (-x/--boxes vs -bl/--baseline,
+    -d/--text-direction, -s/--no-segmentation) forwarded to
     plan_extraction.
 
     table_format='parquet' appends plain parquet; table_format='ice'
@@ -132,7 +136,8 @@ def run_extraction(
     backfilled from that recorded watermark rather than double-counted."""
     ext = plan_extraction(documents, num_partitions, segmenter=segmenter,
                           text_direction=text_direction,
-                          kraken_model_path=kraken_model_path)
+                          kraken_model_path=kraken_model_path,
+                          no_segmentation=no_segmentation)
     if out_path:
         spark = documents.sparkSession
         if table_format == "ice":

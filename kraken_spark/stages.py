@@ -115,6 +115,7 @@ def extract_document(
     html: bytes, url: str, lang: str, gt_text: str | None = None,
     segmenter: str = "pageseg", text_direction: str | None = None,
     kraken_model_path: str | None = None,
+    no_segmentation: bool = False,
 ) -> dict:
     """Pure-Python single-document extraction (kernel chain); used by the
     Arrow stage below and directly unit-testable.
@@ -198,7 +199,40 @@ def extract_document(
         _check_budget("decode")
         mask = binarize.nlbin(img)
         _check_budget("binarize")
-        if segmenter in ("blla", "blla_curved", "blla_seam", "blla_ref", "blla_robust"):
+        if no_segmentation:
+            # the kraken CLI's -s/--no-segmentation (kraken.py:566-570):
+            # each input image IS one text line — synthesize a whole-image
+            # bbox segmentation (rpred gets a single [0,0,w,h] box in the
+            # reference) and run the shared recognition tail. XML/JSON
+            # payloads never reach here (pre-segmented input routes
+            # above), matching the reference's xml-incompatibility check
+            # trim to the ink extent: the reference's line normalizer
+            # absorbs margins; our grid-aligned template recognizer needs
+            # the strip anchored on the glyph cells (blank input keeps
+            # the full frame and recognizes empty)
+            import numpy as np
+
+            rows = np.nonzero(mask.any(axis=1))[0]
+            cols = np.nonzero(mask.any(axis=0))[0]
+            if len(rows):
+                ly0, ly1 = int(rows[0]), int(rows[-1]) + 1
+                lx0, lx1 = int(cols[0]), int(cols[-1]) + 1
+            else:
+                ly0, lx0 = 0, 0
+                ly1, lx1 = mask.shape
+            seg = {
+                "guard_tripped": False,
+                "regions": [],
+                "lines": [{
+                    "id": pageseg.det_id(url, "noseg", 0),
+                    "rank": 0,
+                    "bbox": [lx0, ly0, lx1, ly1],
+                    "baseline": [[lx0, ly1 - 1], [max(lx1 - 1, lx0 + 1), ly1 - 1]],
+                    "boundary": [[lx0, ly0], [lx1, ly0], [lx1, ly1], [lx0, ly1]],
+                    "region_ids": [],
+                }],
+            }
+        elif segmenter in ("blla", "blla_curved", "blla_seam", "blla_ref", "blla_robust"):
             from .kernels import blla
 
             if segmenter == "blla_robust":
@@ -217,7 +251,7 @@ def extract_document(
                 if segmenter in ("blla_ref", "blla_robust")
                 else "analog",
             )
-        else:
+        elif True:
             seg = pageseg.segment(mask, url=url, text_direction=text_direction)
         _check_budget("segment")
         out["guard_tripped"] = seg["guard_tripped"]
@@ -405,6 +439,7 @@ def make_extract_map(
     text_direction: str | None = None,
     kraken_model_path: str | None = None,
     markdown: bool = False,
+    no_segmentation: bool = False,
 ):
     """mapInArrow stage body factory: documents batches -> extraction
     batches, with the segmentation path (and optionally a 4-valued or
@@ -441,7 +476,8 @@ def make_extract_map(
             for i in order:
                 rows[i] = extract_document(
                     htmls[i], urls[i], langs[i], gts[i], segmenter,
-                    text_direction, kraken_model_path
+                    text_direction, kraken_model_path,
+                    no_segmentation=no_segmentation
                 )
             for r in rows:
                 r["partition_id"] = pid

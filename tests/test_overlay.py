@@ -124,3 +124,52 @@ def test_extraction_cli_segmenter_and_direction(tmp_path):
     assert main(["--input", docs_path, "--output", out2,
                  "--text-direction", "horizontal-lr"]) == 0
     assert spark.read.parquet(out2).count() == 2
+
+
+def test_no_segmentation_mode(tmp_path):
+    """The kraken ocr -s/--no-segmentation analog: each input image is
+    one text line (trimmed to its ink extent), recognized through the
+    shared tail — CER 0 on padded line crops; blank images recognize
+    empty; the CLI flag drives it end-to-end."""
+    from kraken_spark.corpus import generate_corpus_df  # noqa: F401
+    from kraken_spark.job import main
+    from kraken_spark.kernels import render
+    from kraken_spark.session import get_spark
+    from kraken_spark.stages import extract_document
+
+    rows = []
+    for seed, i in ((1234, 0), (42, 1)):
+        d = render.render_document(seed, i)
+        for li in (0, 1):
+            l = d["lines"][li]
+            x0, y0, x1, y1 = l["bbox"]
+            h, w = d["img"].shape
+            crop = d["img"][max(y0 - 3, 0): min(y1 + 3, h),
+                            max(x0 - 3, 0): min(x1 + 3, w)]
+            out = extract_document(png.encode_png(crop), f"u{seed}_{i}_{li}",
+                                   d["lang"], gt_text=l["text"],
+                                   no_segmentation=True)
+            assert out["n_lines"] == 1 and out["cer"] == 0.0, (seed, i, li)
+            rows.append((f"line://{seed}/{i}/{li}",
+                         bytearray(png.encode_png(crop)), l["text"],
+                         d["lang"]))
+    blank = extract_document(
+        png.encode_png(np.full((40, 200), 255, dtype=np.uint8)), "blank",
+        "en", gt_text="", no_segmentation=True)
+    assert blank["text"] == "" and not blank["guard_tripped"]
+
+    spark = get_spark(app="tests-noseg", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    import datetime
+
+    docs_path = str(tmp_path / "lines.parquet")
+    spark.createDataFrame(
+        [(u, datetime.datetime(2026, 1, 1), bytes(b), t, lg)
+         for u, b, t, lg in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "out")
+    assert main(["--input", docs_path, "--output", out,
+                 "--no-segmentation"]) == 0
+    got = spark.read.parquet(out).select("url", "cer", "n_lines").collect()
+    assert len(got) == 4 and all(r.cer == 0.0 and r.n_lines == 1 for r in got)
