@@ -211,6 +211,12 @@ def main(argv: list[str] | None = None) -> int:
         "(default blla; only blla/pageseg valid there)",
     )
     ap.add_argument(
+        "--temperature", type=float, default=1.0,
+        help="the kraken ocr -t softmax temperature for the --model "
+        "loaded-recognizer path: confidence calibration only — the "
+        "prediction is temperature-invariant (argmax unchanged)",
+    )
+    ap.add_argument(
         "--no-segmentation", action="store_true",
         help="the kraken CLI's ocr -s/--no-segmentation: treat each input "
         "image as ONE text line (pre-cropped line strips; trimmed to the "
@@ -802,6 +808,7 @@ def main(argv: list[str] | None = None) -> int:
             segmenter=args.segmenter or "pageseg",
             text_direction=args.text_direction,
             no_segmentation=args.no_segmentation,
+            temperature=args.temperature,
         )
     if args.serialize:
         ext = read_output(spark, args.output, args.table_format)

@@ -34,11 +34,17 @@ from .torchvgsl import TorchVGSL, dewarp_line, fixed_resize
 class LoadedRecognizer:
     """TorchSeqRecognizer analog bound to a loaded KrakenModelBundle."""
 
-    def __init__(self, bundle: KrakenModelBundle):
+    def __init__(self, bundle: KrakenModelBundle,
+                 temperature: float = 1.0):
         self.bundle = bundle
         self.net = TorchVGSL(bundle.vgsl, bundle.weights)
         self.codec = Codec(bundle.codec)
         self.height = self.net.height
+        # the kraken ocr -t/--temperature knob: softmax(z/T) equals
+        # p^(1/T) renormalized, so probability-space scaling is EXACT
+        # logit-temperature semantics; argmax (and thus the prediction)
+        # is invariant — only confidences sharpen (T<1) or flatten (T>1)
+        self.temperature = float(temperature)
 
     # -- transforms ---------------------------------------------------------
     def _finish(self, ts: np.ndarray, pad: int, bidi_reordering=True, box_w: int | None = None) -> dict:
@@ -53,6 +59,9 @@ class LoadedRecognizer:
         if ts.max() == ts.min():
             return {"prediction": "", "cuts": [], "confidences": []}
         probs = self.net.forward(ts.astype(np.float32))  # (W', classes)
+        if self.temperature != 1.0:
+            probs = probs ** (1.0 / self.temperature)
+            probs = probs / probs.sum(axis=1, keepdims=True)
         decoded = greedy_decoder(probs)
         chars = self.codec.decode(decoded)
         pred = "".join(c[0] for c in chars)

@@ -51,6 +51,7 @@ def plan_extraction(
     kraken_model_path: str | None = None,
     markdown: bool = False,
     no_segmentation: bool = False,
+    temperature: float = 1.0,
 ) -> DataFrame:
     """Build the (lazy) extraction DataFrame over a documents table.
 
@@ -70,7 +71,8 @@ def plan_extraction(
     df = df.repartition(total, salt.alias("salt"))
     return df.mapInArrow(
         make_extract_map(segmenter, text_direction, kraken_model_path, markdown,
-                         no_segmentation=no_segmentation),
+                         no_segmentation=no_segmentation,
+                         temperature=temperature),
         schema=EXTRACTION_DDL + (", markdown string" if markdown else ""),
     )
 
@@ -110,6 +112,7 @@ def run_extraction(
     segmenter: str = "pageseg",
     text_direction: str | None = None,
     no_segmentation: bool = False,
+    temperature: float = 1.0,
 ) -> DataFrame:
     """Execute extraction; optionally persist results + metrics.
 
@@ -137,7 +140,8 @@ def run_extraction(
     ext = plan_extraction(documents, num_partitions, segmenter=segmenter,
                           text_direction=text_direction,
                           kraken_model_path=kraken_model_path,
-                          no_segmentation=no_segmentation)
+                          no_segmentation=no_segmentation,
+                          temperature=temperature)
     if out_path:
         spark = documents.sparkSession
         if table_format == "ice":

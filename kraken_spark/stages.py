@@ -97,17 +97,19 @@ def _pretouch_working_set() -> None:
     del blocks  # freed into the arena, which keeps the pages mapped
 
 
-def _get_kraken_recognizer(path: str):
+def _get_kraken_recognizer(path: str, temperature: float = 1.0):
     """Per-worker cache of a LOADED reference model (CoreML/safetensors via
     kernels/modelio) wrapped in the rpred-parity recognizer — the
     load-once-per-executor pattern applied to REAL kraken model files
-    (ship via spark-submit --files / SparkFiles)."""
-    key = f"kraken:{path}"
+    (ship via spark-submit --files / SparkFiles). temperature is the
+    kraken ocr -t confidence-calibration knob (prediction-invariant)."""
+    key = f"kraken:{path}:{temperature}"
     if key not in _MODEL_CACHE:
         from .kernels.modelio import load_kraken_model
         from .kernels.rpred_parity import LoadedRecognizer
 
-        _MODEL_CACHE[key] = LoadedRecognizer(load_kraken_model(path)[0])
+        _MODEL_CACHE[key] = LoadedRecognizer(load_kraken_model(path)[0],
+                                             temperature=temperature)
     return _MODEL_CACHE[key]
 
 
@@ -116,6 +118,7 @@ def extract_document(
     segmenter: str = "pageseg", text_direction: str | None = None,
     kraken_model_path: str | None = None,
     no_segmentation: bool = False,
+    temperature: float = 1.0,
 ) -> dict:
     """Pure-Python single-document extraction (kernel chain); used by the
     Arrow stage below and directly unit-testable.
@@ -275,7 +278,8 @@ def extract_document(
             # recognition through a LOADED reference model (rpred parity):
             # runs on the grayscale page like the reference's rpred, with
             # bbox or baseline extraction chosen by the model's seg_type
-            rec_net = _get_kraken_recognizer(kraken_model_path)
+            rec_net = _get_kraken_recognizer(kraken_model_path,
+                                             temperature=temperature)
             records = []
             for l in seg["lines"]:
                 if rec_net.bundle.seg_type == "bbox" or not l.get("baseline"):
@@ -440,6 +444,7 @@ def make_extract_map(
     kraken_model_path: str | None = None,
     markdown: bool = False,
     no_segmentation: bool = False,
+    temperature: float = 1.0,
 ):
     """mapInArrow stage body factory: documents batches -> extraction
     batches, with the segmentation path (and optionally a 4-valued or
@@ -477,7 +482,7 @@ def make_extract_map(
                 rows[i] = extract_document(
                     htmls[i], urls[i], langs[i], gts[i], segmenter,
                     text_direction, kraken_model_path,
-                    no_segmentation=no_segmentation
+                    no_segmentation=no_segmentation, temperature=temperature
                 )
             for r in rows:
                 r["partition_id"] = pid

@@ -546,3 +546,28 @@ def test_coreml_lstm_roundtrip():
     after = TorchVGSL(rt.vgsl, rt.weights).forward(x)
     assert set(rt.weights) == set(w)
     assert np.allclose(before, after, atol=1e-5)
+
+
+def test_temperature_is_prediction_invariant(overfit, line_img):
+    """The ocr -t/--temperature knob: softmax(z/T) == p^(1/T) renormalized,
+    so predictions/cuts never change — only confidences sharpen (T<1) or
+    flatten (T>1); T=1 is a bit-exact no-op."""
+    from kraken_spark.kernels.modelio import load_kraken_model
+    from kraken_spark.kernels.rpred_parity import LoadedRecognizer
+
+    bundle = load_kraken_model(f"{RES}/overfit.mlmodel")[0]
+    base = overfit.recognize_bbox(line_img, [0, 0, 2544, 156], pad=1)
+    for t, expect in ((0.5, "sharper"), (2.0, "flatter"), (1.0, "equal")):
+        rec = LoadedRecognizer(bundle, temperature=t)
+        r = rec.recognize_bbox(line_img, [0, 0, 2544, 156], pad=1)
+        assert r["prediction"] == base["prediction"] == GOLDEN_BBOX
+        assert r["cuts"] == base["cuts"]
+        hi = [i for i, c in enumerate(base["confidences"]) if 0.5 < c < 1.0]
+        if expect == "equal":
+            assert r["confidences"] == base["confidences"]
+        elif expect == "sharper":
+            assert all(r["confidences"][i] > base["confidences"][i]
+                       for i in hi)
+        else:
+            assert all(r["confidences"][i] < base["confidences"][i]
+                       for i in hi)
