@@ -211,6 +211,21 @@ def main(argv: list[str] | None = None) -> int:
         "(default blla; only blla/pageseg valid there)",
     )
     ap.add_argument(
+        "--threshold", type=float, default=None,
+        help="nlbin binarization threshold (reference kraken binarize "
+        "--threshold; kernels/binarize.nlbin)")
+    ap.add_argument("--escale", type=float, default=None,
+                    help="nlbin estimation scale (reference --escale)")
+    ap.add_argument("--perc", type=float, default=None,
+                    help="nlbin background-estimation percentile "
+                    "(reference --perc)")
+    ap.add_argument("--low", type=float, default=None,
+                    help="nlbin low normalization percentile "
+                    "(reference --low)")
+    ap.add_argument("--high", type=float, default=None,
+                    help="nlbin high normalization percentile "
+                    "(reference --high)")
+    ap.add_argument(
         "--temperature", type=float, default=1.0,
         help="the kraken ocr -t softmax temperature for the --model "
         "loaded-recognizer path: confidence calibration only — the "
@@ -809,6 +824,10 @@ def main(argv: list[str] | None = None) -> int:
             text_direction=args.text_direction,
             no_segmentation=args.no_segmentation,
             temperature=args.temperature,
+            nlbin_params={k: v for k, v in (
+                ("threshold", args.threshold), ("escale", args.escale),
+                ("perc", args.perc), ("low", args.low),
+                ("high", args.high)) if v is not None} or None,
         )
     if args.serialize:
         ext = read_output(spark, args.output, args.table_format)

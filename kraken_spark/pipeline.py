@@ -52,6 +52,7 @@ def plan_extraction(
     markdown: bool = False,
     no_segmentation: bool = False,
     temperature: float = 1.0,
+    nlbin_params: dict | None = None,
 ) -> DataFrame:
     """Build the (lazy) extraction DataFrame over a documents table.
 
@@ -72,7 +73,8 @@ def plan_extraction(
     return df.mapInArrow(
         make_extract_map(segmenter, text_direction, kraken_model_path, markdown,
                          no_segmentation=no_segmentation,
-                         temperature=temperature),
+                         temperature=temperature,
+                         nlbin_params=nlbin_params),
         schema=EXTRACTION_DDL + (", markdown string" if markdown else ""),
     )
 
@@ -113,6 +115,7 @@ def run_extraction(
     text_direction: str | None = None,
     no_segmentation: bool = False,
     temperature: float = 1.0,
+    nlbin_params: dict | None = None,
 ) -> DataFrame:
     """Execute extraction; optionally persist results + metrics.
 
@@ -141,7 +144,8 @@ def run_extraction(
                           text_direction=text_direction,
                           kraken_model_path=kraken_model_path,
                           no_segmentation=no_segmentation,
-                          temperature=temperature)
+                          temperature=temperature,
+                          nlbin_params=nlbin_params)
     if out_path:
         spark = documents.sparkSession
         if table_format == "ice":

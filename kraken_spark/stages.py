@@ -119,6 +119,7 @@ def extract_document(
     kraken_model_path: str | None = None,
     no_segmentation: bool = False,
     temperature: float = 1.0,
+    nlbin_params: dict | None = None,
 ) -> dict:
     """Pure-Python single-document extraction (kernel chain); used by the
     Arrow stage below and directly unit-testable.
@@ -200,7 +201,7 @@ def extract_document(
         out["n_px"] = int(img.size)
         out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
         _check_budget("decode")
-        mask = binarize.nlbin(img)
+        mask = binarize.nlbin(img, **(nlbin_params or {}))
         _check_budget("binarize")
         if no_segmentation:
             # the kraken CLI's -s/--no-segmentation (kraken.py:566-570):
@@ -445,6 +446,7 @@ def make_extract_map(
     markdown: bool = False,
     no_segmentation: bool = False,
     temperature: float = 1.0,
+    nlbin_params: dict | None = None,
 ):
     """mapInArrow stage body factory: documents batches -> extraction
     batches, with the segmentation path (and optionally a 4-valued or
@@ -482,7 +484,8 @@ def make_extract_map(
                 rows[i] = extract_document(
                     htmls[i], urls[i], langs[i], gts[i], segmenter,
                     text_direction, kraken_model_path,
-                    no_segmentation=no_segmentation, temperature=temperature
+                    no_segmentation=no_segmentation, temperature=temperature,
+                    nlbin_params=nlbin_params
                 )
             for r in rows:
                 r["partition_id"] = pid

@@ -173,3 +173,29 @@ def test_no_segmentation_mode(tmp_path):
                  "--no-segmentation"]) == 0
     got = spark.read.parquet(out).select("url", "cer", "n_lines").collect()
     assert len(got) == 4 and all(r.cer == 0.0 and r.n_lines == 1 for r in got)
+
+
+def test_nlbin_cli_knobs(tmp_path):
+    """kraken binarize hyperparameters through the job CLI: defaults keep
+    CER 0; an extreme --threshold visibly changes the extraction (the
+    knob genuinely reaches the kernel)."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.job import main
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="tests-nlbin-cli", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_path = str(tmp_path / "docs.parquet")
+    generate_corpus_df(spark, 2).write.parquet(docs_path)
+
+    out1 = str(tmp_path / "out_default")
+    assert main(["--input", docs_path, "--output", out1,
+                 "--threshold", "0.5", "--escale", "1.0"]) == 0
+    r1 = spark.read.parquet(out1).select("cer", "n_lines").collect()
+    assert all(r.cer == 0.0 and r.n_lines > 0 for r in r1)
+
+    out2 = str(tmp_path / "out_extreme")
+    assert main(["--input", docs_path, "--output", out2,
+                 "--threshold", "0.99"]) == 0
+    r2 = spark.read.parquet(out2).select("n_lines").collect()
+    assert sum(r.n_lines for r in r2) < sum(r.n_lines for r in r1)
