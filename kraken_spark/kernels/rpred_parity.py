@@ -47,6 +47,44 @@ class LoadedRecognizer:
         self.temperature = float(temperature)
 
     # -- transforms ---------------------------------------------------------
+    def _prep_net_input(self, ts: np.ndarray, pad: int) -> np.ndarray | None:
+        """pad + invert a prepared line tensor into the network input; None
+        for constant (blank) lines, which emit empty records."""
+        if pad:
+            fill = 255.0 if ts.max() > 1.0 else 1.0
+            ts = np.pad(ts, ((0, 0), (pad, pad)), constant_values=fill)
+        ts = ts.max() - ts  # tensor_invert
+        if ts.max() == ts.min():
+            return None
+        return ts.astype(np.float32)
+
+    def _decode_probs(self, probs: np.ndarray, ts_w: int, pad: int,
+                      bidi_reordering=True, box_w: int | None = None) -> dict:
+        """softmax-probs -> record: temperature, greedy CTC, codec decode,
+        cut scaling (rpred.py:293-311), BiDi reorder."""
+        if self.temperature != 1.0:
+            probs = probs ** (1.0 / self.temperature)
+            probs = probs / probs.sum(axis=1, keepdims=True)
+        decoded = greedy_decoder(probs)
+        chars = self.codec.decode(decoded)
+        pred = "".join(c[0] for c in chars)
+        cuts = [(c[1], c[2]) for c in chars]
+        confs = [c[3] for c in chars]
+        if box_w is not None and cuts:
+            net_scale = ts_w / probs.shape[0]
+            in_scale = box_w / (ts_w - 2 * pad)
+
+            def scale_val(v):
+                return int(round(min(max((v * net_scale - pad) * in_scale, 0), box_w - 1)))
+
+            cuts = [(scale_val(a), scale_val(b)) for a, b in cuts]
+        if bidi_reordering:
+            base = bidi_reordering if bidi_reordering in ("L", "R") else None
+            pred, order = get_display(pred, base)
+            cuts = [cuts[i] for i in order]
+            confs = [confs[i] for i in order]
+        return {"prediction": pred, "cuts": cuts, "confidences": confs}
+
     def _finish(self, ts: np.ndarray, pad: int, bidi_reordering=True, box_w: int | None = None) -> dict:
         """pad/invert/forward/decode shared tail. ts: (H, W) float32 in its
         path's native scale (0..255 for the dewarp path, 0..1 for uint8).
@@ -136,6 +174,101 @@ class LoadedRecognizer:
         return self._finish(
             ts, pad, bidi_reordering, box_w=patch.shape[1] if scale_cuts else None
         )
+
+    # -- batched path -------------------------------------------------------
+    def _prep_bbox(self, img: np.ndarray, bbox):
+        """Line-tensor prep of recognize_bbox without the forward; returns
+        (ts, box_w) or None for out-of-bounds boxes."""
+        x0, y0, x1, y1 = bbox
+        if x0 < 0 or y0 < 0 or x1 > img.shape[1] or y1 > img.shape[0] or x1 <= x0 or y1 <= y0:
+            return None
+        crop = img[y0:y1, x0:x1]
+        ts = dewarp_line(crop, self.height)
+        ts = np.clip(ts, 0, 255).astype(np.uint8).astype(np.float32) / 255.0
+        return ts, x1 - x0
+
+    def _prep_baseline(self, img: np.ndarray, baseline, boundary,
+                       legacy: bool | None = None):
+        """Line-tensor prep of recognize_baseline without the forward;
+        returns (ts, box_w) or None for invalid/blank lines."""
+        if legacy is None:
+            legacy = self.bundle.legacy_polygons
+        pl = np.asarray(boundary)
+        bl = np.asarray(baseline, dtype=np.float64)
+        h, w = img.shape
+        if (pl < 0).any() or pl[:, 0].max() >= w or pl[:, 1].max() >= h:
+            return None
+        if (bl < 0).any() or bl[:, 0].max() >= w or bl[:, 1].max() >= h:
+            return None
+        patch = extract_polygon_legacy(img, bl, pl) if legacy else extract_polygon_new(img, bl, pl)
+        if patch.size == 0:
+            return None
+        nzr = np.nonzero(patch.any(axis=1))[0]
+        nzc = np.nonzero(patch.any(axis=0))[0]
+        if len(nzr) == 0 or len(nzc) == 0:
+            return None
+        patch = patch[nzr[0] : nzr[-1] + 1, nzc[0] : nzc[-1] + 1]
+        resized = fixed_resize(patch, (self.height, 0))
+        ts = resized.astype(np.float32) / 255.0
+        return ts, patch.shape[1]
+
+    def recognize_lines(
+        self,
+        img: np.ndarray,
+        lines: list[dict],
+        pad: int = 16,
+        bidi_reordering=True,
+        scale_cuts: bool = False,
+        legacy: bool | None = None,
+        batch_size: int = 32,
+    ) -> list[dict]:
+        """Cross-line batched recognition over one page — the analog of the
+        reference's queue batching (lib/vgsl/rpred.py:100-124). Each line
+        dict carries either 'bbox' or 'baseline'+'boundary' (bbox is used
+        when the model's seg_type is bbox or no baseline is present, like
+        stages.extract_document). Per-line tensor prep and decode are the
+        exact recognize_bbox/recognize_baseline code paths; the network
+        forward runs width-bucketed through TorchVGSL.forward_batch, which
+        turns the per-timestep batch-1 GEMVs of the recurrence into GEMMs.
+        Results are returned in input order and match the per-line API."""
+        empty = {"prediction": "", "cuts": [], "confidences": []}
+        preps: list[tuple | None] = []
+        for ln in lines:
+            if self.bundle.seg_type == "bbox" or not ln.get("baseline"):
+                bx = [
+                    max(0, ln["bbox"][0]),
+                    max(0, ln["bbox"][1]),
+                    min(img.shape[1], ln["bbox"][2]),
+                    min(img.shape[0], ln["bbox"][3]),
+                ]
+                preps.append(self._prep_bbox(img, bx))
+            else:
+                preps.append(
+                    self._prep_baseline(img, ln["baseline"], ln["boundary"], legacy)
+                )
+        # pad+invert per line; constant (blank) tensors emit empty records
+        inputs: list[tuple[int, np.ndarray, int, int]] = []
+        for i, p in enumerate(preps):
+            if p is None:
+                continue
+            ts, box_w = p
+            net_in = self._prep_net_input(ts, pad)
+            if net_in is None:
+                continue
+            inputs.append((i, net_in, net_in.shape[1], box_w))
+        results: dict[int, dict] = {}
+        # width buckets: sort by padded width so each forward_batch chunk
+        # pads to a near-uniform length (wasted frames bounded per chunk)
+        inputs.sort(key=lambda t: t[2])
+        for s in range(0, len(inputs), batch_size):
+            chunk = inputs[s : s + batch_size]
+            probs_list = self.net.forward_batch([c[1] for c in chunk])
+            for (i, net_in, ts_w, box_w), probs in zip(chunk, probs_list):
+                results[i] = self._decode_probs(
+                    probs, ts_w, pad, bidi_reordering,
+                    box_w=box_w if scale_cuts else None,
+                )
+        return [results.get(i, dict(empty)) for i in range(len(lines))]
 
 
 def _polygon_mask_pil(poly: np.ndarray, h: int, w: int) -> np.ndarray:

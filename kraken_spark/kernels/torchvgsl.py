@@ -220,45 +220,74 @@ _PRECISION_BITS = 32 - 8 - 2  # PIL Resample.c precision for 8-bit images
 def _lanczos_coeffs(in_size: int, out_size: int):
     """PIL precompute_coeffs geometry: support 3, filterscale =
     max(in/out, 1), window centered at (i+0.5)*scale, per-window
-    normalization (Resample.c)."""
+    normalization (Resample.c). Vectorized over output pixels with the
+    identical per-element arithmetic (trunc-toward-zero window bounds,
+    same sinc products, column-order normalization sum, symmetric
+    fixed-point rounding); returns the per-row (xmin, int-coeff) pairs."""
+    xmin, ki = _lanczos_coeff_table(in_size, out_size)
+    return [(int(x0), k) for x0, k in zip(xmin, ki)]
+
+
+def _lanczos_coeff_table(in_size: int, out_size: int):
+    """Cached (xmin (O,), coeffs (O, L) int64) fixed-point Lanczos table.
+    Line tensors repeat (height, ratio) pairs heavily across a corpus, so
+    the table is memoized per python worker."""
+    key = (in_size, out_size)
+    hit = _LANCZOS_CACHE.get(key)
+    if hit is not None:
+        return hit
     scale = in_size / out_size
     fscale = max(scale, 1.0)
     support = 3.0 * fscale
-    rows = []
-    for i in range(out_size):
-        center = (i + 0.5) * scale
-        xmin = max(int(center - support + 0.5), 0)
-        xmax = min(int(center + support + 0.5), in_size)
-        xs = np.arange(xmin, xmax, dtype=np.float64)
-        t = (xs - center + 0.5) / fscale
-        k = np.sinc(t) * np.sinc(t / 3.0)
-        k[(t < -3.0) | (t >= 3.0)] = 0.0
-        s = k.sum()
-        k = k / s if s != 0 else k
-        # normalize_coeffs_8bpc: symmetric round to 2^-PRECISION_BITS
-        ki = np.where(
-            k < 0,
-            (k * (1 << _PRECISION_BITS) - 0.5).astype(np.int64),
-            (k * (1 << _PRECISION_BITS) + 0.5).astype(np.int64),
-        )
-        rows.append((xmin, ki))
-    return rows
+    centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale
+    # int() truncates toward zero; clamped to [0, in_size] like PIL
+    xmin = np.maximum(np.trunc(centers - support + 0.5).astype(np.int64), 0)
+    xmax = np.minimum(np.trunc(centers + support + 0.5).astype(np.int64), in_size)
+    length = max(int((xmax - xmin).max()), 1)
+    xs = xmin[:, None] + np.arange(length, dtype=np.float64)[None, :]
+    valid = xs < xmax[:, None]
+    t = (xs - centers[:, None] + 0.5) / fscale
+    k = np.sinc(t) * np.sinc(t / 3.0)
+    k[(t < -3.0) | (t >= 3.0)] = 0.0
+    k[~valid] = 0.0
+    # per-window normalization; sequential column-order accumulation
+    s = np.zeros(out_size, dtype=np.float64)
+    for j in range(length):
+        s += k[:, j]
+    nz = s != 0
+    k[nz] = k[nz] / s[nz, None]
+    # normalize_coeffs_8bpc: symmetric round to 2^-PRECISION_BITS
+    ki = np.where(
+        k < 0,
+        (k * (1 << _PRECISION_BITS) - 0.5).astype(np.int64),
+        (k * (1 << _PRECISION_BITS) + 0.5).astype(np.int64),
+    )
+    if len(_LANCZOS_CACHE) >= 4096:
+        _LANCZOS_CACHE.clear()
+    _LANCZOS_CACHE[key] = (xmin, ki)
+    return xmin, ki
+
+
+_LANCZOS_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _lanczos_pass(a: np.ndarray, out_size: int, axis: int) -> np.ndarray:
     """One fixed-point resample pass (PIL ImagingResampleHorizontal_8bpc):
-    int32 accumulate of uint8 taps, +2^(P-1) rounding bias, arithmetic
-    shift, clip to uint8."""
+    integer accumulate of uint8 taps, +2^(P-1) rounding bias, arithmetic
+    shift, clip to uint8. The gather-multiply-sum runs in float64: every
+    product (coeff < 2^22, pixel < 2^8) and every window sum stay below
+    2^53, so the accumulation is EXACT integers regardless of association
+    — bit-identical to the int64 loop it replaces, but vectorized."""
     in_size = a.shape[axis]
-    coeffs = _lanczos_coeffs(in_size, out_size)
+    x0, ki = _lanczos_coeff_table(in_size, out_size)
+    idx = np.minimum(x0[:, None] + np.arange(ki.shape[1]), in_size - 1)
+    kf = ki.astype(np.float64)
+    af = a.astype(np.float64)
     if axis == 1:
-        out = np.zeros((a.shape[0], out_size), dtype=np.int64)
-        for j, (x0, k) in enumerate(coeffs):
-            out[:, j] = a[:, x0 : x0 + len(k)].astype(np.int64) @ k
+        out = np.einsum("hol,ol->ho", af[:, idx], kf, optimize=True)
     else:
-        out = np.zeros((out_size, a.shape[1]), dtype=np.int64)
-        for i, (y0, k) in enumerate(coeffs):
-            out[i, :] = k @ a[y0 : y0 + len(k), :].astype(np.int64)
+        out = np.einsum("olw,ol->ow", af[idx, :], kf, optimize=True)
+    out = out.astype(np.int64)
     out = (out + (1 << (_PRECISION_BITS - 1))) >> _PRECISION_BITS
     return np.clip(out, 0, 255).astype(np.uint8)
 
@@ -330,6 +359,53 @@ def _reshape_torch(x: np.ndarray, src_dim: int, part_a: int, part_b: int, high: 
     x = np.transpose(x, perm)
     shp = x.shape
     return x.reshape(shp[:dest] + (shp[dest] * shp[dest + 1],) + shp[dest + 2 :])
+
+
+def _reverse_within(seq: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-sample time reversal within each valid length over (N, T, F)
+    left-aligned zero-padded sequences (same trick as
+    rec_train._reverse_seqs): running the FORWARD recurrence over the
+    reversed copy equals per-line reverse=True on the unpadded line."""
+    n, t, _ = seq.shape
+    idx = np.arange(t)[None, :]
+    src = lengths[:, None] - 1 - idx
+    valid = src >= 0
+    src = np.where(valid, src, 0)
+    out = np.take_along_axis(seq, src[:, :, None], axis=1)
+    return out * valid[:, :, None].astype(seq.dtype)
+
+
+def _lstm_torch_batch(seqs: np.ndarray, lengths: np.ndarray, wih, whh, bih,
+                      bhh, reverse: bool = False) -> np.ndarray:
+    """Batched counterpart of _lstm_torch over (N, T, F) left-aligned
+    zero-padded sequences. Valid steps (t < length) run the identical
+    recurrence with the per-timestep GEMV turned into a (N, hid) GEMM —
+    the width-bucketed cross-line batching the reference gets from torch's
+    queue batching (lib/vgsl/rpred.py:100-124). Padded forward steps sit
+    AFTER every valid step so they never influence a valid output; the
+    reverse direction reverses each sequence within its own length first."""
+    if reverse:
+        rev = _reverse_within(seqs, lengths)
+        out = _lstm_torch_batch(rev, lengths, wih, whh, bih, bhh, False)
+        return _reverse_within(out, lengths)
+    n, t, _ = seqs.shape
+    hid = whh.shape[1]
+    bias = (bih if bih is not None else 0) + (bhh if bhh is not None else 0)
+    pre_all = seqs @ wih.T.astype(np.float32) + bias
+    hs = np.zeros((n, t, hid), dtype=np.float32)
+    h = np.zeros((n, hid), dtype=np.float32)
+    cst = np.zeros((n, hid), dtype=np.float32)
+    whh_t = whh.T.astype(np.float32)
+    for k in range(t):
+        pre = pre_all[:, k] + h @ whh_t
+        i = 1.0 / (1.0 + np.exp(-pre[:, :hid]))
+        f = 1.0 / (1.0 + np.exp(-pre[:, hid : 2 * hid]))
+        g = np.tanh(pre[:, 2 * hid : 3 * hid])
+        o = 1.0 / (1.0 + np.exp(-pre[:, 3 * hid :]))
+        cst = f * cst + i * g
+        h = o * np.tanh(cst)
+        hs[:, k] = h
+    return hs
 
 
 def _lstm_torch(seq: np.ndarray, wih, whh, bih, bhh, reverse: bool = False) -> np.ndarray:
@@ -457,6 +533,109 @@ class TorchVGSL:
         probs = e / e.sum(axis=0, keepdims=True)
         return probs.T  # (W, classes)
 
+    # ------------------------------------------------------- batched path
+    def _tail_split(self) -> int | None:
+        """Index of the first LSTM layer if everything from there on is
+        batchable cross-line (non-transposed LSTMs, output heads,
+        identities); None when the net has no batchable tail. The conv/
+        pool/reshape head stays per-line (bit-exact, already one big GEMM
+        per line); the recurrence is where batch=1 GEMVs dominate."""
+        first = None
+        for i, layer in enumerate(self.layers):
+            if layer["kind"] == "lstm":
+                first = i
+                break
+        if first is None:
+            return None
+        for layer in self.layers[first:]:
+            if layer["kind"] == "lstm":
+                if layer["transpose"]:
+                    return None
+            elif layer["kind"] not in ("out", "identity"):
+                return None
+        return first
+
+    def forward_batch(self, tensors: list[np.ndarray]) -> list[np.ndarray]:
+        """Width-bucketed batched forward over prepared line tensors (each
+        (H, W) or (C, H, W) float32, same scale as ``forward``). Returns
+        per-line (W', classes) softmax probs.
+
+        The head (conv/pool/reshape) runs per line — identical arithmetic
+        to ``forward``; the LSTM stack + linear head run batched over
+        left-aligned zero-padded sequences with per-sample valid lengths
+        (rec_train's masking scheme, pinned batched==per-line there).
+        Falls back to the per-line forward for net shapes without a
+        batchable tail."""
+        if not tensors:
+            return []
+        split = self._tail_split()
+        if split is None or len(tensors) == 1:
+            return [self.forward(t) for t in tensors]
+        heads = []
+        for t in tensors:
+            x = np.asarray(t, dtype=np.float32)
+            if x.ndim == 2:
+                x = x[None]
+            x = x[None]
+            for layer in self.layers[:split]:
+                x = self._forward_layer(x, layer)
+            heads.append(x[0])  # (C', H', W'_i)
+        c, h = heads[0].shape[0], heads[0].shape[1]
+        widths = np.array([hd.shape[2] for hd in heads], dtype=np.int64)
+        wmax = int(widths.max())
+        batch = np.zeros((len(heads), c, h, wmax), dtype=np.float32)
+        for i, hd in enumerate(heads):
+            batch[i, :, :, : hd.shape[2]] = hd
+        for layer in self.layers[split:]:
+            if layer["kind"] == "lstm":
+                batch, widths = self._forward_lstm_batch(batch, widths, layer)
+            elif layer["kind"] == "out":
+                batch = self._forward_layer(batch, layer)
+        out = []
+        for i in range(batch.shape[0]):
+            if batch.shape[2] != 1:
+                raise ValueError(f"expected height-1 output, got {batch.shape}")
+            logits = batch[i, :, 0, : widths[i]]
+            m = logits.max(axis=0, keepdims=True)
+            e = np.exp(logits - m)
+            out.append((e / e.sum(axis=0, keepdims=True)).T)
+        return out
+
+    def _forward_lstm_batch(self, x: np.ndarray, widths: np.ndarray,
+                            layer: dict):
+        """TransposedSummarizingRNN over a width-padded batch (transpose=n
+        only). x: (N, C, H, W); widths: per-sample valid W."""
+        n_ = layer["name"]
+        nb, cc, hh, ww = x.shape
+        # NCHW -> (H*N, W, C): row h*N + i carries sample i's h-th scanline
+        t = np.transpose(x, (2, 0, 3, 1)).reshape(hh * nb, ww, cc)
+        t = np.ascontiguousarray(t, dtype=np.float32)
+        lens = np.tile(widths, hh)
+        wih = self.weights[f"{n_}.layer.weight_ih_l0"]
+        whh = self.weights[f"{n_}.layer.weight_hh_l0"]
+        bih = self.weights.get(f"{n_}.layer.bias_ih_l0")
+        bhh = self.weights.get(f"{n_}.layer.bias_hh_l0")
+        fwd = _lstm_torch_batch(t, lens, wih, whh, bih, bhh, reverse=False)
+        if layer["bidi"]:
+            bwd = _lstm_torch_batch(
+                t, lens,
+                self.weights[f"{n_}.layer.weight_ih_l0_reverse"],
+                self.weights[f"{n_}.layer.weight_hh_l0_reverse"],
+                self.weights.get(f"{n_}.layer.bias_ih_l0_reverse"),
+                self.weights.get(f"{n_}.layer.bias_hh_l0_reverse"),
+                reverse=True,
+            )
+            fwd = np.concatenate([fwd, bwd], axis=2)
+        osz = fwd.shape[2]
+        o = fwd.reshape(hh, nb, ww, osz)
+        if layer["summarize"]:
+            # per-line summarize takes the LAST frame == index width-1
+            idx = np.maximum(widths - 1, 0)
+            o = np.transpose(o[:, np.arange(nb), idx, :], (1, 0, 2))[:, :, None, :]
+            o = np.transpose(o, (1, 0, 2, 3))  # (H, N, 1, O)
+            widths = np.ones_like(widths)
+        return np.transpose(o, (1, 3, 0, 2)), widths
+
     def _forward_layer(self, x: np.ndarray, layer: dict) -> np.ndarray:
         kind = layer["kind"]
         if kind == "conv":
@@ -479,11 +658,23 @@ class TorchVGSL:
         if kind == "pool":
             ky, kx = layer["k"]
             sy, sx = layer["stride"]
-            c, h, w = x[0].shape
+            n, c, h, w = x.shape
             oh = (h - ky) // sy + 1
             ow = (w - kx) // sx + 1
             if oh <= 0 or ow <= 0:
                 return x[:, :, :0, :0]
+            if (ky, kx) == (sy, sx):
+                # non-overlapping windows (the usual Mp2,2): elementwise max
+                # of the ky*kx strided phases — same values, no slow
+                # strided-view reduction
+                crop = x[:, :, : oh * sy, : ow * sx]
+                out = crop[:, :, ::sy, ::sx]
+                for dy in range(ky):
+                    for dx in range(kx):
+                        if dy == 0 and dx == 0:
+                            continue
+                        out = np.maximum(out, crop[:, :, dy::sy, dx::sx])
+                return np.ascontiguousarray(out)
             win = np.lib.stride_tricks.sliding_window_view(x[0], (ky, kx), axis=(1, 2))[:, ::sy, ::sx]
             return win[:, :oh, :ow].max(axis=(3, 4))[None]
         if kind == "reshape":

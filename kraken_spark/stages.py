@@ -281,28 +281,21 @@ def extract_document(
             # bbox or baseline extraction chosen by the model's seg_type
             rec_net = _get_kraken_recognizer(kraken_model_path,
                                              temperature=temperature)
-            records = []
-            for l in seg["lines"]:
-                if rec_net.bundle.seg_type == "bbox" or not l.get("baseline"):
-                    bx = [
-                        max(0, l["bbox"][0]),
-                        max(0, l["bbox"][1]),
-                        min(img.shape[1], l["bbox"][2]),
-                        min(img.shape[0], l["bbox"][3]),
-                    ]
-                    r = rec_net.recognize_bbox(img, bx, scale_cuts=True)
-                else:
-                    r = rec_net.recognize_baseline(
-                        img, l["baseline"], l["boundary"], scale_cuts=True
-                    )
-                records.append(
-                    {
-                        "prediction": r["prediction"],
-                        "cuts": [list(c) for c in r["cuts"]],
-                        "confidences": r["confidences"],
-                        "display_order": False,
-                    }
-                )
+            # cross-line batched forward (rpred_parity.recognize_lines):
+            # same per-line tensors and decode, but the BiLSTM recurrence
+            # runs width-bucketed GEMMs instead of batch-1 GEMVs — the
+            # analog of the reference's queue batching
+            # (lib/vgsl/rpred.py:100-124)
+            records = [
+                {
+                    "prediction": r["prediction"],
+                    "cuts": [list(c) for c in r["cuts"]],
+                    "confidences": r["confidences"],
+                    "display_order": False,
+                }
+                for r in rec_net.recognize_lines(img, seg["lines"],
+                                                 scale_cuts=True)
+            ]
         else:
             records = recognize_page(model, codec, strips, base_dir=base_dir)
         lines = []
