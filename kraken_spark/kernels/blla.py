@@ -344,12 +344,23 @@ def join_baseline_fragments(
     test. Anchors are computed once per original fragment end and carried
     through merges (a merge's outer ends are the survivors' outer ends),
     so dense input costs nothing extra in the O(F^2) merge loop."""
-    frags = [sorted(([int(x), int(y)] for x, y in bl), key=lambda p: p[0]) for bl in baselines]
-    frags.sort(key=lambda f: f[0][0])
+    # numpy-internal fragments (dense polylines are one point per column;
+    # python point lists made this pass the hottest part of segmentation):
+    # stable x-sorts and max-y anchors match the scalar loop exactly
+    frags = []
+    for bl in baselines:
+        arr = np.asarray(bl, dtype=np.int64).reshape(-1, 2)
+        frags.append(arr[np.argsort(arr[:, 0], kind="stable")])
+    frags.sort(key=lambda f: int(f[0, 0]))
+
+    def _anchor(arr: np.ndarray, from_end: bool, radius: int = 8) -> float:
+        x_face = arr[-1, 0] if from_end else arr[0, 0]
+        return float(arr[np.abs(arr[:, 0] - x_face) <= radius, 1].max())
+
     # per-fragment [left_anchor, right_anchor]; invariant under merging
-    anchors = [[_facing_anchor(f, False), _facing_anchor(f, True)] for f in frags]
+    anchors = [[_anchor(f, False), _anchor(f, True)] for f in frags]
     yspans = [
-        [min(p[1] for p in f), max(p[1] for p in f)] for f in frags
+        [int(f[:, 1].min()), int(f[:, 1].max())] for f in frags
     ]
     merged = True
     while merged:
@@ -361,8 +372,8 @@ def join_baseline_fragments(
                 a, b = frags[i], frags[j]
                 # b continues a rightward; small x-overlaps (dilation tails
                 # of the two components) are allowed
-                if b[0][0] >= a[-1][0] - 10 and b[-1][0] > a[-1][0]:
-                    gap = max(b[0][0] - a[-1][0], 0)
+                if b[0, 0] >= a[-1, 0] - 10 and b[-1, 0] > a[-1, 0]:
+                    gap = int(max(b[0, 0] - a[-1, 0], 0))
                     limit = max_gap_far if ink_small is not None else max_gap_x
                     if gap > limit:
                         continue
@@ -376,7 +387,7 @@ def join_baseline_fragments(
                         # none, so columns can never merge
                         ymid = int((ya + yb) / 2)
                         box = ink_small[
-                            max(ymid - 8, 0) : ymid + 2, a[-1][0] : b[0][0]
+                            max(ymid - 8, 0) : ymid + 2, int(a[-1, 0]) : int(b[0, 0])
                         ]
                         if box.size == 0 or box.sum() < 0.1 * box.shape[1]:
                             continue
@@ -392,7 +403,8 @@ def join_baseline_fragments(
                         >= 3
                     )
                     if dy <= max_dy or touch_join:
-                        frags[i] = sorted(a + b, key=lambda p: p[0])
+                        m = np.concatenate([a, b])
+                        frags[i] = m[np.argsort(m[:, 0], kind="stable")]
                         anchors[i] = [anchors[i][0], anchors[j][1]]
                         yspans[i] = [
                             min(yspans[i][0], yspans[j][0]),
@@ -405,14 +417,18 @@ def join_baseline_fragments(
                         break
             if merged:
                 break
-    return frags
+    return [f.tolist() for f in frags]
 
 
 def _col_bottoms(frag: list[list[int]]) -> dict[int, int]:
-    cols: dict[int, int] = {}
-    for x, y in frag:
-        cols[x] = max(cols.get(x, -1), y)
-    return cols
+    """Per-column max-y of a polyline (vectorized; fragments arrive
+    x-sorted so insertion order matches the scalar loop)."""
+    arr = np.asarray(frag, dtype=np.int64).reshape(-1, 2)
+    order = np.argsort(arr[:, 0], kind="stable")
+    xs, ys = arr[order, 0], arr[order, 1]
+    ux, starts = np.unique(xs, return_index=True)
+    maxy = np.maximum.reduceat(ys, starts)
+    return dict(zip(ux.tolist(), maxy.tolist()))
 
 
 def _snap_bottoms(
@@ -425,14 +441,22 @@ def _snap_bottoms(
     Columns with no ink nearby (inter-stroke gaps — the response bridges
     them) are DROPPED: they carry no geometric evidence either way."""
     h = ink_small.shape[0]
-    out: dict[int, int] = {}
-    for x, y in cols.items():
-        lo = max(y - up, 0)
-        col = ink_small[lo : min(y + 1, h), x]
-        rr = np.nonzero(col)[0]
-        if len(rr):
-            out[x] = lo + int(rr[-1])
-    return out
+    if not cols:
+        return {}
+    xs = np.fromiter(cols.keys(), dtype=np.int64, count=len(cols))
+    ys = np.fromiter(cols.values(), dtype=np.int64, count=len(cols))
+    lo = np.maximum(ys - up, 0)
+    hi = np.minimum(ys + 1, h)
+    # bottom-most ink row in [lo, hi) per column: at most up+1 vectorized
+    # row probes from the bottom up (same result as the per-column scan)
+    res = np.full(len(xs), -1, dtype=np.int64)
+    for d in range(int(max((hi - lo).max(), 0))):
+        r = hi - 1 - d
+        ok = (res < 0) & (r >= lo)
+        rr = np.clip(r, 0, h - 1)
+        hit = ok & (ink_small[rr, xs] != 0)
+        res[hit] = rr[hit]
+    return {int(x): int(v) for x, v in zip(xs, res) if v >= 0}
 
 
 def _band_height(

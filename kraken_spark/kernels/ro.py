@@ -108,17 +108,25 @@ def greedy_order_decode(P: np.ndarray) -> list[int]:
     the element maximizing the sum of 'precedes' probabilities over the
     remaining set (segmentation.py:1019-1049)."""
     n = P.shape[0]
-    remaining = list(range(n))
+    # vectorized with the scalar loop's exact arithmetic: the diagonal is
+    # zeroed (adding 0.0 mid-sequence never changes a sequential sum over
+    # the non-negative sigmoid outputs) and cumsum accumulates left-to-
+    # right exactly like the per-element python sum; np.argmax returns the
+    # first maximum, which over the ascending remaining list is the
+    # smallest u — the (sum, -u) tie-break
+    Pz = np.array(P, dtype=np.float64, copy=True)
+    np.fill_diagonal(Pz, 0.0)
+    remaining = np.arange(n)
     order: list[int] = []
-    while remaining:
-        if len(remaining) == 1:
-            order.append(remaining.pop())
+    while remaining.size:
+        if remaining.size == 1:
+            order.append(int(remaining[0]))
             break
-        scores = [
-            (sum(P[u, v] for v in remaining if v != u), -u) for u in remaining
-        ]
-        best = max(range(len(remaining)), key=lambda i: scores[i])
-        order.append(remaining.pop(best))
+        sub = Pz[np.ix_(remaining, remaining)]
+        s = np.cumsum(sub, axis=1)[:, -1]
+        best = int(np.argmax(s))
+        order.append(int(remaining[best]))
+        remaining = np.delete(remaining, best)
     return order
 
 

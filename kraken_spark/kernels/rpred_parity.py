@@ -280,22 +280,33 @@ def _polygon_mask_pil(poly: np.ndarray, h: int, w: int) -> np.ndarray:
     mask = np.zeros((h, w), dtype=bool)
     pts = np.asarray(poly, dtype=np.float64)
     n = len(pts)
-    for y in range(h):
-        xs = []
-        for i in range(n):
-            x1, y1 = pts[i]
-            x2, y2 = pts[(i + 1) % n]
-            if y1 == y2:
-                continue
-            ylo, yhi = (y1, y2) if y1 < y2 else (y2, y1)
-            if ylo <= y < yhi:
-                xs.append(x1 + (y - y1) * (x2 - x1) / (y2 - y1))
-        xs.sort()
-        for k in range(0, len(xs) - 1, 2):
-            a = max(0, int(np.ceil(xs[k])))
-            b = min(w - 1, int(np.floor(xs[k + 1])))
-            if b >= a:
-                mask[y, a : b + 1] = True
+    # vectorized exact scanline: each non-horizontal edge crosses a given
+    # row at most once; the (edges x rows) crossing matrix sorted per row
+    # reproduces the per-row sorted crossing list of the scalar loop
+    # (same elementwise arithmetic, same multiset -> same pairs)
+    x1 = pts[:, 0]
+    y1 = pts[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    keep = y1 != y2
+    if keep.any():
+        ex1, ey1, ex2, ey2 = x1[keep], y1[keep], x2[keep], y2[keep]
+        ylo = np.minimum(ey1, ey2)
+        yhi = np.maximum(ey1, ey2)
+        ys = np.arange(h, dtype=np.float64)
+        active = (ylo[:, None] <= ys[None, :]) & (ys[None, :] < yhi[:, None])
+        xc = ex1[:, None] + (ys[None, :] - ey1[:, None]) * (ex2 - ex1)[:, None] / (ey2 - ey1)[:, None]
+        xc = np.where(active, xc, np.inf)  # inactive sorts last
+        xs = np.sort(xc, axis=0)  # (E, h)
+        cols = np.arange(w)
+        for k in range(0, xs.shape[0] - 1, 2):
+            hi = xs[k + 1]
+            pair = np.isfinite(hi)
+            if not pair.any():
+                break
+            a = np.maximum(0, np.where(pair, np.ceil(xs[k]), w)).astype(np.int64)
+            b = np.minimum(w - 1, np.floor(np.where(pair, hi, -1.0))).astype(np.int64)
+            mask |= (cols[None, :] >= a[:, None]) & (cols[None, :] <= b[:, None])
     # outline (Bresenham-ish via dense sampling of each edge)
     for i in range(n):
         x1, y1 = pts[i]

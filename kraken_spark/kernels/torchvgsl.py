@@ -390,22 +390,43 @@ def _lstm_torch_batch(seqs: np.ndarray, lengths: np.ndarray, wih, whh, bih,
         return _reverse_within(out, lengths)
     n, t, _ = seqs.shape
     hid = whh.shape[1]
+    lengths = np.asarray(lengths, dtype=np.int64)
+    # packed-sequence scheme (torch pack_padded_sequence): rows sorted by
+    # length DESC so the active set at step k is the prefix with
+    # length > k — no padded-step work, one loop over the global max
+    order = np.argsort(-lengths, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(n)
+    sl = lengths[order]
     bias = (bih if bih is not None else 0) + (bhh if bhh is not None else 0)
-    pre_all = seqs @ wih.T.astype(np.float32) + bias
-    hs = np.zeros((n, t, hid), dtype=np.float32)
+    # time-major so the per-step slice is contiguous
+    pre_all = np.ascontiguousarray(
+        np.swapaxes(seqs[order] @ wih.T.astype(np.float32) + bias, 0, 1))
+    tmax = int(sl[0]) if n else 0
+    # active-row count per step: sl is descending
+    counts = n - np.searchsorted(sl[::-1], np.arange(tmax), side="right")
+    hs = np.zeros((t, n, hid), dtype=np.float32)
     h = np.zeros((n, hid), dtype=np.float32)
     cst = np.zeros((n, hid), dtype=np.float32)
     whh_t = whh.T.astype(np.float32)
-    for k in range(t):
-        pre = pre_all[:, k] + h @ whh_t
-        i = 1.0 / (1.0 + np.exp(-pre[:, :hid]))
-        f = 1.0 / (1.0 + np.exp(-pre[:, hid : 2 * hid]))
+    for k in range(tmax):
+        nk = int(counts[k])
+        pre = pre_all[k, :nk]
+        pre += h[:nk] @ whh_t
+        # one fused sigmoid over all four gate lanes; the g lane is
+        # discarded and recomputed as tanh — identical elementwise values
+        # for the lanes actually used, fewer python-level vector ops
+        sig = 1.0 / (1.0 + np.exp(-pre))
+        i = sig[:, :hid]
+        f = sig[:, hid : 2 * hid]
         g = np.tanh(pre[:, 2 * hid : 3 * hid])
-        o = 1.0 / (1.0 + np.exp(-pre[:, 3 * hid :]))
-        cst = f * cst + i * g
-        h = o * np.tanh(cst)
-        hs[:, k] = h
-    return hs
+        o = sig[:, 3 * hid :]
+        cnew = f * cst[:nk] + i * g
+        cst[:nk] = cnew
+        hnew = o * np.tanh(cnew)
+        h[:nk] = hnew
+        hs[k, :nk] = hnew
+    return np.ascontiguousarray(np.swapaxes(hs, 0, 1))[inv]
 
 
 def _lstm_torch(seq: np.ndarray, wih, whh, bih, bhh, reverse: bool = False) -> np.ndarray:
@@ -582,7 +603,7 @@ class TorchVGSL:
             heads.append(x[0])  # (C', H', W'_i)
         c, h = heads[0].shape[0], heads[0].shape[1]
         widths = np.array([hd.shape[2] for hd in heads], dtype=np.int64)
-        wmax = int(widths.max())
+        wmax = int(max(widths.max(), 1))
         batch = np.zeros((len(heads), c, h, wmax), dtype=np.float32)
         for i, hd in enumerate(heads):
             batch[i, :, :, : hd.shape[2]] = hd

@@ -25,7 +25,7 @@ HEAVY_BYTES = 1 << 20
 
 
 def weight_salt(n: int):
-    """Weight-aware salt column: heavy pages hash over a dedicated n//4
+    """Weight-aware salt column: heavy pages hash over a dedicated n-wide
     bucket space at the LOWEST partition ids, normal pages over the n
     buckets above them, so one 16x-area page never queues behind a full
     normal bucket (AQE handles join skew, not UDF compute skew — this is
@@ -33,8 +33,12 @@ def weight_salt(n: int):
     Spark launches tasks in partition-id order: the longest tasks start in
     the first wave and overlap the normal buckets instead of becoming a
     tail straggler after them (classic longest-processing-time
-    scheduling). Returns (salt_col, total_buckets)."""
-    n_heavy = max(n // 4, 1)
+    scheduling). The heavy space is as wide as the normal one — heavy
+    tasks are the longest, so hash collisions there cost the most wall
+    (two 16x pages sharing a bucket doubles the job tail), while unused
+    heavy buckets are empty partitions that cost nothing to schedule.
+    Returns (salt_col, total_buckets)."""
+    n_heavy = max(n, 1)
     weight = F.octet_length(F.col("html"))
     salt = F.when(
         weight > F.lit(HEAVY_BYTES),

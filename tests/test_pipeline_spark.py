@@ -412,9 +412,9 @@ def test_cross_seed_hard_cases_exact():
 
 def test_weight_salt_separates_heavy_pages(spark):
     """Heavy pages (> HEAVY_BYTES payload) must salt into the dedicated
-    FIRST bucket space [0, n//4) — lowest partition ids launch first, so
+    FIRST bucket space [0, n) — lowest partition ids launch first, so
     the longest tasks never become a tail straggler; normal pages into
-    [n//4, n//4 + n)."""
+    [n, 2n)."""
     from kraken_spark.pipeline import HEAVY_BYTES, weight_salt
 
     docs = spark.createDataFrame(
@@ -423,9 +423,9 @@ def test_weight_salt_separates_heavy_pages(spark):
     )
     salt, total = weight_salt(8)
     rows = {r.url: r.salt for r in docs.select("url", salt.alias("salt")).collect()}
-    assert total == 10
-    assert 0 <= rows["u_heavy"] < 2
-    assert 2 <= rows["u_small"] < 10
+    assert total == 16
+    assert 0 <= rows["u_heavy"] < 8
+    assert 8 <= rows["u_small"] < 16
     # the synthetic oversized pages actually cross the threshold
     from kraken_spark.kernels import png, render
 
