@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
+from ..session import lineage_cut
+
 N_PERM = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_PERM // N_BANDS
@@ -122,11 +124,14 @@ def connected_components(edges, max_iter: int = 32):
     Convergence is detected EXACTLY (symmetric-difference emptiness via
     exceptAll on the star edge set), not by count/hash signatures; the edge
     set is the tiny pair table, so the extra aggregate per round is noise.
-    localCheckpoint truncates lineage each round (swap for reliable
-    checkpoint on a cluster) so plan depth stays O(1) in iterations.
+    lineage_cut truncates lineage each round so plan depth stays O(1) in
+    iterations — a RELIABLE df.checkpoint when the session has a
+    checkpoint dir (get_spark(checkpoint_dir=...) / env
+    SPARK_GRAFT_CHECKPOINT_DIR; survives executor loss on a cluster),
+    localCheckpoint otherwise.
     """
     edges = (
-        edges.select(F.col("hi"), F.col("lo")).distinct().localCheckpoint(eager=True)
+        edges.select(F.col("hi"), F.col("lo")).distinct().transform(lineage_cut)
     )
     converged = False
     for _ in range(max_iter):
@@ -154,7 +159,7 @@ def connected_components(edges, max_iter: int = 32):
                 )
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         # equal-size + one-direction-empty == set equality (both sides are
         # distinct), so convergence costs ONE set-difference, not two
@@ -201,7 +206,7 @@ def minhash_dedup_corpus(spark, sf, min_agreement: float = 0.5):
     pairs = (
         dedup_minhash_lsh(spark, sf)
         .where(F.col("sig_agreement") >= min_agreement)
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     losers = duplicate_clusters(pairs).where(F.col("node") != F.col("cluster_id"))
     return t(spark, sf).join(
@@ -254,7 +259,7 @@ def dedup_ngram_jaccard(spark, sf):
         # the pair table feeds connected_components (an iterative consumer)
         # AND the final join — materialize it once instead of recomputing
         # the shingle self-join per CC round.
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     clusters = duplicate_clusters(pairs)
     return (
@@ -929,7 +934,7 @@ def dedup_incremental(
     (corpus_pipeline.corpus_tick) pass it so the delta is shingled exactly
     once instead of twice."""
     if new_sigs is None:
-        new_sigs = minhash_signatures(new_docs, id_col=id_col).localCheckpoint(eager=True)
+        new_sigs = minhash_signatures(new_docs, id_col=id_col).transform(lineage_cut)
     agree = lambda a, b: F.size(
         F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda t: t)
     ) / F.lit(float(N_PERM))
@@ -969,7 +974,7 @@ def dedup_incremental(
         .where(agree(F.col("sig_a"), F.col("sig_b")) >= min_agreement)
         .select("doc_a", "doc_b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     within_losers = duplicate_clusters(pairs).where(
         F.col("node") != F.col("cluster_id")

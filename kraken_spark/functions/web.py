@@ -23,6 +23,8 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
+
+from ..session import lineage_cut
 from pyspark.sql.types import ArrayType, StringType
 
 # outlink cap per page: wild pages carry up to ~10^4 anchors; an unbounded
@@ -272,10 +274,12 @@ def domain_pagerank(
       driver round-trip, so one iteration = one Spark stage chain with no
       .collect(); only the initial node count hits the driver (a scalar).
     - Iterative DataFrame loops grow the logical plan geometrically;
-      each new rank table is cut free with localCheckpoint(eager) and the
+      each new rank table is cut free with lineage_cut (a reliable
+      df.checkpoint when the session has a checkpoint dir — env
+      SPARK_GRAFT_CHECKPOINT_DIR / get_spark(checkpoint_dir=...)) and the
       previous one unpersisted, keeping plan size and storage O(1) in the
-      iteration count. On a real cluster point SparkContext.setCheckpointDir
-      at durable storage and swap localCheckpoint for checkpoint — same
+      iteration count. On a real cluster point the checkpoint dir at
+      durable storage and lineage_cut upgrades itself — same
       call shape, crash-resumable lineage (north-rule checkpoint story).
 
     Deterministic given the edge list: per-domain ranks are sums of a few
@@ -311,7 +315,7 @@ def domain_pagerank(
         out_w.select(F.col("src_domain").alias("domain")), "domain", "left_anti"
     ).persist()
 
-    ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank")).transform(lineage_cut)
     for _ in range(iterations):
         contrib = (
             ranks.join(norm, ranks.domain == norm.src_domain)
@@ -336,7 +340,7 @@ def domain_pagerank(
                 ).alias("rank"),
             )
             .repartition(p, "domain")
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
         ranks.unpersist()
         ranks = new_ranks

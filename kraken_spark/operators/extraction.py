@@ -305,7 +305,10 @@ def report_over(ext, gt):
             F.round(F.max("cer"), 9).alias("max_cer"),
             F.sum(F.col("guard_tripped").cast("int")).alias("n_guard_tripped"),
         ]
-    return per_doc.groupBy("lang").agg(*aggs).orderBy("lang")
+    # _ordered, not a global orderBy: a sort above the mapInArrow samples
+    # its child and re-executes the extraction (house invariant; the
+    # aggregate is a handful of rows)
+    return _ordered(per_doc.groupBy("lang").agg(*aggs), "lang")
 
 
 def x_rpred_golden(spark, sf):

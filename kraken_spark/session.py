@@ -48,11 +48,29 @@ _PIN_ENV = {
 }
 
 
+def lineage_cut(df, eager: bool = True):
+    """Truncate a DataFrame's lineage — the plan-depth cut every iterative
+    operator (connected components, PageRank, incremental dedup) needs so
+    plans stay O(1) in rounds.
+
+    When the session has a checkpoint directory configured
+    (get_spark(checkpoint_dir=...) or env SPARK_GRAFT_CHECKPOINT_DIR),
+    this is a RELIABLE df.checkpoint — blocks live in durable storage and
+    survive executor loss, the failure-tolerance a real cluster run needs.
+    Without one it falls back to localCheckpoint (executor-local blocks,
+    fine on local[*] where executor loss means the app died anyway)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def get_spark(
     app: str = "kraken_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     master: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """``master`` (or env SPARK_GRAFT_MASTER) overrides the default
     local[cores] — e.g. ``local-cluster[4,2,2048]`` runs four REAL
@@ -102,4 +120,10 @@ def get_spark(
         )
     for k, v in _PIN_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    checkpoint_dir = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if checkpoint_dir:
+        # reliable-checkpoint root for iterative operators (lineage_cut):
+        # on a cluster point this at shared durable storage (HDFS/S3)
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return spark

@@ -174,3 +174,26 @@ def test_training_faces_no_single_partition_stage(spark):
 
     ov_plan = _plan(overlay_extractions(docs, ext))
     assert "Cartesian" not in ov_plan and "BroadcastNestedLoop" not in ov_plan
+
+
+def test_no_query_resorts_an_arrow_stage_globally(spark):
+    """House invariant, mechanically enforced over EVERY registered
+    query: a global .orderBy above a mapInArrow stage plans as a
+    rangepartitioning Exchange whose boundary sampling re-executes the
+    whole extraction — x_* queries must use operators/extraction._ordered
+    (SinglePartition exchange + in-partition sort) instead. Non-Arrow
+    (relational) queries may sort globally: their children are plain
+    scans, and re-sampling a scan is cheap."""
+    import __spark_entry__ as E
+
+    offenders = []
+    for name, fn in E.queries().items():
+        try:
+            plan = _plan(fn(spark, SF))
+        except Exception as exc:  # pragma: no cover - plan build must work
+            offenders.append(f"{name}: plan build failed: {exc}")
+            continue
+        if ("MapInArrow" in plan or "ArrowEvalPython" in plan) and \
+                "rangepartitioning" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
