@@ -119,8 +119,15 @@ FROM s GROUP BY label ORDER BY label
 N_TABLES = 8
 PLANES_PER_TABLE = 3
 
+# bucket-population cap for consumers that self-join buckets: a degenerate
+# corpus (near-constant embeddings) hashes ~N rows into ONE bucket and the
+# bucket join goes quadratic on that key — the cap bounds any bucket's
+# contribution to cap^2 pairs per table. Never silent: capped rows carry
+# bucket_truncated=true so consumers can surface partial candidate sets.
+BUCKET_CAP = 512
 
-def _lsh_tables(e):
+
+def _lsh_tables(e, bucket_cap: int | None = None, order_col: str = "vec_id"):
     """Deterministic random-hyperplane signatures with OR-amplification:
     N_TABLES hash tables of PLANES_PER_TABLE planes each (one row per
     (vector, table) after the explode). Plane j's component d has sign from
@@ -154,9 +161,24 @@ def _lsh_tables(e):
         for p in sig_parts[1:]:
             bucket = bucket + p
         tables.append(F.struct(F.lit(ti).alias("tbl"), bucket.alias("bucket")))
-    return e.select(
+    out = e.select(
         "*", F.explode(F.array(*tables)).alias("tb")
     ).select("*", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")).drop("tb")
+    if bucket_cap:
+        from pyspark.sql import Window
+
+        # deterministic survivor set (first `bucket_cap` rows by order_col)
+        # + an explicit truncation flag; both windows share the
+        # (tbl, bucket) partitioning so this is ONE extra exchange, on the
+        # same keys the downstream bucket join shuffles on anyway
+        wp = Window.partitionBy("tbl", "bucket")
+        out = (
+            out.withColumn("_bpos", F.row_number().over(wp.orderBy(order_col)))
+            .withColumn("bucket_truncated", F.count("*").over(wp) > bucket_cap)
+            .filter(F.col("_bpos") <= bucket_cap)
+            .drop("_bpos")
+        )
+    return out
 
 
 def ann_lsh_cosine(spark, sf):

@@ -272,16 +272,20 @@ def x_page_knn(spark, sf):
     the band explode parallelize across the corpus's input partitions —
     no single-partition exchange below the bucket join's shuffle
     (guarded by tests/test_plan_shapes.py)."""
-    from ..functions.similarity import _lsh_tables
+    from ..functions.similarity import BUCKET_CAP, _lsh_tables
 
     emb = _doc_embeddings_raw(spark, sf)
-    tabled = _lsh_tables(emb)
+    # bucket_cap bounds the self-join to cap^2 pairs per bucket even on a
+    # degenerate corpus (near-constant embeddings -> one giant bucket);
+    # capped rows carry bucket_truncated, surfaced per query page below
+    tabled = _lsh_tables(emb, bucket_cap=BUCKET_CAP, order_col="url")
     a = tabled.select(
         F.col("url").alias("a_url"),
         F.col("lang").alias("a_lang"),
         F.col("embedding").alias("a_emb"),
         "tbl",
         F.col("bucket").alias("ab"),
+        F.col("bucket_truncated").alias("a_trunc"),
     )
     b = tabled.select(
         F.col("url").alias("b_url"),
@@ -289,14 +293,25 @@ def x_page_knn(spark, sf):
         F.col("embedding").alias("b_emb"),
         "tbl",
         F.col("bucket").alias("bb"),
+        F.col("bucket_truncated").alias("b_trunc"),
     )
     pairs = (
         a.join(
             b,
             (a.tbl == b.tbl) & (F.col("ab") == F.col("bb")) & (F.col("a_url") != F.col("b_url")),
         )
-        .select("a_url", "a_lang", "a_emb", "b_url", "b_lang", "b_emb")
-        .dropDuplicates(["a_url", "b_url"])
+        .select(
+            "a_url", "a_lang", "a_emb", "b_url", "b_lang", "b_emb",
+            (F.col("a_trunc") | F.col("b_trunc")).alias("trunc"),
+        )
+        .groupBy("a_url", "b_url")
+        .agg(
+            F.first("a_lang").alias("a_lang"),
+            F.first("a_emb").alias("a_emb"),
+            F.first("b_lang").alias("b_lang"),
+            F.first("b_emb").alias("b_emb"),
+            F.max("trunc").alias("trunc"),
+        )
     )
     dot = (
         "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -309,7 +324,10 @@ def x_page_knn(spark, sf):
         pairs.withColumn("cos", F.round(F.expr(dot), 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("a_url", "a_lang", "b_url", "b_lang", "cos", "rk"),
+        # candidates_truncated: this page's candidate set touched a capped
+        # bucket — the top-3 may be partial (no silent cap)
+        .select("a_url", "a_lang", "b_url", "b_lang", "cos", "rk",
+                F.col("trunc").alias("candidates_truncated")),
         "a_url",
         "rk",
     )

@@ -37,3 +37,38 @@ def test_ivf_recall(spark, exact):
 def test_lsh_recall(spark, exact):
     got = {(r.q_id, r.c_id) for r in ann_lsh_cosine(spark, SF).collect()}
     assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_lsh_bucket_cap_bounds_degenerate_skew(spark):
+    """A degenerate corpus (near-constant embeddings) hashes every row
+    into ONE bucket per table — uncapped, the bucket self-join is
+    quadratic on that key. With bucket_cap the survivor set per
+    (tbl, bucket) is bounded and every surviving row is flagged
+    bucket_truncated (no silent cap); an un-skewed corpus under the same
+    cap is untouched and unflagged."""
+    import pyspark.sql.functions as F
+
+    from kraken_spark.functions.similarity import N_TABLES, _lsh_tables
+
+    n, cap = 200, 16
+    const = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> CAST(0.5 AS FLOAT))").alias("embedding"),
+    )
+    capped = _lsh_tables(const, bucket_cap=cap).select(
+        "vec_id", "tbl", "bucket", "bucket_truncated"
+    )
+    per_bucket = capped.groupBy("tbl", "bucket").count().collect()
+    assert per_bucket and all(r["count"] <= cap for r in per_bucket)
+    assert capped.count() == N_TABLES * cap  # all rows collide -> cap rows/table
+    assert all(r.bucket_truncated for r in capped.collect())
+    # survivor set is the deterministic first-by-order_col prefix
+    survivors = {r.vec_id for r in capped.filter(F.col("tbl") == 0).collect()}
+    assert survivors == set(range(cap))
+
+    # un-skewed corpus: same cap leaves every row in place, nothing flagged
+    from kraken_spark.functions.similarity import t as _t
+
+    normal = _lsh_tables(_t(spark, SF), bucket_cap=10**6)
+    assert normal.filter(F.col("bucket_truncated")).count() == 0
+    assert normal.count() == _lsh_tables(_t(spark, SF)).count()
