@@ -133,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
         "truth `text` column on the input documents)",
     )
     ap.add_argument(
+        "--report-per-file",
+        action="store_true",
+        help="with --report: also print one detail line per input "
+        "document (chars/CER/WER per url, plus the across-file average "
+        "accuracies) — the contrib/test_per_file.py view",
+    )
+    ap.add_argument(
         "--train-recognizer",
         action="store_true",
         help="training leg (the ketos-train analog, kraken_spark/"
@@ -919,6 +926,26 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        if args.report_per_file:
+            # contrib/test_per_file.py detail view: one line per source
+            # file plus across-file AVERAGE accuracies (mean of per-file
+            # rates, the reference's aggregation — not corpus-weighted)
+            detail = report_over(
+                done.select("url", "lang", "text"),
+                all_docs.select("url", F.col("text").alias("gt")),
+                per_file=True,
+            ).collect()
+            for r in detail:
+                print(
+                    f"{r.url}\tChar: {r.chars}, "
+                    f"CER: {100.0 - r.char_acc:.1f}%, "
+                    f"WER: {100.0 - r.word_acc:.1f}%"
+                )
+            if detail:
+                avg_c = sum(r.char_acc for r in detail) / len(detail)
+                avg_w = sum(r.word_acc for r in detail) / len(detail)
+                print(f"Average character accuracy: {avg_c:.2f}%")
+                print(f"Average word accuracy: {avg_w:.2f}%")
     return 0
 
 

@@ -217,20 +217,27 @@ def x_ocr_report(spark, sf):
     return report_over(ext, gt)
 
 
-def report_over(ext, gt):
+def report_over(ext, gt, per_file: bool = False):
     """Per-language accuracy rollup over (url, lang, text) extraction rows
     joined with (url, gt) ground truth — shared by x_ocr_report and the
     job's --report flag. When the input also carries cer / n_lines /
     guard_tripped columns (x_ocr_report passes them), the rollup adds the
-    CER summary columns in the same single pass — no second extraction."""
+    CER summary columns in the same single pass — no second extraction.
+
+    per_file=True returns the PER-URL detail table instead of the
+    language rollup — one row per document with its own counts and
+    char/word accuracies, the model-debugging view of the reference's
+    contrib/test_per_file.py (per-source "Char: N, CER: x%, WER: y%"
+    lines, /root/reference/kraken/contrib/test_per_file.py:135-182)."""
     import pyarrow as pa
 
     joined = ext.join(gt, "url")
     with_cer = "cer" in joined.columns
 
     out_schema = (
-        "lang string, chars long, errors long, ci_errors long, words long, "
-        "word_errors long, insertions long, deletions long, substitutions long"
+        "url string, lang string, chars long, errors long, ci_errors long, "
+        "words long, word_errors long, insertions long, deletions long, "
+        "substitutions long"
     )
     if with_cer:
         out_schema += ", cer double, n_lines long, guard_tripped boolean"
@@ -239,6 +246,7 @@ def report_over(ext, gt):
         from ..kernels.metrics import align_counts, levenshtein, wer
 
         fields = [
+            ("url", pa.string()),
             ("lang", pa.string()),
             ("chars", pa.int64()),
             ("errors", pa.int64()),
@@ -263,6 +271,7 @@ def report_over(ext, gt):
                 ac = align_counts(ref, hyp)
                 nw = len(ref.split())
                 row = {
+                    "url": r["url"],
                     "lang": r["lang"],
                     "chars": len(ref),
                     "errors": ac["insertions"] + ac["deletions"] + ac["substitutions"],
@@ -281,6 +290,16 @@ def report_over(ext, gt):
             yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
     per_doc = joined.mapInArrow(counts, schema=out_schema)
+    if per_file:
+        acc = lambda err, tot: F.round(
+            100.0 * (1.0 - F.col(err) / F.greatest(F.col(tot), F.lit(1))), 4
+        )
+        return _ordered(
+            per_doc.withColumn("char_acc", acc("errors", "chars"))
+            .withColumn("word_acc", acc("word_errors", "words")),
+            "url",
+        )
+    per_doc = per_doc.drop("url")
     pct = lambda err, tot: F.round(100.0 * (1.0 - F.sum(err) / F.sum(tot)), 4)
     aggs = [
         F.count("*").alias("n_docs"),

@@ -684,11 +684,17 @@ def test_job_cli_end_to_end(spark, capsys):
         rc = main(
             ["--input", f"{tmp}/in", "--output", f"{tmp}/out",
              "--metrics", f"{tmp}/metrics", "--serialize", "abbyyxml",
-             "--report", "--run-id", "smoke"]
+             "--report", "--report-per-file", "--run-id", "smoke"]
         )
         assert rc == 0
         out = capsys.readouterr().out
         assert "=== report smoke ===" in out
+        # per-file detail (contrib/test_per_file.py view): one line per
+        # document + across-file averages
+        assert out.count("Char: ") == 6
+        assert "CER: 0.0%" in out and "WER: 0.0%" in out
+        assert "Average character accuracy: 100.00%" in out
+        assert "Average word accuracy: 100.00%" in out
         assert "100.00%\tCharacter Accuracy" in out
         assert spark.read.parquet(f"{tmp}/out").count() == 6
         assert spark.read.parquet(f"{tmp}/out_abbyyxml").count() == 6
@@ -904,3 +910,41 @@ def test_streaming_extraction_ice_table_sink(spark):
         assert it.read(spark, f"{tmp}/out").count() == 6
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_report_per_file_counts_match_align_counts(spark):
+    """report_over(per_file=True) rows equal a driver-side recomputation
+    through kernels.metrics.align_counts/levenshtein/wer per url — the
+    per-file detail analog of the reference's contrib/test_per_file.py."""
+    import pyspark.sql.functions as F
+
+    from kraken_spark.corpus import corpus_for
+    from kraken_spark.kernels.metrics import align_counts, levenshtein, wer
+    from kraken_spark.operators.extraction import report_over
+    from kraken_spark.pipeline import extracted_text, plan_extraction
+
+    docs = corpus_for(spark, "sf0.001").limit(6)
+    ext = extracted_text(plan_extraction(docs, num_partitions=4)).join(
+        docs.select("url", "lang"), "url"
+    )
+    detail = report_over(
+        ext.select("url", "lang", "text"),
+        docs.select("url", F.col("text").alias("gt")),
+        per_file=True,
+    ).collect()
+    gt_map = {r.url: r.text for r in docs.select("url", "text").collect()}
+    hyp_map = {r.url: r.text for r in ext.select("url", "text").collect()}
+    assert len(detail) == 6
+    for r in detail:
+        ref, hyp = gt_map[r.url], hyp_map[r.url]
+        ac = align_counts(ref, hyp)
+        assert r.chars == len(ref)
+        assert r.errors == ac["insertions"] + ac["deletions"] + ac["substitutions"]
+        assert r.insertions == ac["insertions"]
+        assert r.deletions == ac["deletions"]
+        assert r.substitutions == ac["substitutions"]
+        assert r.ci_errors == levenshtein(ref.casefold(), hyp.casefold())
+        nw = len(ref.split())
+        assert r.words == nw
+        assert r.word_errors == int(round(wer(ref, hyp) * nw))
+        assert r.char_acc == 100.0 and r.word_acc == 100.0  # CER-0 corpus
