@@ -506,9 +506,7 @@ def x_seg_quality(spark, sf):
                 pa.field("segmenter", pa.string()),
                 pa.field("n_detected", pa.int32()),
                 pa.field("n_golden", pa.int32()),
-                pa.field("precision", pa.float64()),
-                pa.field("recall", pa.float64()),
-                pa.field("f1", pa.float64()),
+                pa.field("n_matched", pa.int32()),
                 pa.field("footrule_vs_heuristic", pa.float64()),
             ]
         )
@@ -548,9 +546,7 @@ def x_seg_quality(spark, sf):
                                 "segmenter": name,
                                 "n_detected": m["n_detected"],
                                 "n_golden": m["n_golden"],
-                                "precision": round(m["precision"], 6),
-                                "recall": round(m["recall"], 6),
-                                "f1": round(m["f1"], 6),
+                                "n_matched": m["n_matched"],
                                 "footrule_vs_heuristic": fr,
                             }
                         )
@@ -597,9 +593,7 @@ def x_seg_quality(spark, sf):
                                     "segmenter": name,
                                     "n_detected": m["n_detected"],
                                     "n_golden": m["n_golden"],
-                                    "precision": round(m["precision"], 6),
-                                    "recall": round(m["recall"], 6),
-                                    "f1": round(m["f1"], 6),
+                                    "n_matched": m["n_matched"],
                                     "footrule_vs_heuristic": None,
                                 }
                             )
@@ -611,31 +605,69 @@ def x_seg_quality(spark, sf):
                             "segmenter": "error",
                             "n_detected": 0,
                             "n_golden": 0,
-                            "precision": 0.0,
-                            "recall": 0.0,
-                            "f1": 0.0,
+                            "n_matched": 0,
                             "footrule_vs_heuristic": None,
                         }
                     )
             yield pa.RecordBatch.from_pylist(out, schema=schema)
 
-    return _ordered(
-        _docs(spark, sf).mapInArrow(
-            fn,
-            schema="url string, variant string, segmenter string, n_detected int, "
-            "n_golden int, precision double, recall double, f1 double, "
-            "footrule_vs_heuristic double",
-        ),
-        "url",
-        "variant",
-        "segmenter",
+    counts = _docs(spark, sf).mapInArrow(
+        fn,
+        schema="url string, variant string, segmenter string, n_detected int, "
+        "n_golden int, n_matched int, footrule_vs_heuristic double",
     )
+    # value-hash-checked (was rows-only): the match counts are materialized
+    # as an oracle side table, and the P/R/F1 arithmetic runs as the SAME
+    # SQL expression in Spark and in the DuckDB twin over that parquet
+    from .extraction import oracle_side_table
+
+    path = oracle_side_table(counts, "x_seg_quality", sf)
+    base = spark.read.parquet(path)
+    out = base.select(
+        "url", "variant", "segmenter", "n_detected", "n_golden", "n_matched",
+        F.expr(f"ROUND({_P0_SQL}, 6)").alias("precision"),
+        F.expr(f"ROUND({_R0_SQL}, 6)").alias("recall"),
+        F.expr(f"ROUND({_F1_SQL}, 6)").alias("f1"),
+        "footrule_vs_heuristic",
+    )
+    return _ordered(out, "url", "variant", "segmenter")
+
+
+# shared P/R/F1 arithmetic (kernels/seg_metrics.baseline_prf edge cases:
+# no detections -> precision 1.0 iff nothing to find; no golden -> recall
+# 1.0; the mapInArrow 'error' sentinel rows score 0) — the SAME strings
+# run in Spark (F.expr) and DuckDB (X_SEG_QUALITY_SQL)
+_P0_SQL = (
+    "(CASE WHEN segmenter = 'error' THEN 0.0 "
+    "WHEN n_detected > 0 THEN CAST(n_matched AS DOUBLE) / n_detected "
+    "WHEN n_golden = 0 THEN 1.0 ELSE 0.0 END)"
+)
+_R0_SQL = (
+    "(CASE WHEN segmenter = 'error' THEN 0.0 "
+    "WHEN n_golden > 0 THEN CAST(n_matched AS DOUBLE) / n_golden "
+    "ELSE 1.0 END)"
+)
+_F1_SQL = (
+    f"(CASE WHEN {_P0_SQL} + {_R0_SQL} > 0 "
+    f"THEN 2 * {_P0_SQL} * {_R0_SQL} / ({_P0_SQL} + {_R0_SQL}) "
+    "ELSE 0.0 END)"
+)
+
+X_SEG_QUALITY_SQL = f"""
+SELECT url, variant, segmenter, n_detected, n_golden, n_matched,
+       ROUND({_P0_SQL}, 6) AS precision,
+       ROUND({_R0_SQL}, 6) AS recall,
+       ROUND({_F1_SQL}, 6) AS f1,
+       footrule_vs_heuristic
+FROM read_parquet('/tmp/kraken_spark_oracle/x_seg_quality_sf0.01.parquet/*.parquet')
+ORDER BY url, variant, segmenter
+"""
 
 
 QUERIES = {
     "x_extract_html": (x_extract_html, None),
     "x_multimodel_dispatch": (x_multimodel_dispatch, None),
-    "x_seg_quality": (x_seg_quality, None),
+    "x_seg_quality": (x_seg_quality, X_SEG_QUALITY_SQL),
     "x_merge_segmentations": (x_merge_segmentations, None),
     "x_pdf_pages": (x_pdf_pages, None),
 }

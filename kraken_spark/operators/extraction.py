@@ -407,12 +407,62 @@ def x_rpred_golden(spark, sf):
     )
 
 
+def oracle_side_table(df, name: str, sf) -> str:
+    """Materialize a deterministic per-doc side table that BOTH engines
+    aggregate: the Spark query reads it back and aggregates; the DuckDB
+    oracle reads the SAME parquet via read_parquet and runs the twin SQL
+    — converting a rows-only extraction query into a value-hash-checked
+    one (round-5 ask #7). The extraction semantics themselves stay pinned
+    by the pytest goldens; what the oracle hash proves is that the
+    aggregation arithmetic agrees across engines on identical inputs.
+    Path is keyed on the sf tag only (idempotent overwrite, no
+    timestamps), so the sf0.01 twin in oracle_sql() always reads the file
+    the sf0.01 query run just wrote."""
+    import os
+
+    tag = os.path.basename(str(sf).rstrip("/")) or "sf"
+    path = f"/tmp/kraken_spark_oracle/{name}_{tag}.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
 def x_extract_metrics(spark, sf):
-    """Per-partition lineage/metrics table (north-rule lineage requirement)."""
-    ext = _extraction(spark, sf)
-    return _ordered(
-        metrics_table(ext, run_id="driver").drop("wall_ms"), "partition_id"
+    """Per-partition lineage/metrics table (north-rule lineage
+    requirement). The per-doc rows are materialized as an oracle side
+    table and the per-partition rollup is computed over it — the DuckDB
+    twin re-runs the identical aggregation on the same parquet, so this
+    query is value-hash-checked (was rows-only)."""
+    per_doc = _extraction(spark, sf).select(
+        "partition_id", "url", "n_lines", "n_px", "cer"
     )
+    path = oracle_side_table(per_doc, "x_extract_metrics", sf)
+    rolled = (
+        spark.read.parquet(path)
+        .groupBy("partition_id")
+        .agg(
+            F.lit("driver").alias("run_id"),
+            F.lit("extract").alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_px").alias("n_px"),
+            F.round(F.avg("cer"), 9).alias("mean_cer"),
+        )
+        .select("run_id", "stage", "partition_id", "n_docs", "n_lines",
+                "n_px", "mean_cer")
+    )
+    return _ordered(rolled, "partition_id")
+
+
+X_EXTRACT_METRICS_SQL = """
+SELECT 'driver' AS run_id, 'extract' AS stage, partition_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_px) AS BIGINT) AS n_px,
+       ROUND(AVG(cer), 9) AS mean_cer
+FROM read_parquet('/tmp/kraken_spark_oracle/x_extract_metrics_sf0.01.parquet/*.parquet')
+GROUP BY partition_id
+ORDER BY partition_id
+"""
 
 
 def x_extract_blla(spark, sf):
@@ -485,6 +535,6 @@ QUERIES = {
     "x_extract_seam": (x_extract_seam, None),
     "x_extract_geometry": (x_extract_geometry, None),
     "x_ocr_report": (x_ocr_report, None),
-    "x_extract_metrics": (x_extract_metrics, None),
+    "x_extract_metrics": (x_extract_metrics, X_EXTRACT_METRICS_SQL),
     "x_rpred_golden": (x_rpred_golden, None),
 }
