@@ -22,19 +22,26 @@ def test_query_catalog_fits_driver_window():
     assert all(isinstance(s, str) and s.strip().upper().startswith(("SELECT", "WITH")) for s in os_.values())
 
 
-def test_extraction_queries_are_rows_only():
-    """The x_* extraction family is non-SQL-expressible by design; every
-    SQL-expressible query must have an oracle."""
+def test_oracle_coverage():
+    """Every SQL-expressible query must have an oracle. Most of the x_*
+    extraction family is non-SQL-expressible (rows-only); the round-5
+    exceptions materialize a deterministic side table that the DuckDB
+    twin re-aggregates (read_parquet), converting them to hash-checked.
+    The hard-signal floor only ever moves UP."""
     import __spark_entry__ as E
 
     qs, os_ = E.queries(), E.oracle_sql()
-    # 30 queries are exactly oracle-checked as of round 3 — dropping below
+    # 33 queries are exactly oracle-checked as of round 5 — dropping below
     # that is a regression, not a consolidation
-    assert len(os_) >= 30
+    assert len(os_) >= 33
+    x_with_oracle = {"x_extract_metrics", "x_seg_quality"}
     for name in qs:
-        if name.startswith("x_"):
+        if name.startswith("x_") and name not in x_with_oracle:
             assert name not in os_, f"{name} unexpectedly grew an oracle"
-        else:
+        elif not name.startswith("x_"):
             # incl. ann_cosine: integer-quantized buckets/assignment make
             # even the ANN paths exactly SQL-expressible
             assert name in os_, f"{name} lacks an oracle_sql entry"
+    for name in x_with_oracle:
+        assert name in os_, f"{name} lost its side-table oracle"
+        assert "read_parquet" in os_[name]
