@@ -16,14 +16,15 @@ def greedy_decoder(outputs: np.ndarray) -> list[tuple[int, int, int, float]]:
         return []
     labels = outputs.argmax(axis=1)
     conf = outputs.max(axis=1)
+    # vectorized run detection: boundaries where the argmax label changes;
+    # per-run max via reduceat — identical to the frame-by-frame scan
+    change = np.flatnonzero(labels[1:] != labels[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(labels)]])
+    runmax = np.maximum.reduceat(conf, starts)
+    lab = labels[starts]
     out: list[tuple[int, int, int, float]] = []
-    t = len(labels)
-    i = 0
-    while i < t:
-        j = i
-        while j < t and labels[j] == labels[i]:
-            j += 1
-        if labels[i] != 0:
-            out.append((int(labels[i]), i, j - 1, float(conf[i:j].max())))
-        i = j
+    for li, s, e, c in zip(lab.tolist(), starts.tolist(), ends.tolist(), runmax.tolist()):
+        if li != 0:
+            out.append((li, s, e - 1, float(c)))
     return out

@@ -324,7 +324,7 @@ def _conv2d_torch(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride, padding) 
     o, _, kh, kw = w.shape
     sh, sw = stride
     ph, pw = padding
-    xp = np.pad(x, ((0, 0), (ph, ph), (pw, pw))).astype(np.float32)
+    xp = np.pad(x, ((0, 0), (ph, ph), (pw, pw))).astype(np.float32, copy=False)
     h2, w2 = xp.shape[1], xp.shape[2]
     oh = (h2 - kh) // sh + 1
     ow = (w2 - kw) // sw + 1
@@ -664,15 +664,15 @@ class TorchVGSL:
             o = _conv2d_torch(x[0], self.weights[f"{n}.co.weight"], self.weights[f"{n}.co.bias"], layer["stride"], layer["pad"])[None]
             nl = layer["nl"]
             if nl == "r":
-                o = np.maximum(o, 0.0)
+                np.maximum(o, 0.0, out=o)
             elif nl == "t":
-                o = np.tanh(o)
+                np.tanh(o, out=o)
             elif nl == "m":
                 mx = o.max(axis=1, keepdims=True)
                 e = np.exp(o - mx)
                 o = e / e.sum(axis=1, keepdims=True)
             # 's' (sigmoid) stays logits at inference (ActConv2D.forward)
-            return o.astype(np.float32)
+            return o.astype(np.float32, copy=False)
         if kind == "gn":
             n = layer["name"]
             return _groupnorm_torch(x[0], layer["groups"], self.weights[f"{n}.layer.weight"], self.weights[f"{n}.layer.bias"])[None]
