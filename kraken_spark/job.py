@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -126,6 +127,32 @@ def main(argv: list[str] | None = None) -> int:
         "trained weights through the rpred-parity path instead of the "
         "built-in recognizer",
     )
+    ap.add_argument(
+        "--model-repo", default=None,
+        help="model repository root (dir or file:// URL; env "
+        "KRAKEN_SPARK_MODEL_REPO) for the repository verbs and "
+        "--model repo:<id> resolution — the kraken get/list/show analog "
+        "(kraken_spark/repo.py)",
+    )
+    ap.add_argument("--list-models", action="store_true",
+                    help="list repository models grouped by concept id")
+    ap.add_argument("--show-model", default=None, metavar="ID",
+                    help="print a repository record's metadata")
+    ap.add_argument("--get-model", default=None, metavar="ID",
+                    help="fetch a model into the local cache (sha256-verified)")
+    ap.add_argument("--publish-model", default=None, metavar="METADATA_JSON",
+                    help="publish --input (a model file) into --model-repo "
+                    "with the given metadata JSON (ketos publish analog)")
+    ap.add_argument("--update-of", default=None, metavar="ID",
+                    help="with --publish-model: link the deposit under an "
+                    "existing record's concept id")
+    ap.add_argument("--model-cache", default=None,
+                    help="override the model cache dir (~/.cache/kraken_spark/models)")
+    ap.add_argument("--filter-model-type", default="all",
+                    choices=["all", "recognition", "segmentation", "reading_order"])
+    ap.add_argument("--filter-script", action="append", default=None)
+    ap.add_argument("--filter-language", action="append", default=None)
+    ap.add_argument("--filter-keyword", action="append", default=None)
     ap.add_argument(
         "--report",
         action="store_true",
@@ -471,6 +498,72 @@ def main(argv: list[str] | None = None) -> int:
         "cdx-NNNNN.gz shards + cluster.idx (sources/warc.write_cdx_shards)",
     )
     args = ap.parse_args(argv)
+
+    if args.list_models or args.show_model or args.get_model or args.publish_model:
+        # driver-only repository verbs (kraken get/list/show + ketos
+        # publish analogs, kraken_spark/repo.py) — no Spark session
+        from kraken_spark import repo as mrepo
+
+        root = args.model_repo or os.environ.get("KRAKEN_SPARK_MODEL_REPO")
+        if not root:
+            print("[kraken_spark] no --model-repo given")
+            return 1
+        if args.publish_model:
+            meta = json.loads(args.publish_model)
+            doi = mrepo.publish_model(root, args.input, meta,
+                                      update_of=args.update_of)
+            print(f"model PID: {doi}")
+            return 0
+        if args.show_model:
+            try:
+                rec = mrepo.get_description(root, args.show_model)
+            except (KeyError, ValueError) as e:
+                print(f"[kraken_spark] {e}")
+                return 1
+            print(mrepo.render_description(rec), end="")
+            return 0
+        if args.get_model:
+            try:
+                mdir = mrepo.get_model(root, args.get_model,
+                                       cache_dir=args.model_cache)
+            except (KeyError, ValueError) as e:
+                print(f"[kraken_spark] {e}")
+                return 1
+            cand = mrepo.model_candidates(mdir)
+            print(f"Model dir: {mdir} (model files: {', '.join(cand)})")
+            return 0
+        listing = mrepo.list_models(
+            root,
+            model_type=args.filter_model_type,
+            script=tuple(args.filter_script or ()),
+            language=tuple(args.filter_language or ()),
+            keyword=tuple(args.filter_keyword or ()),
+        )
+        for concept, records in sorted(listing.items()):
+            print(concept)
+            for r in records:
+                print(f"  {r['doi']}\t{r.get('summary', '')}\t"
+                      f"{'; '.join(r.get('model_type') or [])}\t"
+                      f"{'; '.join(r.get('keywords') or [])}")
+        return 0
+
+    if args.model and args.model.startswith("repo:"):
+        # resolve a repository id to a cached local model file (the
+        # `kraken get` -> `kraken ocr -m` chain in one step)
+        from kraken_spark import repo as mrepo
+
+        root = args.model_repo or os.environ.get("KRAKEN_SPARK_MODEL_REPO")
+        if not root:
+            print("[kraken_spark] --model repo:<id> needs --model-repo")
+            return 1
+        mdir = mrepo.get_model(root, args.model[len("repo:"):],
+                               cache_dir=args.model_cache)
+        cand = mrepo.model_candidates(mdir)
+        if not cand:
+            print(f"[kraken_spark] record has no model file: {args.model}")
+            return 1
+        args.model = os.path.join(mdir, cand[0])
+        print(f"[kraken_spark] resolved {cand[0]} from repository")
 
     if args.convert_model:
         # driver-only model-container surgery: no Spark session needed
