@@ -92,18 +92,13 @@ def test_non_kraken_record_rejected(repo_root):
 
 def test_update_links_concept_and_sorts_newest_first(repo_root, tmp_path):
     doi1 = _publish(repo_root)
-    # a new version of the same concept: different payload bytes
-    alt = tmp_path / "alt.safetensors"
-    alt.write_bytes(open(ASSET, "rb").read() + b"\x00" * 7)
-    # padding bytes keep safetensors loadable? no — republish the same
-    # asset under an updated date instead (id is content-addressed, so
-    # tweak metadata only)
+    # a new version of the same concept: same payload, new metadata —
+    # deposit ids are content+metadata addressed so this mints a new id
     doi2 = mrepo.publish_model(
         repo_root, ASSET,
         {"summary": "v2", "script": ["Latn"]},
         update_of=doi1, today="2026-08-21")
-    if doi1 == doi2:
-        pytest.skip("content-addressed ids collide for identical payloads")
+    assert doi1 != doi2
     listing = mrepo.list_models(repo_root)
     assert list(listing) == [doi1]  # one concept
     assert [r["doi"] for r in listing[doi1]] == [doi2, doi1]  # newest first
@@ -132,3 +127,28 @@ def test_cli_verbs(repo_root, tmp_path, capsys):
     # unknown id exits 1 with a message, like the reference CLI
     assert main(["--input", "unused", "--output", "unused",
                  "--model-repo", repo_root, "--show-model", "nope"]) == 1
+
+
+def test_model_repo_resolution_drives_extraction(repo_root, tmp_path):
+    """--model repo:<id> resolves through the repository cache and the
+    extraction actually runs the fetched trained model (the `kraken get`
+    -> `kraken ocr -m` chain as one spark-submit invocation)."""
+    import tempfile
+
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.session import get_spark
+
+    spark = get_spark(app="tests-repo", cores=2, shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    doi = _publish(repo_root)
+    tmp = tempfile.mkdtemp(prefix="ks_repo_e2e_")
+    generate_corpus_df(spark, 2).write.mode("overwrite").parquet(f"{tmp}/in")
+    rc = main(["--input", f"{tmp}/in", "--output", f"{tmp}/out",
+               "--model", f"repo:{doi}", "--model-repo", repo_root,
+               "--model-cache", str(tmp_path / "cache")])
+    assert rc == 0
+    rows = spark.read.parquet(f"{tmp}/out").collect()
+    assert len(rows) == 2
+    # the trained recognizer produced text through the repo-fetched model
+    assert all(r.n_lines > 0 for r in rows)
+    assert any(r.text.strip() for r in rows)
