@@ -224,14 +224,19 @@ def fast_component_count(mask: np.ndarray) -> int:
             return int(np.unique(lab).size)
 
 
-def despeckle(mask: np.ndarray, max_px: int = 3) -> np.ndarray:
-    """Remove 8-connected components of at most max_px pixels — the classic
+def despeckle(mask: np.ndarray, max_px: int = 3, connectivity: int = 2) -> np.ndarray:
+    """Remove connected components of at most max_px pixels — the classic
     document-cleanup pass for salt/dust noise (the reference's lineage:
     ocropus-era binarization cleaned isolated specks the same way; glyph
     strokes on this corpus are >= 4 px so max_px=3 can never eat real ink).
-    8-connectivity so a diagonal 2-px speck counts as ONE component."""
+    Default 8-connectivity so a diagonal 2-px speck counts as ONE
+    component; a FOLLOW-UP pass at connectivity=1 (4-connected) also
+    detaches specks that touch a glyph only diagonally — they join the
+    glyph's 8-component (surviving the first pass) but are separate tiny
+    4-components (the round-5 degraded-CER fix; clean glyphs have no
+    <=3 px 4-components, so the pass is still a clean-page no-op)."""
     b = mask.astype(bool)
-    labels, n = label(b, connectivity=2)
+    labels, n = label(b, connectivity=connectivity)
     if n == 0:
         return mask
     sizes = np.bincount(labels.ravel(), minlength=n + 1)

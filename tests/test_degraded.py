@@ -24,10 +24,11 @@ from kraken_spark.stages import extract_document
 SWEEP = [(seed, i) for seed in (1234, 7, 555) for i in (0, 1, 2)]
 
 # CER ceilings for the robust path (intensity gate -> despeckle -> deskew
-# -> neural ref chain). Residual errors are salt specks that merged into a
-# glyph (survive any size-based despeckle) — measured max across the sweep
-# was 0.048 light / 0.092 heavy; ceilings pinned with headroom.
-CER_CEIL = {"light": 0.08, "heavy": 0.13}
+# -> 4-connected speck detach -> neural ref chain). The round-5
+# 4-connectivity pass removes salt specks that merged into a glyph
+# diagonally; measured max across the sweep is now 0.048 light / 0.010
+# heavy (was 0.048 / 0.092) — ceilings tightened with headroom.
+CER_CEIL = {"light": 0.05, "heavy": 0.05}
 
 
 def _docs(grade):
