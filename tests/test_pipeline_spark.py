@@ -411,21 +411,32 @@ def test_cross_seed_hard_cases_exact():
 
 
 def test_weight_salt_separates_heavy_pages(spark):
-    """Heavy pages (> HEAVY_BYTES payload) must salt into the dedicated
-    FIRST bucket space [0, n) — lowest partition ids launch first, so
-    the longest tasks never become a tail straggler; normal pages into
-    [n, 2n)."""
-    from kraken_spark.pipeline import HEAVY_BYTES, weight_salt
+    """Heavy pages (> HEAVY_BYTES payload) must land in the dedicated
+    FIRST partition range [0, n) — lowest partition ids launch first, so
+    the longest tasks never become a tail straggler; normal pages in
+    [n, 2n). The salt is the murmur3 PREIMAGE of the bucket id, so the
+    bucket -> shuffle-partition mapping is exactly 1:1 (a hash collision
+    stacking two buckets into one task was measured at ~25% of 8-core
+    throughput)."""
+    from kraken_spark.pipeline import (HEAVY_BYTES, _murmur3_long,
+                                       _partition_preimages, weight_salt)
 
     docs = spark.createDataFrame(
         [("u_heavy", bytearray(b"x" * (HEAVY_BYTES + 1))), ("u_small", bytearray(b"y" * 100))],
         "url string, html binary",
     )
     salt, total = weight_salt(8)
-    rows = {r.url: r.salt for r in docs.select("url", salt.alias("salt")).collect()}
     assert total == 16
-    assert 0 <= rows["u_heavy"] < 8
-    assert 8 <= rows["u_small"] < 16
+    placed = {
+        r.url: r.p
+        for r in docs.repartition(total, salt.alias("salt"))
+        .select("url", F.spark_partition_id().alias("p")).collect()
+    }
+    assert 0 <= placed["u_heavy"] < 8
+    assert 8 <= placed["u_small"] < 16
+    # the preimage table is a true bijection onto [0, total)
+    pre = _partition_preimages(total)
+    assert sorted(_murmur3_long(v) % total for v in pre) == list(range(total))
     # the synthetic oversized pages actually cross the threshold
     from kraken_spark.kernels import png, render
 
