@@ -25,12 +25,13 @@ def _n_docs(sf_dir: str) -> int:
 
 def _extraction(spark: SparkSession, sf_dir: str):
     docs = corpus_for(spark, sf_dir)
-    # 3x-core partitioning: finer buckets let the weight-salt +
-    # largest-first scheduling balance the heavy-page skew (measured
-    # ~1.25x faster than 1x-core at the 240-doc bench size; empty tasks at
-    # smaller SFs cost microseconds)
+    # 1x-core partitioning: with the bijective bucket->partition salt the
+    # buckets are exactly balanced, so finer-than-core buckets only add
+    # scheduling overhead (measured at the 240-doc bench size: 1x 1.37 s
+    # vs 3x 1.91 s; the 3x setting earlier papered over hash-collision
+    # lumpiness that no longer exists)
     return plan_extraction(
-        docs, num_partitions=spark.sparkContext.defaultParallelism * 3
+        docs, num_partitions=spark.sparkContext.defaultParallelism
     )
 
 
