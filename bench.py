@@ -220,6 +220,24 @@ def run_headline() -> None:
             tr_best = dt if tr_best is None else min(tr_best, dt)
         out["trained_rec_docs_per_sec"] = round(24 / tr_best, 3)
 
+        # Line-parallel variant (pipeline_lines.plan_extraction_line_
+        # parallel): same slice, same model, but recognition is line-
+        # repartitioned so a many-line outlier page is no longer one
+        # indivisible task — the skew-bounding option for loaded-model
+        # corpora (parity with the fused plan pinned in
+        # tests/test_line_parallel.py)
+        from kraken_spark.pipeline_lines import plan_extraction_line_parallel
+
+        lp_best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(plan_extraction_line_parallel(
+                slice24, num_partitions=CPUS, segmenter="blla",
+                kraken_model_path=_REC_ASSET, line_partitions=CPUS))
+            dt = time.perf_counter() - t0
+            lp_best = dt if lp_best is None else min(lp_best, dt)
+        out["trained_rec_lp_docs_per_sec"] = round(24 / lp_best, 3)
+
     # Sustained-scale figure (BASELINE.md protocol, in the per-round
     # artifact): one timed fused-extraction pass over a 20480-doc corpus at
     # 256 docs/task — the regime where scheduling + python-worker bootstrap

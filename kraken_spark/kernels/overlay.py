@@ -137,3 +137,40 @@ def overlay_alignment(img, line: dict, alpha: float = 0.5) -> np.ndarray:
             m[max(y0, 0): min(y1 + 1, h), max(x0, 0): min(x1 + 1, w)] = True
             _blend(out, m, rgb, alpha)
     return np.clip(out.round(), 0, 255).astype(np.uint8)
+
+
+# the reference's recognition_boxes palette: 7 RGBA colors at alpha 127
+# (contrib/recognition_boxes.py:19-25), cycled per character box
+RECOGNITION_CMAP = [(230, 25, 75), (60, 180, 75), (255, 225, 25),
+                    (0, 130, 200), (245, 130, 48), (145, 30, 180),
+                    (70, 240, 240)]
+
+
+def overlay_recognition_boxes(img, lines, alpha: float = 127 / 255) -> np.ndarray:
+    """Transparent character-box overlay — contrib/recognition_boxes.py:27-42
+    re-derived: for every recognized line, fill each character cut
+    rectangle with the next color of the 7-color cycle at alpha 127 and
+    src-over composite onto the page (the reference's
+    Image.alpha_composite of an RGBA scratch layer; same visual
+    semantics in numpy). The cycle runs ACROSS lines like the reference's
+    global `cycle(...)` iterator, not per line. Cuts are page-x spans
+    (x0, x1) over the line bbox's y extent; polygon cuts fill the
+    polygon."""
+    out = _to_rgb(img)
+    h, w = out.shape[:2]
+    ci = 0
+    for line in lines:
+        for cut in line.get("cuts", []) or []:
+            if not cut:
+                continue
+            rgb = RECOGNITION_CMAP[ci % len(RECOGNITION_CMAP)]
+            ci += 1
+            if len(cut) >= 3 and isinstance(cut[0], (list, tuple)):
+                _blend(out, _polygon_mask(h, w, cut), rgb, alpha)
+            elif len(cut) == 2 and not isinstance(cut[0], (list, tuple)):
+                x0, x1 = int(cut[0]), int(cut[1])
+                y0, y1 = int(line["bbox"][1]), int(line["bbox"][3])
+                m = np.zeros((h, w), dtype=bool)
+                m[max(y0, 0): min(y1 + 1, h), max(x0, 0): min(x1 + 1, w)] = True
+                _blend(out, m, rgb, alpha)
+    return np.clip(out.round(), 0, 255).astype(np.uint8)

@@ -176,21 +176,32 @@ class LoadedRecognizer:
         )
 
     # -- batched path -------------------------------------------------------
-    def _prep_bbox(self, img: np.ndarray, bbox):
-        """Line-tensor prep of recognize_bbox without the forward; returns
-        (ts, box_w) or None for out-of-bounds boxes."""
+    def _prep_bbox_u8(self, img: np.ndarray, bbox):
+        """recognize_bbox's line prep up to its EXACT uint8 quantization
+    point (the PIL F->L truncation after the dewarp, utils.py:139-141);
+    returns (u8 line image, box_w) or None. The uint8 stage is the
+    transport form for the line-parallel plan (pipeline_lines.py): u8
+    -> float32/255 reproduces _prep_bbox bit-for-bit by construction."""
         x0, y0, x1, y1 = bbox
         if x0 < 0 or y0 < 0 or x1 > img.shape[1] or y1 > img.shape[0] or x1 <= x0 or y1 <= y0:
             return None
         crop = img[y0:y1, x0:x1]
         ts = dewarp_line(crop, self.height)
-        ts = np.clip(ts, 0, 255).astype(np.uint8).astype(np.float32) / 255.0
-        return ts, x1 - x0
+        return np.clip(ts, 0, 255).astype(np.uint8), x1 - x0
 
-    def _prep_baseline(self, img: np.ndarray, baseline, boundary,
-                       legacy: bool | None = None):
-        """Line-tensor prep of recognize_baseline without the forward;
-        returns (ts, box_w) or None for invalid/blank lines."""
+    def _prep_bbox(self, img: np.ndarray, bbox):
+        """Line-tensor prep of recognize_bbox without the forward; returns
+        (ts, box_w) or None for out-of-bounds boxes."""
+        r = self._prep_bbox_u8(img, bbox)
+        if r is None:
+            return None
+        return r[0].astype(np.float32) / 255.0, r[1]
+
+    def _prep_baseline_u8(self, img: np.ndarray, baseline, boundary,
+                          legacy: bool | None = None):
+        """recognize_baseline's line prep up to its uint8 stage (the
+        Lanczos fixed_resize output IS uint8); returns (u8, box_w) or
+        None. Same transport contract as _prep_bbox_u8."""
         if legacy is None:
             legacy = self.bundle.legacy_polygons
         pl = np.asarray(boundary)
@@ -209,8 +220,16 @@ class LoadedRecognizer:
             return None
         patch = patch[nzr[0] : nzr[-1] + 1, nzc[0] : nzc[-1] + 1]
         resized = fixed_resize(patch, (self.height, 0))
-        ts = resized.astype(np.float32) / 255.0
-        return ts, patch.shape[1]
+        return resized, patch.shape[1]
+
+    def _prep_baseline(self, img: np.ndarray, baseline, boundary,
+                       legacy: bool | None = None):
+        """Line-tensor prep of recognize_baseline without the forward;
+        returns (ts, box_w) or None for invalid/blank lines."""
+        r = self._prep_baseline_u8(img, baseline, boundary, legacy)
+        if r is None:
+            return None
+        return r[0].astype(np.float32) / 255.0, r[1]
 
     def recognize_lines(
         self,

@@ -215,10 +215,10 @@ def x_ocr_report(spark, sf):
     ext = _extraction(spark, sf).select(
         "url", "lang", "text", "cer", "n_lines", "guard_tripped"
     )
-    return report_over(ext, gt)
+    return report_over(ext, gt, side_table_sf=sf)
 
 
-def report_over(ext, gt, per_file: bool = False):
+def report_over(ext, gt, per_file: bool = False, side_table_sf=None):
     """Per-language accuracy rollup over (url, lang, text) extraction rows
     joined with (url, gt) ground truth — shared by x_ocr_report and the
     job's --report flag. When the input also carries cer / n_lines /
@@ -291,6 +291,14 @@ def report_over(ext, gt, per_file: bool = False):
             yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
     per_doc = joined.mapInArrow(counts, schema=out_schema)
+    if side_table_sf is not None and not per_file:
+        # materialize the per-doc alignment counts so the DuckDB twin can
+        # re-run the identical per-language aggregation on the SAME rows
+        # (oracle_side_table pattern; converts x_ocr_report from rows-only
+        # to value-hash-checked — alignment semantics stay pinned by the
+        # pytest goldens, the hash proves the rollup arithmetic)
+        path = oracle_side_table(per_doc, "x_ocr_report", side_table_sf)
+        per_doc = ext.sparkSession.read.parquet(path)
     if per_file:
         acc = lambda err, tot: F.round(
             100.0 * (1.0 - F.col(err) / F.greatest(F.col(tot), F.lit(1))), 4
@@ -465,6 +473,29 @@ GROUP BY partition_id
 ORDER BY partition_id
 """
 
+X_OCR_REPORT_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS chars,
+       CAST(SUM(errors) AS BIGINT) AS errors,
+       CAST(SUM(ci_errors) AS BIGINT) AS ci_errors,
+       CAST(SUM(words) AS BIGINT) AS words,
+       CAST(SUM(word_errors) AS BIGINT) AS word_errors,
+       ROUND(100.0 * (1.0 - CAST(SUM(errors) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE)), 4) AS char_acc,
+       ROUND(100.0 * (1.0 - CAST(SUM(ci_errors) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE)), 4) AS char_acc_ci,
+       ROUND(100.0 * (1.0 - CAST(SUM(word_errors) AS DOUBLE) / CAST(SUM(words) AS DOUBLE)), 4) AS word_acc,
+       CAST(SUM(insertions) AS BIGINT) AS insertions,
+       CAST(SUM(deletions) AS BIGINT) AS deletions,
+       CAST(SUM(substitutions) AS BIGINT) AS substitutions,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       ROUND(AVG(cer), 9) AS mean_cer,
+       ROUND(MAX(cer), 9) AS max_cer,
+       CAST(SUM(CAST(guard_tripped AS INT)) AS BIGINT) AS n_guard_tripped
+FROM read_parquet('/tmp/kraken_spark_oracle/x_ocr_report_sf0.01.parquet/*.parquet')
+GROUP BY lang
+ORDER BY lang
+"""
+
 
 def x_extract_blla(spark, sf):
     """Flagship extraction through the NEURAL segmentation path
@@ -535,7 +566,7 @@ QUERIES = {
     "x_extract_paths": (x_extract_paths, None),
     "x_extract_seam": (x_extract_seam, None),
     "x_extract_geometry": (x_extract_geometry, None),
-    "x_ocr_report": (x_ocr_report, None),
+    "x_ocr_report": (x_ocr_report, X_OCR_REPORT_SQL),
     "x_extract_metrics": (x_extract_metrics, X_EXTRACT_METRICS_SQL),
     "x_rpred_golden": (x_rpred_golden, None),
 }

@@ -303,10 +303,12 @@ def overlay_extractions(documents: DataFrame, extractions: DataFrame,
     kernels/overlay.py): join pages with their extraction geometry and
     render one RGB PNG per url. kind: 'segmentation' (regions green,
     boundaries blue, baselines red), 'heatmap' (the blla baseline-class
-    heatmap alpha-composited), or 'alignment' (per-char cut spans in
-    cycling colors). Map-only after one url-equi join; one task per
-    partition, Arrow-batched."""
-    if kind not in ("segmentation", "heatmap", "alignment"):
+    heatmap alpha-composited), 'alignment' (per-char cut spans in cycling
+    colors), or 'recognition' (contrib/recognition_boxes.py: per-char
+    boxes in the 7-color cycle at alpha 127, cycling across lines).
+    Map-only after one url-equi join; one task per partition,
+    Arrow-batched."""
+    if kind not in ("segmentation", "heatmap", "alignment", "recognition"):
         raise ValueError(f"unknown overlay kind {kind!r}")
     joined = extractions.join(
         documents.select("url", "html"), "url")
@@ -339,6 +341,9 @@ def overlay_extractions(documents: DataFrame, extractions: DataFrame,
                         maps = blla.compute_segmentation_map(
                             mask, blla.build_segmenter_ref())
                     out = overlay.overlay_heatmap(img, maps[0], alpha=alpha)
+                elif kind == "recognition":
+                    out = overlay.overlay_recognition_boxes(
+                        img, r.get("lines") or [])
                 else:
                     out = img if img.ndim == 3 else np.repeat(
                         img[:, :, None], 3, axis=2)
@@ -352,3 +357,73 @@ def overlay_extractions(documents: DataFrame, extractions: DataFrame,
 
     return joined.mapInArrow(
         gen, "url string, kind string, n_bytes int, png binary")
+
+
+def spread_hocr_words(pages: DataFrame,
+                      share_space: bool = True,
+                      confidence: bool = False,
+                      fix_big_words: bool = False,
+                      strict_quirks: bool = True) -> DataFrame:
+    """contrib/print_word_spreader.py as a Spark operator: normalize hOCR
+    word geometry page-by-page (kernels/hocr_spread.spread_hocr — space-
+    word removal with fudge-gap spreading, confidence summaries, big-box
+    fixes, namespaced-XHTML output; quirk notes in the kernel docstring).
+
+    Input: (url, document string[, width int, height int]) — width/height,
+    when present, play the reference's --imageDir role for rebuilding a
+    missing page bbox. Output: (url, n_space_removed, document). The
+    reference walks a directory sequentially (print_word_spreader.py:262-
+    299); here each page is one row in a map-only Arrow stage — no
+    shuffle, one task per partition at any corpus size."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import xml.etree.ElementTree as ET
+
+        from ..kernels import hocr_spread
+
+        schema = pa.schema([
+            pa.field("url", pa.string()),
+            pa.field("n_space_removed", pa.int32()),
+            pa.field("document", pa.string()),
+        ])
+        for batch in batches:
+            rows = []
+            for r in batch.to_pylist():
+                name = (r["url"] or "page").rsplit("/", 1)[-1]
+                size = None
+                if r.get("width") and r.get("height"):
+                    size = (int(r["width"]), int(r["height"]))
+                try:
+                    src = ET.fromstring(r["document"])
+                    ET.register_namespace("", hocr_spread.XHTML_NS)
+                    xhtml = hocr_spread._to_xhtml(src)
+                    if fix_big_words:
+                        try:
+                            hocr_spread.fix_word_span_area(xhtml, strict_quirks)
+                        except hocr_spread.BboxError:
+                            if size is None:
+                                raise
+                            hocr_spread.rewrite_ocr_page_title(
+                                xhtml, name, *size)
+                            hocr_spread.fix_word_span_area(xhtml, strict_quirks)
+                    hocr_spread.clean_ocr_page_title(xhtml, name)
+                    removed = 0
+                    if share_space:
+                        removed = hocr_spread.share_space_spans(
+                            xhtml, strict_quirks)
+                    if confidence:
+                        hocr_spread.confidence_summary(xhtml)
+                    doc = ET.tostring(xhtml, encoding="unicode",
+                                      xml_declaration=True)
+                except Exception:
+                    # the reference prints and skips failing files
+                    # (print_word_spreader.py:300-302); emit the original
+                    removed, doc = -1, r["document"]
+                rows.append({"url": r["url"], "n_space_removed": removed,
+                             "document": doc})
+            yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    cols = ["url", "document"] + [
+        c for c in ("width", "height") if c in pages.columns]
+    return pages.select(*cols).mapInArrow(
+        fn, "url string, n_space_removed int, document string")

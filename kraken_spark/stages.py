@@ -134,8 +134,7 @@ def extract_document(
     Vertical pages segment via rotate-segment-unrotate and their strips
     are rotated back before recognition (the reference's bbox crop +
     90° rotate, lib/segmentation.py:1631-1643)."""
-    from .kernels import binarize, lineextract, pageseg, png
-    from .kernels.metrics import cer as cer_fn
+    from .kernels import lineextract
     from .kernels.recognizer import recognize_page
 
     model, codec = _get_model()
@@ -182,91 +181,24 @@ def extract_document(
             # JSON Segmentation payload (the reference's JSON round-trip,
             # kraken.py:179-181,215-220): same pre-segmented path
             return _extract_from_json(html, out, gt_text, t0)
-        from .kernels import imgio
-
-        w0, h0 = imgio.read_dimensions(html)
-        if w0 * h0 > MAX_PAGE_PX:
-            raise ValueError(f"page exceeds admission cap: {w0}x{h0}")
-        # per-document wall-clock budget (SURVEY §7.5): a pathological page
-        # must not stall its whole partition — on breach the document is
-        # flagged and emitted empty, like the reference's endpoint cap
-        # (lib/segmentation.py:353-381). 0 disables (default).
-        budget_ms = float(os.environ.get("KRAKEN_SPARK_DOC_BUDGET_MS", "0") or 0)
-
-        def _check_budget(stage: str) -> None:
-            if budget_ms > 0 and (time.perf_counter() - t0) * 1000.0 > budget_ms:
-                raise TimeoutError(f"doc budget exceeded after {stage}")
-
-        img = png.to_grayscale(imgio.decode_image(html))
-        out["n_px"] = int(img.size)
-        out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
-        _check_budget("decode")
-        mask = binarize.nlbin(img, **(nlbin_params or {}))
-        _check_budget("binarize")
-        if no_segmentation:
-            # the kraken CLI's -s/--no-segmentation (kraken.py:566-570):
-            # each input image IS one text line — synthesize a whole-image
-            # bbox segmentation (rpred gets a single [0,0,w,h] box in the
-            # reference) and run the shared recognition tail. XML/JSON
-            # payloads never reach here (pre-segmented input routes
-            # above), matching the reference's xml-incompatibility check
-            # trim to the ink extent: the reference's line normalizer
-            # absorbs margins; our grid-aligned template recognizer needs
-            # the strip anchored on the glyph cells (blank input keeps
-            # the full frame and recognizes empty)
-            import numpy as np
-
-            rows = np.nonzero(mask.any(axis=1))[0]
-            cols = np.nonzero(mask.any(axis=0))[0]
-            if len(rows):
-                ly0, ly1 = int(rows[0]), int(rows[-1]) + 1
-                lx0, lx1 = int(cols[0]), int(cols[-1]) + 1
-            else:
-                ly0, lx0 = 0, 0
-                ly1, lx1 = mask.shape
-            seg = {
-                "guard_tripped": False,
-                "regions": [],
-                "lines": [{
-                    "id": pageseg.det_id(url, "noseg", 0),
-                    "rank": 0,
-                    "bbox": [lx0, ly0, lx1, ly1],
-                    "baseline": [[lx0, ly1 - 1], [max(lx1 - 1, lx0 + 1), ly1 - 1]],
-                    "boundary": [[lx0, ly0], [lx1, ly0], [lx1, ly1], [lx0, ly1]],
-                    "region_ids": [],
-                }],
-            }
-        elif segmenter in ("blla", "blla_curved", "blla_seam", "blla_ref", "blla_robust"):
-            from .kernels import blla
-
-            if segmenter == "blla_robust":
-                # degraded-scan preprocessing (kernels/degrade.py corpus):
-                # bleed-through intensity gate -> despeckle -> deskew, so
-                # the template recognizer sees undistorted glyph geometry
-                from .kernels.deskew import robust_preprocess
-
-                mask = robust_preprocess(img, mask)
-            seg = blla.segment_blla(
-                mask,
-                url=url,
-                text_direction=text_direction,
-                boundary_mode="seam" if segmenter == "blla_seam" else "rect",
-                vectorizer="reference"
-                if segmenter in ("blla_ref", "blla_robust")
-                else "analog",
-            )
-        elif True:
-            seg = pageseg.segment(mask, url=url, text_direction=text_direction)
-        _check_budget("segment")
-        out["guard_tripped"] = seg["guard_tripped"]
-        if segmenter == "blla_curved":
+        img, mask, seg = _decode_and_segment(
+            html, url, out, segmenter, text_direction, vertical,
+            no_segmentation, nlbin_params, t0
+        )
+        if kraken_model_path:
+            # the loaded-model path recognizes from the grayscale page
+            # (polygon/bbox extraction happens inside rpred_parity with the
+            # reference's own crop semantics) — the default-path strips
+            # below would be computed and discarded, so skip them
+            strips = None
+        elif segmenter == "blla_curved":
             # curved baselines: piecewise per-cell dewarp to straight strips
             strips = [
                 lineextract.extract_line_dewarped(mask, l)[0] for l in seg["lines"]
             ]
         else:
             strips = [lineextract.extract_line(mask, l)[0] for l in seg["lines"]]
-        if vertical:
+        if vertical and strips is not None:
             # strips were cropped from the vertical page: rotate back to
             # horizontal before recognition (lib/segmentation.py:1631-1643)
             import numpy as np
@@ -298,72 +230,179 @@ def extract_document(
             ]
         else:
             records = recognize_page(model, codec, strips, base_dir=base_dir)
-        lines = []
-        for l, r in zip(seg["lines"], records):
-            x0 = l["bbox"][0]
-            if vertical:
-                # the reading axis is page-y; strip-x c maps to y1 - c
-                y1b = l["bbox"][3]
-                cuts = [[y1b - c[1], y1b - c[0]] for c in r["cuts"]]
-            else:
-                cuts = [[c[0] + x0, c[1] + x0] for c in r["cuts"]]
-            lines.append(
-                {
-                    "id": l["id"],
-                    "rank": l["rank"],
-                    "bbox": l["bbox"],
-                    "baseline": l["baseline"],
-                    "boundary": l["boundary"],
-                    "region_ids": l["region_ids"],
-                    "prediction": r["prediction"],
-                    "cuts": cuts,
-                    "confidences": r["confidences"],
-                    "display_order": r["display_order"],
-                    # segmenter output carries no semantic labels: default
-                    # type tag + page language (containers.py:88 default)
-                    "tags": l.get("tags") or '{"type": [{"type": "default"}]}',
-                    "language": l.get("language") or ([lang] if lang else []),
-                }
-            )
-        out["lines"] = lines
-        out["regions"] = [
-            {
-                "id": rg["id"],
-                "region_type": rg["region_type"],
-                "boundary": rg["boundary"],
-                "rank": rg["rank"],
-                "tags": rg.get("tags")
-                or '{"type": [{"type": "' + rg["region_type"] + '"}]}',
-                "language": rg.get("language") or ([lang] if lang else []),
-            }
-            for rg in seg["regions"]
-        ]
-        out["n_lines"] = len(lines)
-        out["n_regions"] = len(out["regions"])
-        out["text"] = "\n".join(l["prediction"] for l in lines)
-        # alternative neural reading order (Segmentation.line_orders; the
-        # reference appends neural RO as an alternative order, blla.py:381-461)
-        if lines:
-            from .kernels.ro import neural_reading_order
-
-            # class feature 1 = RTL page: the trained RO MLP
-            # (kernels/ro_train.py) flips the column-major order sign on it
-            out["line_orders"] = [
-                neural_reading_order(
-                    [tuple(l["bbox"]) for l in lines],
-                    classes=[1 if base_dir == "R" else 0] * len(lines),
-                    w=out["width"] or 1,
-                    h=out["height"] or 1,
-                )
-            ]
-        if gt_text is not None:
-            out["cer"] = float(cer_fn(gt_text, out["text"]))
+        _assemble_extraction(out, seg["lines"], records, seg["regions"],
+                             vertical, lang, base_dir, gt_text)
     except Exception:
         # failed page -> empty extraction, flagged; mirrors the reference's
         # empty-record-on-failure semantics (rpred.py:202-223)
         out["guard_tripped"] = True
         out["cer"] = 1.0 if gt_text else None
     out["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+    return out
+
+
+def _decode_and_segment(
+    html: bytes, url: str, out: dict, segmenter: str,
+    text_direction: str, vertical: bool, no_segmentation: bool,
+    nlbin_params: dict | None, t0: float,
+):
+    """Shared front half of the per-page chain: admission check -> decode
+    -> nlbin -> segmentation dispatch, mutating `out`'s page fields.
+    Raises on failure (callers wrap, emitting the guard-tripped empty
+    row). Used by the fused extract_document AND the line-parallel plan's
+    prepare stage (pipeline_lines.py) so both stay byte-identical."""
+    from .kernels import binarize, imgio, pageseg, png
+
+    w0, h0 = imgio.read_dimensions(html)
+    if w0 * h0 > MAX_PAGE_PX:
+        raise ValueError(f"page exceeds admission cap: {w0}x{h0}")
+    # per-document wall-clock budget (SURVEY §7.5): a pathological page
+    # must not stall its whole partition — on breach the document is
+    # flagged and emitted empty, like the reference's endpoint cap
+    # (lib/segmentation.py:353-381). 0 disables (default).
+    budget_ms = float(os.environ.get("KRAKEN_SPARK_DOC_BUDGET_MS", "0") or 0)
+
+    def _check_budget(stage: str) -> None:
+        if budget_ms > 0 and (time.perf_counter() - t0) * 1000.0 > budget_ms:
+            raise TimeoutError(f"doc budget exceeded after {stage}")
+
+    img = png.to_grayscale(imgio.decode_image(html))
+    out["n_px"] = int(img.size)
+    out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
+    _check_budget("decode")
+    mask = binarize.nlbin(img, **(nlbin_params or {}))
+    _check_budget("binarize")
+    if no_segmentation:
+        # the kraken CLI's -s/--no-segmentation (kraken.py:566-570):
+        # each input image IS one text line — synthesize a whole-image
+        # bbox segmentation (rpred gets a single [0,0,w,h] box in the
+        # reference) and run the shared recognition tail. XML/JSON
+        # payloads never reach here (pre-segmented input routes
+        # above), matching the reference's xml-incompatibility check
+        # trim to the ink extent: the reference's line normalizer
+        # absorbs margins; our grid-aligned template recognizer needs
+        # the strip anchored on the glyph cells (blank input keeps
+        # the full frame and recognizes empty)
+        import numpy as np
+
+        rows = np.nonzero(mask.any(axis=1))[0]
+        cols = np.nonzero(mask.any(axis=0))[0]
+        if len(rows):
+            ly0, ly1 = int(rows[0]), int(rows[-1]) + 1
+            lx0, lx1 = int(cols[0]), int(cols[-1]) + 1
+        else:
+            ly0, lx0 = 0, 0
+            ly1, lx1 = mask.shape
+        seg = {
+            "guard_tripped": False,
+            "regions": [],
+            "lines": [{
+                "id": pageseg.det_id(url, "noseg", 0),
+                "rank": 0,
+                "bbox": [lx0, ly0, lx1, ly1],
+                "baseline": [[lx0, ly1 - 1], [max(lx1 - 1, lx0 + 1), ly1 - 1]],
+                "boundary": [[lx0, ly0], [lx1, ly0], [lx1, ly1], [lx0, ly1]],
+                "region_ids": [],
+            }],
+        }
+    elif segmenter in ("blla", "blla_curved", "blla_seam", "blla_ref", "blla_robust"):
+        from .kernels import blla
+
+        if segmenter == "blla_robust":
+            # degraded-scan preprocessing (kernels/degrade.py corpus):
+            # bleed-through intensity gate -> despeckle -> deskew, so
+            # the template recognizer sees undistorted glyph geometry
+            from .kernels.deskew import robust_preprocess
+
+            mask = robust_preprocess(img, mask)
+        seg = blla.segment_blla(
+            mask,
+            url=url,
+            text_direction=text_direction,
+            boundary_mode="seam" if segmenter == "blla_seam" else "rect",
+            vectorizer="reference"
+            if segmenter in ("blla_ref", "blla_robust")
+            else "analog",
+        )
+    else:
+        seg = pageseg.segment(mask, url=url, text_direction=text_direction)
+    _check_budget("segment")
+    out["guard_tripped"] = seg["guard_tripped"]
+    return img, mask, seg
+
+
+def _assemble_extraction(
+    out: dict, seg_lines: list[dict], records: list[dict],
+    seg_regions: list[dict], vertical: bool, lang: str, base_dir: str,
+    gt_text: str | None,
+) -> dict:
+    """Shared back half: recognized records + segmentation geometry ->
+    the extraction row's lines/regions/text/line_orders/cer fields.
+    Used by the fused extract_document AND the line-parallel plan's
+    assemble stage (pipeline_lines.py) — one code path, bit-identical
+    output by construction."""
+    from .kernels.metrics import cer as cer_fn
+
+    lines = []
+    for l, r in zip(seg_lines, records):
+        x0 = l["bbox"][0]
+        if vertical:
+            # the reading axis is page-y; strip-x c maps to y1 - c
+            y1b = l["bbox"][3]
+            cuts = [[y1b - c[1], y1b - c[0]] for c in r["cuts"]]
+        else:
+            cuts = [[c[0] + x0, c[1] + x0] for c in r["cuts"]]
+        lines.append(
+            {
+                "id": l["id"],
+                "rank": l["rank"],
+                "bbox": l["bbox"],
+                "baseline": l["baseline"],
+                "boundary": l["boundary"],
+                "region_ids": l["region_ids"],
+                "prediction": r["prediction"],
+                "cuts": cuts,
+                "confidences": r["confidences"],
+                "display_order": r["display_order"],
+                # segmenter output carries no semantic labels: default
+                # type tag + page language (containers.py:88 default)
+                "tags": l.get("tags") or '{"type": [{"type": "default"}]}',
+                "language": l.get("language") or ([lang] if lang else []),
+            }
+        )
+    out["lines"] = lines
+    out["regions"] = [
+        {
+            "id": rg["id"],
+            "region_type": rg["region_type"],
+            "boundary": rg["boundary"],
+            "rank": rg["rank"],
+            "tags": rg.get("tags")
+            or '{"type": [{"type": "' + rg["region_type"] + '"}]}',
+            "language": rg.get("language") or ([lang] if lang else []),
+        }
+        for rg in seg_regions
+    ]
+    out["n_lines"] = len(lines)
+    out["n_regions"] = len(out["regions"])
+    out["text"] = "\n".join(l["prediction"] for l in lines)
+    # alternative neural reading order (Segmentation.line_orders; the
+    # reference appends neural RO as an alternative order, blla.py:381-461)
+    if lines:
+        from .kernels.ro import neural_reading_order
+
+        # class feature 1 = RTL page: the trained RO MLP
+        # (kernels/ro_train.py) flips the column-major order sign on it
+        out["line_orders"] = [
+            neural_reading_order(
+                [tuple(l["bbox"]) for l in lines],
+                classes=[1 if base_dir == "R" else 0] * len(lines),
+                w=out["width"] or 1,
+                h=out["height"] or 1,
+            )
+        ]
+    if gt_text is not None:
+        out["cer"] = float(cer_fn(gt_text, out["text"]))
     return out
 
 

@@ -31,10 +31,11 @@ def test_oracle_coverage():
     import __spark_entry__ as E
 
     qs, os_ = E.queries(), E.oracle_sql()
-    # 33 queries are exactly oracle-checked as of round 5 — dropping below
-    # that is a regression, not a consolidation
-    assert len(os_) >= 33
-    x_with_oracle = {"x_extract_metrics", "x_seg_quality"}
+    # 34 queries are exactly oracle-checked as of round 5 (x_ocr_report
+    # converted in the continuation) — dropping below that is a
+    # regression, not a consolidation
+    assert len(os_) >= 34
+    x_with_oracle = {"x_extract_metrics", "x_seg_quality", "x_ocr_report"}
     for name in qs:
         if name.startswith("x_") and name not in x_with_oracle:
             assert name not in os_, f"{name} unexpectedly grew an oracle"

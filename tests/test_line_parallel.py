@@ -1,0 +1,118 @@
+"""Line-parallel loaded-model extraction (pipeline_lines.py) must match
+the fused plan row-for-row: predictions/cuts/geometry EXACT, confidences
+to float tolerance (the tests/test_batched_rpred.py contract — chunk
+composition differs between plans, which only moves GEMM rounding at the
+ulp level). wall_ms/partition_id are timing/placement metrics and are
+excluded."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from kraken_spark.kernels.rec_train import ASSET as REC_ASSET
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REC_ASSET), reason="trained recognizer asset missing")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from kraken_spark.session import get_spark
+
+    s = get_spark(app="tests-line-parallel", cores=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _rows_by_url(df):
+    return {r["url"]: r.asDict(recursive=True) for r in df.collect()}
+
+
+def _assert_row_parity(a: dict, b: dict):
+    for k in ("wall_ms", "partition_id"):
+        a.pop(k), b.pop(k)
+    la, lb = a.pop("lines"), b.pop("lines")
+    assert a == b
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        cx, cy = x.pop("confidences"), y.pop("confidences")
+        assert x == y
+        assert np.allclose(cx or [], cy or [], atol=1e-5)
+
+
+def test_line_parallel_matches_fused_plan(spark):
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.pipeline_lines import plan_extraction_line_parallel
+
+    docs = generate_corpus_df(spark, 8).localCheckpoint(eager=True)
+    fused = _rows_by_url(plan_extraction(
+        docs, num_partitions=4, segmenter="blla",
+        kraken_model_path=REC_ASSET))
+    lp = _rows_by_url(plan_extraction_line_parallel(
+        docs, num_partitions=4, segmenter="blla",
+        kraken_model_path=REC_ASSET, line_partitions=8))
+    assert set(fused) == set(lp)
+    assert any(r["n_lines"] > 0 for r in fused.values())
+    for url in fused:
+        _assert_row_parity(fused[url], lp[url])
+
+
+def test_line_parallel_handles_preseg_and_garbage(spark):
+    """Non-image payloads (XML: complete in prepare) and garbage bytes
+    (guard-tripped complete row) flow through the line-parallel plan
+    exactly like the fused one."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.operators.serialization import serialize_extractions
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.pipeline_lines import plan_extraction_line_parallel
+
+    docs = generate_corpus_df(spark, 2).localCheckpoint(eager=True)
+    alto = serialize_extractions(
+        plan_extraction(docs, num_partitions=2), "alto").collect()
+    mixed = spark.createDataFrame(
+        [(r.url + "#alto", bytearray(r.document.encode("utf-8")), "", "en")
+         for r in alto]
+        + [("garbage://1", bytearray(b"\x00\x01notapng"), "", "en")],
+        "url string, html binary, text string, lang string",
+    ).localCheckpoint(eager=True)
+    fused = _rows_by_url(plan_extraction(
+        mixed, num_partitions=2, kraken_model_path=REC_ASSET))
+    lp = _rows_by_url(plan_extraction_line_parallel(
+        mixed, num_partitions=2, kraken_model_path=REC_ASSET,
+        line_partitions=4))
+    assert set(fused) == set(lp)
+    assert fused["garbage://1"]["guard_tripped"]
+    for url in fused:
+        _assert_row_parity(fused[url], lp[url])
+
+
+def test_line_parallel_requires_model_path(spark):
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline_lines import plan_extraction_line_parallel
+
+    with pytest.raises(ValueError, match="loaded-model"):
+        plan_extraction_line_parallel(generate_corpus_df(spark, 1))
+
+
+def test_u8_prep_roundtrip_is_bit_exact():
+    """The uint8 transport form reproduces the float prep bit-for-bit
+    (the quantization points in rpred_parity._prep_bbox/_prep_baseline
+    are uint8 by construction)."""
+    from kraken_spark.kernels import png
+    from kraken_spark.kernels.modelio import load_kraken_model
+    from kraken_spark.kernels.rpred_parity import LoadedRecognizer
+
+    res = "/root/reference/tests/resources"
+    if not os.path.exists(f"{res}/000236.png"):
+        pytest.skip("reference resources missing")
+    img = png.decode_png(open(f"{res}/000236.png", "rb").read())
+    rec = LoadedRecognizer(load_kraken_model(f"{res}/overfit.mlmodel")[0])
+    bbox = [0, 0, 1200, 156]
+    ts, bw = rec._prep_bbox(img, bbox)
+    u8, bw2 = rec._prep_bbox_u8(img, bbox)
+    assert bw == bw2
+    assert (u8.astype(np.float32) / 255.0 == ts).all()

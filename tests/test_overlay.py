@@ -70,7 +70,7 @@ def test_overlay_extractions_spark_face(tmp_path):
     spark.sparkContext.setLogLevel("ERROR")
     docs = generate_corpus_df(spark, 2).localCheckpoint(eager=True)
     ext = plan_extraction(docs, num_partitions=2, segmenter="blla")
-    for kind in ("segmentation", "heatmap", "alignment"):
+    for kind in ("segmentation", "heatmap", "alignment", "recognition"):
         rows = overlay_extractions(docs, ext, kind=kind).collect()
         assert len(rows) == 2, kind
         for r in rows:

@@ -474,3 +474,24 @@ def test_codec_total_functions_on_valid_prefixes(data):
         rasterize_pdf(b"%PDF-1.4\n" + data)
     except ValueError:  # PdfError subclasses ValueError
         pass
+
+
+@given(
+    st.text(alphabet="abcde ابت中é", max_size=60),
+    st.text(alphabet="abcde ابت中é", max_size=60),
+)
+def test_myers_levenshtein_equals_row_dp(a, b):
+    """The bit-parallel levenshtein (Myers/Hyyrö big-int bitvectors) must
+    equal the classic row DP on arbitrary unicode inputs — the exactness
+    pin for the round-5 replacement of the numpy scan-min recurrence."""
+    from kraken_spark.kernels.metrics import levenshtein
+
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    assert levenshtein(a, b) == prev[lb]
