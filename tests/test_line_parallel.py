@@ -90,6 +90,26 @@ def test_line_parallel_handles_preseg_and_garbage(spark):
         _assert_row_parity(fused[url], lp[url])
 
 
+def test_line_parallel_vertical_direction_parity(spark):
+    """Vertical pages (rotate-segment-unrotate geometry, cut spans mapped
+    through the page-y axis in assembly) stay row-identical through the
+    line-parallel split."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import plan_extraction
+    from kraken_spark.pipeline_lines import plan_extraction_line_parallel
+
+    docs = generate_corpus_df(spark, 3).localCheckpoint(eager=True)
+    fused = _rows_by_url(plan_extraction(
+        docs, num_partitions=2, text_direction="vertical",
+        kraken_model_path=REC_ASSET))
+    lp = _rows_by_url(plan_extraction_line_parallel(
+        docs, num_partitions=2, text_direction="vertical",
+        kraken_model_path=REC_ASSET, line_partitions=4))
+    assert set(fused) == set(lp)
+    for url in fused:
+        _assert_row_parity(fused[url], lp[url])
+
+
 def test_line_parallel_requires_model_path(spark):
     from kraken_spark.corpus import generate_corpus_df
     from kraken_spark.pipeline_lines import plan_extraction_line_parallel
