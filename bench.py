@@ -220,23 +220,39 @@ def run_headline() -> None:
             tr_best = dt if tr_best is None else min(tr_best, dt)
         out["trained_rec_docs_per_sec"] = round(24 / tr_best, 3)
 
-        # Line-parallel variant (pipeline_lines.plan_extraction_line_
-        # parallel): same slice, same model, but recognition is line-
-        # repartitioned so a many-line outlier page is no longer one
-        # indivisible task — the skew-bounding option for loaded-model
-        # corpora (parity with the fused plan pinned in
-        # tests/test_line_parallel.py)
+        # Line-parallel plan (pipeline_lines.plan_extraction_line_
+        # parallel) measured in ITS regime — the extreme-skew slice (the
+        # 4 largest pages, incl. the 121-line outlier, at local[32]):
+        # with docs << cores the fused plan's wall IS the worst page,
+        # the exact situation the line split exists for. Both plans are
+        # timed on the same slice (parity pinned in
+        # tests/test_line_parallel.py); the 24-doc leg above stays the
+        # canonical fused trained-rec figure.
+        import pyspark.sql.functions as _F
+
         from kraken_spark.pipeline_lines import plan_extraction_line_parallel
 
-        lp_best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(plan_extraction_line_parallel(
-                slice24, num_partitions=CPUS, segmenter="blla",
-                kraken_model_path=_REC_ASSET, line_partitions=CPUS))
-            dt = time.perf_counter() - t0
-            lp_best = dt if lp_best is None else min(lp_best, dt)
-        out["trained_rec_lp_docs_per_sec"] = round(24 / lp_best, 3)
+        skew4 = (corpus_for(spark, SF_DIR)
+                 .withColumn("sz", _F.octet_length("html"))
+                 .orderBy(_F.desc("sz")).limit(4).drop("sz")
+                 .localCheckpoint(eager=True))
+        for key, plan in (
+            ("skew4_fused_docs_per_sec",
+             lambda: plan_extraction(skew4, num_partitions=CPUS,
+                                     segmenter="blla",
+                                     kraken_model_path=_REC_ASSET)),
+            ("skew4_lp_docs_per_sec",
+             lambda: plan_extraction_line_parallel(
+                 skew4, num_partitions=CPUS, segmenter="blla",
+                 kraken_model_path=_REC_ASSET)),
+        ):
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(plan())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[key] = round(4 / best, 3)
 
     # Sustained-scale figure (BASELINE.md protocol, in the per-round
     # artifact): one timed fused-extraction pass over a 20480-doc corpus at
