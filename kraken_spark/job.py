@@ -134,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
         "--model repo:<id> resolution — the kraken get/list/show analog "
         "(kraken_spark/repo.py)",
     )
+    ap.add_argument(
+        "--line-parallel", action="store_true",
+        help="route --model recognition through the line-granular skew "
+        "plan (pipeline_lines.plan_extraction_line_parallel): a "
+        "many-line outlier page is split across tasks at the line "
+        "boundary instead of running as one straggler; output rows are "
+        "identical to the default plan",
+    )
     ap.add_argument("--list-models", action="store_true",
                     help="list repository models grouped by concept id")
     ap.add_argument("--show-model", default=None, metavar="ID",
@@ -498,6 +506,10 @@ def main(argv: list[str] | None = None) -> int:
         "cdx-NNNNN.gz shards + cluster.idx (sources/warc.write_cdx_shards)",
     )
     args = ap.parse_args(argv)
+
+    if args.line_parallel and not args.model:
+        ap.error("--line-parallel requires --model (it is the loaded-model "
+                 "skew path; the default recognizer never needs it)")
 
     if args.list_models or args.show_model or args.get_model or args.publish_model:
         # driver-only repository verbs (kraken get/list/show + ketos
@@ -928,6 +940,7 @@ def main(argv: list[str] | None = None) -> int:
                 ("threshold", args.threshold), ("escale", args.escale),
                 ("perc", args.perc), ("low", args.low),
                 ("high", args.high)) if v is not None} or None,
+            line_parallel=args.line_parallel,
         )
     if args.serialize:
         ext = read_output(spark, args.output, args.table_format)

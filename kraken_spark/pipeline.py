@@ -175,6 +175,7 @@ def run_extraction(
     no_segmentation: bool = False,
     temperature: float = 1.0,
     nlbin_params: dict | None = None,
+    line_parallel: bool = False,
 ) -> DataFrame:
     """Execute extraction; optionally persist results + metrics.
 
@@ -182,6 +183,10 @@ def run_extraction(
     segment/ocr options (-x/--boxes vs -bl/--baseline,
     -d/--text-direction, -s/--no-segmentation) forwarded to
     plan_extraction.
+
+    line_parallel=True routes through the line-granular skew plan
+    (pipeline_lines.plan_extraction_line_parallel — loaded-model only;
+    row-identical output, see that module's cost model for when it wins).
 
     table_format='parquet' appends plain parquet; table_format='ice'
     commits an atomic snapshot to a committed-snapshot table
@@ -199,12 +204,23 @@ def run_extraction(
     join back to the precise data snapshot they describe, and a crash
     between the two commits leaves a data snapshot whose metrics can be
     backfilled from that recorded watermark rather than double-counted."""
-    ext = plan_extraction(documents, num_partitions, segmenter=segmenter,
-                          text_direction=text_direction,
-                          kraken_model_path=kraken_model_path,
-                          no_segmentation=no_segmentation,
-                          temperature=temperature,
-                          nlbin_params=nlbin_params)
+    if line_parallel:
+        from .pipeline_lines import plan_extraction_line_parallel
+
+        ext = plan_extraction_line_parallel(
+            documents, num_partitions, segmenter=segmenter,
+            text_direction=text_direction,
+            kraken_model_path=kraken_model_path,
+            no_segmentation=no_segmentation,
+            temperature=temperature,
+            nlbin_params=nlbin_params)
+    else:
+        ext = plan_extraction(documents, num_partitions, segmenter=segmenter,
+                              text_direction=text_direction,
+                              kraken_model_path=kraken_model_path,
+                              no_segmentation=no_segmentation,
+                              temperature=temperature,
+                              nlbin_params=nlbin_params)
     if out_path:
         spark = documents.sparkSession
         if table_format == "ice":

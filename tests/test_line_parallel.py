@@ -118,6 +118,25 @@ def test_line_parallel_requires_model_path(spark):
         plan_extraction_line_parallel(generate_corpus_df(spark, 1))
 
 
+def test_run_extraction_line_parallel_commits_same_rows(spark, tmp_path):
+    """run_extraction(line_parallel=True) — the job.py --line-parallel
+    path — persists the same extraction rows as the fused plan (text,
+    counts, cer), end-to-end through the parquet sink."""
+    from kraken_spark.corpus import generate_corpus_df
+    from kraken_spark.pipeline import run_extraction
+
+    docs = generate_corpus_df(spark, 4).localCheckpoint(eager=True)
+    out_a = str(tmp_path / "fused")
+    out_b = str(tmp_path / "lp")
+    run_extraction(docs, out_path=out_a, kraken_model_path=REC_ASSET)
+    run_extraction(docs, out_path=out_b, kraken_model_path=REC_ASSET,
+                   line_parallel=True)
+    key = ["url", "text", "n_lines", "n_regions", "cer", "guard_tripped"]
+    a = sorted(spark.read.parquet(out_a).select(key).collect())
+    b = sorted(spark.read.parquet(out_b).select(key).collect())
+    assert a == b and len(a) == 4
+
+
 def test_u8_prep_roundtrip_is_bit_exact():
     """The uint8 transport form reproduces the float prep bit-for-bit
     (the quantization points in rpred_parity._prep_bbox/_prep_baseline
