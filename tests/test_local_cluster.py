@@ -153,3 +153,74 @@ def test_ice_datasource_on_local_cluster_via_pyfiles(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "LC_ICE_DS_OK" in r.stdout
+
+
+def test_line_parallel_on_local_cluster_via_pyfiles(tmp_path):
+    """The line-parallel loaded-model plan under REAL executor JVMs with
+    the zip-only deploy: its extra hops vs the fused plan (line-salted
+    repartition between two Arrow stages, then a groupBy.applyInArrow
+    assembly) all cross real executor boundaries here, and the rows must
+    still match the fused plan exactly (text/cer/counts). The model file
+    is passed by filesystem path — the single-box analog of shipping it
+    with spark-submit --files."""
+    import os
+
+    from kraken_spark.kernels.rec_train import ASSET
+
+    if not os.path.exists(ASSET):
+        import pytest
+
+        pytest.skip("trained recognizer asset missing")
+    sys.path.insert(0, str(ROOT / "tools"))
+    try:
+        import build_pyfiles
+    finally:
+        sys.path.pop(0)
+    z = tmp_path / "kraken_spark.zip"
+    build_pyfiles.build(z)
+    script = textwrap.dedent(
+        f"""
+        import sys
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local-cluster[2,2,2048]")
+            .config("spark.submit.pyFiles", {str(z)!r})
+            .config("spark.executor.memory", "2g")
+            .config("spark.sql.shuffle.partitions", "4")
+            .appName("lc-lp")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.sparkContext.addPyFile({str(z)!r})
+        sys.path.insert(0, {str(z)!r})
+        import kraken_spark
+        assert ".zip" in kraken_spark.__file__, kraken_spark.__file__
+        from kraken_spark.corpus import generate_corpus_df
+        from kraken_spark.pipeline import plan_extraction
+        from kraken_spark.pipeline_lines import plan_extraction_line_parallel
+
+        docs = generate_corpus_df(spark, 6).localCheckpoint(eager=True)
+        cols = ["url", "text", "n_lines", "n_regions", "cer"]
+        fused = sorted(plan_extraction(
+            docs, num_partitions=4,
+            kraken_model_path={str(ASSET)!r}).select(cols).collect())
+        lp = sorted(plan_extraction_line_parallel(
+            docs, num_partitions=4, kraken_model_path={str(ASSET)!r},
+            line_partitions=4).select(cols).collect())
+        assert len(fused) == 6 and fused == lp
+        n = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        assert n == 3, n
+        spark.stop()
+        print("LC_LP_OK")
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "LC_LP_OK" in r.stdout
