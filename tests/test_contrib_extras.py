@@ -270,3 +270,42 @@ def test_script_of_lookup():
         0x61, [(0x61, None, "Latin")]) == "Latin"
     assert scripts_gen.script_of(
         0x62, [(0x61, None, "Latin")]) is None
+
+
+def test_spread_hocr_removes_our_own_record_derived_space_words():
+    """Our record-derived hOCR emits whitespace segments as ocrx_word
+    spans exactly like the reference's template (segments_for_record
+    keeps words AND whitespace runs) — the spreader's share_space_spans
+    has real work on OUR output, not just on kraken's."""
+    from kraken_spark.kernels.serialize import to_hocr
+
+    row = {
+        "url": "http://x/r1", "width": 300, "height": 100,
+        "lines": [{
+            "id": "l0", "rank": 0, "bbox": [0, 0, 200, 30],
+            "baseline": [[0, 25], [200, 25]],
+            "boundary": [[0, 0], [200, 0], [200, 30], [0, 30]],
+            "region_ids": [], "prediction": "ab cd",
+            "cuts": [[[0, 0], [10, 0], [10, 30], [0, 30]]] * 5,
+            "confidences": [0.9] * 5,
+            "display_order": False,
+            "segments": [
+                {"text": "ab", "is_space": False, "index": 0,
+                 "bbox": [0, 0, 40, 30], "confidences": [0.9, 0.9]},
+                {"text": " ", "is_space": True, "index": 1,
+                 "bbox": [40, 0, 60, 30], "confidences": [0.9]},
+                {"text": "cd", "is_space": False, "index": 2,
+                 "bbox": [60, 0, 100, 30], "confidences": [0.9, 0.9]},
+            ],
+        }],
+        "regions": [],
+    }
+    doc = to_hocr(row)
+    assert "> </span>" in doc or '> </span>' in doc  # space word present
+    out = hocr_spread.spread_hocr(doc, "r1.html", strict_quirks=False)
+    root = ET.fromstring(out)
+    words = _words(root)
+    assert [w.text for w in words] == ["ab", "cd"]
+    # gap 60-40=20 -> third=6 -> fudges capped at 5 (left) and 6 (right)
+    assert hocr_spread.get_bbox_val(words[0], 2) == 45
+    assert hocr_spread.get_bbox_val(words[1], 0) == 54
