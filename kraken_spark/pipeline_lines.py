@@ -320,7 +320,13 @@ def plan_extraction_line_parallel(
     plan shape and the cost model vs the fused plan). kraken_model_path
     is required: the matched-filter default is ~130x cheaper per line and
     never needs line-level balancing (its skew is handled by the fused
-    plan's weight salt)."""
+    plan's weight salt).
+
+    `url` must be unique in `documents` (it is the documents-table key
+    everywhere in this engine — resume anti-joins, icetable merge keys,
+    FIXTURES.md): the assembly stage groups by url, so duplicate-url rows
+    would merge here where the row-independent fused plan would emit one
+    row each."""
     if not kraken_model_path:
         raise ValueError(
             "plan_extraction_line_parallel is the loaded-model skew path; "
