@@ -197,3 +197,26 @@ def test_no_query_resorts_an_arrow_stage_globally(spark):
                 "rangepartitioning" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_line_parallel_plan_shape(spark):
+    """The line-parallel loaded-model plan is exactly three hash
+    exchanges — weight salt below prepare, line salt below recognize,
+    url hash below the grouped assembly — with no RangePartitioning
+    (sort sampling would re-execute an Arrow stage) and no global Sort
+    anywhere."""
+    import os
+
+    from kraken_spark.corpus import corpus_for
+    from kraken_spark.kernels.rec_train import ASSET
+    from kraken_spark.pipeline_lines import plan_extraction_line_parallel
+
+    if not os.path.exists(ASSET):
+        pytest.skip("trained recognizer asset missing")
+    docs = corpus_for(spark, SF)
+    plan = _plan(plan_extraction_line_parallel(
+        docs, num_partitions=4, kraken_model_path=ASSET,
+        line_partitions=4))
+    assert plan.count("Exchange") == 3
+    assert "rangepartitioning" not in plan.lower()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
