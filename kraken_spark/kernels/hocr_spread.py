@@ -256,13 +256,15 @@ def spread_hocr(
     fix_big_words: bool = False,
     image_size: tuple[int, int] | None = None,
     strict_quirks: bool = True,
-) -> str:
+    return_count: bool = False,
+):
     """One-document driver mirroring the reference's per-file loop
     (print_word_spreader.py:262-299): parse -> XHTML re-namespace ->
     optional big-word fix (falling back to a page-title rebuild from
     `image_size` on BboxError) -> page-title cleanup -> optional
     space-span sharing -> optional confidence summary -> serialized
-    XHTML string."""
+    XHTML string. With return_count, returns (document,
+    n_space_spans_removed) instead — the Spark face's report column."""
     src = ET.fromstring(hocr)
     ET.register_namespace("", XHTML_NS)
     xhtml = _to_xhtml(src)
@@ -275,8 +277,10 @@ def spread_hocr(
             rewrite_ocr_page_title(xhtml, file_name, *image_size)
             fix_word_span_area(xhtml, strict_quirks)
     clean_ocr_page_title(xhtml, file_name)
+    removed = 0
     if share_space:
-        share_space_spans(xhtml, strict_quirks)
+        removed = share_space_spans(xhtml, strict_quirks)
     if confidence:
         confidence_summary(xhtml)
-    return ET.tostring(xhtml, encoding="unicode", xml_declaration=True)
+    doc = ET.tostring(xhtml, encoding="unicode", xml_declaration=True)
+    return (doc, removed) if return_count else doc

@@ -377,9 +377,7 @@ def spread_hocr_words(pages: DataFrame,
     shuffle, one task per partition at any corpus size."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import xml.etree.ElementTree as ET
-
-        from ..kernels import hocr_spread
+        from ..kernels.hocr_spread import spread_hocr
 
         schema = pa.schema([
             pa.field("url", pa.string()),
@@ -394,27 +392,11 @@ def spread_hocr_words(pages: DataFrame,
                 if r.get("width") and r.get("height"):
                     size = (int(r["width"]), int(r["height"]))
                 try:
-                    src = ET.fromstring(r["document"])
-                    ET.register_namespace("", hocr_spread.XHTML_NS)
-                    xhtml = hocr_spread._to_xhtml(src)
-                    if fix_big_words:
-                        try:
-                            hocr_spread.fix_word_span_area(xhtml, strict_quirks)
-                        except hocr_spread.BboxError:
-                            if size is None:
-                                raise
-                            hocr_spread.rewrite_ocr_page_title(
-                                xhtml, name, *size)
-                            hocr_spread.fix_word_span_area(xhtml, strict_quirks)
-                    hocr_spread.clean_ocr_page_title(xhtml, name)
-                    removed = 0
-                    if share_space:
-                        removed = hocr_spread.share_space_spans(
-                            xhtml, strict_quirks)
-                    if confidence:
-                        hocr_spread.confidence_summary(xhtml)
-                    doc = ET.tostring(xhtml, encoding="unicode",
-                                      xml_declaration=True)
+                    doc, removed = spread_hocr(
+                        r["document"], name, share_space=share_space,
+                        confidence=confidence, fix_big_words=fix_big_words,
+                        image_size=size, strict_quirks=strict_quirks,
+                        return_count=True)
                 except Exception:
                     # the reference prints and skips failing files
                     # (print_word_spreader.py:300-302); emit the original

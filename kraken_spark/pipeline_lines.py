@@ -43,7 +43,6 @@ this one's straggler bound is max-line-cost, not max-page-cost.
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Iterator
 
@@ -72,7 +71,8 @@ _PREP_ARROW = pa.schema([
 
 _REC_DDL = (
     "url string, line_idx int, complete boolean, page_meta string, "
-    "prediction string, cuts string, confidences array<float>"
+    "prediction string, cuts string, confidences array<float>, "
+    "rec_ms double"
 )
 _REC_ARROW = pa.schema([
     pa.field("url", pa.string()),
@@ -82,6 +82,7 @@ _REC_ARROW = pa.schema([
     pa.field("prediction", pa.string()),
     pa.field("cuts", pa.string()),
     pa.field("confidences", pa.list_(pa.float32())),
+    pa.field("rec_ms", pa.float64()),
 ])
 
 PAD = 16  # stages' recognize_lines call uses the rpred default padding
@@ -105,10 +106,15 @@ def _prepare_one(html, url, lang, gt_text, segmenter, text_direction,
     row, which never involves recognition for those payloads); image
     pages produce a page-meta row plus one row per segmented line."""
     from . import stages
-    from .stages import _decode_and_segment, extract_document
+    from .stages import _decode_and_segment, _payload_route, extract_document
 
-    if (html[:1] in (b"<", b"\xef") or html[:5].lstrip()[:1] == b"<"
-            or html[:1] == b"{" or html[:5].lstrip()[:1] == b"{"):
+    try:
+        route = _payload_route(html)
+    except Exception:
+        # null/unsliceable html: defer to extract_document, whose guard
+        # path owns malformed payloads (emits the flagged empty row)
+        route = "defer"
+    if route is not None:
         row = extract_document(
             html, url, lang, gt_text, segmenter, text_direction,
             kraken_model_path, no_segmentation=no_segmentation,
@@ -132,7 +138,7 @@ def _prepare_one(html, url, lang, gt_text, segmenter, text_direction,
     }
     try:
         img, mask, seg = _decode_and_segment(
-            html, url, out, segmenter, text_direction, vertical,
+            html, url, out, segmenter, text_direction,
             no_segmentation, nlbin_params, t0)
         rec = stages._get_kraken_recognizer(kraken_model_path,
                                             temperature=temperature)
@@ -149,6 +155,13 @@ def _prepare_one(html, url, lang, gt_text, segmenter, text_direction,
                 p = rec._prep_bbox_u8(img, bx)
             else:
                 p = rec._prep_baseline_u8(img, ln["baseline"], ln["boundary"])
+            if p is not None and p[0].size == 0:
+                # a degenerate (zero-area) line tensor makes the fused
+                # path's _prep_net_input raise inside recognize_lines,
+                # turning the WHOLE page into a guard-tripped empty row —
+                # reproduce that exact outcome here rather than shipping
+                # a tensor stage B cannot recognize
+                raise ValueError(f"zero-area line tensor for line {i}")
             if p is None:
                 rows.append({"url": url, "line_idx": i, "complete": False,
                              "page_meta": None, "tensor": None,
@@ -228,18 +241,27 @@ def make_recognize_map(kraken_model_path, temperature, batch_size: int = 32):
                         "prediction": "" if r["line_idx"] >= 0 else None,
                         "cuts": "[]" if r["line_idx"] >= 0 else None,
                         "confidences": [] if r["line_idx"] >= 0 else None,
+                        "rec_ms": 0.0 if r["line_idx"] >= 0 else None,
                     })
                     continue
-                u8 = np.frombuffer(r["tensor"], dtype=np.uint8).reshape(
-                    r["ts_h"], r["ts_w"])
-                ts = u8.astype(np.float32) / 255.0
-                net_in = rec._prep_net_input(ts, PAD)
                 pos = len(out_rows)
                 out_rows.append({
                     "url": r["url"], "line_idx": r["line_idx"],
                     "complete": False, "page_meta": None,
                     "prediction": "", "cuts": "[]", "confidences": [],
+                    "rec_ms": 0.0,
                 })
+                try:
+                    u8 = np.frombuffer(r["tensor"], dtype=np.uint8).reshape(
+                        r["ts_h"], r["ts_w"])
+                    ts = u8.astype(np.float32) / 255.0
+                    net_in = rec._prep_net_input(ts, PAD)
+                except Exception:
+                    # last-resort per-line containment (prepare already
+                    # guards the known degenerate shapes at page level):
+                    # an unrecognizable line becomes an empty record
+                    # instead of aborting the stage
+                    continue
                 if net_in is not None:
                     pending.append((pos, net_in, net_in.shape[1], r["box_w"]))
             # width-sorted chunks through the batched forward, then the
@@ -247,15 +269,29 @@ def make_recognize_map(kraken_model_path, temperature, batch_size: int = 32):
             pending.sort(key=lambda t: t[2])
             for s in range(0, len(pending), batch_size):
                 chunk = pending[s:s + batch_size]
-                probs_list = rec.net.forward_batch([c[1] for c in chunk])
+                c0 = time.perf_counter()
+                try:
+                    probs_list = rec.net.forward_batch([c[1] for c in chunk])
+                except Exception:
+                    continue  # chunk's lines stay empty records
+                chunk_ms = (time.perf_counter() - c0) * 1000.0
+                wsum = sum(c[2] for c in chunk) or 1
                 for (pos, net_in, ts_w, box_w), probs in zip(chunk, probs_list):
-                    d = rec._decode_probs(probs, ts_w, PAD,
-                                          bidi_reordering=True, box_w=box_w)
+                    try:
+                        d = rec._decode_probs(probs, ts_w, PAD,
+                                              bidi_reordering=True,
+                                              box_w=box_w)
+                    except Exception:
+                        continue
                     out_rows[pos]["prediction"] = d["prediction"]
                     out_rows[pos]["cuts"] = json.dumps(
                         [[int(a), int(b)] for a, b in d["cuts"]])
                     out_rows[pos]["confidences"] = [
                         float(c) for c in d["confidences"]]
+                    # recurrence cost is ~linear in timesteps: attribute
+                    # the chunk's wall width-proportionally so assembly
+                    # can report a realistic per-document wall_ms
+                    out_rows[pos]["rec_ms"] = chunk_ms * ts_w / wsum
             yield pa.RecordBatch.from_pylist(out_rows, schema=_REC_ARROW)
 
     return recognize
@@ -297,7 +333,13 @@ def make_assemble():
                     o, meta["seg_lines"], records, meta["seg_regions"],
                     meta["vertical"], o["lang"], o["base_dir"],
                     meta["gt_text"])
-                row["wall_ms"] = meta["prep_ms"]
+                # per-doc wall = prepare wall + this page's share of the
+                # batched recognition wall (width-proportional chunk
+                # attribution in stage B) — so metrics rollups see the
+                # real cost, not just the prepare half
+                row["wall_ms"] = meta["prep_ms"] + sum(
+                    (r.get("rec_ms") or 0.0)
+                    for r in rows if r["line_idx"] >= 0)
             row["partition_id"] = pid
             out.append(row)
         return pa.Table.from_pylist(out, schema=EXTRACTION_ARROW)

@@ -162,7 +162,8 @@ def extract_document(
         "line_orders": [],
     }
     try:
-        if html[:1] in (b"<", b"\xef") or html[:5].lstrip()[:1] == b"<":
+        route = _payload_route(html)
+        if route == "markup":
             from .kernels.htmlparse import looks_like_html, seg_from_html
 
             if looks_like_html(html):
@@ -177,12 +178,12 @@ def extract_document(
             # lines/regions/text directly, no OCR (the reference's -f xml
             # input, /root/reference/kraken/kraken.py:200-207; SURVEY §3.4)
             return _extract_from_xml(html, out, gt_text, t0)
-        if html[:1] == b"{" or html[:5].lstrip()[:1] == b"{":
+        if route == "json":
             # JSON Segmentation payload (the reference's JSON round-trip,
             # kraken.py:179-181,215-220): same pre-segmented path
             return _extract_from_json(html, out, gt_text, t0)
         img, mask, seg = _decode_and_segment(
-            html, url, out, segmenter, text_direction, vertical,
+            html, url, out, segmenter, text_direction,
             no_segmentation, nlbin_params, t0
         )
         if kraken_model_path:
@@ -241,9 +242,22 @@ def extract_document(
     return out
 
 
+def _payload_route(html: bytes) -> str | None:
+    """The non-image payload sniff of extract_document: 'markup' for
+    XML/HTML dialects (incl. BOM), 'json' for JSON Segmentation, None
+    for image bytes. Shared with pipeline_lines._prepare_one so both
+    plans always route a payload the same way; raises on None html (the
+    callers' guard paths own that, like every other malformed payload)."""
+    if html[:1] in (b"<", b"\xef") or html[:5].lstrip()[:1] == b"<":
+        return "markup"
+    if html[:1] == b"{" or html[:5].lstrip()[:1] == b"{":
+        return "json"
+    return None
+
+
 def _decode_and_segment(
     html: bytes, url: str, out: dict, segmenter: str,
-    text_direction: str, vertical: bool, no_segmentation: bool,
+    text_direction: str, no_segmentation: bool,
     nlbin_params: dict | None, t0: float,
 ):
     """Shared front half of the per-page chain: admission check -> decode

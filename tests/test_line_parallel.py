@@ -76,7 +76,8 @@ def test_line_parallel_handles_preseg_and_garbage(spark):
     mixed = spark.createDataFrame(
         [(r.url + "#alto", bytearray(r.document.encode("utf-8")), "", "en")
          for r in alto]
-        + [("garbage://1", bytearray(b"\x00\x01notapng"), "", "en")],
+        + [("garbage://1", bytearray(b"\x00\x01notapng"), "", "en"),
+           ("nullhtml://1", None, "", "en")],
         "url string, html binary, text string, lang string",
     ).localCheckpoint(eager=True)
     fused = _rows_by_url(plan_extraction(
@@ -86,6 +87,10 @@ def test_line_parallel_handles_preseg_and_garbage(spark):
         line_partitions=4))
     assert set(fused) == set(lp)
     assert fused["garbage://1"]["guard_tripped"]
+    # NULL html must survive BOTH plans as a guard row, not a task abort
+    # (the payload sniff runs before _prepare_one's try)
+    assert fused["nullhtml://1"]["guard_tripped"]
+    assert lp["nullhtml://1"]["guard_tripped"]
     for url in fused:
         _assert_row_parity(fused[url], lp[url])
 
@@ -135,6 +140,38 @@ def test_run_extraction_line_parallel_commits_same_rows(spark, tmp_path):
     a = sorted(spark.read.parquet(out_a).select(key).collect())
     b = sorted(spark.read.parquet(out_b).select(key).collect())
     assert a == b and len(a) == 4
+
+
+def test_zero_area_line_tensor_guards_whole_page(monkeypatch):
+    """A degenerate (zero-area) line tensor makes the fused path raise
+    inside recognize_lines -> whole page guard-tripped. The line-parallel
+    prepare stage must reproduce exactly that outcome (a single complete
+    guard row), not ship a tensor stage B cannot recognize."""
+    import numpy as np
+
+    from kraken_spark.kernels import png, render
+    from kraken_spark.kernels.rpred_parity import LoadedRecognizer
+    from kraken_spark.pipeline_lines import _prepare_one
+    from kraken_spark.stages import extract_document
+
+    monkeypatch.setattr(
+        LoadedRecognizer, "_prep_baseline_u8",
+        lambda self, *a, **k: (np.empty((48, 0), dtype=np.uint8), 10))
+    monkeypatch.setattr(
+        LoadedRecognizer, "_prep_bbox_u8",
+        lambda self, *a, **k: (np.empty((48, 0), dtype=np.uint8), 10))
+    d = render.render_document(1234, 0)
+    html, text = png.encode_png(d["img"]), d["text"]
+    fused = extract_document(html, "http://z/p0", "en", text,
+                             "pageseg", None, REC_ASSET)
+    assert fused["guard_tripped"] and fused["n_lines"] == 0
+    rows = _prepare_one(html, "http://z/p0", "en", text, "pageseg",
+                        None, REC_ASSET, False, 1.0, None)
+    assert len(rows) == 1 and rows[0]["complete"]
+    import json as _json
+
+    meta = _json.loads(rows[0]["page_meta"])
+    assert meta["guard_tripped"] and meta["n_lines"] == 0
 
 
 def test_u8_prep_roundtrip_is_bit_exact():
