@@ -176,6 +176,23 @@ class LoadedRecognizer:
         )
 
     # -- batched path -------------------------------------------------------
+    #
+    # The prep of each path is split at its CROP point: the page-local half
+    # (bounds guard + rectangular crop — needs the full page image) and the
+    # crop-local half (dewarp / polygon mask / Lanczos resize — touches only
+    # pixels inside the crop: extract_polygon_legacy/new slice exactly the
+    # polygon's bbox and every warp tap outside the patch reads cval, so
+    # translating baseline/boundary into crop coordinates is EXACT). The
+    # line-parallel plan (pipeline_lines.py) ships the raw crop + local
+    # geometry and runs the crop-local half in the line-salted stage, so a
+    # many-line page's per-line prep cost parallelizes with its forwards.
+    def _prep_bbox_u8_from_crop(self, crop: np.ndarray, box_w: int):
+        """Crop-local half of _prep_bbox_u8: dewarp + the PIL F->L uint8
+        truncation (utils.py:139-141). crop is the already-guarded bbox
+        slice; box_w its original width."""
+        ts = dewarp_line(crop, self.height)
+        return np.clip(ts, 0, 255).astype(np.uint8), box_w
+
     def _prep_bbox_u8(self, img: np.ndarray, bbox):
         """recognize_bbox's line prep up to its EXACT uint8 quantization
     point (the PIL F->L truncation after the dewarp, utils.py:139-141);
@@ -186,8 +203,7 @@ class LoadedRecognizer:
         if x0 < 0 or y0 < 0 or x1 > img.shape[1] or y1 > img.shape[0] or x1 <= x0 or y1 <= y0:
             return None
         crop = img[y0:y1, x0:x1]
-        ts = dewarp_line(crop, self.height)
-        return np.clip(ts, 0, 255).astype(np.uint8), x1 - x0
+        return self._prep_bbox_u8_from_crop(crop, x1 - x0)
 
     def _prep_bbox(self, img: np.ndarray, bbox):
         """Line-tensor prep of recognize_bbox without the forward; returns
@@ -197,13 +213,14 @@ class LoadedRecognizer:
             return None
         return r[0].astype(np.float32) / 255.0, r[1]
 
-    def _prep_baseline_u8(self, img: np.ndarray, baseline, boundary,
-                          legacy: bool | None = None):
-        """recognize_baseline's line prep up to its uint8 stage (the
-        Lanczos fixed_resize output IS uint8); returns (u8, box_w) or
-        None. Same transport contract as _prep_bbox_u8."""
-        if legacy is None:
-            legacy = self.bundle.legacy_polygons
+    def _baseline_crop(self, img: np.ndarray, baseline, boundary):
+        """Page-local half of _prep_baseline_u8: the bounds guard (against
+        the FULL page dims, like recognize_baseline) + the polygon-bbox
+        crop. Returns (crop, bl_local, poly_local) or None for
+        out-of-bounds lines. bl_local/poly_local are the inputs translated
+        by the crop origin — extract_polygon_legacy/new over
+        (crop, locals) computes the identical patch (it slices exactly the
+        polygon bbox and offsets the polygon by the same origin)."""
         pl = np.asarray(boundary)
         bl = np.asarray(baseline, dtype=np.float64)
         h, w = img.shape
@@ -211,7 +228,23 @@ class LoadedRecognizer:
             return None
         if (bl < 0).any() or bl[:, 0].max() >= w or bl[:, 1].max() >= h:
             return None
-        patch = extract_polygon_legacy(img, bl, pl) if legacy else extract_polygon_new(img, bl, pl)
+        c_min, r_min = int(pl[:, 0].min()), int(pl[:, 1].min())
+        c_max, r_max = int(pl[:, 0].max()), int(pl[:, 1].max())
+        crop = img[r_min : r_max + 1, c_min : c_max + 1]
+        return crop, bl - (c_min, r_min), pl - (c_min, r_min)
+
+    def _prep_baseline_u8_from_crop(self, crop: np.ndarray, bl_local,
+                                    poly_local, legacy: bool | None = None):
+        """Crop-local half of _prep_baseline_u8: polygon extraction over
+        the crop + border trim + Lanczos fixed-height resize. Returns
+        (u8, box_w) or None for blank lines."""
+        if legacy is None:
+            legacy = self.bundle.legacy_polygons
+        patch = (
+            extract_polygon_legacy(crop, bl_local, poly_local)
+            if legacy
+            else extract_polygon_new(crop, bl_local, poly_local)
+        )
         if patch.size == 0:
             return None
         nzr = np.nonzero(patch.any(axis=1))[0]
@@ -221,6 +254,18 @@ class LoadedRecognizer:
         patch = patch[nzr[0] : nzr[-1] + 1, nzc[0] : nzc[-1] + 1]
         resized = fixed_resize(patch, (self.height, 0))
         return resized, patch.shape[1]
+
+    def _prep_baseline_u8(self, img: np.ndarray, baseline, boundary,
+                          legacy: bool | None = None):
+        """recognize_baseline's line prep up to its uint8 stage (the
+        Lanczos fixed_resize output IS uint8); returns (u8, box_w) or
+        None. Same transport contract as _prep_bbox_u8. Composed of the
+        page-local crop + the crop-local extraction halves above (the
+        line-parallel plan runs the halves in different stages)."""
+        r = self._baseline_crop(img, baseline, boundary)
+        if r is None:
+            return None
+        return self._prep_baseline_u8_from_crop(*r, legacy=legacy)
 
     def _prep_baseline(self, img: np.ndarray, baseline, boundary,
                        legacy: bool | None = None):

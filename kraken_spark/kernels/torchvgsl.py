@@ -207,7 +207,16 @@ def dewarp_line(line: np.ndarray, target_height: int) -> np.ndarray:
     ink image; normalize the ORIGINAL with white cval. Returns float32."""
     line = np.asarray(line, dtype=np.float64)
     temp = np.amax(line) - line
-    temp = temp * 1.0 / np.amax(temp)
+    peak = np.amax(temp)
+    if peak == 0:
+        # constant (blank) line: the implicit 0/0 of the normalization is
+        # NaN for every element — make that path explicit instead of
+        # tripping the divide RuntimeWarning (identical values; the NaN
+        # tensor ends as an empty record downstream, pinned in
+        # tests/test_batched_rpred.py's invalid-line case)
+        temp = np.full_like(temp, np.nan)
+    else:
+        temp = temp * 1.0 / peak
     norm = CenterNormalizer(target_height)
     norm.measure(temp)
     return norm.normalize(line, cval=np.amax(line))

