@@ -286,7 +286,12 @@ def vectorize_lines(
     caller scales back. With simplify=False the dense per-column bottom
     polyline is returned — the join pass needs dense ends, because
     Douglas-Peucker may displace endpoints by up to `tolerance` px and
-    that error is enough to push a curved-line join past its dy budget."""
+    that error is enough to push a curved-line join past its dy budget.
+
+    Returns (N, 2) int64 ARRAYS: dense polylines are one point per column
+    and the list-of-lists round-trips through the join/suppress chain
+    made `tolist` the hottest call of segmentation on many-line pages —
+    callers convert to lists only after Douglas-Peucker shrinks them."""
     hot = bl_map > threshold
     # closing along x: fill gaps, preserve extents
     hot = binary_erosion_sep(binary_dilation_sep(hot, 1, GAP_BRIDGE_X), 1, GAP_BRIDGE_X)
@@ -310,7 +315,7 @@ def vectorize_lines(
         pts = np.stack([ux + x0, cy + y0], axis=1)
         if simplify:
             pts = approximate_polygon(pts, tolerance=3.0)
-        out.append(np.rint(pts).astype(np.int64).tolist())
+        out.append(np.rint(pts).astype(np.int64))
     return out
 
 
@@ -417,7 +422,8 @@ def join_baseline_fragments(
                         break
             if merged:
                 break
-    return [f.tolist() for f in frags]
+    # stays (N, 2) int64 arrays — see vectorize_lines' return contract
+    return frags
 
 
 def _col_bottoms(frag: list[list[int]]) -> dict[int, int]:
@@ -537,9 +543,10 @@ def suppress_phantom_baselines(
     above it, beyond the band gate."""
     spans = []
     for bl in baselines:
-        xs = [p[0] for p in bl]
-        ys = [p[1] for p in bl]
-        spans.append((min(xs), max(xs), sum(ys) / len(ys)))
+        arr = np.asarray(bl, dtype=np.int64).reshape(-1, 2)
+        # int sum / len == the scalar loop's exact mean (int64 is exact)
+        spans.append((int(arr[:, 0].min()), int(arr[:, 0].max()),
+                      int(arr[:, 1].sum()) / len(arr)))
     keep = []
     for i, (x0, x1, y) in enumerate(spans):
         li = x1 - x0

@@ -143,33 +143,34 @@ def grid_percentile(img: np.ndarray, tile: int = 32, perc: float = 80.0) -> np.n
     (/root/reference/kraken/binarization.py:78-88) — same estimator class
     (local high percentile ~= page background), O(n) instead of O(n*w^2).
 
-    For uint8 input the k-th order statistic per tile is found by
-    256-bin histogram selection (one bincount scatter + a (gh*gw, 256)
+    For uint8 input the k-th order statistic per tile is found by 256-bin
+    histogram selection (per-tile-row bincount scatter + a (gw, 256)
     cumsum/argmax) instead of np.partition over a transposed tile copy —
-    identical value (same multiset, same nearest-rank k), ~3x less work
-    on the full-resolution page, which made this the single most
-    expensive step of nlbin per median page (guide §1: per-task work).
+    identical value (same multiset, same nearest-rank k), less work AND
+    far less memory traffic: the per-iteration working set is one tile
+    row (~128 KB), which matters at 32-way partition concurrency where
+    the image kernels are DRAM-bandwidth-bound (guide §1: per-task work;
+    BASELINE.md host notes).
     """
     h, w = img.shape
     gh, gw = -(-h // tile), -(-w // tile)
     ph, pw = gh * tile, gw * tile
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")  # stays uint8
-    # histogram-bin budget: a 20000x20000 admission-cap page at tile 32
-    # would need 100M bins (~800 MB) — beyond ~4M bins the partition path
-    # is the better trade, and such pages are rare guard cases anyway
-    if img.dtype == np.uint8 and gh * gw * 256 <= (1 << 22):
+    if img.dtype == np.uint8:
         n = tile * tile
         k = min(n - 1, max(0, int(round(perc / 100.0 * (n - 1)))))
-        # flat histogram ids: (tile_row * gw + tile_col) * 256 + pixel
-        ybase = (np.arange(ph, dtype=np.int32) // tile) * np.int32(gw * 256)
+        out = np.empty((gh, gw), dtype=np.float32)
+        # per-pixel histogram ids within a tile row: tile_col * 256 + value
         xbase = (np.arange(pw, dtype=np.int32) // tile) * np.int32(256)
-        ids = (ybase[:, None] + xbase[None, :]) + padded
-        counts = np.bincount(ids.ravel(), minlength=gh * gw * 256)
-        cum = np.cumsum(counts.reshape(gh * gw, 256), axis=1)
-        # k-th smallest (0-indexed) = first value whose cumulative count
-        # reaches k+1 — exactly np.partition(...)[k] for integer data
-        vals = np.argmax(cum >= k + 1, axis=1).astype(np.float32)
-        return vals.reshape(gh, gw)
+        nb = gw * 256
+        for gy in range(gh):
+            ids = xbase[None, :] + padded[gy * tile : (gy + 1) * tile]
+            counts = np.bincount(ids.ravel(), minlength=nb)
+            cum = np.cumsum(counts.reshape(gw, 256), axis=1)
+            # k-th smallest (0-indexed) = first value whose cumulative
+            # count reaches k+1 — exactly np.partition(...)[k] for ints
+            out[gy] = np.argmax(cum >= k + 1, axis=1)
+        return out
     tiles = padded.reshape(gh, tile, gw, tile).transpose(0, 2, 1, 3).reshape(gh, gw, -1)
     return percentile_nearest(tiles, perc, axis=2)
 

@@ -437,12 +437,29 @@ def classify_blocks(blks: list[dict], lang: str | None = None) -> list[dict]:
     return blks
 
 
+# one-slot parse memo: the fused extraction stage with markdown=True runs
+# BOTH seg_from_html and main_content_markdown on the same page bytes in
+# one row — the second call reuses the first's parse+classification (a
+# ~2x saving on the web leg) instead of re-walking the DOM. Pure-function
+# memo of in-flight work within a worker, keyed on the exact (bytes, lang)
+# input — never persisted, never keyed on corpus identity. Callers treat
+# the returned blocks as read-only (all current ones do).
+_MEMO: tuple | None = None
+
+
 def extract_main_text(data: bytes, lang: str | None = None) -> tuple[str, list[dict]]:
     """HTML bytes -> (main-content text, classified blocks). The text is
     the good blocks joined with newlines — the per-url byte-identity
-    target when the source is write_boilerplate_page."""
+    target when the source is write_boilerplate_page. The returned block
+    list is shared with the memo above — do not mutate."""
+    global _MEMO
+    m = _MEMO
+    if m is not None and m[1] == lang and m[0] == data:
+        return m[2]
     blks = classify_blocks(blocks(parse_html(data)), lang)
-    return "\n".join(b["text"] for b in blks if b["cls"] == "good"), blks
+    res = ("\n".join(b["text"] for b in blks if b["cls"] == "good"), blks)
+    _MEMO = (data, lang, res)
+    return res
 
 
 # --------------------------------------------------------------------------

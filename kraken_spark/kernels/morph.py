@@ -181,23 +181,28 @@ def fast_component_count(mask: np.ndarray) -> int:
     (reference pageseg.py:381-391 counts background components against an
     area cap before segmenting).
     """
-    b = np.ascontiguousarray(mask).astype(bool)
+    b = np.asarray(mask, dtype=bool)  # no copy when already bool
     if not b.any():
         return 0
     h, w = b.shape
     starts = b.copy()
     starts[:, 1:] &= ~b[:, :-1]
-    # run id per pixel (global, row-major): cumsum over start flags
-    run_id = np.cumsum(starts.ravel()).reshape(h, w) - 1
-    n_runs = int(starts.sum())
+    # run id per pixel (global, row-major): cumsum over start flags.
+    # int32 halves the write traffic of the largest temporary (the page
+    # admission cap bounds pixel count well under 2^31 runs).
+    run_id = np.cumsum(starts.ravel(), dtype=np.int32).reshape(h, w)
+    run_id -= 1
+    n_runs = int(run_id[-1, -1]) + 1
 
     both = b[1:] & b[:-1]
     if not both.any():
         return n_runs
-    ov_start = both.copy()
-    ov_start[:, 1:] &= ~both[:, :-1]
+    ov_start = both
+    ov_start[:, 1:] &= ~both[:, :-1].copy()
     ys, xs = np.nonzero(ov_start)
-    pairs = np.unique(run_id[ys, xs] * np.int64(n_runs) + run_id[ys + 1, xs])
+    pairs = np.unique(
+        run_id[ys, xs].astype(np.int64) * np.int64(n_runs) + run_id[ys + 1, xs]
+    )
     u = pairs // n_runs
     v = pairs % n_runs
     # Exact connected components over the run graph via fully-vectorized

@@ -116,8 +116,23 @@ def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: tuple[int, int]
     ):
         out = np.zeros((o, oh, ow), dtype=np.float64)
         for ci in range(c):
-            sat = np.zeros((h + 1, wid + 1), dtype=np.float64)
-            sat[1:, 1:] = x[ci].astype(np.float64, copy=False).cumsum(axis=0).cumsum(axis=1)
+            # binary-ink channels (the page-sized heatmap case) take an
+            # int32 summed-area table: the sum is bounded by the pixel
+            # count (admission cap << 2^31), integer arithmetic is exact,
+            # and the table — the dominant memory traffic of this path —
+            # is half the float64 size. Values are identical: the float64
+            # SAT held exact integers too, and v * (exact int diff) is
+            # the same float64 product either way.
+            if float(x[ci].max()) <= 1.0 and h * wid < 2**31:
+                sat = np.zeros((h + 1, wid + 1), dtype=np.int32)
+                sat[1:, 1:] = (
+                    x[ci].astype(np.int32, copy=False).cumsum(axis=0).cumsum(axis=1)
+                )
+            else:
+                sat = np.zeros((h + 1, wid + 1), dtype=np.float64)
+                sat[1:, 1:] = (
+                    x[ci].astype(np.float64, copy=False).cumsum(axis=0).cumsum(axis=1)
+                )
             for oi in range(o):
                 for v, ry0, ry1, rx0, rx1 in rect_sets[oi][ci]:
                     out[oi] += v * (
