@@ -86,7 +86,8 @@ def x_extract_geometry(spark, sf):
             F.col("l.region_ids")[0].alias("region_id"),
             F.to_json(F.col("l.region_ids")).alias("region_ids_json"),
         )
-        .join(regions.select("url", "region_id", "region_type"), ["url", "region_id"], "left")
+        .join(F.broadcast(regions.select("url", "region_id", "region_type")),
+              ["url", "region_id"], "left")
         .select(
             "url",
             F.lit("line").alias("kind"),
@@ -232,7 +233,9 @@ def report_over(ext, gt, per_file: bool = False, side_table_sf=None):
     lines, /root/reference/kraken/contrib/test_per_file.py:135-182)."""
     import pyarrow as pa
 
-    joined = ext.join(gt, "url")
+    # broadcast the tiny (url, gt) table so the extraction output is not
+    # shuffled by url just to attach ground truth (guide §3.1)
+    joined = ext.join(F.broadcast(gt), "url")
     with_cer = "cer" in joined.columns
 
     out_schema = (
