@@ -209,22 +209,41 @@ def segment(
     # count (morph.fast_component_count). Real degraded scans with ragged
     # backgrounds (e.g. the reference's bw.png) pass the exact tier where
     # a one-shot proxy would misfire.
-    bg = ~ink.astype(bool)
-    starts = bg.copy()
-    starts[:, 1:] &= ~bg[:, :-1]
-    isolated = starts.copy()
-    isolated[1:] &= ~bg[:-1]
-    isolated[1:, 1:] &= ~bg[:-1, :-1]
     cap = h * w * MAX_CC_DENSITY
     # fast-pass band is 2x the cap: the run-start bound overcounts ragged
     # real pages ~4-17x but equals the component count only for pure speck
     # noise, so passing (cap, 2cap] without the exact count admits at most
     # 2x the reference's heuristic cap while keeping clean dense pages off
-    # the exact tier (which costs ~40 ms/page)
-    if int(np.count_nonzero(isolated)) > 2 * cap:
+    # the exact tier (which costs ~40 ms/page).
+    # Counted in row blocks (the temporaries stay cache-resident instead
+    # of three full-page bool copies — the guard runs on EVERY page, and
+    # the image kernels are DRAM-bound at full partition concurrency)
+    # with early exit once the bound is exceeded; identical count
+    # semantics: isolated[y,x] = start-of-run with no background in the
+    # row above at x or x-1.
+    thresh = 2 * cap
+    iso_count = 0
+    prev_last = None  # last bg row of the previous block
+    step = 256
+    for y0 in range(0, h, step):
+        blk = ink[y0 : y0 + step] == 0
+        iso = blk.copy()
+        iso[:, 1:] &= ~blk[:, :-1]  # horizontal run starts
+        above = np.empty_like(blk)
+        above[0] = False if prev_last is None else prev_last
+        above[1:] = blk[:-1]
+        # page row 0 has above == all-False, so the masks are no-ops
+        # there — exactly the full-page semantics
+        iso &= ~above
+        iso[:, 1:] &= ~above[:, :-1]
+        iso_count += int(np.count_nonzero(iso))
+        prev_last = blk[-1]
+        if iso_count > thresh:
+            break
+    if iso_count > thresh:
         from .morph import fast_component_count
 
-        if fast_component_count(bg) > cap:
+        if fast_component_count(ink == 0) > cap:
             out = dict(empty)
             out["guard_tripped"] = True
             return out
