@@ -932,7 +932,19 @@ def dedup_incremental(
     `new_sigs`: optionally the new crawl's own minhash_signatures view,
     already materialized — callers that persist the signatures anyway
     (corpus_pipeline.corpus_tick) pass it so the delta is shingled exactly
-    once instead of twice."""
+    once instead of twice.
+
+    Skew story for the signature join (band_key is the join key): a hot
+    band bucket — web boilerplate shared by millions of pages — is a
+    single join KEY, which AQE's skew-join splitting handles on the
+    kept-vs-new equi-join (spark.sql.adaptive.skewJoin, on in
+    session.get_spark: an oversized band_key partition is split at
+    runtime, and each split still joins correctly because splitting the
+    probe side of an equi-join is value-transparent). The within-crawl
+    half never sees that skew at all: its bucket expansion drops buckets
+    over BUCKET_CAP outright (pinned in tests/test_dedup_stress.py —
+    boilerplate that identical is exact-dedup's job, and the cap bounds
+    the quadratic pair expansion no matter the corpus)."""
     if new_sigs is None:
         new_sigs = minhash_signatures(new_docs, id_col=id_col).transform(lineage_cut)
     agree = lambda a, b: F.size(
